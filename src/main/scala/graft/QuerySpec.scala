@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names/types are aligned on both sides; every query ends
+  * in a deterministic ORDER BY so row order can never differ.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QuerySpec {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, None)
+}

@@ -1,0 +1,576 @@
+package graft.analytics
+
+import graft.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational analytics surface: aggregations, joins, windows, set
+  * operations, scalar functions — the query classes the reference's data
+  * (Olist-star-shaped; here the driver's TPC-H-ish fixtures) supports.
+  *
+  * Exactness strategy for the DuckDB oracle: every money/quantity double in
+  * the fixtures carries at most 2 decimal digits, so aggregates cast to
+  * DECIMAL(18,2) first (exact arithmetic, order-independent) and cast the
+  * final value back to DOUBLE — bit-identical across engines regardless of
+  * partitioning / summation order. Plain double SUMs would differ in the
+  * last bits between any two engines (or any two shuffle layouts).
+  *
+  * Scale notes: dimension joins (`region nation supplier part customer`)
+  * are broadcast explicitly; fact-side aggregates are partial-agg friendly
+  * (no distinct-on-fact except where the query demands it); every query is
+  * expressed declaratively so Catalyst pushes filters/projections into the
+  * parquet scan.
+  */
+object Relational {
+
+  /** Exact 2-decimal view of a double column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  // ---------------------------------------------------------------- q01
+  val q01 = QuerySpec.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = T(s, d, "lineitem")
+    val price = dec(col("l_extendedprice"))
+    val disc = dec(col("l_discount"))
+    val tax = dec(col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(price)).as("sum_base_price"),
+        asDouble(sum(price * (lit(1) - disc))).as("sum_disc_price"),
+        asDouble(sum(price * (lit(1) - disc) * (lit(1) + tax))).as("sum_charge"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---------------------------------------------------------------- q02
+  val q02 = QuerySpec.sql(
+    "q02_filter_pushdown",
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+      |  AND l_discount < 0.03 AND l_quantity >= 45
+      |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate""".stripMargin) { (s, d) =>
+    // Predicates and the 5-column projection reach the parquet scan
+    // (PushedFilters / ReadSchema) — nothing else is read off disk.
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp_ntz") &&
+        col("l_discount") < 0.03 && col("l_quantity") >= 45)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+  }
+
+  // ---------------------------------------------------------------- q03
+  val q03 = QuerySpec.sql(
+    "q03_top_revenue_orders",
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val li = T(s, d, "lineitem")
+    val o = T(s, d, "orders").filter(col("o_orderstatus") === "O")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q04
+  val q04 = QuerySpec.sql(
+    "q04_brand_volume",
+    """SELECT p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    // part is a dimension (20k rows at sf0.1) — broadcast it so the fact
+    // table never shuffles for the join; only the tiny post-agg shuffles.
+    T(s, d, "lineitem")
+      .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        asDouble(sum(dec(col("l_quantity")))).as("total_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  val q05 = QuerySpec.sql(
+    "q05_region_nation_revenue",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val c = T(s, d, "customer")
+    val o = T(s, d, "orders")
+    val li = T(s, d, "lineitem")
+    val su = T(s, d, "supplier")
+    val n = T(s, d, "nation")
+    val r = T(s, d, "region")
+    // Fact (lineitem) joins orders on its shuffle key once; every other
+    // side is a broadcast dimension — one shuffle total before the agg.
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  val q06 = QuerySpec.sql(
+    "q06_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin) { (s, d) =>
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  val q07 = QuerySpec.sql(
+    "q07_semi_join",
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+      |                AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val big = T(s, d, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+    T(s, d, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q08
+  val q08 = QuerySpec.sql(
+    "q08_anti_join",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q09
+  val q09 = QuerySpec.sql(
+    "q09_top_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- q10
+  private val liAllCols = Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus")
+  val q10 = QuerySpec.sql(
+    "q10_running_supplier_qty",
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY ${liAllCols.mkString(", ")}
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, ${liAllCols.mkString(", ")}""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures; full rows
+    // are. Ordering the frame by every column makes the running sum
+    // deterministic under any physical row order.
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liAllCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, d, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"),
+        asDouble(sum(dec(col("l_quantity"))).over(w)).as("running_qty"))
+      .orderBy(col("l_suppkey") +: liAllCols.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------- q11
+  val q11 = QuerySpec.sql(
+    "q11_distinct_agg",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  val q12 = QuerySpec.sql(
+    "q12_set_ops",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = T(s, d, "orders")
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q13
+  val q13 = QuerySpec.sql(
+    "q13_status_matrix",
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS f_total
+      |FROM orders
+      |GROUP BY CAST(YEAR(o_orderdate) AS INT)
+      |ORDER BY order_year""".stripMargin) { (s, d) =>
+    T(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("order_year"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        asDouble(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))).as("f_total"))
+      .orderBy(col("order_year"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  val q14 = QuerySpec.sql(
+    "q14_string_funcs",
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  LOWER(p_brand) AS brand_lower,
+      |  SUBSTRING(p_type, 1, 4) AS type_prefix,
+      |  CONCAT(p_brand, '#', p_type) AS brand_type,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  REPLACE(p_name, ' ', '_') AS name_snake,
+      |  LPAD(p_brand, 12, '*') AS brand_padded,
+      |  REVERSE(p_type) AS type_rev
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    T(s, d, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      substring(col("p_type"), 1, 4).as("type_prefix"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      lpad(col("p_brand"), 12, "*").as("brand_padded"),
+      reverse(col("p_type")).as("type_rev"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q15
+  val q15 = QuerySpec.sql(
+    "q15_math_funcs",
+    """SELECT p_partkey,
+      |  SQRT(p_retailprice) AS price_sqrt,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+      |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+      |  ABS(p_size - 25) AS size_dist,
+      |  ROUND(p_retailprice / 7, 3) AS price_div,
+      |  CAST(p_size % 5 AS INT) AS size_mod,
+      |  ROUND(p_retailprice / (1024.0 * 1024.0), 6) AS price_mb
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    T(s, d, "part").select(
+      col("p_partkey"),
+      sqrt(col("p_retailprice")).as("price_sqrt"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      abs(col("p_size") - 25).as("size_dist"),
+      round(col("p_retailprice") / 7, 3).as("price_div"),
+      (col("p_size") % 5).cast(IntegerType).as("size_mod"),
+      round(col("p_retailprice") / (1024.0 * 1024.0), 6).as("price_mb"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q16
+  val q16 = QuerySpec.sql(
+    "q16_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    T(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q17
+  val q17 = QuerySpec.sql(
+    "q17_having",
+    """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING COUNT(*) > 30
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 30)
+      .orderBy(col("l_partkey"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  val q18 = QuerySpec.sql(
+    "q18_above_avg_parts",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val p = T(s, d, "part")
+    // Scalar subquery as a 1-row broadcast cross join: stays fully
+    // distributed, no driver round-trip, exact decimal average.
+    val avgDf = p.agg((asDouble(sum(dec(col("p_retailprice")))) / count(lit(1))).as("avg_price"))
+    p.crossJoin(broadcast(avgDf))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q19
+  val q19 = QuerySpec.sql(
+    "q19_events_hourly",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+      |ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  // ---------------------------------------------------------------- q20
+  val q20 = QuerySpec.sql(
+    "q20_events_json",
+    """SELECT event_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q21
+  private val allTables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+  val q21 = QuerySpec.sql(
+    "q21_count_verify",
+    allTables.map(t => s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_cnt FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")) { (s, d) =>
+    // The reference's cross-system COUNT(*) integrity check (SURVEY §2.5
+    // A1/A2) as one declarative plan: parquet row-group metadata makes
+    // these near-free scans.
+    allTables.map { t =>
+      val df = if (t == "events") Tables.events(s, d) else T(s, d, t)
+      df.agg(count(lit(1)).as("row_cnt")).select(lit(t).as("table_name"), col("row_cnt"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  // ---------------------------------------------------------------- q22
+  val q22 = QuerySpec.sql(
+    "q22_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+      |), l AS (
+      |  SELECT user_id,
+      |    LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us,
+      |    ts_us
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q23
+  val q23 = QuerySpec.sql(
+    "q23_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |  CAST(MONTH(o_orderdate) AS INT) AS mo,
+      |  CAST(DAY(o_orderdate) AS INT) AS dy,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    T(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast(IntegerType).as("yr"),
+      month(col("o_orderdate")).cast(IntegerType).as("mo"),
+      dayofmonth(col("o_orderdate")).cast(IntegerType).as("dy"),
+      quarter(col("o_orderdate")).cast(IntegerType).as("qtr"),
+      date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+      // dates are emitted as strings: parquet DATE round-trips differently
+      // through pandas (object) vs DuckDB (datetime64), strings are stable
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+        .cast(IntegerType).as("days_since"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q24
+  val q24 = QuerySpec.sql(
+    "q24_union_distinct",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  // ---------------------------------------------------------------- q25
+  val q25 = QuerySpec.sql(
+    "q25_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    // GROUPING SETS has no DataFrame-API form — register and use SQL;
+    // Catalyst expands it to a single Expand + aggregate (one shuffle).
+    T(s, d, "orders").createOrReplaceTempView("graft_orders_gs")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM graft_orders_gs
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q26
+  val q26 = QuerySpec.sql(
+    "q26_lag_lead",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    T(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q27
+  val q27 = QuerySpec.sql(
+    "q27_rank_funcs",
+    """SELECT p_partkey, p_retailprice,
+      |  CAST(RANK() OVER (ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+      |  CAST(DENSE_RANK() OVER (ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank,
+      |  PERCENT_RANK() OVER (ORDER BY p_retailprice DESC) AS price_pct_rank
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // Global (unpartitioned) window: fine for a 20k-row dimension, and the
+    // rank values depend only on the sort key so ties are deterministic.
+    val w = Window.orderBy(col("p_retailprice").desc)
+    T(s, d, "part").select(
+      col("p_partkey"), col("p_retailprice"),
+      rank().over(w).cast(LongType).as("price_rank"),
+      dense_rank().over(w).cast(LongType).as("price_dense_rank"),
+      percent_rank().over(w).as("price_pct_rank"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+}

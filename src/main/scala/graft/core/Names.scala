@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Column-name sanitization and table-name derivation.
+  *
+  * Semantics re-specified from the reference pipeline's header cleaning
+  * (see /root/reference/bec-aws-bq/s3-to-rds.py:147-159 for the column rule,
+  * :287-289 for the table-name rule): strip BOM/quotes/whitespace, map
+  * non-alphanumerics to `_`, strip leading underscores, prefix names that
+  * start with a digit. These are driver-side metadata operations — applied
+  * via `DataFrame.toDF`, never as a per-row UDF, so they cost nothing at
+  * 100 TB scale.
+  */
+object Names {
+
+  private val Bom = "﻿"
+
+  /** Clean a single raw CSV header cell into a safe column name.
+    * Idempotent: clean(clean(s)) == clean(s).
+    */
+  def cleanColumnName(raw: String): String = {
+    val stripped = raw
+      .replace(Bom, "")
+      .replace("\"", "")
+      .replace("'", "")
+      .trim
+    val underscored = stripped.map(c => if (c.isLetterOrDigit && c < 128) c else '_')
+    val noLeading = underscored.dropWhile(_ == '_')
+    if (noLeading.isEmpty) "col"
+    else if (noLeading.head.isDigit) "col_" + noLeading
+    else noLeading
+  }
+
+  /** Sanitize every column of a DataFrame; collisions after cleaning get a
+    * positional `_N` suffix so the result is always a valid schema.
+    * Metadata-only (`toDF`) — no data movement, no shuffle.
+    */
+  def sanitizeColumns(df: DataFrame): DataFrame = {
+    val cleaned = df.columns.map(cleanColumnName)
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    val unique = cleaned.map { c =>
+      val n = seen.getOrElse(c, 0)
+      seen(c) = n + 1
+      if (n == 0) c else s"${c}_$n"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
+
+  /** Derive a table name from a file name/path: basename, strip `.csv`
+    * (case-insensitive), lowercase, `-`/space → `_`, drop all other
+    * non-[a-z0-9_]. Mirrors the reference's filename→table rule.
+    */
+  def tableNameFromFile(path: String): String = {
+    val base0 = path.substring(path.lastIndexOf('/') + 1)
+    val base = if (base0.toLowerCase.endsWith(".csv")) base0.dropRight(4) else base0
+    val lowered = base.toLowerCase
+      .map(c => if (c == '-' || c == ' ') '_' else c)
+      .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+    if (lowered.isEmpty) "table" else lowered
+  }
+
+  /** Depth-bounded schema flattening: nested struct fields become
+    * `parent<sep>child` top-level columns down to `maxDepth` levels; deeper
+    * structs are kept as-is. Mirrors the reference loader's
+    * `flattening_max_depth: 1` (meltano.yml:49-51). Metadata-only projection.
+    */
+  def flattenSchema(df: DataFrame, maxDepth: Int = 1, sep: String = "__"): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    def fields(prefix: String, path: String, schema: StructType, depth: Int): Seq[(String, Column)] =
+      schema.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else prefix + sep + f.name
+        val p = if (path.isEmpty) s"`${f.name}`" else path + s".`${f.name}`"
+        f.dataType match {
+          case st: StructType if depth < maxDepth => fields(name, p, st, depth + 1)
+          case _ => Seq((name, col(p)))
+        }
+      }
+    val cols = fields("", "", df.schema, 0).map { case (n, c) => c.alias(n) }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's two-phase type discipline (SURVEY.md §1.2): stringly
+  * staging with an audit timestamp, then inferred/typed warehouse loads.
+  *
+  * The datetime "sniff" (rds-to-bq.py:341-358) is re-specified as
+  * *parse-all-or-leave-string*: a string column is converted to a typed
+  * column iff every non-null value parses under one of the candidate
+  * casts. The probe is ONE aggregation pass over all columns at once (a
+  * single Spark job, map-side combinable) instead of the reference's
+  * per-column pandas trial — at 100 TB this is one scan, not N.
+  */
+object Staging {
+
+  val AuditColumn = "created_date"
+
+  /** Staging form: every column cast to nullable string + audit timestamp.
+    * (s3-to-rds.py:164-183 — all-TEXT columns + CREATED_DATE.)
+    */
+  def asStaging(df: DataFrame): DataFrame = {
+    val strCols = df.columns.map(c => col(c).cast(StringType).alias(c))
+    df.select(strCols.toIndexedSeq: _*)
+      .withColumn(AuditColumn, current_timestamp())
+  }
+
+  /** Candidate typed interpretations, tried in order. */
+  private case class Cand(dataType: DataType, parse: Column => Column)
+
+  private val timestampFormats = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+
+  private def candidates(c: Column): Seq[(String, Cand)] = Seq(
+    "long" -> Cand(LongType, x => x.cast(LongType)),
+    "double" -> Cand(DoubleType, x => x.cast(DoubleType)),
+    "timestamp" -> Cand(TimestampType, x => timestampFormats
+      .map(f => to_timestamp(x, f))
+      .reduce((a, b) => coalesce(a, b))),
+    "date" -> Cand(DateType, x => to_date(x, "yyyy-MM-dd"))
+  )
+
+  /** Infer a typed DataFrame from an all-string one. For each string column
+    * and each candidate type, count values that are non-null but fail to
+    * parse; a candidate wins iff that count is 0 and at least one value
+    * parsed. All counts are computed in ONE aggregate job.
+    */
+  def inferTypes(df: DataFrame, exclude: Set[String] = Set(AuditColumn)): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(f => f.dataType == StringType && !exclude.contains(f.name))
+      .map(_.name)
+    if (strCols.isEmpty) return df
+
+    // For each (column, candidate): [failures, successes]
+    val aggs: Seq[Column] = strCols.flatMap { name =>
+      candidates(col(name)).flatMap { case (cname, cand) =>
+        val parsed = cand.parse(col(name))
+        Seq(
+          sum(when(col(name).isNotNull && parsed.isNull, 1L).otherwise(0L))
+            .alias(s"${name}__${cname}__fail"),
+          sum(when(parsed.isNotNull, 1L).otherwise(0L))
+            .alias(s"${name}__${cname}__ok")
+        )
+      }
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    val projected: Seq[Column] = df.columns.toSeq.map { name =>
+      if (!strCols.contains(name)) col(name)
+      else {
+        val winner = candidates(col(name)).collectFirst {
+          case (cname, cand)
+              if row.getAs[Long](s"${name}__${cname}__fail") == 0L &&
+                row.getAs[Long](s"${name}__${cname}__ok") > 0L =>
+            cand.parse(col(name))
+        }
+        winner.map(_.alias(name)).getOrElse(col(name))
+      }
+    }
+    df.select(projected: _*)
+  }
+
+  /** The reference's heuristic probe ("looks like a datetime": contains
+    * `-`, `/`, `:` or space and len > 8 — rds-to-bq.py:350-353), kept for
+    * behavioural parity where a caller asks for it. Pure predicate.
+    */
+  def looksLikeDatetime(sample: String): Boolean =
+    sample != null && sample.length > 8 &&
+      sample.exists(ch => ch == '-' || ch == '/' || ch == ':' || ch == ' ')
+}

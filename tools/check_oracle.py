@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query result parquet, re-runs the recorded oracle SQL in DuckDB
+over the same testdata tables and compares rows (columns sorted by name,
+rows sorted, values hashed). NOT part of the shipped library.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetimes to ns, floats stay exact
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no result parquet"); n_fail += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(p) for p in
+                                  sorted(glob.glob(f"{res_dir}/*.parquet"))],
+                                 ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: read error {e}"); n_fail += 1; continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {str(e)[:200]}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+        eq = a.equals(b)
+        if not eq:
+            # find first mismatching cell for debugging
+            diff_info = ""
+            for c in a.columns:
+                neq = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    diff_info = f" col={c} row={i}: {a[c][i]!r} vs {b[c][i]!r}"
+                    # dtype info
+                    diff_info += f" (dtypes {a[c].dtype} vs {b[c].dtype})"
+                    break
+            print(f"FAIL {name}: values differ{diff_info}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(a)} rows)")
+        n_pass += 1
+    # queries with no oracle: rows-only check
+    for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(res_dir.rstrip("/"))
+        if name in oracle: continue
+        try:
+            n = sum(len(pd.read_parquet(p)) for p in glob.glob(f"{res_dir}/*.parquet"))
+            print(f"ROWS {name}: {n} rows {'(ok)' if n > 0 else '(EMPTY!)'}")
+        except Exception as e:
+            print(f"ROWS {name}: read error {e}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
