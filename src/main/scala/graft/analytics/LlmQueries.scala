@@ -1,0 +1,267 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query surface for the LLM-training-data operators (dedup, similarity,
+  * text analysis, multimodal) over the `documents` / `embeddings` fixtures.
+  *
+  * Oracle-expressible ops carry DuckDB SQL whose arithmetic matches the
+  * Spark expression tree operation-for-operation (same fold order, same
+  * guards) so doubles compare bit-identically. Hash-based ops (MinHash,
+  * SimHash, fingerprints — xxhash64 has no DuckDB twin) are declared
+  * rows-only and are instead property-tested in ScalaTest against exact
+  * ground truth.
+  */
+object LlmQueries {
+
+  // DuckDB token-list fragments mirroring TextOps.tokens / distinctTokens.
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckDToks = s"list_distinct($duckToks)"
+  // DuckDB sequential-fold dot product mirroring Similarity.dot.
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform($a, (x,i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (u,v) -> u + v)"
+
+  // ---------------------------------------------------------------- q30
+  val q30 = QuerySpec.sql(
+    "q30_doc_tokens",
+    s"""SELECT doc_id,
+      |  CAST(len($duckToks) AS INT) AS n_tokens,
+      |  CAST(len($duckDToks) AS INT) AS n_distinct,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      size(TextOps.distinctTokens(col("text"))).as("n_distinct"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q31
+  private val duckStops =
+    TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  val q31 = QuerySpec.sql(
+    "q31_doc_quality",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $duckToks AS toks FROM documents
+      |), m AS (
+      |  SELECT doc_id, text, len(toks) AS n_toks,
+      |    CAST(len(list_filter(toks, x -> list_contains($duckStops, x))) AS DOUBLE) AS n_stop,
+      |    CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (u,v) -> u + v) AS DOUBLE) AS tok_chars
+      |  FROM t
+      |), r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN length(text) > 0
+      |      THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+      |      ELSE 0.0 END AS punct_ratio,
+      |    CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS avg_token_len,
+      |    CAST(n_toks AS INT) AS n_toks
+      |  FROM m)
+      |SELECT doc_id, stopword_ratio, punct_ratio, avg_token_len,
+      |  round((least(n_toks / 64.0, 1.0) * 0.4
+      |       + (1.0 - abs(stopword_ratio - 0.4)) * 0.4
+      |       + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2), 6) AS quality_score
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q32
+  private val langsSorted = TextOps.LangMarkers.toSeq.sortBy(_._1)
+  private def duckLangScore(markers: Seq[String]) =
+    s"CAST(len(list_intersect(toks, ${markers.map(w => s"'$w'").mkString("[", ", ", "]")})) AS INT)"
+  // Nested CASE replicating TextOps.langId's strict-greater fold.
+  private val duckLangPred: String =
+    langsSorted.tail.foldLeft((s"'${langsSorted.head._1}'", s"score_${langsSorted.head._1}")) {
+      case ((predSoFar, bestSoFar), (lang, _)) =>
+        (s"(CASE WHEN score_$lang > $bestSoFar THEN '$lang' ELSE $predSoFar END)",
+          s"greatest($bestSoFar, score_$lang)")
+    }._1
+  val q32 = QuerySpec.sql(
+    "q32_langid",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, $duckDToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    ${langsSorted.map { case (l, m) => s"${duckLangScore(m)} AS score_$l" }.mkString(",\n    ")}
+      |  FROM t)
+      |SELECT doc_id, lang AS lang_actual,
+      |  ${langsSorted.map { case (l, _) => s"score_$l" }.mkString(", ")},
+      |  $duckLangPred AS lang_pred
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scores = TextOps.langScores(col("text"))
+    Tables.documents(s, d).select(
+      Seq(col("doc_id"), col("lang").as("lang_actual")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") } :+
+        TextOps.langId(col("text")).as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q33
+  val q33 = QuerySpec.sql(
+    "q33_jaccard_pairs",
+    s"""WITH d AS (
+      |  SELECT doc_id, source, $duckDToks AS w FROM documents WHERE doc_id % 20 = 0
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p
+      |WHERE jaccard >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // Exact n-gram(1) Jaccard on a blocked subset: blocking key = source,
+    // probe subset via modulo. The all-pairs comparison only ever happens
+    // inside a block — the 100 TB version swaps the modulo for LSH
+    // blocking (q35) but keeps this verify step.
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("source"), TextOps.distinctTokens(col("text")).as("w"))
+    val a = docs.select(col("source"), col("doc_id").as("id_a"), col("w").as("w_a"))
+    val b = docs.select(col("source"), col("doc_id").as("id_b"), col("w").as("w_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("w_a"), col("w_b"))).cast(DoubleType) /
+          size(array_union(col("w_a"), col("w_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q34
+  val q34 = QuerySpec.sql(
+    "q34_exact_dedup",
+    """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", Seq("text"))
+      .orderBy("keep_id")
+  }
+
+  // ---------------------------------------------------------------- q35 (rows-only: xxhash64-based)
+  val q35 = QuerySpec.rowsOnly("q35_minhash_near_dups") { (s, d) =>
+    Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 8, shingleK = 2, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q36 (rows-only: xxhash64-based)
+  val q36 = QuerySpec.rowsOnly("q36_simhash_signatures") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q37
+  val q37 = QuerySpec.sql(
+    "q37_cosine_topk",
+    s"""WITH p AS (
+      |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 50 = 0
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, neighbor_id,
+      |    CASE WHEN sqrt(${duckDot("pv", "pv")}) * sqrt(${duckDot("cv", "cv")}) > 0
+      |      THEN ${duckDot("pv", "cv")} / (sqrt(${duckDot("pv", "pv")}) * sqrt(${duckDot("cv", "cv")}))
+      |      ELSE 0.0 END AS sim
+      |  FROM c, p WHERE probe_id <> neighbor_id
+      |), r AS (
+      |  SELECT probe_id, neighbor_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM s)
+      |SELECT probe_id, neighbor_id, sim, rank FROM r
+      |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q38
+  val q38 = QuerySpec.sql(
+    "q38_embedding_norms",
+    s"""SELECT vec_id, label,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  round(sqrt(${duckDot("embedding", "embedding")}), 6) AS norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      round(Similarity.norm(col("embedding")), 6).as("norm"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- q39
+  val q39 = QuerySpec.sql(
+    "q39_label_norm_stats",
+    s"""WITH n AS (
+      |  SELECT label, round(sqrt(${duckDot("embedding", "embedding")}), 6) AS norm
+      |  FROM embeddings)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), round(Similarity.norm(col("embedding")), 6).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("norm").as("min_norm"), max("norm").as("max_norm"))
+      .orderBy("label")
+  }
+
+  // ---------------------------------------------------------------- q40
+  val q40 = QuerySpec.sql(
+    "q40_multimodal_meta",
+    """SELECT doc_id, md5(text) AS payload_md5,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // The multimodal metadata path: payloads treated as opaque bytes;
+    // fingerprint + size are computed scan-side, the bytes never shuffle.
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text").cast(BinaryType)).as("payload_md5"),
+      octet_length(col("text").cast(BinaryType)).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q41 (rows-only: stubbed decode)
+  val q41 = QuerySpec.rowsOnly("q41_media_decode_stub") { (s, d) =>
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      lit("image").as("media_type"),
+      col("text").cast(BinaryType).as("payload"))
+    media.select(
+      col("asset_id"),
+      Multimodal.decodeImageStub(col("payload")).as("decoded"))
+      .select(
+        col("asset_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"))
+      .orderBy("asset_id")
+  }
+
+  // ---------------------------------------------------------------- q42 (rows-only: xxhash64-based)
+  val q42 = QuerySpec.rowsOnly("q42_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q43 (rows-only: xxhash64-based LSH)
+  val q43 = QuerySpec.rowsOnly("q43_ann_lsh_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+      k = 3, nPlanes = 6)
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41, q42, q43)
+}

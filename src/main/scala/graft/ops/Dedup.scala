@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-partitioned aggregate on a 64-bit content hash
+  *    (shuffle carries only (hash, id), not the documents).
+  *  - MinHash + LSH banding: signatures are computed scan-side with
+  *    higher-order expressions (no UDF, no shuffle); only (band, bandHash,
+  *    id) pairs shuffle — b·n rows of ~24 bytes — and candidate
+  *    verification joins back by id. This is the standard near-dup
+  *    pipeline shape (shingle → minhash → band → bucket-join).
+  *  - SimHash: 64-bit bit-vote signature; near-dups = signatures within
+  *    small Hamming distance, found by multi-probe banding on nibbles.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup on arbitrary key columns: keeps, per duplicate group, the
+    * row with the smallest `idCol`. Returns (key, keep_id, n_dups).
+    * At scale: single shuffle on xxhash64(keys); map-side combine applies.
+    */
+  def exactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated rows themselves (first-by-id winner per group). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** Word k-shingles of a text column (contiguous token windows joined by
+    * a separator), deduplicated.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - lit(k)),
+          i => concat_ws("", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws("", toks))))
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
+    * Pure expression tree — computed during the scan, nothing shuffles.
+    */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column = {
+    val sh = shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** LSH banding: explode the signature into `bands` rows of
+    * (band, bandHash, id). Docs sharing any band bucket are candidates.
+    * rowsPerBand = numHashes / bands controls precision/recall:
+    * P(candidate) = 1 - (1 - j^r)^b for Jaccard j.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val rowsPer = floor(size(col(sigCol)) / bands)
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col(sigCol), b * rowsPer + 1, rowsPer)))))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs (a < b) from shared LSH buckets. The
+    * self-join is per-bucket; bucket sizes are ~uniform under xxhash so no
+    * skew mitigation is needed unless duplicates are pathological (then:
+    * salt the bucket id).
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val l = buckets.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = buckets.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against token shingle
+    * sets; keeps pairs with jaccard >= threshold.
+    */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    pairs
+      .join(sets.withColumnRenamed("__sh", "sh_a"), col("id_a") === col("__id")).drop("__id")
+      .join(sets.withColumnRenamed("__sh", "sh_b"), col("id_b") === col("__id")).drop("__id")
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: returns verified pairs. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = docs.select(col(idCol), minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val pairs = candidatePairs(lshBuckets(sigs, idCol, "sig", bands), idCol)
+    verifyJaccard(pairs, docs, idCol, textCol, shingleK, threshold)
+  }
+
+  /** Star-collapse representative assignment: every doc appearing in a
+    * near-dup pair maps to the min id it pairs with (one extra join, not a
+    * full connected-components fixpoint — document the approximation; a
+    * fixpoint needs O(diameter) iterations and is rarely worth it for
+    * dedup, where clusters are small and dense).
+    */
+  def representatives(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("id"), col("id_a").as("rep"))
+      .union(pairs.select(col("id_a").as("id"), col("id_a").as("rep")))
+      .groupBy("id").agg(min("rep").as("rep"))
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash: per token, xxhash64 gives 64 bits; each bit votes
+    * +1/-1; signature bit = sign of the vote sum. Computed as a pure
+    * expression (arrays of 64 longs folded per row).
+    */
+  def simHash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using
+    * 16-bit band blocking (pigeonhole: dist <= 3 guarantees one of the 4
+    * bands matches exactly) — avoids the n² scan.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus the batch decode /
+  * feature-extract scaffolding a training-data pipeline needs.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries): `decodeImageStub` derives deterministic fake dimensions
+  * from the payload hash. Everything around it — schema, batched
+  * per-partition execution, partition sizing — is real and is the part
+  * that matters at 100 TB: payloads never shuffle; decode runs scan-side;
+  * metadata-only projections never touch the bytes.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("source_uri", StringType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)
+  ))
+
+  /** Ingest a directory of files as a media table (Spark's binaryFile
+    * source: distributed read, payloads stay partition-local).
+    */
+  def ingestBinaryDir(spark: SparkSession, dir: String, mediaType: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        col("path").as("source_uri"),
+        map(lit("length"), col("length").cast(StringType),
+          lit("modificationTime"), col("modificationTime").cast(StringType)).as("meta"))
+
+  /** STUB image decode: deterministic pseudo-dimensions from the payload
+    * hash. Real implementation plugs a codec into the same Column shape
+    * (or a mapInPandas/mapPartitions batch decode); the schema and the
+    * plan around it do not change.
+    */
+  def decodeImageStub(payload: Column): Column = {
+    val h = xxhash64(payload)
+    struct(
+      (pmod(h, lit(1920L)) + 1).cast(IntegerType).as("width"),
+      (pmod(shiftright(h, 16), lit(1080L)) + 1).cast(IntegerType).as("height"),
+      lit(3).cast(IntegerType).as("channels"))
+  }
+
+  /** STUB resize: new logical dims, payload passed through untouched. */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val scale = when(greatest(w, h) > maxSide,
+      lit(maxSide).cast(DoubleType) / greatest(w, h).cast(DoubleType)).otherwise(lit(1.0))
+    struct(
+      floor(w * scale).cast(IntegerType).as("width"),
+      floor(h * scale).cast(IntegerType).as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** STUB frame sampling for video: n logical frame offsets (ms). */
+  def frameOffsetsStub(payload: Column, n: Int, durationMsCol: Column): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => (durationMsCol * i / n).cast(LongType))
+
+  /** Batched per-partition feature extraction — the mapInPandas-shaped
+    * hook. `featureFn` sees one payload batch at a time (so a real codec
+    * could amortize model/codec setup per partition, exactly like a
+    * Pandas UDF batch). Output: (asset_id, features array<float>).
+    */
+  def extractFeaturesBatched(df: DataFrame, dim: Int)(
+      featureFn: Array[Byte] => Array[Float] = deterministicFakeFeatures(_: Array[Byte], 16)): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val idIdx = df.schema.fieldIndex("asset_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      // per-partition setup happens here (codec init, model load, ...)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getBinary(payloadIdx)
+        Row(id, featureFn(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd.map(identity), outSchema)
+  }
+
+  /** Deterministic fake features (hash-seeded) standing in for a real
+    * encoder; marked STUB. Values in [-0.5, 0.5).
+    */
+  def deterministicFakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val seed = java.util.Arrays.hashCode(bytes).toLong
+    Array.tabulate(dim) { i =>
+      val x = seed * 6364136223846793005L + i * 1442695040888963407L
+      (((x >>> 16) % 100000L).toFloat / 100000f) - 0.5f
+    }
+  }
+}

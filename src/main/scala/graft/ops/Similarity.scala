@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two execution paths:
+  *  - brute force: broadcast the (small) probe set, crossJoin + window
+  *    top-k. Exact; cost = |probes| · |corpus| · dim multiply-adds, fully
+  *    parallel, no shuffle of the corpus. The right baseline and the right
+  *    answer whenever |probes| is modest.
+  *  - LSH (random hyperplanes): deterministic sign-bit bucketing cuts the
+  *    candidate set to same/near buckets, then exact re-rank. The 100 TB
+  *    path: corpus shuffles once by bucket, probes broadcast per bucket.
+  *
+  * Dot products use `zip_with` + `aggregate` over doubles — a sequential
+  * left fold in element order, which both Spark and DuckDB implement
+  * identically, so scores are reproducible bit-for-bit.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k neighbours for each probe row.
+    * probes/corpus: (idCol, vecCol). Returns (probe_id, neighbor_id, sim, rank).
+    * Excludes self-matches. Probe side is broadcast — the corpus never
+    * moves; ranking shuffles only (probe_id, neighbor_id, sim) triples.
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__pv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane j, component i =
+    * fractional hash in [-0.5, 0.5). Reproducible across sessions — no RNG.
+    */
+  private def planeComponent(j: Int, i: Column): Column =
+    (pmod(xxhash64(lit(j), i), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bucket space 2^n). */
+  def lshBucket(vec: Column, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeComponent(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates restricted to probes' buckets, then
+    * exact cosine re-rank. Recall improves with fewer planes (bigger
+    * buckets) or multi-probe; precision of returned sims is exact.
+    */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+      lshBucket(col(vecCol), nPlanes).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), nPlanes).as("__bucket"))
+    val scored = c.join(broadcast(p), Seq("__bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__pv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold) via LSH
+    * blocking + exact verify; id_a < id_b.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is a pure `Column` combinator over built-in functions
+  * (split / higher-order array ops / regexp) — no UDFs, so the hot path
+  * stays inside Tungsten-evaluated expressions and scales linearly with
+  * executors; none of these introduce a shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** BPE-ish sub-word count approximation: letter runs count 1 per
+    * ~4 chars (ceil), digits and punctuation 1 each. A cheap, deterministic
+    * stand-in for a real tokenizer's token count.
+    */
+  def bpeishTokenCount(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + when(p.rlike("^[A-Za-z]+$"), ceil(length(p) / lit(4.0)).cast(LongType))
+        .otherwise(lit(1L)))
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Fraction of tokens that are stopwords (0.0 for empty docs). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stops, t)))
+    when(size(toks) > 0, nStop.cast(DoubleType) / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are common punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast(DoubleType) / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (0.0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents and a
+    * natural stopword rate, penalizes punctuation soup. The exact weights
+    * are policy, not physics — callers tune them.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / lit(64.0), lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(text) - lit(0.4))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    round((lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)), 6)
+  }
+
+  /** Marker-stopword language-ID heuristic: score = number of distinct
+    * marker words of each language present; argmax with deterministic
+    * alphabetical tie-break. (An n-gram-profile ID needs reference corpora;
+    * this is the shippable zero-dependency variant with the same operator
+    * shape — swap the marker table for profiles in production.)
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = distinctTokens(text)
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with alphabetical tie-break: fold keeping (bestLang, bestScore)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: hash chaining
+    * (acc' = xxhash64(acc, token)) over the token sequence. Two docs
+    * collide iff their token sequences (almost surely) match — unlike a
+    * set-based signature, word order matters. Evaluated per-row, no
+    * shuffle; hash-chaining instead of a polynomial keeps the fold inside
+    * ANSI-safe long arithmetic (no overflow).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}
