@@ -1,0 +1,47 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `olist_lmod_tables` metadata bookkeeping
+  * (supabase-bq.py:216-232): one row per table with the last transfer
+  * time, maintained with update-else-insert semantics.
+  *
+  * Implemented as keyed overwrite on a tiny parquet table: read current,
+  * anti-join out the updated keys, union the new rows, rewrite. (With a
+  * transactional table format this is a single MERGE; the contract — at
+  * most one row per table_name, latest modified_date wins — is identical.)
+  */
+class MetaCatalog(spark: SparkSession, path: String) {
+
+  import spark.implicits._
+
+  def readAll(): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else
+      Seq.empty[(String, String, java.sql.Timestamp)]
+        .toDF("id", "table_name", "modified_date")
+  }
+
+  /** Upsert one bookkeeping row per table name. */
+  def recordTransfer(tableNames: Seq[String]): Unit = {
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val fresh = tableNames.map(t => (java.util.UUID.randomUUID().toString, t, now))
+      .toDF("id", "table_name", "modified_date")
+    val existing = readAll()
+    val kept = existing.join(fresh.select("table_name"), Seq("table_name"), "left_anti")
+      .select("id", "table_name", "modified_date")
+    val merged = kept.unionByName(fresh.select("id", "table_name", "modified_date")).cache()
+    merged.count() // materialize before overwriting the source path
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    merged.unpersist()
+    ()
+  }
+
+  def lastModified(tableName: String): Option[java.sql.Timestamp] =
+    readAll().filter(col("table_name") === tableName)
+      .select("modified_date").collect().headOption.map(_.getTimestamp(0))
+}

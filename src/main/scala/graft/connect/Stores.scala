@@ -1,0 +1,164 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Pluggable store abstraction mirroring the reference's four stores
+  * (local CSV folder, S3, RDS MySQL, BigQuery — SURVEY.md §1.1) with the
+  * same logical contract everywhere: named flat tables, listable,
+  * readable, writable with a disposition, countable, truncatable.
+  *
+  * Offline builds bind `FileStore` (a directory of parquet/csv table dirs
+  * standing in for S3 and for the warehouse) and `JdbcStore` (the RDS
+  * shape; same code path binds to MySQL/Postgres when a driver jar is on
+  * the classpath). The pipeline layer never knows which it has.
+  */
+final case class TableRef(store: String, name: String) {
+  override def toString = s"$store.$name"
+}
+
+trait Source {
+  def list(): Seq[TableRef]
+  def read(t: TableRef): DataFrame
+  def count(t: TableRef): Long = read(t).count()
+}
+
+trait Sink {
+  def write(df: DataFrame, t: TableRef, mode: SaveMode): Unit
+  def count(t: TableRef): Long
+  def exists(t: TableRef): Boolean
+  def truncate(t: TableRef): Unit
+  def drop(t: TableRef): Unit
+}
+
+/** Directory-of-tables store: `<root>/<table>/` holds one table in the
+  * given format. Stands in for both the S3 landing zone and the warehouse
+  * in offline builds — in a connected deployment the same paths point at
+  * `s3a://` and the format at whatever the warehouse speaks.
+  */
+class FileStore(spark: SparkSession, val root: String, val storeName: String,
+    format: String = "parquet") extends Source with Sink {
+
+  private def path(t: TableRef): String = s"$root/${t.name}"
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  override def list(): Seq[TableRef] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(s => TableRef(storeName, s.getPath.getName))
+      .sortBy(_.name).toSeq
+  }
+
+  override def read(t: TableRef): DataFrame = format match {
+    case "csv" => spark.read.option("header", "true").csv(path(t))
+    case f => spark.read.format(f).load(path(t))
+  }
+
+  override def write(df: DataFrame, t: TableRef, mode: SaveMode): Unit = format match {
+    case "csv" => df.write.mode(mode).option("header", "true").csv(path(t))
+    case f => df.write.mode(mode).format(f).save(path(t))
+  }
+
+  override def count(t: TableRef): Long =
+    if (exists(t)) read(t).count() else 0L
+
+  override def exists(t: TableRef): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path(t)))
+
+  /** Keep the table present but empty (the reference's TRUNCATE,
+    * delete-rds-after-load.py:209-249): overwrite with the empty limit(0)
+    * projection of the current schema.
+    */
+  override def truncate(t: TableRef): Unit = {
+    val empty = read(t).limit(0)
+    // materialize schema before overwriting the dir we are reading from
+    val schema = empty.schema
+    val rows = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    write(rows, t, SaveMode.Overwrite)
+  }
+
+  override def drop(t: TableRef): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(path(t)), true)
+    ()
+  }
+}
+
+/** JDBC store: the RDS-MySQL shape of the reference (SURVEY §2.1 S5/S6,
+  * §2.2 K3). Reads are partitioned by a numeric column when bounds are
+  * supplied — replacing the reference's LIMIT/OFFSET pagination loops with
+  * non-overlapping partition predicates (rds-to-bq.py:261-275). Cannot be
+  * exercised offline (no driver jar ships with the image); the option
+  * plumbing is unit-tested and the interface is identical to FileStore's.
+  */
+class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
+    val storeName: String = "jdbc",
+    sessionInit: Option[String] = None) extends Source with Sink {
+
+  private def baseReader = {
+    val r = spark.read.format("jdbc").option("url", url)
+    val withProps = props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+    sessionInit.fold(withProps)(s => withProps.option("sessionInitStatement", s))
+  }
+
+  /** Partitioned-read options for a table with known numeric key bounds:
+    * Spark issues one query per partition with disjoint predicates.
+    */
+  def partitionedReadOptions(partitionCol: String, lower: Long, upper: Long,
+      numPartitions: Int): Map[String, String] = Map(
+    "partitionColumn" -> partitionCol,
+    "lowerBound" -> lower.toString,
+    "upperBound" -> upper.toString,
+    "numPartitions" -> numPartitions.toString)
+
+  override def list(): Seq[TableRef] = {
+    // information_schema scan (rds-to-bq.py:159-202) via JDBC pushdown.
+    val tables = baseReader
+      .option("query",
+        "SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE'")
+      .load()
+    tables.collect().map(r => TableRef(storeName, r.getString(0))).sortBy(_.name).toSeq
+  }
+
+  override def read(t: TableRef): DataFrame =
+    baseReader.option("dbtable", t.name).load()
+
+  def readPartitioned(t: TableRef, partitionCol: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame =
+    partitionedReadOptions(partitionCol, lower, upper, numPartitions)
+      .foldLeft(baseReader.option("dbtable", t.name)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+
+  override def write(df: DataFrame, t: TableRef, mode: SaveMode): Unit = {
+    val w = df.write.format("jdbc").option("url", url)
+      .option("dbtable", t.name).option("batchsize", "1000")
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.mode(mode).save()
+  }
+
+  override def count(t: TableRef): Long = {
+    val c = baseReader.option("query", s"SELECT COUNT(*) AS c FROM ${t.name}").load()
+    c.collect()(0).getLong(0)
+  }
+
+  override def exists(t: TableRef): Boolean = list().exists(_.name == t.name)
+
+  override def truncate(t: TableRef): Unit =
+    write(read(t).limit(0), t, SaveMode.Overwrite)
+
+  override def drop(t: TableRef): Unit =
+    throw new UnsupportedOperationException("DROP via JDBC requires a direct statement channel")
+}
+
+/** Warehouse store: the BigQuery shape — same directory layout as
+  * FileStore plus the reference's cross-store prefix convention
+  * (RDS table `t` → warehouse `rds_t`; supabase `t` → `supabase_t`,
+  * SURVEY §1.1).
+  */
+class WarehouseStore(spark: SparkSession, root: String, storeName: String = "warehouse")
+    extends FileStore(spark, root, storeName, "parquet") {
+
+  def prefixed(sourceStore: String, name: String): TableRef =
+    TableRef(storeName, s"${sourceStore}_$name")
+}

@@ -32,13 +32,15 @@ object Staging {
 
   private val timestampFormats = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
 
+  // try_* variants return NULL on parse failure instead of raising, which
+  // the probe depends on (Spark 4 runs ANSI mode by default).
   private def candidates(c: Column): Seq[(String, Cand)] = Seq(
-    "long" -> Cand(LongType, x => x.cast(LongType)),
-    "double" -> Cand(DoubleType, x => x.cast(DoubleType)),
+    "long" -> Cand(LongType, x => x.try_cast(LongType)),
+    "double" -> Cand(DoubleType, x => x.try_cast(DoubleType)),
     "timestamp" -> Cand(TimestampType, x => timestampFormats
-      .map(f => to_timestamp(x, f))
+      .map(f => try_to_timestamp(x, lit(f)))
       .reduce((a, b) => coalesce(a, b))),
-    "date" -> Cand(DateType, x => to_date(x, "yyyy-MM-dd"))
+    "date" -> Cand(DateType, x => call_function("try_to_date", x, lit("yyyy-MM-dd")))
   )
 
   /** Infer a typed DataFrame from an all-string one. For each string column

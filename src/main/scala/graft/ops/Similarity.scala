@@ -90,16 +90,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (sim >= threshold) via LSH
-    * blocking + exact verify; id_a < id_b.
+  /** Banded sign-bit bucket ids: `bands` independent bucket columns, each
+    * from `planesPerBand` hyperplanes (seeded by (band, plane) so bands are
+    * independent). Two vectors are candidates if ANY band matches —
+    * multi-probe recall without growing any single bucket.
+    */
+  def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map { band =>
+      (0 until planesPerBand).map { j =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast(DoubleType) * planeComponent(band * 1024 + j, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold) via banded
+    * hyperplane-LSH blocking + exact verify; id_a < id_b. Recall at
+    * cosine c: 1 - (1 - (1 - acos(c)/pi)^planesPerBand)^bands.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+      threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("bucket"))
+      posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
+        .as(Seq("band", "bucket")))
+    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .distinct()

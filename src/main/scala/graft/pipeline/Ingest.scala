@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.connect.{Sink, TableRef}
+import graft.core.{Names, Staging}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** CSV-folder → staging ingestion: the reference's csv-to-s3 + s3-to-rds
+  * stages collapsed into one declarative hop (SURVEY §2.1 S1-S4, §2.2
+  * K1-K3, §3.1 step 3):
+  *
+  *   list *.csv → per file: read (header schema, BOM-safe, quoted
+  *   newlines) → sanitize column names → stamp audit column → write to
+  *   staging with overwrite semantics → archive the file.
+  *
+  * Archival-after-load keeps reprocessing idempotent-by-absence exactly
+  * like the reference's S3 move (s3-to-rds.py:253-279); a failed archive
+  * is reported, not fatal (s3-to-rds.py:313-314). The streaming variant
+  * (graft.streaming.FileIngest) upgrades this loop to checkpointed
+  * exactly-once with `cleanSource=archive`.
+  */
+object Ingest {
+
+  final case class FileResult(file: String, table: String, rows: Long,
+      ok: Boolean, archived: Boolean, error: Option[String])
+
+  final case class Report(results: Seq[FileResult]) {
+    def successes: Seq[FileResult] = results.filter(_.ok)
+    def failures: Seq[FileResult] = results.filterNot(_.ok)
+    def ok: Boolean = failures.isEmpty
+  }
+
+  /** List CSV files (case-insensitive suffix), sorted by name — the
+    * reference's deterministic processing order (csv-to-s3.py:62-80).
+    */
+  def listCsvFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".csv"))
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  /** Ingest every CSV in `srcDir` into `staging`, archiving processed
+    * files into `archiveDir`. `typed=false` reproduces the reference's
+    * all-TEXT staging; `typed=true` additionally runs the single-pass
+    * type-inference (Staging.inferTypes) before writing.
+    */
+  def ingestFolder(spark: SparkSession, srcDir: String, archiveDir: String,
+      staging: Sink, typed: Boolean = false): Report = {
+    val fs = FileSystem.get(new java.net.URI(srcDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(archiveDir))
+    val results = listCsvFiles(spark, srcDir).map { file =>
+      val table = Names.tableNameFromFile(file.getName)
+      try {
+        val raw = spark.read
+          .option("header", "true")
+          .option("multiLine", "true") // quoted embedded newlines
+          .option("encoding", "UTF-8") // BOM in first header cell handled by sanitizer
+          .csv(file.toString)
+        val clean = Staging.asStaging(Names.sanitizeColumns(raw))
+        val out = if (typed) Staging.inferTypes(clean) else clean
+        staging.write(out, TableRef("staging", table), SaveMode.Overwrite)
+        val rows = staging.count(TableRef("staging", table))
+        val archived =
+          try fs.rename(file, new Path(archiveDir, file.getName))
+          catch { case _: Throwable => false }
+        FileResult(file.getName, table, rows, ok = true, archived = archived, None)
+      } catch {
+        case e: Throwable =>
+          FileResult(file.getName, table, 0L, ok = false, archived = false,
+            Some(e.getMessage))
+      }
+    }
+    Report(results)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+/** The 4-stage orchestration DAG as a plain Scala call graph with the
+  * reference's partial-success semantics (main.py:157-242, SURVEY §3.1):
+  * a `critical` stage failure aborts the run (setup-database), non-critical
+  * failures are recorded and the pipeline continues (csv-to-s3 etc.).
+  * Stages hand each other typed values — no stdout scraping. Spark's DAG
+  * scheduler parallelizes inside a stage; this layer only sequences.
+  */
+object Orchestrate {
+
+  final case class Stage(name: String, critical: Boolean = false)(val run: () => StageOutcome)
+
+  sealed trait StageOutcome { def ok: Boolean; def detail: String }
+  final case class StageSuccess(detail: String = "") extends StageOutcome { val ok = true }
+  final case class StageFailure(detail: String) extends StageOutcome { val ok = false }
+
+  final case class StageResult(name: String, outcome: StageOutcome, seconds: Double,
+      skipped: Boolean = false)
+
+  final case class RunReport(stages: Seq[StageResult]) {
+    def succeeded: Seq[StageResult] = stages.filter(s => !s.skipped && s.outcome.ok)
+    def failed: Seq[StageResult] = stages.filter(s => !s.skipped && !s.outcome.ok)
+    def aborted: Boolean = stages.exists(_.skipped)
+    /** exit-code semantics: 0 all ok, 1 partial, 2 critical abort. */
+    def exitCode: Int =
+      if (aborted) 2 else if (failed.nonEmpty) 1 else 0
+  }
+
+  def run(stages: Seq[Stage]): RunReport = {
+    var abort = false
+    val results = stages.map { st =>
+      if (abort) StageResult(st.name, StageFailure("skipped: earlier critical failure"),
+        0.0, skipped = true)
+      else {
+        val t0 = System.nanoTime()
+        val outcome =
+          try st.run()
+          catch { case e: Throwable => StageFailure(e.getMessage) }
+        if (!outcome.ok && st.critical) abort = true
+        StageResult(st.name, outcome, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    RunReport(results)
+  }
+}

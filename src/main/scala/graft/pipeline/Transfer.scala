@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.connect.{Sink, Source, TableRef, WarehouseStore}
+import org.apache.spark.sql.SaveMode
+
+/** Staging → warehouse transfer with the reference's semantics
+  * (rds-to-bq.py / supabase-bq.py, SURVEY §2.2 K4, §2.3 P2/P3/P6):
+  *
+  *  - table selection: include-list and prefix exclusion (don't
+  *    re-transfer outputs);
+  *  - empty-table skip (no target table is created);
+  *  - write-disposition: Overwrite collapses the reference's
+  *    WRITE_TRUNCATE-first-chunk-then-APPEND idiom into one atomic write;
+  *  - post-write count verification (exact gate);
+  *  - per-table result ledger (typed case classes instead of the
+  *    reference's stdout scraping, §3.1).
+  *
+  * NULLs are preserved end-to-end — the reference's fast path silently
+  * mapped NULL→'' (rds-to-bq.py:281); we document and diverge (SURVEY §7
+  * risk a).
+  */
+object Transfer {
+
+  final case class TableResult(table: String, target: String, sourceRows: Long,
+      targetRows: Long, skippedEmpty: Boolean, ok: Boolean, error: Option[String])
+
+  final case class Report(results: Seq[TableResult]) {
+    def transferred: Seq[TableResult] = results.filter(r => r.ok && !r.skippedEmpty)
+    def skipped: Seq[TableResult] = results.filter(_.skippedEmpty)
+    def failures: Seq[TableResult] = results.filterNot(_.ok)
+    def ok: Boolean = failures.isEmpty
+  }
+
+  def transfer(src: Source, dst: Sink, sourceStoreName: String,
+      include: Option[Set[String]] = None,
+      excludePrefix: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite,
+      targetName: (String, String) => String = (store, t) => s"${store}_$t"): Report = {
+    val tables = src.list()
+      .filter(t => include.forall(_.contains(t.name)))
+      .filter(t => !excludePrefix.exists(t.name.startsWith))
+    val results = tables.map { t =>
+      val target = TableRef("warehouse", targetName(sourceStoreName, t.name))
+      try {
+        val df = src.read(t)
+        val srcRows = df.count()
+        if (srcRows == 0L) {
+          // empty-table skip (rds-to-bq.py:219-226)
+          TableResult(t.name, target.name, 0L, 0L, skippedEmpty = true, ok = true, None)
+        } else {
+          dst.write(df, target, mode)
+          val dstRows = dst.count(target)
+          val matches = dstRows == srcRows
+          TableResult(t.name, target.name, srcRows, dstRows, skippedEmpty = false,
+            ok = matches,
+            if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"))
+        }
+      } catch {
+        case e: Throwable =>
+          TableResult(t.name, target.name, -1L, -1L, skippedEmpty = false,
+            ok = false, Some(e.getMessage))
+      }
+    }
+    Report(results)
+  }
+}

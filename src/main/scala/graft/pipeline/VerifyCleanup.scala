@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.connect.{Sink, Source, TableRef}
+import org.apache.spark.sql.DataFrame
+
+/** Cross-store verification and verify-then-cleanup gating — the
+  * reference's entire correctness machinery (SURVEY §5):
+  *
+  *  - exact count gate (rds-to-bq.py:304-313): equality required;
+  *  - tolerance gate (delete-rds-after-load.py:309-316): cleanup proceeds
+  *    only if target >= tolerance × source (default 0.9);
+  *  - content diff via `exceptAll` both ways — strictly stronger than the
+  *    reference's counting (SURVEY §5 test plan b);
+  *  - verify-then-truncate with dry-run mode.
+  */
+object VerifyCleanup {
+
+  final case class CountCheck(table: String, sourceRows: Long, targetRows: Long,
+      exactMatch: Boolean, withinTolerance: Boolean)
+
+  def countCompare(src: Source, srcTable: TableRef, dst: Sink, dstTable: TableRef,
+      tolerance: Double = 0.9): CountCheck = {
+    val s = src.count(srcTable)
+    val d = dst.count(dstTable)
+    CountCheck(srcTable.name, s, d, exactMatch = s == d,
+      withinTolerance = d >= s * tolerance)
+  }
+
+  /** Row-level diff: (missing in target, unexpected in target). Empty/empty
+    * means content-identical as multisets. One shuffle each way; at scale
+    * run on a keyed projection or sample — the API takes pre-projected
+    * frames so callers choose.
+    */
+  def contentDiff(source: DataFrame, target: DataFrame): (DataFrame, DataFrame) =
+    (source.exceptAll(target), target.exceptAll(source))
+
+  final case class CleanupResult(table: String, verified: Boolean, truncated: Boolean,
+      rowsBefore: Long, rowsAfter: Long)
+
+  /** The verify-then-truncate stage (meltano-post-hook →
+    * delete-rds-after-load): truncate staging only when the warehouse
+    * holds at least `tolerance` of its rows. `dryRun` reports the decision
+    * without side effects (the reference's --verify-only).
+    */
+  def verifyThenTruncate(staging: Source with Sink, stagingTable: TableRef,
+      warehouse: Sink, warehouseTable: TableRef,
+      tolerance: Double = 0.9, dryRun: Boolean = false): CleanupResult = {
+    val before = staging.count(stagingTable)
+    val dstRows = warehouse.count(warehouseTable)
+    val verified = dstRows >= before * tolerance
+    if (verified && !dryRun && before > 0) {
+      staging.truncate(stagingTable)
+      val after = staging.count(stagingTable)
+      CleanupResult(stagingTable.name, verified, truncated = true, before, after)
+    } else {
+      CleanupResult(stagingTable.name, verified, truncated = false, before, before)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming upgrade of the reference's scan→process→move file
+  * loop (SURVEY §2.10): the file source with `cleanSource=archive` IS the
+  * reference's "move to …-imported-…" contract, with checkpointed
+  * exactly-once bookkeeping replacing the at-least-once move (the
+  * reference accepts duplicate processing when a move fails,
+  * s3-to-rds.py:313-314 — the checkpoint removes that failure mode).
+  *
+  * `Trigger.AvailableNow` drains everything currently in the folder and
+  * stops — batch-like operation, streaming guarantees. At scale:
+  * `maxFilesPerTrigger` bounds micro-batch size; the same code runs
+  * continuously with a processing-time trigger.
+  */
+object FileIngest {
+
+  final case class Config(
+      srcDir: String,
+      archiveDir: String,
+      checkpointDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 1000)
+
+  /** Run one AvailableNow drain of the folder, handing each micro-batch to
+    * `sink`. Returns after the drain completes.
+    */
+  def runOnce(spark: SparkSession, cfg: Config)(sink: (DataFrame, Long) => Unit): Unit = {
+    val stream = spark.readStream
+      .schema(cfg.schema)
+      .option("header", "true")
+      .option("multiLine", "false")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", cfg.archiveDir)
+      .csv(cfg.srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(df, id)
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * engine's stateful-streaming surface (not present in the reference;
+    * north-star §2.10 mapping). Exposed as a plan transformer so batch
+    * tests can apply it to a static frame with identical semantics.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
+}

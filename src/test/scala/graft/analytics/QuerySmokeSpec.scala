@@ -1,0 +1,26 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Every declared query runs at sf0.001 and returns rows — guards against
+  * empty-result regressions (the oracle gate catches value drift; this
+  * catches "query silently filters everything out").
+  */
+class QuerySmokeSpec extends SparkSpec {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query names are unique and every oracle key has a query") {
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  SparkEntry.specs.foreach { q =>
+    test(s"${q.name} returns rows at sf0.001") {
+      assert(q.fn(spark, sf).count() > 0, s"${q.name} returned no rows")
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class NamesSpec extends AnyFunSuite {
+
+  test("cleanColumnName handles the reference's dirty-header cases") {
+    assert(Names.cleanColumnName("﻿product_category_name") == "product_category_name")
+    assert(Names.cleanColumnName("  order id  ") == "order_id")
+    assert(Names.cleanColumnName("\"quoted\"") == "quoted")
+    assert(Names.cleanColumnName("123abc") == "col_123abc")
+    assert(Names.cleanColumnName("___x") == "x")
+    assert(Names.cleanColumnName("___") == "col")
+    assert(Names.cleanColumnName("") == "col")
+    assert(Names.cleanColumnName("weight-kg.v2") == "weight_kg_v2")
+  }
+
+  test("cleanColumnName is idempotent and produces valid identifiers (property)") {
+    // scalatestplus bridge isn't available offline — drive Gen by hand.
+    val gen = Gen.asciiPrintableStr
+    var seed = Seed(42L)
+    (1 to 500).foreach { _ =>
+      val s = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val c = Names.cleanColumnName(s)
+      assert(c == Names.cleanColumnName(c), s"not idempotent for <$s>")
+      assert(c.nonEmpty)
+      assert(!c.head.isDigit, s"starts with digit for <$s>")
+      assert(c.forall(ch => ch.isLetterOrDigit || ch == '_'), s"bad chars for <$s>")
+    }
+  }
+
+  test("tableNameFromFile matches the reference rule") {
+    assert(Names.tableNameFromFile("Olist-Orders Dataset.CSV") == "olist_orders_dataset")
+    assert(Names.tableNameFromFile("/a/b/olist_sellers_dataset.csv") == "olist_sellers_dataset")
+    assert(Names.tableNameFromFile("Weird!!Name.csv") == "weirdname")
+    assert(Names.tableNameFromFile("...csv") == "table")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class StagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asStaging casts everything to string and stamps the audit column") {
+    val df = Seq((1, 2.5, "x")).toDF("a", "b", "c")
+    val staged = Staging.asStaging(df)
+    assert(staged.schema.fields.take(3).forall(_.dataType == StringType))
+    assert(staged.schema.fieldNames.last == Staging.AuditColumn)
+    assert(staged.schema.fields.last.dataType == TimestampType)
+  }
+
+  test("inferTypes: parse-all-or-leave-string per column, one pass") {
+    val df = Seq(
+      ("1", "1.5", "2017-10-02 10:56:33", "2017-10-02", "free-text with-dash: yes", "7"),
+      ("2", "2.0", "2018-01-01 00:00:00", "2018-01-01", "another: text", null),
+      ("3", null, "2018-02-03 04:05:06", "2018-02-03", "x", "9")
+    ).toDF("ints", "doubles", "timestamps", "dates", "texts", "nullable_ints")
+    val typed = Staging.inferTypes(df)
+    val types = typed.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("ints") == LongType)
+    assert(types("doubles") == DoubleType)
+    assert(types("timestamps") == TimestampType)
+    assert(types("dates") == DateType)
+    assert(types("texts") == StringType) // decoy with - and : stays string
+    assert(types("nullable_ints") == LongType) // nulls don't block conversion
+    assert(typed.count() == 3)
+  }
+
+  test("inferTypes leaves a mixed column as string (all-or-nothing)") {
+    val df = Seq(Tuple1("1"), Tuple1("not-a-number")).toDF("v")
+    assert(Staging.inferTypes(df).schema("v").dataType == StringType)
+  }
+
+  test("looksLikeDatetime reproduces the reference heuristic") {
+    assert(Staging.looksLikeDatetime("2017-10-02 10:56:33"))
+    assert(!Staging.looksLikeDatetime("20171002")) // no separators
+    assert(!Staging.looksLikeDatetime("a-b")) // too short
+    assert(Staging.looksLikeDatetime("free text with spaces")) // heuristic false positive, by design
+  }
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).get(0)
+
+  test("token counts, ratios, avg length") {
+    assert(one(TextOps.tokenCount(col("t")), "the cat  sat ") == 3)
+    assert(one(TextOps.tokenCount(col("t")), "") == 0)
+    assert(one(size(TextOps.distinctTokens(col("t"))), "a b a b c") == 3)
+    assert(one(TextOps.stopwordRatio(col("t")), "the cat sat on the mat") == 2.0 / 6)
+    assert(one(TextOps.punctRatio(col("t")), "a,b.") == 0.5)
+    assert(one(TextOps.avgTokenLen(col("t")), "ab cdef") == 3.0)
+    assert(one(TextOps.avgTokenLen(col("t")), "") == 0.0)
+  }
+
+  test("bpe-ish token count: letter runs /4 + digits + punct") {
+    // "hello" → ceil(5/4)=2, "world" → 2, "42" → 2 digits, "!" → 1
+    assert(one(TextOps.bpeishTokenCount(col("t")), "hello world 42!") == 7L)
+  }
+
+  test("langId picks the dominant marker language, alphabetical tie-break") {
+    assert(one(TextOps.langId(col("t")), "the cat and the dog is here") == "en")
+    assert(one(TextOps.langId(col("t")), "der hund und die katze ist da") == "de")
+    assert(one(TextOps.langId(col("t")), "el perro y la casa es una") == "es")
+    assert(one(TextOps.langId(col("t")), "xyzzy plugh") == "de") // all-zero → first alphabetical
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val a = one(TextOps.fingerprint(col("t")), "a b c")
+    val b = one(TextOps.fingerprint(col("t")), "c b a")
+    val a2 = one(TextOps.fingerprint(col("t")), "a  b c")
+    assert(a != b) // order matters
+    assert(a == a2) // whitespace-insensitive tokenization
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and distributed joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated document discussing parquet column pruning strategies")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates and keeps min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", Seq("text"))
+    assert(groups.count() == 4)
+    val dupGroup = groups.filter(col("n_dups") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup(0).getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exact(docs, "doc_id", Seq("text")).count() == 4)
+  }
+
+  test("minhash-LSH finds the near-dup pair and verified jaccard is exact") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"missed near-dup pair: ${keys.mkString(",")}")
+    assert(keys.contains((1L, 4L)) && keys.contains((2L, 4L))) // exact dup pairs too
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc untouched
+    // exact-dup pair has jaccard exactly 1.0
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+  }
+
+  test("simhash: identical docs same signature, near-dups within small hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < 16) // near-dup: small distance
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 16) // unrelated: large distance
+    val nd = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)), // closest to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f)) // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand computation") {
+    val sim = vecs.filter(col("vec_id") === 1).crossJoin(
+      vecs.filter(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2"))).collect()(0).getDouble(0)
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(sim - expected) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by similarity, excludes self") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("lsh top-k returns a subset of true results with exact sims") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3, nPlanes = 2)
+      .select("probe_id", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, sim) =>
+      assert(brute.contains(k) && brute(k) == sim) // candidates re-ranked exactly
+    }
+  }
+
+  test("embeddingNearDups finds the 1~2 pair only") {
+    val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, bands = 4, planesPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary ingestion + stub decode + batched feature extraction") {
+    val dir = tmpDir("media")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), "payload-a".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), "payload-bb".getBytes)
+    val media = Multimodal.ingestBinaryDir(spark, dir, "image")
+    assert(media.count() == 2)
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+
+    val decoded = media.select(col("asset_id"),
+      Multimodal.decodeImageStub(col("payload")).as("d"))
+    val dims = decoded.select("d.width", "d.height", "d.channels").collect()
+    assert(dims.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 1920 &&
+      r.getInt(1) >= 1 && r.getInt(1) <= 1080 && r.getInt(2) == 3))
+    // deterministic: same payload → same dims
+    val again = media.select(Multimodal.decodeImageStub(col("payload"))).collect()
+    assert(again.map(_.toString).sorted.sameElements(
+      decoded.select(col("d")).collect().map(_.toString).sorted))
+
+    val feats = Multimodal.extractFeaturesBatched(media, 16)()
+    assert(feats.count() == 2)
+    val vec = feats.select("features").collect()(0).getSeq[Float](0)
+    assert(vec.length == 16 && vec.forall(f => f >= -0.5f && f < 0.5f))
+  }
+
+  test("resize stub preserves aspect policy") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+    val r = df.select(Multimodal.resizeStub(
+        Multimodal.decodeImageStub(col("payload")), 64).as("r"))
+      .select("r.width", "r.height").collect()(0)
+    assert(r.getInt(0) <= 64 && r.getInt(1) <= 64)
+  }
+}

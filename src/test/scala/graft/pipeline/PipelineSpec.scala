@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.connect.{FileStore, MetaCatalog, TableRef, WarehouseStore}
+import org.apache.spark.sql.SaveMode
+import java.nio.file.{Files, Paths}
+
+/** End-to-end ETL-parity tests over the CSV quirks the reference handles
+  * (FIXTURES.md §B): BOM, quoted newlines, dirty headers, empty tables,
+  * archive semantics, dispositions, count/tolerance gates, orchestration.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def writeFile(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes("UTF-8"))
+
+  private def mkPipelineDirs(): (String, String, String, String) =
+    (tmpDir("csv_src"), tmpDir("csv_arch"), tmpDir("staging"), tmpDir("warehouse"))
+
+  test("ingest: BOM, dirty headers, quoted newlines, empty table, archive") {
+    val (src, arch, stg, _) = mkPipelineDirs()
+    writeFile(src, "Olist-Products Dataset.csv",
+      "﻿product id,product category,123bad,weight (g)\n" +
+        "p1,toys,x,100\n" +
+        "p2,\"multi\nline category\",y,200\n" +
+        "p3,,z,300\n")
+    writeFile(src, "empty_table.csv", "a,b,c\n")
+    val staging = new FileStore(spark, stg, "staging")
+    val report = Ingest.ingestFolder(spark, src, arch, staging)
+
+    assert(report.ok, report.failures.toString)
+    assert(report.results.map(_.table).sorted ==
+      Seq("empty_table", "olist_products_dataset"))
+    val products = staging.read(TableRef("staging", "olist_products_dataset"))
+    assert(products.columns.toSeq ==
+      Seq("product_id", "product_category", "col_123bad", "weight__g_", "created_date"))
+    assert(products.count() == 3)
+    // quoted newline preserved in-field
+    val cats = products.select("product_category").collect().map(_.getString(0))
+    assert(cats.exists(c => c != null && c.contains("\n")))
+    // empty field became null, not ""
+    assert(cats.count(_ == null) == 1)
+    // empty table ingested with 0 rows
+    assert(staging.count(TableRef("staging", "empty_table")) == 0)
+    // all source files archived (source empty, archive populated)
+    assert(Ingest.listCsvFiles(spark, src).isEmpty)
+    assert(Ingest.listCsvFiles(spark, arch).size == 2)
+    // re-run on empty source is a no-op (idempotent-by-absence)
+    assert(Ingest.ingestFolder(spark, src, arch, staging).results.isEmpty)
+  }
+
+  test("transfer: prefix naming, empty-skip, count verify, overwrite idempotence") {
+    val (src, arch, stg, wh) = mkPipelineDirs()
+    writeFile(src, "orders.csv", "id,status\n1,delivered\n2,shipped\n3,delivered\n")
+    writeFile(src, "nothing.csv", "a,b\n")
+    val staging = new FileStore(spark, stg, "staging")
+    val warehouse = new WarehouseStore(spark, wh)
+    assert(Ingest.ingestFolder(spark, src, arch, staging).ok)
+
+    val rpt = Transfer.transfer(staging, warehouse, "rds")
+    assert(rpt.ok)
+    assert(rpt.transferred.map(_.table) == Seq("orders"))
+    assert(rpt.skipped.map(_.table) == Seq("nothing"))
+    assert(warehouse.exists(TableRef("warehouse", "rds_orders")))
+    assert(!warehouse.exists(TableRef("warehouse", "rds_nothing"))) // empty-skip: no table created
+    assert(warehouse.count(TableRef("warehouse", "rds_orders")) == 3)
+
+    // run twice → same counts (overwrite disposition, no dup rows)
+    assert(Transfer.transfer(staging, warehouse, "rds").ok)
+    assert(warehouse.count(TableRef("warehouse", "rds_orders")) == 3)
+
+    // prefix exclusion keeps outputs out of re-transfer
+    val again = Transfer.transfer(warehouse, warehouse, "w", excludePrefix = Some("rds_"))
+    assert(again.results.isEmpty)
+  }
+
+  test("verify + cleanup: exact gate, 0.9 tolerance gate, dry-run, truncate") {
+    val (_, _, stg, wh) = mkPipelineDirs()
+    import spark.implicits._
+    val staging = new FileStore(spark, stg, "staging")
+    val warehouse = new WarehouseStore(spark, wh)
+    val t = TableRef("staging", "t")
+    val wt = TableRef("warehouse", "rds_t")
+    staging.write((1 to 100).toDF("v"), t, SaveMode.Overwrite)
+
+    // 89% in the warehouse → must refuse cleanup
+    warehouse.write((1 to 89).toDF("v"), wt, SaveMode.Overwrite)
+    val refused = VerifyCleanup.verifyThenTruncate(staging, t, warehouse, wt)
+    assert(!refused.verified && !refused.truncated && staging.count(t) == 100)
+
+    // 95% → allowed, but dry-run must not touch anything
+    warehouse.write((1 to 95).toDF("v"), wt, SaveMode.Overwrite)
+    val dry = VerifyCleanup.verifyThenTruncate(staging, t, warehouse, wt, dryRun = true)
+    assert(dry.verified && !dry.truncated && staging.count(t) == 100)
+
+    // real run truncates staging, schema survives
+    val real = VerifyCleanup.verifyThenTruncate(staging, t, warehouse, wt)
+    assert(real.verified && real.truncated)
+    assert(staging.count(t) == 0)
+    assert(staging.read(t).columns.toSeq == Seq("v"))
+
+    val check = VerifyCleanup.countCompare(staging, t, warehouse, wt)
+    assert(!check.exactMatch && check.targetRows == 95)
+
+    // content diff: strictly stronger than counting
+    val (missing, extra) = VerifyCleanup.contentDiff(
+      (1 to 3).toDF("v"), Seq(1, 2, 2).toDF("v"))
+    assert(missing.collect().map(_.getInt(0)).sorted.toSeq == Seq(3))
+    assert(extra.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("metadata catalog upserts (update-else-insert, latest wins)") {
+    val path = tmpDir("meta") + "/lmod"
+    val cat = new MetaCatalog(spark, path)
+    cat.recordTransfer(Seq("orders", "products"))
+    val first = cat.lastModified("orders").get
+    Thread.sleep(5)
+    cat.recordTransfer(Seq("orders"))
+    assert(cat.readAll().count() == 2) // still one row per table
+    assert(cat.lastModified("orders").get.getTime >= first.getTime)
+    assert(cat.lastModified("products").isDefined)
+    assert(cat.lastModified("unknown").isEmpty)
+  }
+
+  test("orchestrate: partial success and critical abort") {
+    import Orchestrate._
+    val ok = Stage("s1")(() => StageSuccess("fine"))
+    val bad = Stage("s2")(() => StageFailure("boom"))
+    val okAfter = Stage("s3")(() => StageSuccess())
+    val partial = Orchestrate.run(Seq(ok, bad, okAfter))
+    assert(partial.exitCode == 1)
+    assert(partial.succeeded.map(_.name) == Seq("s1", "s3")) // non-critical failure continues
+
+    val critical = Stage("setup", critical = true)(() => StageFailure("no db"))
+    val aborted = Orchestrate.run(Seq(critical, okAfter))
+    assert(aborted.exitCode == 2)
+    assert(aborted.stages.last.skipped) // everything after a critical failure is skipped
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class StreamingSpec extends SparkSpec {
+
+  test("AvailableNow file ingest: processes, archives, exactly-once on rerun") {
+    val src = tmpDir("stream_src")
+    val arch = tmpDir("stream_arch")
+    val ckpt = tmpDir("stream_ckpt")
+    Files.write(Paths.get(src, "batch1.csv"), "id,v\n1,a\n2,b\n".getBytes)
+    Files.write(Paths.get(src, "batch2.csv"), "id,v\n3,c\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    val cfg = FileIngest.Config(src, arch, ckpt, schema)
+
+    var total = 0L
+    FileIngest.runOnce(spark, cfg) { (df, _) => total += df.count() }
+    assert(total == 3)
+
+    // second drain with a new file: ONLY the new file is processed
+    // (checkpoint = exactly-once), and committing the new batch triggers
+    // the async archival of the first batch's files
+    Files.write(Paths.get(src, "batch3.csv"), "id,v\n4,d\n".getBytes)
+    var again = 0L
+    FileIngest.runOnce(spark, cfg) { (df, _) => again += df.count() }
+    assert(again == 1, s"reprocessed rows: $again")
+
+    def archivedCount = {
+      val d = new java.io.File(arch)
+      if (!d.exists()) 0L
+      else Files.walk(d.toPath).filter(p => p.toString.endsWith(".csv")).count()
+    }
+    val deadline = System.currentTimeMillis() + 15000
+    while (archivedCount < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(archivedCount >= 2, s"archived=$archivedCount")
+  }
+
+  test("windowed aggregation semantics on a static frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:02:00", "click", 2.0),
+      ("2024-01-01 00:07:00", "click", 4.0),
+      ("2024-01-01 00:01:30", "view", 8.0)
+    ).toDF("ts_s", "event_type", "value")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    val out = FileIngest.windowedCounts(events, "ts", "event_type")
+      .select(col("window.start").cast("string").as("w"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:05:00", "click", 1L, 4.0),
+      ("2024-01-01 00:00:00", "view", 1L, 8.0)))
+  }
+}
