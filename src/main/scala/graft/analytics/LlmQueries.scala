@@ -147,15 +147,19 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q35 (rows-only: xxhash64-based)
   val q35 = QuerySpec.rowsOnly("q35_minhash_near_dups") { (s, d) =>
+    // 3-word shingles + threshold 0.8: order-sensitive shingling separates
+    // the corpus's planted near-dups (j >= 0.9) from its shared-vocabulary
+    // background (trigram j < 0.1), so the LSH candidate set stays ~linear
+    // in the number of true dups instead of quadratic in corpus size.
     Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
-      numHashes = 64, bands = 8, shingleK = 2, threshold = 0.4)
+      numHashes = 64, bands = 8, shingleK = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- q36 (rows-only: xxhash64-based)
   val q36 = QuerySpec.rowsOnly("q36_simhash_signatures") { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("sig", "simhash")
       .orderBy("doc_id")
   }
 

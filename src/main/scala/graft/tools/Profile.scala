@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: stage-by-stage timing of the minhash pipeline. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s rows=$n%-9d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("shingles") {
+      docs.select(Dedup.shingles(col("text"), 3).as("sh")).agg(sum(size(col("sh")))).collect()(0).getLong(0)
+    }
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64, 3)
+    time("signatures")(sigs.agg(sum(size(col("sig")))).collect()(0).getLong(0))
+    val buckets = Dedup.lshBuckets(sigs, "doc_id", "sig", 8)
+    time("buckets")(buckets.count())
+    val pairs = Dedup.candidatePairs(buckets, "doc_id")
+    time("candidates")(pairs.count())
+    time("verified")(Dedup.verifyJaccard(pairs, docs, "doc_id", "text", 3, 0.8).count())
+    spark.stop()
+  }
+}
