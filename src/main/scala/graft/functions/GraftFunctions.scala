@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{call_function, expr}
+
+/** Registration + Column API for graft's custom Catalyst expressions.
+  *
+  * Registration is per-session and idempotent; `float_dot` becomes
+  * available both to the Column API below and to SQL
+  * (`SELECT float_dot(a, b)`).
+  */
+object GraftFunctions {
+
+  private val registered = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[String]())
+
+  def register(spark: SparkSession): Unit = {
+    val key = spark.sessionState.toString
+    if (registered.add(key)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
+    }
+  }
+
+  /** Codegen'd dot product of two array<float> columns (see
+    * [[FloatDotProduct]]). Requires `register(spark)` on the session.
+    */
+  def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,16 +13,21 @@ import org.apache.spark.sql.types._
   *    parallel, no shuffle of the corpus. The right baseline and the right
   *    answer whenever |probes| is modest.
   *  - LSH (random hyperplanes): deterministic sign-bit bucketing cuts the
-  *    candidate set to same/near buckets, then exact re-rank. The 100 TB
+  *    candidate set to same-bucket pairs, then exact re-rank. The 100 TB
   *    path: corpus shuffles once by bucket, probes broadcast per bucket.
   *
-  * Dot products use `zip_with` + `aggregate` over doubles — a sequential
-  * left fold in element order, which both Spark and DuckDB implement
-  * identically, so scores are reproducible bit-for-bit.
+  * Dot products have two implementations with bit-identical results:
+  * `dot` (composable `zip_with`+`aggregate` — the form the DuckDB oracle
+  * mirrors with list_reduce) and the native codegen'd
+  * [[graft.functions.FloatDotProduct]] used automatically inside the
+  * DataFrame-level operators, where the interpreted HOF fold would
+  * dominate the profile. Both accumulate in index order.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float/double array columns. */
+  /** Sequential-fold dot product of two float/double array columns
+    * (composable Column form; prefer the native path in bulk operators).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
@@ -33,6 +39,15 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Cosine via the native expression — requires
+    * `GraftFunctions.register(spark)` (the DataFrame operators below do it).
+    */
+  def cosineNative(a: Column, b: Column): Column = {
+    import GraftFunctions.float_dot
+    val d = sqrt(float_dot(a, a)) * sqrt(float_dot(b, b))
+    when(d > 0, float_dot(a, b) / d).otherwise(lit(0.0))
+  }
+
   /** Exact top-k neighbours for each probe row.
     * probes/corpus: (idCol, vecCol). Returns (probe_id, neighbor_id, sim, rank).
     * Excludes self-matches. Probe side is broadcast — the corpus never
@@ -41,33 +56,50 @@ object Similarity {
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(probes.sparkSession)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("__pv"), col("__cv")).as("sim"))
+        cosineNative(col("__pv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane j, component i =
-    * fractional hash in [-0.5, 0.5). Reproducible across sessions — no RNG.
+  // --------------------------------------------------------------- LSH
+
+  /** Deterministic pseudo-random hyperplanes, generated driver-side
+    * (splitmix64 mix) and shipped as array literals — the projection is
+    * then one native dot per plane instead of a per-element hash+lambda
+    * chain. MaxDim bounds the embedding dimension (excess plane
+    * components are simply never read).
     */
-  private def planeComponent(j: Int, i: Column): Column =
-    (pmod(xxhash64(lit(j), i), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+  private val MaxDim = 4096
+  private def planeArray(j: Int): Array[Float] =
+    Array.tabulate(MaxDim) { i =>
+      var x = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      x ^= (x >>> 31); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 27)
+      (((x >>> 16) % 100000L).toFloat / 100000f) - 0.5f
+    }
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bucket space 2^n). */
-  def lshBucket(vec: Column, nPlanes: Int = 8): Column =
+  def lshBucket(vec: Column, nPlanes: Int = 8, seed: Int = 0): Column = {
+    import GraftFunctions.float_dot
     (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(j, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(float_dot(vec, typedlit(planeArray(seed * 1024 + j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Banded sign-bit bucket ids: `bands` independent bucket columns, each
+    * from `planesPerBand` hyperplanes. Two vectors are candidates if ANY
+    * band matches — multi-probe recall without growing any single bucket.
+    */
+  def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map(b => lshBucket(vec, planesPerBand, seed = b + 1)): _*)
 
   /** Approximate top-k: candidates restricted to probes' buckets, then
     * exact cosine re-rank. Recall improves with fewer planes (bigger
@@ -76,6 +108,7 @@ object Similarity {
   def lshTopK(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(probes.sparkSession)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
       lshBucket(col(vecCol), nPlanes).as("__bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -83,28 +116,12 @@ object Similarity {
     val scored = c.join(broadcast(p), Seq("__bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("__pv"), col("__cv")).as("sim"))
+        cosineNative(col("__pv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
   }
-
-  /** Banded sign-bit bucket ids: `bands` independent bucket columns, each
-    * from `planesPerBand` hyperplanes (seeded by (band, plane) so bands are
-    * independent). Two vectors are candidates if ANY band matches —
-    * multi-probe recall without growing any single bucket.
-    */
-  def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
-    array((0 until bands).map { band =>
-      (0 until planesPerBand).map { j =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast(DoubleType) * planeComponent(band * 1024 + j, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) via banded
     * hyperplane-LSH blocking + exact verify; id_a < id_b. Recall at
@@ -112,6 +129,7 @@ object Similarity {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
         .as(Seq("band", "bucket")))
@@ -119,7 +137,7 @@ object Similarity {
     val r = b.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .select(col("id_a"), col("id_b"), cosineNative(col("vec_a"), col("vec_b")).as("sim"))
       .distinct()
       .filter(col("sim") >= threshold)
   }

@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump formatted physical plans for selected queries. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSet else Set("q02_filter_pushdown",
+      "q04_brand_volume", "q05_region_nation_revenue", "q01_pricing_summary")
+    SparkEntry.specs.filter(q => names.contains(q.name)).foreach { q =>
+      println(s"\n======== ${q.name} ========")
+      println(q.fn(spark, "/root/testdata/sf0.01").queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("float_dot matches the HOF fold bit-for-bit on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val a = emb.select(col("vec_id"), col("embedding").as("va"))
+    val b = emb.select((col("vec_id") + 7).as("vec_id2"), col("embedding").as("vb"))
+    val joined = a.join(b, col("vec_id") === col("vec_id2"))
+    val diff = joined.select(
+      (GraftFunctions.float_dot(col("va"), col("vb")) -
+        Similarity.dot(col("va"), col("vb"))).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0) // identical fold order → identical doubles
+  }
+
+  test("float_dot works from SQL and handles nulls") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(r == 1.5 * 2.0 + 2.0 * 3.0)
+    // null array → null result
+    assert(spark.sql("SELECT float_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .collect()(0).isNullAt(0))
+    // null element skipped, shorter length wins
+    val r2 = spark.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT), NULL, CAST(3.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(5.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(r2 == 2.0)
+  }
+
+  test("float_dot rejects wrong input types at analysis") {
+    GraftFunctions.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(1.0), array(2.0))").collect() // array<double>
+    }
+  }
+}
