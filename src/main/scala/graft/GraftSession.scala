@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine: every entry point (Verify,
+  * Bench, tests, user code) gets the same scale-sensible defaults.
+  *
+  * Local mode (`local[N]`) is a stand-in for a multi-executor cluster —
+  * shuffle partitions sized to cores here, to 2-3× total cluster cores in
+  * a real deployment (AQE coalesces the excess). Nothing in the engine
+  * assumes single-JVM execution.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE: runtime re-planning, skew-join splitting, partition coalescing
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the fixtures carry TIMESTAMP(NANOS) parquet (see analytics.Tables)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = s"local[${Runtime.getRuntime.availableProcessors}]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

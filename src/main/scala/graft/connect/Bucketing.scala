@@ -1,0 +1,34 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (pre-partitioned) tables: the co-located-join layout for fact
+  * tables that join repeatedly on the same key.
+  *
+  * Writing both sides bucketed by the join key with the same bucket count
+  * lets Spark plan a SortMergeJoin with ZERO exchanges — at 100 TB the
+  * shuffle is the join's dominant cost, so for recurring joins this is the
+  * single highest-leverage layout decision. Bucketing requires the table
+  * catalog (`saveAsTable`), not bare paths.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(tableName)
+  }
+
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
+  /** True if the physical plan of `df` contains no shuffle exchange —
+    * the check that a bucketed join actually stayed co-located.
+    */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+}

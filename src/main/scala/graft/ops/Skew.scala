@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the hand-rolled complement to AQE's
+  * runtime skew-join splitting (which GraftSession enables; use these when
+  * skew is *known in advance* or lives in an aggregate, which AQE's
+  * skew-join handling does not cover).
+  *
+  *  - saltedAggregate: two-phase aggregation. Phase 1 aggregates on
+  *    (key, salt) — the hot key's rows spread over `salts` reducers —
+  *    phase 2 merges the per-salt partials. Works for any algebraic
+  *    aggregate (sum/count/min/max); the caller supplies both phases.
+  *  - saltedJoin: replicate the small side `salts` times with an added
+  *    salt column, salt the big side randomly, join on (key, salt). The
+  *    hot key's rows land on `salts` different reducers instead of one.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation.
+    * {{{
+    * Skew.saltedAggregate(events, Seq("user_id"), 16)(
+    *   partial = d => d.agg(count(lit(1)).as("n"), sum("value").as("v")),
+    *   merge   = d => d.agg(sum("n").as("n"), sum("v").as("v")))
+    * }}}
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int)(
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
+      merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(salts)))
+    val phase1 = partial(salted.groupBy((keys :+ "__salt").map(col): _*))
+    merge(phase1.groupBy(keys.map(col): _*)).drop("__salt")
+  }
+
+  /** Salted equi-join of a skewed big side against a small side. The small
+    * side is exploded `salts`-fold (still small), the big side gets a
+    * random-but-deterministic salt per row; the join key becomes
+    * (keys..., salt).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigSalted.join(smallExploded, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Top-N heavy keys with their frequencies — cheap skew diagnosis before
+    * choosing a mitigation. One aggregate, no collect until the tiny topN.
+    */
+  def heavyHitters(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc)
+      .limit(topN)
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.connect.Bucketing
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = {
+    // one hot key (90% of rows) + a uniform tail
+    val hot = (1 to 900).map(i => ("hot", i.toDouble))
+    val tail = (1 to 100).map(i => (s"k$i", i.toDouble))
+    (hot ++ tail).toDF("k", "v")
+  }
+
+  test("saltedAggregate equals plain aggregate") {
+    val plain = skewed.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedAggregate(skewed, Seq("k"), 8)(
+      partial = g => g.agg(count(lit(1)).as("n"), sum("v").as("v")),
+      merge = g => g.agg(sum("n").as("n"), sum("v").as("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k")).groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8)
+      .groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("heavyHitters surfaces the hot key first") {
+    val top = Skew.heavyHitters(skewed, Seq("k"), 3).collect()
+    assert(top(0).getString(0) == "hot" && top(0).getLong(1) == 900)
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-join-key tables join with zero exchanges") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    Bucketing.writeBucketed(li, "graft_li_b", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    Bucketing.writeBucketed(o, "graft_o_b", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    val joined = Bucketing.readTable(spark, "graft_li_b")
+      .join(Bucketing.readTable(spark, "graft_o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "o_orderstatus")
+    // disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = joined.count()
+      assert(n == li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      assert(Bucketing.isExchangeFree(joined), "bucketed join still shuffled:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_li_b")
+      spark.sql("DROP TABLE IF EXISTS graft_o_b")
+    }
+  }
+}
