@@ -266,6 +266,37 @@ object LlmQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q44
+  val q44 = QuerySpec.sql(
+    "q44_bpeish_tokens",
+    """WITH p AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS pieces
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(pieces,
+      |    p -> CASE WHEN regexp_full_match(p, '[A-Za-z]+')
+      |              THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+      |    (u,v) -> u + v) AS BIGINT) AS n_bpeish
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q45 (rows-only: sketches differ by engine)
+  val q45 = QuerySpec.rowsOnly("q45_approx_stats") { (s, d) =>
+    // Sketch surface: HLL distinct + approximate quantiles — the at-scale
+    // substitutes for q11/q28's exact forms (values are implementation-
+    // specific, so no cross-engine oracle; accuracy is spec'd by the
+    // sketch parameters).
+    Tables.table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43)
+    q40, q41, q42, q43, q44, q45)
 }

@@ -571,6 +571,48 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // ---------------------------------------------------------------- q28
+  val q28 = QuerySpec.sql(
+    "q28_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Exact (sort-based) percentiles with linear interpolation — both
+    // engines interpolate identically on the same sorted doubles. For
+    // sketch-based quantiles at scale see q46_approx_stats.
+    T(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q29
+  val q29 = QuerySpec.sql(
+    "q29_tumbling_window",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events)
+      |SELECT CAST(to_timestamp((us - us % 300000000) / 1000000) AS TIMESTAMP) AS window_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    // Spark's window() — the same operator Structured Streaming uses for
+    // tumbling aggregations; epoch-aligned, so the oracle mirrors it with
+    // modular arithmetic on epoch micros.
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29)
 }
