@@ -297,6 +297,46 @@ object LlmQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q46
+  val q46 = QuerySpec.sql(
+    "q46_asof_join",
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS purchase_value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, CAST(value AS DOUBLE) AS click_value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
+      |  c.us AS asof_time
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    // each purchase matched to the user's most recent prior (or
+    // simultaneous) click — DuckDB's native ASOF JOIN is the oracle for
+    // graft's union+window composition (graft.ops.AsOf).
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("purchase_value"),
+        expr("ts_ns div 1000").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("value").as("click_value"),
+        expr("ts_ns div 1000").as("us"))
+    graft.ops.AsOf.asOfJoin(purchases, clicks, Seq("user_id"),
+      leftTime = "us", rightTime = "us", rightCols = Seq("click_value"))
+      .select("event_id", "user_id", "purchase_value", "click_value", "asof_time")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q47 (rows-only: data-dependent index)
+  val q47 = QuerySpec.rowsOnly("q47_ivf_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Ivf.ivfTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3, iters = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45)
+    q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-past) join: for each left row, attach the right row with
+  * the greatest time <= the left row's time, per partition key.
+  *
+  * Spark has no ASOF JOIN operator. Per the engine's preference order
+  * (compose > custom Expression > custom plan), this is the composition:
+  * tag both sides, union, one shuffle+sort per key, and carry the most
+  * recent right values forward with `last(..., ignoreNulls)` over an
+  * unbounded-preceding frame. This is exactly the merge a dedicated
+  * SortMergeAsOfJoinExec would run — same shuffle, same sort, no
+  * row-explosion (unlike the naive range-join + rank formulation, which
+  * is quadratic in events per key).
+  *
+  * Right rows sort BEFORE left rows at equal times, so equality matches
+  * (t_left == t_right) are included — the standard `>=` ASOF semantics.
+  * Determinism requires (keys, time) unique per side; if the right side
+  * has duplicates, the last by union order wins (add a tiebreak column to
+  * the sort if that matters).
+  */
+object AsOf {
+
+  /** @param left        the probe side (all columns preserved)
+    * @param right       the reference side
+    * @param keys        equi-join partition keys present on both sides
+    * @param leftTime    numeric/timestamp ordering column on `left`
+    * @param rightTime   ordering column on `right`
+    * @param rightCols   right columns to attach (must not clash with left)
+    * @param joinType    "inner" (drop unmatched) or "left" (keep, nulls)
+    * @return left columns + rightCols + `asof_time` (matched right time)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType), s"unsupported joinType $joinType")
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select((keys.map(col) :+ col(rightTime).as("__t")) ++ rightCols.map(col): _*)
+      .withColumn("__rt", col("__t"))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rightCols :+ "__rt").foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val joined = carried
+      .filter(col("__side") === 1)
+      .withColumnRenamed("__rt", "asof_time")
+      .drop("__t", "__side")
+    if (joinType == "inner") joined.filter(col("asof_time").isNotNull) else joined
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.float_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest-neighbour search: the corpus is
+  * partitioned into `nlist` Voronoi cells around trained centroids; a
+  * probe scans only its `nprobe` nearest cells, cutting the scanned
+  * fraction to ~nprobe/nlist at the cost of recall near cell borders.
+  *
+  * Scale shape: training runs on a deterministic SAMPLE (centroids are a
+  * tiny nlist×dim float matrix held on the driver and broadcast as
+  * literals); assignment is a scan-side argmax of native dots (no
+  * shuffle); the search is a cell-equi-join — the corpus shuffles once by
+  * cell id, probes broadcast. Complements hyperplane-LSH
+  * (Similarity.lshTopK): IVF adapts to the data distribution, LSH is
+  * data-independent.
+  */
+object Ivf {
+
+  /** Deterministic k-means (k=nlist) on a sample: init = first nlist
+    * sampled vectors by id, `iters` Lloyd rounds computed distributedly
+    * (assign scan-side, means via per-dimension aggregation). Only
+    * nlist×dim floats ever reach the driver.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2, sampleMod: Int = 1): Array[Array[Float]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val sample = (if (sampleMod > 1) corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      else corpus).select(col(idCol), col(vecCol).as("__v"))
+    var centroids: Array[Array[Float]] = sample.orderBy(col(idCol)).limit(nlist)
+      .select("__v").collect().map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = sample.withColumn("__c", assignCell(col("__v"), centroids))
+      // per-(cell, dim) means; (nlist × dim) groups — tiny aggregate
+      val means = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Scan-side cell assignment: argmax over native dots against centroid
+    * literals; first max wins ties (deterministic).
+    */
+  def assignCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = array(centroids.map(c => float_dot(vec, typedlit(c))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+  }
+
+  /** Per-probe nprobe nearest cells (exploded). */
+  private def probeCells(probes: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = array(centroids.map(c => float_dot(col(vecCol), typedlit(c))): _*)
+    val exploded = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"), scores.as("__s"))
+      .select(col("probe_id"), col("__pv"), posexplode(col("__s")).as(Seq("__c", "__score")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__score").desc, col("__c"))
+    exploded.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("probe_id"), col("__pv"), col("__c"))
+  }
+
+  /** Approximate top-k: exact cosine rank within the probed cells.
+    * nprobe == nlist degenerates to exact brute force.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters, trainSampleMod)
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      assignCell(col(vecCol), centroids).as("__c"))
+    val p = probeCells(probes, idCol, vecCol, centroids, nprobe)
+    val scored = cells.join(broadcast(p), Seq("__c"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosineNative(col("__pv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+  }
+}

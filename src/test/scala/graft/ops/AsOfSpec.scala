@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 35L, 99.0), ("B", 15L, 50.0)
+  ).toDF("sym", "t", "price")
+  private val quotes = Seq(
+    ("A", 5L, 99.5), ("A", 20L, 100.5), ("A", 30L, 100.9), ("B", 40L, 51.0)
+  ).toDF("sym", "t", "quote")
+
+  test("asOfJoin matches the most recent right row, equality inclusive") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("quote"))
+      .select("sym", "t", "price", "quote", "asof_time")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("A", 10L, 99.5, 5L),   // prior quote
+      ("A", 20L, 100.5, 20L), // equal timestamp included
+      ("A", 35L, 100.9, 30L)  // most recent of several
+      // ("B", 15L, ...) has no prior quote → dropped by inner
+    ))
+  }
+
+  test("left asOfJoin keeps unmatched rows with nulls") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("quote"), "left")
+    assert(out.count() == 4)
+    val b = out.filter(col("sym") === "B").collect()(0)
+    assert(b.isNullAt(b.fieldIndex("quote")) && b.isNullAt(b.fieldIndex("asof_time")))
+  }
+}

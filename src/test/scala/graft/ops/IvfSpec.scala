@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val probes = emb.filter(col("vec_id") % 100 === 0)
+
+  test("ivfTopK with nprobe == nlist equals brute force exactly") {
+    val brute = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ivf.ivfTopK(probes, emb, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8, iters = 1)
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+  }
+
+  test("ivfTopK with nprobe < nlist returns exact sims with decent recall") {
+    val brute = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Ivf.ivfTopK(probes, emb, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 4, iters = 2)
+      .select("probe_id", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(approx.nonEmpty)
+    approx.foreach { case (k, sim) =>
+      // any returned sim is the exact cosine (same as brute force computes)
+      brute.get(k).foreach(b => assert(b == sim))
+    }
+    // recall@top1: most probes' true nearest neighbour is found
+    val top1 = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val found = approx.map(_._1).toSet
+    val recall = top1.count(found.contains).toDouble / top1.size
+    assert(recall >= 0.5, s"recall@1 too low: $recall")
+  }
+
+  test("trainCentroids is deterministic and returns nlist vectors of right dim") {
+    val c1 = Ivf.trainCentroids(emb, "vec_id", "embedding", 4, iters = 2)
+    val c2 = Ivf.trainCentroids(emb, "vec_id", "embedding", 4, iters = 2)
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+}
