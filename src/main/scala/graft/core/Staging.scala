@@ -34,9 +34,15 @@ object Staging {
 
   // try_* variants return NULL on parse failure instead of raising, which
   // the probe depends on (Spark 4 runs ANSI mode by default).
+  // Zero-padded numerics ("01001" zip codes — FIXTURES.md §B.2) must stay
+  // strings: a cast would silently drop the leading zeros, so values
+  // matching ^-?0[0-9] fail the numeric candidates.
+  private def zeroPadded(x: Column): Column = x.rlike("^-?0[0-9]")
   private def candidates(c: Column): Seq[(String, Cand)] = Seq(
-    "long" -> Cand(LongType, x => x.try_cast(LongType)),
-    "double" -> Cand(DoubleType, x => x.try_cast(DoubleType)),
+    "long" -> Cand(LongType,
+      x => when(zeroPadded(x), lit(null)).otherwise(x).try_cast(LongType)),
+    "double" -> Cand(DoubleType,
+      x => when(zeroPadded(x), lit(null)).otherwise(x).try_cast(DoubleType)),
     "timestamp" -> Cand(TimestampType, x => timestampFormats
       .map(f => try_to_timestamp(x, lit(f)))
       .reduce((a, b) => coalesce(a, b))),

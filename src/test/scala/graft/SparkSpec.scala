@@ -3,22 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session base for all suites: one local session per suite,
-  * configured identically to Verify/Bench (UTC, AQE, nanos-as-long).
+/** Shared session base for all suites, configured identically to
+  * Verify/Bench via GraftSession (UTC, AQE, nanos-as-long).
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = SparkSpecSession.spark
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   val sf = "/root/testdata/sf0.001"
+}
+
+/** One shared session for the whole test JVM. */
+object SparkSpecSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).appName("graft-tests").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(s)
+    s
+  }
 }

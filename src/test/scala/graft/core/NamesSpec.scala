@@ -32,6 +32,14 @@ class NamesSpec extends AnyFunSuite {
     }
   }
 
+  test("sanitizeColumns dedupes post-clean collisions positionally") {
+    import graft.SparkSpecSession.spark
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("order id", "order-id", "order_id")
+    assert(Names.sanitizeColumns(df).columns.toSeq ==
+      Seq("order_id", "order_id_1", "order_id_2"))
+  }
+
   test("tableNameFromFile matches the reference rule") {
     assert(Names.tableNameFromFile("Olist-Orders Dataset.CSV") == "olist_orders_dataset")
     assert(Names.tableNameFromFile("/a/b/olist_sellers_dataset.csv") == "olist_sellers_dataset")

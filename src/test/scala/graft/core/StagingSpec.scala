@@ -36,6 +36,13 @@ class StagingSpec extends SparkSpec {
     assert(Staging.inferTypes(df).schema("v").dataType == StringType)
   }
 
+  test("inferTypes keeps zero-padded numerics as strings (zip codes)") {
+    val df = Seq(("01001", "10"), ("87020", "0")).toDF("zip", "n")
+    val typed = Staging.inferTypes(df)
+    assert(typed.schema("zip").dataType == StringType) // leading zero preserved
+    assert(typed.schema("n").dataType == LongType) // plain "0" still numeric
+  }
+
   test("looksLikeDatetime reproduces the reference heuristic") {
     assert(Staging.looksLikeDatetime("2017-10-02 10:56:33"))
     assert(!Staging.looksLikeDatetime("20171002")) // no separators

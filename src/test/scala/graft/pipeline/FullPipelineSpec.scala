@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.connect.{FileStore, JdbcStore, MetaCatalog, TableRef, WarehouseStore}
+import java.nio.file.{Files, Paths}
+
+/** The reference's full 4-stage run (main.py, SURVEY §3.1) as one
+  * orchestrated pipeline over Olist-shaped CSV fixtures: setup →
+  * csv→staging ingest → staging→warehouse transfer → verify+cleanup,
+  * with typed hand-offs instead of stdout scraping.
+  */
+class FullPipelineSpec extends SparkSpec {
+
+  test("4-stage orchestrated run: ingest, transfer, verify, cleanup") {
+    import Orchestrate._
+    val src = tmpDir("olist_src")
+    val arch = tmpDir("olist_arch")
+    val stg = tmpDir("olist_stg")
+    val wh = tmpDir("olist_wh")
+    val meta = tmpDir("olist_meta") + "/lmod"
+
+    Files.write(Paths.get(src, "Olist-Orders Dataset.csv"),
+      ("order_id,customer_id,order_status,order_purchase_timestamp\n" +
+        "o1,c1,delivered,2017-10-02 10:56:33\n" +
+        "o2,c2,shipped,2018-07-24 20:41:37\n" +
+        "o3,c1,delivered,2018-08-08 08:38:49\n").getBytes("UTF-8"))
+    Files.write(Paths.get(src, "olist_sellers_dataset.csv"),
+      "seller_id,seller_zip_code_prefix,seller_city\n\"s1\",\"01001\",sao paulo\ns2,87020,maringa\n".getBytes("UTF-8"))
+
+    val staging = new FileStore(spark, stg, "staging")
+    val warehouse = new WarehouseStore(spark, wh)
+    val catalog = new MetaCatalog(spark, meta)
+    var ingestReport: Ingest.Report = null
+    var transferReport: Transfer.Report = null
+
+    val report = Orchestrate.run(Seq(
+      Stage("setup", critical = true)(() => {
+        // connection probe + smoke (setup-database.py:202-245 analog)
+        if (spark.version.nonEmpty) StageSuccess(s"spark ${spark.version}")
+        else StageFailure("no session")
+      }),
+      Stage("csv-to-staging")(() => {
+        ingestReport = Ingest.ingestFolder(spark, src, arch, staging, typed = true)
+        if (ingestReport.ok) StageSuccess(s"${ingestReport.successes.size} files")
+        else StageFailure(ingestReport.failures.mkString(";"))
+      }),
+      Stage("staging-to-warehouse")(() => {
+        transferReport = Transfer.transfer(staging, warehouse, "rds")
+        catalog.recordTransfer(transferReport.transferred.map(_.table))
+        if (transferReport.ok) StageSuccess(s"${transferReport.transferred.size} tables")
+        else StageFailure(transferReport.failures.mkString(";"))
+      }),
+      Stage("verify-and-cleanup")(() => {
+        val results = transferReport.transferred.map { t =>
+          VerifyCleanup.verifyThenTruncate(
+            staging, TableRef("staging", t.table),
+            warehouse, TableRef("warehouse", t.target))
+        }
+        if (results.forall(r => r.verified && r.truncated)) StageSuccess()
+        else StageFailure(results.filterNot(_.verified).map(_.table).mkString(";"))
+      })
+    ))
+
+    assert(report.exitCode == 0, report.stages.map(s => (s.name, s.outcome.detail)))
+    // archive populated, source drained
+    assert(Ingest.listCsvFiles(spark, src).isEmpty)
+    assert(Ingest.listCsvFiles(spark, arch).size == 2)
+    // warehouse has prefixed tables with full content; staging truncated
+    assert(warehouse.count(TableRef("warehouse", "rds_olist_orders_dataset")) == 3)
+    assert(warehouse.count(TableRef("warehouse", "rds_olist_sellers_dataset")) == 2)
+    assert(staging.count(TableRef("staging", "olist_orders_dataset")) == 0)
+    // typed ingest inferred the timestamp column
+    val orders = warehouse.read(TableRef("warehouse", "rds_olist_orders_dataset"))
+    assert(orders.schema("order_purchase_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // leading zeros preserved through quoted CSV (stringly staging)
+    val zips = warehouse.read(TableRef("warehouse", "rds_olist_sellers_dataset"))
+      .select("seller_zip_code_prefix").collect().map(_.getString(0)).toSet
+    assert(zips.contains("01001"))
+    // metadata bookkeeping recorded both tables
+    assert(catalog.readAll().count() == 2)
+  }
+
+  test("JdbcStore builds partitioned-read options (no DB needed offline)") {
+    val store = new JdbcStore(spark, "jdbc:mysql://host/db", Map("user" -> "u"))
+    val opts = store.partitionedReadOptions("id", 0L, 1000000L, 32)
+    assert(opts == Map(
+      "partitionColumn" -> "id", "lowerBound" -> "0",
+      "upperBound" -> "1000000", "numPartitions" -> "32"))
+  }
+}
