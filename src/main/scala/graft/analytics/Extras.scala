@@ -1,0 +1,126 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.TextOps
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining API surfaces: pivot, explode/lateral top-k, the typed
+  * Dataset[T] + Aggregator path, and a declared query that actually runs
+  * through Structured Streaming (AvailableNow + memory sink).
+  */
+object Extras {
+
+  // ---------------------------------------------------------------- q48
+  val q48 = QuerySpec.sql(
+    "q48_pivot_status",
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { (s, d) =>
+    // DataFrame pivot with an explicit value list (no extra distinct scan;
+    // deterministic output columns).
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("order_year")
+  }
+
+  // ---------------------------------------------------------------- q49
+  val q49 = QuerySpec.sql(
+    "q49_top_tokens",
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      |  FROM documents)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    // explode (lateral view) + count + top-k: the corpus vocabulary scan.
+    // Partial aggregation collapses each partition to its distinct tokens
+    // before the shuffle — at 100 TB the shuffle carries vocab-sized data,
+    // not corpus-sized.
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Typed row for the lineitem table (only the fields this query needs —
+    * Spark prunes the scan to these columns through the Encoder).
+    */
+  final case class LineRevenue(l_returnflag: String, l_extendedprice: Double,
+      l_discount: Double)
+
+  /** Typed Aggregator: revenue in exact integer cents. Demonstrates the
+    * Aggregator[IN, BUF, OUT] surface; arithmetic is integer so the DuckDB
+    * oracle matches exactly.
+    */
+  object RevenueCents extends Aggregator[LineRevenue, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: LineRevenue): Long =
+      b + math.round(a.l_extendedprice * 100) * (100L - math.round(a.l_discount * 100))
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+  }
+
+  val q50 = QuerySpec.sql(
+    "q50_typed_revenue",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents_x100
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_extendedprice", "l_discount")
+      .as[LineRevenue]
+      .groupByKey(_.l_returnflag)
+      .agg(RevenueCents.toColumn.name("revenue_cents_x100"))
+      .toDF("l_returnflag", "revenue_cents_x100")
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q51
+  val q51 = QuerySpec.sql(
+    "q51_streaming_hourly",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
+    // A genuine Structured Streaming execution: file source -> watermarked
+    // tumbling aggregation -> memory sink, drained with AvailableNow.
+    // Complete output mode makes the drained table equal the batch answer,
+    // so the same DuckDB oracle applies.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour_ts", "event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51)
+}
