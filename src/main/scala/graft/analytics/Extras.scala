@@ -122,5 +122,51 @@ object Extras {
     s.table(name).orderBy("hour_ts", "event_type")
   }
 
-  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51)
+  // ---------------------------------------------------------------- q52
+  val q52 = QuerySpec.sql(
+    "q52_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    // multiset (bag) semantics: a customer with 3 'O' orders and 1 'F'
+    // order keeps 2 rows — exceptAll, not except.
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q53
+  val q53 = QuerySpec.sql(
+    "q53_regex_null_funcs",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(regexp_matches(p_type, '^(ECONOMY|PROMO)') AS BOOLEAN) AS is_cheap_tier,
+      |  COALESCE(NULLIF(p_brand, 'Brand#1'), 'GENERIC') AS brand_or_generic
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      col("p_type").rlike("^(ECONOMY|PROMO)").as("is_cheap_tier"),
+      coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("GENERIC")).as("brand_or_generic"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q54
+  val q54 = QuerySpec.sql(
+    "q54_cube",
+    """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54)
 }

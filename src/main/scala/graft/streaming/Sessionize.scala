@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+  * custom-state surface of Structured Streaming (per-key state the
+  * built-in windowed aggregations can't express).
+  *
+  * State per user = the open session (start, last-event time, count,
+  * sum). An incoming event either extends the session or — if the gap
+  * exceeds `gapUs` — closes it (emitting a summary) and opens a new one.
+  * Sessions still open when a processing-time timeout fires are flushed.
+  *
+  * Scale: state is O(active users) × ~40 bytes, hash-partitioned by key;
+  * the state store checkpoints incrementally. Batch equivalence of the
+  * same logic is q22_sessionize (lag/window form) — the streaming form
+  * exists for unbounded input.
+  */
+object Sessionize {
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Int, total: Double)
+  final case class SessionSummary(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Int, total_value: Double)
+
+  def updateUser(gapUs: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[SessionSummary] = {
+    var cur = state.getOption
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+    // process in event order within the batch
+    events.toSeq.sortBy(e => (e.ts_us)).foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+          cur = Some(SessionState(s.startUs, e.ts_us, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          out += SessionSummary(userId, s.startUs, s.lastUs, s.n, s.total)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    if (state.hasTimedOut) {
+      cur.foreach(s => out += SessionSummary(userId, s.startUs, s.lastUs, s.n, s.total))
+      state.remove()
+    } else {
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutDuration("30 seconds")
+      }
+    }
+    out.iterator
+  }
+
+  /** Apply the stateful sessionizer to a (streaming) Dataset of events. */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionSummary] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionSummary]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        updateUser(gapUs))
+  }
+}

@@ -38,6 +38,35 @@ class StreamingSpec extends SparkSpec {
     assert(archivedCount >= 2, s"archived=$archivedCount")
   }
 
+  test("stateful sessionize state machine (TestGroupState)") {
+    import Sessionize._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st(prev: Option[SessionState], timedOut: Boolean) = TestGroupState.create[SessionState](
+      prev.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Object]().asInstanceOf[Optional[Long]], timedOut)
+
+    // batch 1: two events within the gap -> one open session, nothing emitted
+    val s1 = st(None, timedOut = false)
+    val out1 = updateUser(1000L)(1L,
+      Iterator(SessionEvent(1L, 100L, 1.0), SessionEvent(1L, 500L, 2.0)), s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.get == SessionState(100L, 500L, 2, 3.0))
+
+    // batch 2: gap exceeded -> session 1 emitted, new session opened
+    val s2 = st(Some(s1.get), timedOut = false)
+    val out2 = updateUser(1000L)(1L, Iterator(SessionEvent(1L, 5000L, 4.0)), s2).toSeq
+    assert(out2 == Seq(SessionSummary(1L, 100L, 500L, 2, 3.0)))
+    assert(s2.get == SessionState(5000L, 5000L, 1, 4.0))
+
+    // timeout flush: open session emitted, state removed
+    val s3 = st(Some(s2.get), timedOut = true)
+    val out3 = updateUser(1000L)(1L, Iterator.empty, s3).toSeq
+    assert(out3 == Seq(SessionSummary(1L, 5000L, 5000L, 1, 4.0)))
+    assert(s3.isRemoved)
+  }
+
   test("windowed aggregation semantics on a static frame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
