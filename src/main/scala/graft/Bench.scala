@@ -28,11 +28,57 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ etlTiming(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** ETL-parity timing: the reference's one published number is a 9-table
+    * verify+truncate cleanup of ~250k rows in 15.23 s (BASELINE.md). This
+    * times graft's full csv→staging→warehouse→verify→truncate hop over
+    * the fixture tables (CSV export itself is untimed prep).
+    */
+  private def etlTiming(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    try {
+      import graft.connect.{FileStore, TableRef, WarehouseStore}
+      import graft.pipeline.{Ingest, Transfer, VerifyCleanup}
+      val root = java.nio.file.Files.createTempDirectory("graft_etl").toString
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents")
+      tables.foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.option("header", "true").mode("overwrite").csv(s"$root/stage0/$t")
+      }
+      // flatten part-files into one folder of csvs (prep, untimed)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      tables.foreach { t =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/stage0/$t")
+        val parts = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(s"$root/src/${t}_$i.csv"))
+        }
+      }
+      val t0 = System.nanoTime()
+      val staging = new FileStore(spark, s"$root/staging", "staging")
+      val warehouse = new WarehouseStore(spark, s"$root/warehouse")
+      val ing = Ingest.ingestFolder(spark, s"$root/src", s"$root/archive", staging)
+      val tr = Transfer.transfer(staging, warehouse, "rds")
+      val cleaned = tr.transferred.map { r =>
+        VerifyCleanup.verifyThenTruncate(staging, TableRef("staging", r.table),
+          warehouse, TableRef("warehouse", r.target))
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = ing.ok && tr.ok && cleaned.forall(c => c.verified && c.truncated)
+      if (!ok) System.err.println("[bench] etl_pipeline had failures")
+      Seq("etl_pipeline" -> secs)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")
+        Seq.empty
+    }
   }
 }

@@ -1,0 +1,49 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the physical plans the scale design
+  * depends on (pushdown, pruning, broadcast) must not silently degrade.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = graft.SparkEntry.specs.find(_.name == name).get
+    q.fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: all predicates and the projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "LessThan(l_discount,0.03)", "GreaterThanOrEqual(l_quantity,45.0)")
+      .foreach(f => assert(p.contains(f), s"missing pushed filter $f\n$p"))
+    // column pruning: tax/returnflag/linestatus are never read
+    assert(p.contains("ReadSchema:"))
+    assert(!p.contains("l_tax"), "scan reads unused column l_tax")
+  }
+
+  test("q04/q05: dimension joins are broadcast, no sort-merge on dims") {
+    val p4 = plan("q04_brand_volume")
+    assert(p4.contains("BroadcastHashJoin"), p4.take(800))
+    val p5 = plan("q05_region_nation_revenue")
+    assert(p5.contains("BroadcastHashJoin"))
+    // exactly one shuffle before the aggregate: lineitem-orders join keys
+    // + final agg exchange + sort exchange are the only exchanges expected;
+    // dims must not introduce more
+    assert(!p5.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one Exchange
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregate:\n${p.take(600)}")
+  }
+
+  test("q07/q08: semi and anti joins stay semi/anti in the physical plan") {
+    assert(plan("q07_semi_join").contains("LeftSemi"))
+    assert(plan("q08_anti_join").contains("LeftAnti"))
+  }
+}
