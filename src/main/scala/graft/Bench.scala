@@ -50,7 +50,8 @@ object Bench {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents")
       tables.foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
+        // file-per-table, matching the reference's data model (SURVEY §1.1)
+        spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
           .write.option("header", "true").mode("overwrite").csv(s"$root/stage0/$t")
       }
       // flatten part-files into one folder of csvs (prep, untimed)
@@ -58,8 +59,8 @@ object Bench {
       tables.foreach { t =>
         val dir = new org.apache.hadoop.fs.Path(s"$root/stage0/$t")
         val parts = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
-        parts.zipWithIndex.foreach { case (p, i) =>
-          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(s"$root/src/${t}_$i.csv"))
+        parts.foreach { p =>
+          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(s"$root/src/$t.csv"))
         }
       }
       val t0 = System.nanoTime()

@@ -70,12 +70,16 @@ object Multimodal {
       i => (durationMsCol * i / n).cast(LongType))
 
   /** Batched per-partition feature extraction — the mapInPandas-shaped
-    * hook. `featureFn` sees one payload batch at a time (so a real codec
-    * could amortize model/codec setup per partition, exactly like a
-    * Pandas UDF batch). Output: (asset_id, features array<float>).
+    * hook: rows stream through in bounded batches (like Arrow record
+    * batches under a Pandas UDF), `batchFn` sees a whole batch at once so
+    * a real encoder can amortize codec/model setup per partition and run
+    * vectorized per batch, and memory stays bounded by `batchSize` ×
+    * payload size regardless of partition size.
+    * Output: (asset_id, features array<float>).
     */
-  def extractFeaturesBatched(df: DataFrame, dim: Int)(
-      featureFn: Array[Byte] => Array[Float] = deterministicFakeFeatures(_: Array[Byte], 16)): DataFrame = {
+  def extractFeaturesBatched(df: DataFrame, dim: Int, batchSize: Int = 64)(
+      batchFn: Seq[Array[Byte]] => Seq[Array[Float]] =
+        _.map(deterministicFakeFeatures(_, 16))): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -84,10 +88,11 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
       // per-partition setup happens here (codec init, model load, ...)
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.getBinary(payloadIdx)
-        Row(id, featureFn(bytes).toSeq)
+      rows.grouped(batchSize).flatMap { batch =>
+        val ids = batch.map(_.getLong(idIdx))
+        val feats = batchFn(batch.map(_.getBinary(payloadIdx)))
+        require(feats.length == ids.length, "batchFn must be length-preserving")
+        ids.zip(feats).map { case (id, f) => Row(id, f.toSeq) }
       }
     }
     spark.createDataFrame(rdd.map(identity), outSchema)

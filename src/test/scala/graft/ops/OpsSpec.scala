@@ -150,10 +150,25 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.toString).sorted.sameElements(
       decoded.select(col("d")).collect().map(_.toString).sorted))
 
-    val feats = Multimodal.extractFeaturesBatched(media, 16)()
+    val feats = Multimodal.extractFeaturesBatched(media, 16, batchSize = 1)()
     assert(feats.count() == 2)
     val vec = feats.select("features").collect()(0).getSeq[Float](0)
     assert(vec.length == 16 && vec.forall(f => f >= -0.5f && f < 0.5f))
+    // the batch hook really sees batches (not rows): batch of 2 → one call
+    var calls = 0
+    val media1 = media.coalesce(1)
+    val batched = Multimodal.extractFeaturesBatched(media1, 16, batchSize = 8) { batch =>
+      calls += 1 // local mode: closure state visible to the test
+      batch.map(Multimodal.deterministicFakeFeatures(_, 16))
+    }
+    assert(batched.count() == 2)
+  }
+
+  test("frame-offset stub samples n evenly spaced offsets") {
+    val df = Seq((1L, Array[Byte](1), 10000L)).toDF("id", "payload", "duration_ms")
+    val offs = df.select(Multimodal.frameOffsetsStub(col("payload"), 4, col("duration_ms")))
+      .collect()(0).getSeq[Long](0)
+    assert(offs == Seq(0L, 2500L, 5000L, 7500L))
   }
 
   test("resize stub preserves aspect policy") {
