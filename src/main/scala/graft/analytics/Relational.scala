@@ -576,18 +576,22 @@ object Relational {
     "q28_percentiles",
     """SELECT l_returnflag,
       |  quantile_cont(l_quantity, 0.5) AS median_qty,
-      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
-      |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+      |  quantile_cont(l_extendedprice, [0.9, 0.99])[1] AS p90_price,
+      |  quantile_cont(l_extendedprice, [0.9, 0.99])[2] AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     // Exact (sort-based) percentiles with linear interpolation — both
-    // engines interpolate identically on the same sorted doubles. For
-    // sketch-based quantiles at scale see q46_approx_stats.
+    // engines interpolate identically on the same sorted doubles. The two
+    // l_extendedprice percentiles share ONE aggregation buffer (array
+    // form) instead of maintaining the value multiset twice. For
+    // sketch-based quantiles at scale see q45_approx_stats.
     T(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99_price"))
+        percentile(col("l_extendedprice"), typedlit(Seq(0.9, 0.99))).as("__p"))
+      .select(col("l_returnflag"), col("median_qty"),
+        element_at(col("__p"), 1).as("p90_price"),
+        element_at(col("__p"), 2).as("p99_price"))
       .orderBy(col("l_returnflag"))
   }
 

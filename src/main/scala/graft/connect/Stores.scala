@@ -61,6 +61,17 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
     case f => df.write.mode(mode).format(f).save(path(t))
   }
 
+  /** Hive-style partitioned write (`<table>/<col>=<value>/...`): queries
+    * filtering on the partition columns prune whole directories at plan
+    * time (PartitionFilters in the scan) — at 100 TB, partitioning by the
+    * dominant filter dimension is the difference between scanning
+    * terabytes and scanning one leaf. Keep partition cardinality modest
+    * (thousands, not millions) or the file listing dominates.
+    */
+  def writePartitioned(df: DataFrame, t: TableRef, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).format(format).save(path(t))
+
   override def count(t: TableRef): Long =
     if (exists(t)) read(t).count() else 0L
 

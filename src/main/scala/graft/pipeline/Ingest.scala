@@ -47,8 +47,14 @@ object Ingest {
     * all-TEXT staging; `typed=true` additionally runs the single-pass
     * type-inference (Staging.inferTypes) before writing.
     */
+  /** @param multiLine true (default) handles quoted embedded newlines
+    *   (olist_order_reviews-style payloads, FIXTURES.md §B.7) but makes a
+    *   CSV file non-splittable — one task parses the whole file. For
+    *   sources guaranteed newline-free inside quotes, pass false so a
+    *   large file parallelizes across the cluster.
+    */
   def ingestFolder(spark: SparkSession, srcDir: String, archiveDir: String,
-      staging: Sink, typed: Boolean = false): Report = {
+      staging: Sink, typed: Boolean = false, multiLine: Boolean = true): Report = {
     val fs = FileSystem.get(new java.net.URI(srcDir), spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(archiveDir))
     val results = listCsvFiles(spark, srcDir).map { file =>
@@ -56,7 +62,7 @@ object Ingest {
       try {
         val raw = spark.read
           .option("header", "true")
-          .option("multiLine", "true") // quoted embedded newlines
+          .option("multiLine", multiLine.toString)
           .option("encoding", "UTF-8") // BOM in first header cell handled by sanitizer
           .csv(file.toString)
         val clean = Staging.asStaging(Names.sanitizeColumns(raw))

@@ -40,6 +40,27 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class PartitionPruningSpec extends SparkSpec {
+  import graft.connect.{FileStore, TableRef}
+
+  test("partitioned write + filter prunes partitions at plan time") {
+    val root = tmpDir("part_store")
+    val store = new FileStore(spark, root, "staging")
+    val ev = graft.analytics.Tables.events(spark, sf).drop("ts") // ntz col not needed
+    store.writePartitioned(ev, TableRef("staging", "events_p"), Seq("event_type"))
+    val clicks = store.read(TableRef("staging", "events_p"))
+      .filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters:") && plan.contains("event_type"),
+      plan.take(1200))
+    // only the click partition directory exists under .../event_type=click
+    assert(new java.io.File(s"$root/events_p/event_type=click").isDirectory)
+    assert(clicks.count() ==
+      graft.analytics.Tables.events(spark, sf).filter(col("event_type") === "click").count())
+  }
+}
+
 class BucketingSpec extends SparkSpec {
 
   test("bucketed-by-join-key tables join with zero exchanges") {
