@@ -87,13 +87,14 @@ object Ivf {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters, trainSampleMod)
-    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      assignCell(col(vecCol), centroids).as("__c"))
-    val p = probeCells(probes, idCol, vecCol, centroids, nprobe)
+    val cells = Similarity.withNorm(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        assignCell(col(vecCol), centroids).as("__c")), "__cv", "__cn")
+    val p = Similarity.withNorm(
+      probeCells(probes, idCol, vecCol, centroids, nprobe), "__pv", "__pn")
     val scored = cells.join(broadcast(p), Seq("__c"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        Similarity.cosineNative(col("__pv"), col("__cv")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), Similarity.pairSim.as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))

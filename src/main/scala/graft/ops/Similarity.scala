@@ -48,6 +48,23 @@ object Similarity {
     when(d > 0, float_dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Per-pair cosine given per-row precomputed norms: the norm of each
+    * side is computed ONCE per row below the join (a join boundary stops
+    * Catalyst from inlining it back into the per-pair expression), so a
+    * probe×corpus comparison costs one dot per pair instead of three.
+    * Identical arithmetic to cosineNative — values are bit-equal.
+    */
+  private[ops] def pairSim: Column = {
+    import GraftFunctions.float_dot
+    val d = col("__pn") * col("__cn")
+    when(d > 0, float_dot(col("__pv"), col("__cv")) / d).otherwise(lit(0.0))
+  }
+
+  private[ops] def withNorm(df: DataFrame, vec: String, out: String): DataFrame = {
+    import GraftFunctions.float_dot
+    df.withColumn(out, sqrt(float_dot(col(vec), col(vec))))
+  }
+
   /** Exact top-k neighbours for each probe row.
     * probes/corpus: (idCol, vecCol). Returns (probe_id, neighbor_id, sim, rank).
     * Excludes self-matches. Probe side is broadcast — the corpus never
@@ -57,12 +74,13 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(probes.sparkSession)
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val p = withNorm(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      "__pv", "__pn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", "__cn")
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        cosineNative(col("__pv"), col("__cv")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), pairSim.as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
@@ -109,14 +127,13 @@ object Similarity {
       k: Int, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(probes.sparkSession)
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
-      lshBucket(col(vecCol), nPlanes).as("__bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), nPlanes).as("__bucket"))
+    val p = withNorm(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+      lshBucket(col(vecCol), nPlanes).as("__bucket")), "__pv", "__pn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), nPlanes).as("__bucket")), "__cv", "__cn")
     val scored = c.join(broadcast(p), Seq("__bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        cosineNative(col("__pv"), col("__cv")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), pairSim.as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
@@ -130,14 +147,16 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val b = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
-        .as(Seq("band", "bucket")))
-    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+        .as(Seq("band", "bucket"))), "vec", "__n")
+    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("__pv"), col("__n").as("__pn"))
+    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("__cv"), col("__n").as("__cn"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosineNative(col("vec_a"), col("vec_b")).as("sim"))
+      .select(col("id_a"), col("id_b"), pairSim.as("sim"))
       .distinct()
       .filter(col("sim") >= threshold)
   }
