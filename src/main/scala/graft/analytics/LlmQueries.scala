@@ -337,6 +337,17 @@ object LlmQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q55 (rows-only: trained model output)
+  val q55 = QuerySpec.rowsOnly("q55_langid_trained") { (s, d) =>
+    // self-trained n-gram-profile language ID: profiles learned from the
+    // corpus's own labels, then applied back — the trainable upgrade of
+    // q32's fixed marker heuristic.
+    val docs = Tables.documents(s, d)
+    val profiles = graft.ops.LangProfile.train(docs, "text", "lang", topK = 80)
+    graft.ops.LangProfile.classify(docs, "doc_id", "text", profiles)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55)
 }

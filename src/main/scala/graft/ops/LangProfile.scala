@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trainable character-trigram language identification — the production
+  * upgrade of TextOps.langId's fixed marker table (Cavnar-Trenkle-style
+  * n-gram profiles, built from labeled data instead of shipped corpora).
+  *
+  * train: one aggregate over (lang, trigram) + per-lang top-K — output is
+  * a tiny profiles table (langs × topK rows). classify: explode each
+  * document's trigrams, broadcast-join the profiles, per-(doc, lang)
+  * score sum, window argmax. Everything is DataFrame algebra: training
+  * scales with the corpus, classification adds no shuffle beyond the
+  * score aggregation (keyed by doc id).
+  */
+object LangProfile {
+
+  /** Lowercased character trigrams of a text column. `substring` inside
+    * the lambda only re-reads the row's string field (an attribute ref is
+    * cheap to re-evaluate — unlike derived arrays, see Dedup.shingles).
+    */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => substring(t, i, lit(3))))
+      .otherwise(array(t))
+  }
+
+  /** Train per-language trigram profiles: the topK most frequent trigrams
+    * of each language, weighted by inverted rank (topK..1) so common
+    * trigrams count more.
+    */
+  def train(labeled: DataFrame, textCol: String, langCol: String,
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    labeled
+      .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("trigram"))
+      .groupBy("lang", "trigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("lang"), col("trigram"), (lit(topK + 1) - col("rank")).cast(LongType).as("weight"))
+  }
+
+  /** Classify documents against trained profiles: per-doc, per-lang score
+    * = sum of matched trigram weights; argmax with alphabetical tie-break.
+    * Returns (idCol, lang_pred, lang_score).
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs.select(col(idCol),
+      explode(charTrigrams(col(textCol))).as("trigram"))
+    val scored = exploded
+      .join(broadcast(profiles), Seq("trigram"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("weight")).as("lang_score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("lang_score").desc, col("lang"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("lang_score"))
+  }
+}

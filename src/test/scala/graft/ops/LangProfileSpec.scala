@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val labeled = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and then rests"),
+    ("en", "this is another english sentence with the usual words in it"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund und ruht"),
+    ("de", "dies ist ein weiterer deutscher satz mit den üblichen wörtern")
+  ).toDF("lang", "text")
+
+  test("charTrigrams slides over lowered text") {
+    val tg = Seq("AbCd").toDF("t")
+      .select(LangProfile.charTrigrams(col("t"))).collect()(0).getSeq[String](0)
+    assert(tg == Seq("abc", "bcd"))
+    val short = Seq("ab").toDF("t")
+      .select(LangProfile.charTrigrams(col("t"))).collect()(0).getSeq[String](0)
+    assert(short == Seq("ab"))
+  }
+
+  test("train produces per-lang ranked profiles; classify recovers the language") {
+    val profiles = LangProfile.train(labeled, "text", "lang", topK = 50)
+    assert(profiles.select("lang").distinct().count() == 2)
+    assert(profiles.groupBy("lang").count().collect().forall(_.getLong(1) <= 50))
+
+    val tests = Seq(
+      (1L, "the brown dog jumps and rests in the sun"),
+      (2L, "der braune hund springt und ruht in der sonne")
+    ).toDF("doc_id", "text")
+    val pred = LangProfile.classify(tests, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("classification on the fixture corpus runs end-to-end") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val profiles = LangProfile.train(docs, "text", "lang", topK = 80)
+    val pred = LangProfile.classify(docs, "doc_id", "text", profiles)
+    assert(pred.count() == docs.count())
+    // predictions come from the trained label set
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(pred.select("lang_pred").distinct().collect().map(_.getString(0)).toSet.subsetOf(langs))
+  }
+}
