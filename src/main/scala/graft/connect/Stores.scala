@@ -61,6 +61,24 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
     case f => df.write.mode(mode).format(f).save(path(t))
   }
 
+  /** Rewrite a table into `targetFiles` files. Small-file compaction is
+    * routine maintenance at scale — a table ingested in thousands of
+    * micro-batches reads orders of magnitude slower than the same rows in
+    * right-sized files (task-scheduling and footer overhead per file).
+    * Uses coalesce (no shuffle) and stages through a temp dir so a
+    * failure never destroys the original.
+    */
+  def compact(t: TableRef, targetFiles: Int = 1): Unit = {
+    val tmp = TableRef(storeName, s"__compact_${t.name}")
+    val df = read(t).coalesce(targetFiles)
+    write(df, tmp, SaveMode.Overwrite)
+    val src = new org.apache.hadoop.fs.Path(path(t))
+    val staged = new org.apache.hadoop.fs.Path(path(tmp))
+    fs.delete(src, true)
+    fs.rename(staged, src)
+    ()
+  }
+
   /** Hive-style partitioned write (`<table>/<col>=<value>/...`): queries
     * filtering on the partition columns prune whole directories at plan
     * time (PartitionFilters in the scan) — at 100 TB, partitioning by the

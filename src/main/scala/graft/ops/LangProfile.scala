@@ -17,15 +17,23 @@ import org.apache.spark.sql.types._
   */
 object LangProfile {
 
-  /** Lowercased character trigrams of a text column. `substring` inside
-    * the lambda only re-reads the row's string field (an attribute ref is
-    * cheap to re-evaluate — unlike derived arrays, see Dedup.shingles).
+  /** Lowercased character trigrams of a text column, built by zipping
+    * three shifted slices of the char array (same pattern as
+    * Dedup.shingles): a `substring(lower(text), i, 3)` lambda would
+    * re-lower the whole string once per trigram index (O(len²) — free
+    * variables in lambda bodies re-evaluate per element); the zip form
+    * evaluates `lower`+`split` a constant number of times.
     */
   def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => substring(t, i, lit(3))))
-      .otherwise(array(t))
+    val chars = filter(split(lower(text), ""), c => length(c) > 0)
+    val n = size(chars)
+    val windows = n - 2
+    val zipped = arrays_zip(slice(chars, lit(1), windows), slice(chars, lit(2), windows),
+      slice(chars, lit(3), windows))
+    when(n >= 3,
+      transform(zipped, s =>
+        concat(s.getField("0"), s.getField("1"), s.getField("2"))))
+      .otherwise(array(lower(text)))
   }
 
   /** Train per-language trigram profiles: the topK most frequent trigrams

@@ -43,6 +43,20 @@ class SkewSpec extends SparkSpec {
 class PartitionPruningSpec extends SparkSpec {
   import graft.connect.{FileStore, TableRef}
 
+  test("compact rewrites many small files into one, content preserved") {
+    import spark.implicits._
+    val root = tmpDir("compact_store")
+    val store = new FileStore(spark, root, "staging")
+    val t = TableRef("staging", "many_files")
+    store.write((1 to 1000).toDF("v").repartition(16), t, org.apache.spark.sql.SaveMode.Overwrite)
+    def nFiles = new java.io.File(s"$root/many_files").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nFiles == 16)
+    store.compact(t, targetFiles = 1)
+    assert(nFiles == 1)
+    assert(store.read(t).as[Int].collect().sorted.toSeq == (1 to 1000))
+  }
+
   test("partitioned write + filter prunes partitions at plan time") {
     val root = tmpDir("part_store")
     val store = new FileStore(spark, root, "staging")
