@@ -38,6 +38,29 @@ class TextOpsSpec extends SparkSpec {
     assert(a != b) // order matters
     assert(a == a2) // whitespace-insensitive tokenization
   }
+
+  test("token/ratio operators match JVM ground truth on generated inputs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = Gen.listOf(Gen.oneOf(word, Gen.const(""), Gen.const(" ")))
+      .map(_.mkString(" "))
+    var seed = Seed(7L)
+    val samples = (1 to 200).map { _ =>
+      val s = gen.pureApply(Gen.Parameters.default, seed); seed = seed.next; s
+    }
+    val got = samples.toDF("t").select(
+      col("t"),
+      TextOps.tokenCount(col("t")).as("n"),
+      size(TextOps.distinctTokens(col("t"))).as("d"),
+      TextOps.avgTokenLen(col("t")).as("a"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    samples.foreach { s =>
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      val expectAvg = if (toks.isEmpty) 0.0 else toks.map(_.length).sum.toDouble / toks.length
+      assert(got(s) == ((toks.length, toks.distinct.length, expectAvg)), s"for <$s>")
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {
