@@ -1,0 +1,54 @@
+package graft.connect
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FileStore list/exists/count/truncate/drop lifecycle") {
+    val root = tmpDir("store_lifecycle")
+    val store = new FileStore(spark, root, "staging")
+    assert(store.list().isEmpty)
+
+    val a = TableRef("staging", "alpha")
+    val b = TableRef("staging", "beta")
+    store.write((1 to 5).toDF("v"), a, SaveMode.Overwrite)
+    store.write((1 to 3).toDF("v"), b, SaveMode.Overwrite)
+    // deterministic name-sorted listing (the reference's processing order)
+    assert(store.list().map(_.name) == Seq("alpha", "beta"))
+    assert(store.exists(a) && store.count(a) == 5)
+    assert(store.count(TableRef("staging", "missing")) == 0)
+
+    // append disposition accumulates; overwrite resets
+    store.write((6 to 8).toDF("v"), a, SaveMode.Append)
+    assert(store.count(a) == 8)
+    store.write((1 to 2).toDF("v"), a, SaveMode.Overwrite)
+    assert(store.count(a) == 2)
+
+    // truncate keeps the table (and schema) with zero rows
+    store.truncate(a)
+    assert(store.exists(a) && store.count(a) == 0)
+    assert(store.read(a).columns.toSeq == Seq("v"))
+
+    // drop removes it entirely
+    store.drop(a)
+    assert(!store.exists(a))
+    assert(store.list().map(_.name) == Seq("beta"))
+  }
+
+  test("WarehouseStore prefix convention ties source store to table name") {
+    val store = new WarehouseStore(spark, tmpDir("wh"))
+    assert(store.prefixed("rds", "orders") == TableRef("warehouse", "rds_orders"))
+    assert(store.prefixed("supabase", "orders").name == "supabase_orders")
+  }
+
+  test("csv-format FileStore round-trips header and values") {
+    val root = tmpDir("csv_store")
+    val store = new FileStore(spark, root, "landing", format = "csv")
+    val t = TableRef("landing", "t")
+    store.write(Seq(("x", "1"), ("y", "2")).toDF("k", "n"), t, SaveMode.Overwrite)
+    val back = store.read(t).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("x", "1"), ("y", "2")))
+  }
+}
