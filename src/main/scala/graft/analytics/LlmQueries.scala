@@ -348,6 +348,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q56
+  val q56 = QuerySpec.sql(
+    "q56_embedding_similar_pairs",
+    s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CASE WHEN a.nm * b.nm > 0
+      |      THEN list_reduce(list_transform(a.e, (x,i) -> CAST(x AS DOUBLE) * CAST(b.e[i] AS DOUBLE)), (u,v) -> u + v) / (a.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM p
+      |ORDER BY sim DESC, id_a, id_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    // exact embedding-cosine near-dup scan (all pairs, top-20 by
+    // similarity): this corpus has no pairs above any dedup threshold
+    // (max cosine ~0.5), so the query surfaces the closest pairs instead
+    // of filtering; Similarity.embeddingNearDups is the banded-LSH
+    // thresholded variant for corpora that do contain near-dups.
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val n = emb.select(col("vec_id"), col("embedding"))
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("__pv"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("__cv"))
+    val withNorms = (df: org.apache.spark.sql.DataFrame, v: String, o: String) =>
+      df.withColumn(o, sqrt(graft.functions.GraftFunctions.float_dot(col(v), col(v))))
+    withNorms(a, "__pv", "__pn")
+      .crossJoin(withNorms(b, "__cv", "__cn"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("__pn") * col("__cn") > 0,
+          graft.functions.GraftFunctions.float_dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")))
+          .otherwise(lit(0.0)).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q55)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56)
 }
