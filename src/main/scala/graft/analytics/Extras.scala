@@ -168,5 +168,54 @@ object Extras {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
-  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54)
+  // ---------------------------------------------------------------- q57
+  val q57 = QuerySpec.sql(
+    "q57_left_outer_join",
+    """SELECT c_custkey,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_big_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS big_total
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 400000
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    // left outer with a join-side predicate: customers with no qualifying
+    // order keep a row (count 0) — COUNT(col) skips the null-extended side.
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey") && col("o_totalprice") > 400000, "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))), lit(0).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("big_total"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q58
+  val q58 = QuerySpec.sql(
+    "q58_full_outer_join",
+    """WITH cust_nations AS (
+      |  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |  FROM customer GROUP BY c_nationkey
+      |), supp_nations AS (
+      |  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |  FROM supplier GROUP BY s_nationkey)
+      |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+      |  CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+      |FROM cust_nations c FULL OUTER JOIN supp_nations s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58)
 }
