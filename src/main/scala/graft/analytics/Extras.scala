@@ -217,5 +217,53 @@ object Extras {
       .orderBy("nationkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58)
+  // ---------------------------------------------------------------- q59
+  val q59 = QuerySpec.sql(
+    "q59_string_agg",
+    """SELECT n_nationkey,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS customer_names,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |WHERE c_custkey % 100 = 0
+      |GROUP BY n_nationkey
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    // list aggregation surface: collect_list + array_sort + concat_ws ==
+    // DuckDB's ordered string_agg. Sorting inside the row (not the agg)
+    // keeps the result order-deterministic under any shuffle layout.
+    Tables.nation(s, d)
+      .join(Tables.customer(s, d).filter(col("c_custkey") % 100 === 0),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("customer_names"),
+        count(lit(1)).as("n"))
+      .orderBy("n_nationkey")
+  }
+
+  // ---------------------------------------------------------------- q60
+  val q60 = QuerySpec.sql(
+    "q60_window_ratio",
+    """WITH w AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_totalprice / cust_avg AS price_ratio
+      |FROM w ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // each order's price relative to its customer's average — an
+    // unordered (whole-partition) window aggregate; exact decimal sum /
+    // count keeps the ratio bit-deterministic.
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+          / count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_totalprice") / col("cust_avg")).as("price_ratio"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59, q60)
 }
