@@ -26,7 +26,12 @@ class MetaCatalog(spark: SparkSession, path: String) {
         .toDF("id", "table_name", "modified_date")
   }
 
-  /** Upsert one bookkeeping row per table name. */
+  /** Upsert one bookkeeping row per table name. Staged through a temp
+    * path + atomic rename: writing over the path being read would rely on
+    * cached blocks surviving until the write finishes — on a real cluster
+    * a lost block makes the write-stage recompute read the half-truncated
+    * source (the classic read-modify-overwrite-same-path corruption).
+    */
   def recordTransfer(tableNames: Seq[String]): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val fresh = tableNames.map(t => (java.util.UUID.randomUUID().toString, t, now))
@@ -34,10 +39,14 @@ class MetaCatalog(spark: SparkSession, path: String) {
     val existing = readAll()
     val kept = existing.join(fresh.select("table_name"), Seq("table_name"), "left_anti")
       .select("id", "table_name", "modified_date")
-    val merged = kept.unionByName(fresh.select("id", "table_name", "modified_date")).cache()
-    merged.count() // materialize before overwriting the source path
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
-    merged.unpersist()
+    val merged = kept.unionByName(fresh.select("id", "table_name", "modified_date"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(path + "__stage")
+    merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(staged, dst)
     ()
   }
 

@@ -17,10 +17,35 @@ final case class TableRef(store: String, name: String) {
   override def toString = s"$store.$name"
 }
 
+/** Catalog-level stats for one table: row estimate and on-disk bytes when
+  * the store exposes them (information_schema in MySQL, content summary on
+  * a filesystem). `None` means the store has no cheap signal — callers
+  * must not substitute a full scan.
+  */
+final case class TableStat(ref: TableRef, rows: Option[Long], bytes: Option[Long])
+
 trait Source {
   def list(): Seq[TableRef]
+
+  /** Names + size/row estimates (SURVEY §2.1 S6, rds-to-bq.py:159-202):
+    * lets the pipeline order work biggest-first without scanning anything.
+    * Default: names only (stats unknown).
+    */
+  def listStats(): Seq[TableStat] = list().map(TableStat(_, None, None))
+
   def read(t: TableRef): DataFrame
+
+  /** Exact row count by the cheapest store-native path. Override when the
+    * store can answer without a full Spark scan (COUNT(*) pushdown over
+    * JDBC, parquet footer metadata); this default reads the data.
+    */
   def count(t: TableRef): Long = read(t).count()
+
+  /** Most recent data-modification signal, when the store exposes one —
+    * the bookmark input for skip-unchanged transfers (Singer
+    * `initial_full_table_complete` semantics).
+    */
+  def lastModified(t: TableRef): Option[java.sql.Timestamp] = None
 }
 
 trait Sink {
@@ -29,6 +54,13 @@ trait Sink {
   def exists(t: TableRef): Boolean
   def truncate(t: TableRef): Unit
   def drop(t: TableRef): Unit
+
+  /** Row-level DELETE (SURVEY §2.9 D4, rds-to-bq.py:389-437): removes rows
+    * matching `predicate` (a SQL boolean expression over the table's
+    * columns), returns the number deleted. SQL DELETE semantics: rows
+    * where the predicate is NULL are kept.
+    */
+  def delete(t: TableRef, predicate: String): Long
 }
 
 /** Directory-of-tables store: `<root>/<table>/` holds one table in the
@@ -49,6 +81,25 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
     else fs.listStatus(p).filter(_.isDirectory)
       .map(s => TableRef(storeName, s.getPath.getName))
       .sortBy(_.name).toSeq
+  }
+
+  /** Stats from the filesystem content summary — bytes are exact, rows
+    * unknown (a filesystem has no row catalog; counting would be a scan).
+    */
+  override def listStats(): Seq[TableStat] =
+    list().map { t =>
+      val cs = fs.getContentSummary(new org.apache.hadoop.fs.Path(path(t)))
+      TableStat(t, rows = None, bytes = Some(cs.getLength))
+    }
+
+  /** Newest file mtime under the table dir — the skip-unchanged bookmark. */
+  override def lastModified(t: TableRef): Option[java.sql.Timestamp] = {
+    val p = new org.apache.hadoop.fs.Path(path(t))
+    if (!fs.exists(p)) None
+    else {
+      val times = fs.listStatus(p).map(_.getModificationTime)
+      if (times.isEmpty) None else Some(new java.sql.Timestamp(times.max))
+    }
   }
 
   override def read(t: TableRef): DataFrame = format match {
@@ -112,18 +163,71 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
     fs.delete(new org.apache.hadoop.fs.Path(path(t)), true)
     ()
   }
+
+  /** DELETE WHERE as overwrite-where: rewrite the table without the
+    * matching rows, staged through a temp dir + atomic rename (the
+    * compact pattern) so a failure never destroys the original and the
+    * write never recomputes from a path it just truncated.
+    */
+  override def delete(t: TableRef, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val before = count(t)
+    // SQL DELETE keeps NULL-predicate rows: remaining = NOT coalesce(p, false)
+    val remaining = read(t).filter(not(coalesce(expr(predicate), lit(false))))
+    val tmp = TableRef(storeName, s"__delete_${t.name}")
+    write(remaining, tmp, SaveMode.Overwrite)
+    val after = count(tmp)
+    val src = new org.apache.hadoop.fs.Path(path(t))
+    val staged = new org.apache.hadoop.fs.Path(path(tmp))
+    fs.delete(src, true)
+    fs.rename(staged, src)
+    before - after
+  }
+}
+
+/** Catalog + identifier dialect for a JDBC store: how to enumerate tables,
+  * fetch size stats, and quote identifiers in direct statements. MySQL is
+  * the reference's production shape; Derby is the embedded in-JVM database
+  * the offline test suite runs the same contract against.
+  */
+final case class JdbcCatalog(
+    listTablesSql: String,
+    statsSql: Option[String],
+    quote: String => String)
+
+object JdbcCatalog {
+  /** information_schema names + row estimates + data+index bytes
+    * (rds-to-bq.py:159-202).
+    */
+  val MySql: JdbcCatalog = JdbcCatalog(
+    "SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE'",
+    Some("SELECT table_name, table_rows, data_length + index_length AS bytes " +
+      "FROM information_schema.tables WHERE table_type = 'BASE TABLE'"),
+    n => s"`$n`")
+
+  /** Embedded Derby: SYS catalog; no size stats (Derby keeps none).
+    * Unquoted identifiers are stored upper-case, so direct statements
+    * quote the upper-cased name to match what Spark's JDBC writer created.
+    */
+  val Derby: JdbcCatalog = JdbcCatalog(
+    "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+    None,
+    n => "\"" + n.toUpperCase + "\"")
 }
 
 /** JDBC store: the RDS-MySQL shape of the reference (SURVEY §2.1 S5/S6,
   * §2.2 K3). Reads are partitioned by a numeric column when bounds are
   * supplied — replacing the reference's LIMIT/OFFSET pagination loops with
-  * non-overlapping partition predicates (rds-to-bq.py:261-275). Cannot be
-  * exercised offline (no driver jar ships with the image); the option
-  * plumbing is unit-tested and the interface is identical to FileStore's.
+  * non-overlapping partition predicates (rds-to-bq.py:261-275). Bulk
+  * read/write go through Spark's JDBC source; catalog and DDL/DML
+  * statements (TRUNCATE/DROP/DELETE) use a direct java.sql connection —
+  * the statement channel Spark deliberately doesn't expose. The whole
+  * contract is exercised offline against embedded Derby in StoreSpec.
   */
 class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     val storeName: String = "jdbc",
-    sessionInit: Option[String] = None) extends Source with Sink {
+    sessionInit: Option[String] = None,
+    catalog: JdbcCatalog = JdbcCatalog.MySql) extends Source with Sink {
 
   private def baseReader = {
     val r = spark.read.format("jdbc").option("url", url)
@@ -141,13 +245,48 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     "upperBound" -> upper.toString,
     "numPartitions" -> numPartitions.toString)
 
+  private def jdbcProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** Direct-statement channel for catalog/DDL/DML the DataFrame API can't
+    * express. One short-lived connection per call — these are control-path
+    * operations, not data-path.
+    */
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, jdbcProps)
+    try f(conn) finally conn.close()
+  }
+
+  private def executeUpdate(sql: String): Long = withConnection { conn =>
+    val st = conn.createStatement()
+    try st.executeUpdate(sql).toLong finally st.close()
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case null => None
+    case n: Number => Some(n.longValue())
+    case s => scala.util.Try(s.toString.toLong).toOption
+  }
+
   override def list(): Seq[TableRef] = {
-    // information_schema scan (rds-to-bq.py:159-202) via JDBC pushdown.
-    val tables = baseReader
-      .option("query",
-        "SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE'")
-      .load()
+    // catalog scan (rds-to-bq.py:159-202) via JDBC pushdown.
+    val tables = baseReader.option("query", catalog.listTablesSql).load()
     tables.collect().map(r => TableRef(storeName, r.getString(0))).sortBy(_.name).toSeq
+  }
+
+  /** Name + row estimate + bytes from the store's catalog, when it has one
+    * (MySQL information_schema); stores without stats fall back to names.
+    */
+  override def listStats(): Seq[TableStat] = catalog.statsSql match {
+    case None => super.listStats()
+    case Some(sql) =>
+      baseReader.option("query", sql).load().collect().toSeq
+        .map(r => TableStat(TableRef(storeName, r.getString(0)),
+          rows = asLong(r.get(1)), bytes = asLong(r.get(2))))
+        .sortBy(_.ref.name)
   }
 
   override def read(t: TableRef): DataFrame =
@@ -167,17 +306,44 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
   }
 
   override def count(t: TableRef): Long = {
-    val c = baseReader.option("query", s"SELECT COUNT(*) AS c FROM ${t.name}").load()
-    c.collect()(0).getLong(0)
+    // COUNT(*) pushdown: index/metadata work in the database, never a
+    // Spark scan. Some engines return INTEGER, some BIGINT — normalize.
+    val c = baseReader
+      .option("query", s"SELECT COUNT(*) AS c FROM ${catalog.quote(t.name)}").load()
+    asLong(c.collect()(0).get(0)).getOrElse(0L)
   }
 
-  override def exists(t: TableRef): Boolean = list().exists(_.name == t.name)
+  // unquoted identifiers are case-normalized per engine; compare loosely
+  override def exists(t: TableRef): Boolean =
+    list().exists(_.name.equalsIgnoreCase(t.name))
 
-  override def truncate(t: TableRef): Unit =
-    write(read(t).limit(0), t, SaveMode.Overwrite)
+  override def truncate(t: TableRef): Unit = {
+    executeUpdate(s"TRUNCATE TABLE ${catalog.quote(t.name)}")
+    ()
+  }
 
-  override def drop(t: TableRef): Unit =
-    throw new UnsupportedOperationException("DROP via JDBC requires a direct statement channel")
+  override def drop(t: TableRef): Unit = {
+    executeUpdate(s"DROP TABLE ${catalog.quote(t.name)}")
+    ()
+  }
+
+  /** Transactional row-level DELETE with rollback on failure
+    * (rds-to-bq.py:389-437): one statement, committed only if it
+    * succeeds; returns the engine-reported deleted-row count.
+    */
+  override def delete(t: TableRef, predicate: String): Long = withConnection { conn =>
+    conn.setAutoCommit(false)
+    try {
+      val st = conn.createStatement()
+      val n =
+        try st.executeUpdate(s"DELETE FROM ${catalog.quote(t.name)} WHERE $predicate").toLong
+        finally st.close()
+      conn.commit()
+      n
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    }
+  }
 }
 
 /** Warehouse store: the BigQuery shape — same directory layout as

@@ -1,0 +1,54 @@
+package graft.connect
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Row counts from the write job's own task metrics, instead of a
+  * post-write re-read of the table (VERDICT r1 "what's wrong" #4/#5: the
+  * double-count pattern). At 100 TB a verification count that re-scans
+  * the written output doubles the I/O of every load; the write tasks
+  * already counted every row they wrote — this just collects that number.
+  *
+  * Mechanism: a QueryExecutionListener captures `numOutputRows` from the
+  * executed write command's metrics. Listener dispatch is asynchronous,
+  * so the observation is latched with a timeout; callers treat `None` as
+  * "metric unavailable" and may fall back to a store count — the fallback
+  * is correctness-neutral, this is purely an I/O optimization.
+  */
+object WriteMetrics {
+
+  /** Writer action names whose root plan metric is the written-row count.
+    * (A stray concurrent action like `count()` also carries a
+    * numOutputRows metric on its root aggregate — the funcName filter
+    * keeps those from being mistaken for our write.)
+    */
+  private val WriteFuncs =
+    Set("save", "parquet", "csv", "json", "orc", "text", "command",
+      "insertInto", "saveAsTable")
+
+  /** Run `write` (a DataFrameWriter action) and return the number of rows
+    * it reported writing, or None if the metric never arrived.
+    */
+  def countRows(spark: SparkSession)(write: => Unit): Option[Long] = {
+    @volatile var rows: Option[Long] = None
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (WriteFuncs.contains(funcName)) {
+          qe.executedPlan.metrics.get("numOutputRows").foreach { m =>
+            rows = Some(m.value)
+            done.countDown()
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+        done.countDown()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      write
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      rows
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

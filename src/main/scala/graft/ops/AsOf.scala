@@ -40,20 +40,26 @@ object AsOf {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+    // All attached values travel in ONE struct per right row, so a right
+    // row with a legitimate NULL in one attach column can never have that
+    // column back-filled from an older right row — last(ignoreNulls) per
+    // column would mix values across right rows; last(ignoreNulls) on the
+    // struct picks whole rows (the struct itself is never null for a
+    // right row, even when its fields are).
     val r = right.select((keys.map(col) :+ col(rightTime).as("__t")) ++ rightCols.map(col): _*)
-      .withColumn("__rt", col("__t"))
+      .withColumn("__r", struct((col("__t").as("__rt") +: rightCols.map(col)): _*))
       .withColumn("__side", lit(0))
+      .drop(rightCols: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightCols :+ "__rt").foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val joined = carried
       .filter(col("__side") === 1)
-      .withColumnRenamed("__rt", "asof_time")
-      .drop("__t", "__side")
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"__r.$c").as(c))) :+
+        col("__r.__rt").as("asof_time"): _*)
     if (joinType == "inner") joined.filter(col("asof_time").isNotNull) else joined
   }
 }

@@ -21,18 +21,83 @@ import org.apache.spark.sql.types._
   */
 object Ivf {
 
-  /** Deterministic k-means (k=nlist) on a sample: init = first nlist
-    * sampled vectors by id, `iters` Lloyd rounds computed distributedly
-    * (assign scan-side, means via per-dimension aggregation). Only
-    * nlist×dim floats ever reach the driver.
+  /** How many sample vectors the k-means++ seeding pulls to the driver —
+    * seeding quality saturates quickly; the cap keeps the driver pull
+    * O(thousands × dim) floats no matter the corpus size.
+    */
+  private val MaxSeedSample = 2048
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** k-means++ seeding (D²-weighted sampling, Arthur & Vassilvitskii '07)
+    * over a driver-held sample, with a deterministic splitmix64 stream in
+    * place of an RNG so training is reproducible run-to-run. Better cell
+    * balance than first-k-by-id seeding — balanced cells directly bound
+    * the per-cell join fan-in at search time.
+    */
+  private[ops] def kppSeeds(pts: Array[Array[Float]], k: Int,
+      seed: Long = 42L): Array[Array[Float]] = {
+    require(pts.nonEmpty, "k-means++ needs a non-empty sample")
+    val n = pts.length
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var rng = seed
+    def nextDouble(): Double = { rng = splitmix(rng); (rng >>> 11).toDouble / (1L << 53).toDouble }
+    while (chosen.size < math.min(k, n)) {
+      val last = pts(chosen.last)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = sqDist(pts(i), last)
+        if (d < d2(i)) d2(i) = d
+        total += d2(i)
+        i += 1
+      }
+      if (total == 0.0) {
+        // all remaining points coincide with a centroid: pad with copies
+        chosen += chosen.last
+      } else {
+        val r = nextDouble() * total
+        var acc = 0.0
+        var pick = n - 1
+        i = 0
+        while (i < n) {
+          acc += d2(i)
+          if (acc >= r) { pick = i; i = n } else i += 1
+        }
+        chosen += pick
+      }
+    }
+    // k > n: pad by cycling (degenerate corpora only)
+    while (chosen.size < k) chosen += chosen(chosen.size % n)
+    chosen.map(pts).toArray
+  }
+
+  /** Deterministic k-means (k=nlist) on a sample: k-means++ init over a
+    * capped driver-side sample, `iters` Lloyd rounds computed
+    * distributedly (assign scan-side, means via per-dimension
+    * aggregation). Only O(sample)×dim floats ever reach the driver.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2, sampleMod: Int = 1): Array[Array[Float]] = {
     GraftFunctions.register(corpus.sparkSession)
     val sample = (if (sampleMod > 1) corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
       else corpus).select(col(idCol), col(vecCol).as("__v"))
-    var centroids: Array[Array[Float]] = sample.orderBy(col(idCol)).limit(nlist)
+    val seedPool = sample.orderBy(col(idCol)).limit(MaxSeedSample)
       .select("__v").collect().map(_.getSeq[Float](0).toArray)
+    var centroids: Array[Array[Float]] = kppSeeds(seedPool, nlist)
     var it = 0
     while (it < iters) {
       val assigned = sample.withColumn("__c", assignCell(col("__v"), centroids))

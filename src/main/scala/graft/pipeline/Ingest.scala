@@ -67,8 +67,12 @@ object Ingest {
           .csv(file.toString)
         val clean = Staging.asStaging(Names.sanitizeColumns(raw))
         val out = if (typed) Staging.inferTypes(clean) else clean
-        staging.write(out, TableRef("staging", table), SaveMode.Overwrite)
-        val rows = staging.count(TableRef("staging", table))
+        // row count from the write job's own metrics — not a staging
+        // re-read (VERDICT r1 #5); store count only as fallback
+        val written = graft.connect.WriteMetrics.countRows(spark) {
+          staging.write(out, TableRef("staging", table), SaveMode.Overwrite)
+        }
+        val rows = written.getOrElse(staging.count(TableRef("staging", table)))
         val archived =
           try fs.rename(file, new Path(archiveDir, file.getName))
           catch { case _: Throwable => false }

@@ -16,12 +16,15 @@ object Orchestrate {
   final case class StageFailure(detail: String) extends StageOutcome { val ok = false }
 
   final case class StageResult(name: String, outcome: StageOutcome, seconds: Double,
-      skipped: Boolean = false)
+      skipped: Boolean = false, critical: Boolean = false)
 
   final case class RunReport(stages: Seq[StageResult]) {
     def succeeded: Seq[StageResult] = stages.filter(s => !s.skipped && s.outcome.ok)
     def failed: Seq[StageResult] = stages.filter(s => !s.skipped && !s.outcome.ok)
-    def aborted: Boolean = stages.exists(_.skipped)
+    /** Critical failure is recorded on the stage itself — a critical
+      * failure in the LAST stage (nothing left to skip) still aborts.
+      */
+    def aborted: Boolean = stages.exists(s => !s.skipped && !s.outcome.ok && s.critical)
     /** exit-code semantics: 0 all ok, 1 partial, 2 critical abort. */
     def exitCode: Int =
       if (aborted) 2 else if (failed.nonEmpty) 1 else 0
@@ -31,14 +34,15 @@ object Orchestrate {
     var abort = false
     val results = stages.map { st =>
       if (abort) StageResult(st.name, StageFailure("skipped: earlier critical failure"),
-        0.0, skipped = true)
+        0.0, skipped = true, critical = st.critical)
       else {
         val t0 = System.nanoTime()
         val outcome =
           try st.run()
           catch { case e: Throwable => StageFailure(e.getMessage) }
         if (!outcome.ok && st.critical) abort = true
-        StageResult(st.name, outcome, (System.nanoTime() - t0) / 1e9)
+        StageResult(st.name, outcome, (System.nanoTime() - t0) / 1e9,
+          critical = st.critical)
       }
     }
     RunReport(results)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.connect.{Sink, Source, TableRef, WarehouseStore}
+import graft.connect.{MetaCatalog, Sink, Source, TableRef, WriteMetrics}
 import org.apache.spark.sql.SaveMode
 
 /** Staging → warehouse transfer with the reference's semantics
@@ -8,10 +8,21 @@ import org.apache.spark.sql.SaveMode
   *
   *  - table selection: include-list and prefix exclusion (don't
   *    re-transfer outputs);
-  *  - empty-table skip (no target table is created);
+  *  - biggest-first processing order from catalog stats
+  *    (rds-to-bq.py:159-202,174): the largest table starts first so the
+  *    long pole overlaps everything else; tables without stats run last,
+  *    name-ordered;
+  *  - per-stream alias map (meltano.yml:63-81 `__alias__`) applied before
+  *    the store-prefix naming convention;
+  *  - skip-unchanged bookmarks (Singer `initial_full_table_complete`):
+  *    with a MetaCatalog attached, a table whose source mtime is not newer
+  *    than its recorded transfer time is skipped without reading it;
+  *  - empty-table skip (no target table is created) via the store-native
+  *    count (COUNT(*) pushdown / file metadata), NOT a Spark scan;
   *  - write-disposition: Overwrite collapses the reference's
   *    WRITE_TRUNCATE-first-chunk-then-APPEND idiom into one atomic write;
-  *  - post-write count verification (exact gate);
+  *  - post-write verification from write-task metrics when available
+  *    (one data pass total per table), store count as fallback;
   *  - per-table result ledger (typed case classes instead of the
   *    reference's stdout scraping, §3.1).
   *
@@ -22,11 +33,14 @@ import org.apache.spark.sql.SaveMode
 object Transfer {
 
   final case class TableResult(table: String, target: String, sourceRows: Long,
-      targetRows: Long, skippedEmpty: Boolean, ok: Boolean, error: Option[String])
+      targetRows: Long, skippedEmpty: Boolean, ok: Boolean, error: Option[String],
+      skippedUnchanged: Boolean = false)
 
   final case class Report(results: Seq[TableResult]) {
-    def transferred: Seq[TableResult] = results.filter(r => r.ok && !r.skippedEmpty)
+    def transferred: Seq[TableResult] =
+      results.filter(r => r.ok && !r.skippedEmpty && !r.skippedUnchanged)
     def skipped: Seq[TableResult] = results.filter(_.skippedEmpty)
+    def unchanged: Seq[TableResult] = results.filter(_.skippedUnchanged)
     def failures: Seq[TableResult] = results.filterNot(_.ok)
     def ok: Boolean = failures.isEmpty
   }
@@ -35,25 +49,46 @@ object Transfer {
       include: Option[Set[String]] = None,
       excludePrefix: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite,
-      targetName: (String, String) => String = (store, t) => s"${store}_$t"): Report = {
-    val tables = src.list()
-      .filter(t => include.forall(_.contains(t.name)))
-      .filter(t => !excludePrefix.exists(t.name.startsWith))
-    val results = tables.map { t =>
-      val target = TableRef("warehouse", targetName(sourceStoreName, t.name))
+      targetName: (String, String) => String = (store, t) => s"${store}_$t",
+      aliases: Map[String, String] = Map.empty,
+      meta: Option[MetaCatalog] = None): Report = {
+    val stats = src.listStats()
+      .filter(s => include.forall(_.contains(s.ref.name)))
+      .filter(s => !excludePrefix.exists(s.ref.name.startsWith))
+    // biggest-first (rds-to-bq.py:174); unknown-size last, names tiebreak
+    val ordered = stats.sortBy(s => (-s.bytes.orElse(s.rows).getOrElse(-1L), s.ref.name))
+    val results = ordered.map { stat =>
+      val t = stat.ref
+      val stream = aliases.getOrElse(t.name, t.name)
+      val target = TableRef("warehouse", targetName(sourceStoreName, stream))
       try {
-        val df = src.read(t)
-        val srcRows = df.count()
-        if (srcRows == 0L) {
-          // empty-table skip (rds-to-bq.py:219-226)
-          TableResult(t.name, target.name, 0L, 0L, skippedEmpty = true, ok = true, None)
+        val unchanged = meta.exists { m =>
+          (src.lastModified(t), m.lastModified(target.name)) match {
+            case (Some(srcMod), Some(recorded)) => !srcMod.after(recorded)
+            case _ => false
+          }
+        }
+        if (unchanged) {
+          TableResult(t.name, target.name, -1L, -1L, skippedEmpty = false,
+            ok = true, None, skippedUnchanged = true)
         } else {
-          dst.write(df, target, mode)
-          val dstRows = dst.count(target)
-          val matches = dstRows == srcRows
-          TableResult(t.name, target.name, srcRows, dstRows, skippedEmpty = false,
-            ok = matches,
-            if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"))
+          // store-native count: COUNT(*) pushdown / metadata, not a scan
+          val srcRows = src.count(t)
+          if (srcRows == 0L) {
+            // empty-table skip (rds-to-bq.py:219-226)
+            TableResult(t.name, target.name, 0L, 0L, skippedEmpty = true, ok = true, None)
+          } else {
+            val df = src.read(t)
+            val written = WriteMetrics.countRows(df.sparkSession) {
+              dst.write(df, target, mode)
+            }
+            val dstRows = written.getOrElse(dst.count(target))
+            val matches = dstRows == srcRows
+            if (matches) meta.foreach(_.recordTransfer(Seq(target.name)))
+            TableResult(t.name, target.name, srcRows, dstRows, skippedEmpty = false,
+              ok = matches,
+              if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"))
+          }
         }
       } catch {
         case e: Throwable =>

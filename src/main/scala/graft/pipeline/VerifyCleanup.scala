@@ -34,6 +34,23 @@ object VerifyCleanup {
   def contentDiff(source: DataFrame, target: DataFrame): (DataFrame, DataFrame) =
     (source.exceptAll(target), target.exceptAll(source))
 
+  final case class DeleteCheck(table: String, deleted: Long, remainingMatching: Long) {
+    /** The reference's post-DELETE verify (rds-to-bq.py:389-437): no row
+      * matching the predicate may survive.
+      */
+    def verified: Boolean = remainingMatching == 0L
+  }
+
+  /** Row-level delete with verify-empty semantics (SURVEY §2.9 D4). */
+  def deleteWithVerify(store: Source with Sink, t: TableRef,
+      predicate: String): DeleteCheck = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val deleted = store.delete(t, predicate)
+    val remaining = store.read(t)
+      .filter(coalesce(expr(predicate), lit(false))).count()
+    DeleteCheck(t.name, deleted, remaining)
+  }
+
   final case class CleanupResult(table: String, verified: Boolean, truncated: Boolean,
       rowsBefore: Long, rowsAfter: Long)
 

@@ -52,3 +52,74 @@ class StoreSpec extends SparkSpec {
     assert(back == Set(("x", "1"), ("y", "2")))
   }
 }
+
+/** The full Source/Sink contract against a real database: embedded Derby
+  * (in-JVM, offline) standing in for the reference's RDS MySQL — same
+  * JdbcStore code path, different JdbcCatalog.
+  */
+class JdbcDerbySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JdbcStore vs embedded Derby: list/read/readPartitioned/write/count/delete/truncate/drop") {
+    val db = tmpDir("derby") + "/graftdb"
+    val store = new JdbcStore(spark, s"jdbc:derby:$db;create=true", Map.empty,
+      "rds", catalog = JdbcCatalog.Derby)
+
+    val t = TableRef("rds", "orders")
+    // upper-case column names: Spark's writer quotes identifiers, Derby
+    // upcases unquoted ones — upper on both sides keeps raw-SQL
+    // predicates ("ID > 100") and the written schema in agreement
+    store.write((1L to 100L).map(i => (i, i % 7)).toDF("ID", "BUCKET"), t, SaveMode.Overwrite)
+    assert(store.exists(t))
+    assert(store.count(t) == 100)
+    assert(store.list().exists(_.name.equalsIgnoreCase("orders")))
+    // Derby keeps no size catalog: stats fall back to names-only
+    assert(store.listStats().exists(s =>
+      s.ref.name.equalsIgnoreCase("orders") && s.rows.isEmpty && s.bytes.isEmpty))
+
+    // plain and partitioned reads agree (partition predicates are disjoint+complete)
+    assert(store.read(t).count() == 100)
+    val part = store.readPartitioned(t, "ID", 1L, 101L, 8)
+    assert(part.rdd.getNumPartitions == 8)
+    assert(part.agg(org.apache.spark.sql.functions.sum("ID")).collect()(0).getLong(0) == 5050L)
+
+    // append disposition accumulates
+    store.write((101L to 110L).map(i => (i, i % 7)).toDF("ID", "BUCKET"), t, SaveMode.Append)
+    assert(store.count(t) == 110)
+
+    // transactional row-level DELETE + verify-empty (D4)
+    val check = graft.pipeline.VerifyCleanup.deleteWithVerify(store, t, "ID > 100")
+    assert(check.deleted == 10 && check.verified)
+    assert(store.count(t) == 100)
+
+    // direct-statement TRUNCATE keeps the (empty) table; DROP removes it
+    store.truncate(t)
+    assert(store.exists(t) && store.count(t) == 0)
+    store.drop(t)
+    assert(!store.exists(t))
+  }
+
+  test("FileStore listStats/lastModified/delete(predicate) with SQL NULL semantics") {
+    val root = tmpDir("store_stats")
+    val store = new FileStore(spark, root, "staging")
+    val big = TableRef("staging", "big")
+    val small = TableRef("staging", "small")
+    store.write((1 to 20000).toDF("v"), big, SaveMode.Overwrite)
+    store.write((1 to 10).toDF("v"), small, SaveMode.Overwrite)
+    val stats = store.listStats()
+    assert(stats.map(_.ref.name) == Seq("big", "small"))
+    assert(stats.forall(_.bytes.exists(_ > 0L)))
+    assert(stats.find(_.ref.name == "big").get.bytes.get >
+      stats.find(_.ref.name == "small").get.bytes.get)
+    assert(store.lastModified(big).isDefined)
+
+    // DELETE WHERE keeps NULL-predicate rows, exactly like SQL
+    val t = TableRef("staging", "d")
+    store.write(Seq[(Integer, Integer)]((1, 1), (2, null), (3, 5), (4, 9)).toDF("id", "v"),
+      t, SaveMode.Overwrite)
+    assert(store.delete(t, "v > 3") == 2)
+    assert(store.count(t) == 2) // the null-v row survived
+    val check = graft.pipeline.VerifyCleanup.deleteWithVerify(store, t, "id = 1")
+    assert(check.deleted == 1 && check.verified && store.count(t) == 1)
+  }
+}

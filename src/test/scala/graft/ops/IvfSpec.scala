@@ -47,3 +47,30 @@ class IvfSpec extends SparkSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 }
+
+class IvfSeedingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("k-means++ seeds are distinct sample points, deterministic, and cells stay balanced") {
+    val pts = Array(
+      Array(0f, 0f), Array(0.1f, 0f), Array(10f, 10f), Array(10.1f, 10f),
+      Array(-10f, 5f), Array(-10.1f, 5f))
+    val seeds = Ivf.kppSeeds(pts, 3)
+    assert(seeds.length == 3)
+    // D^2 sampling spreads the seeds across the three far-apart clusters
+    val clusters = seeds.map(s => (math.round(s(0) / 10.0), math.round(s(1) / 10.0))).toSet
+    assert(clusters.size == 3, s"seeds collapsed: ${seeds.map(_.mkString(",")).mkString(" | ")}")
+    assert(Ivf.kppSeeds(pts, 3).zip(seeds).forall { case (a, b) => a.sameElements(b) })
+
+    // on the real corpus: no trained cell ends up empty and the spread is
+    // bounded (max cell within 8x of even share for nlist=8)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    val sizes = emb.select(Ivf.assignCell(col("embedding"), cents).as("c"))
+      .groupBy("c").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 8, s"empty cells: $sizes")
+    val even = emb.count().toDouble / 8
+    assert(sizes.values.max <= even * 8, s"pathological skew: $sizes")
+  }
+}

@@ -137,3 +137,44 @@ class PipelineSpec extends SparkSpec {
     assert(aborted.stages.last.skipped) // everything after a critical failure is skipped
   }
 }
+
+/** Biggest-first ordering, per-stream aliases, and bookmark-driven
+  * skip-unchanged — the S6/K7/Singer-state parity surfaces added in r2.
+  */
+class TransferOrderingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transfer: biggest-first order, alias map, skip-unchanged bookmarks") {
+    val staging = new FileStore(spark, tmpDir("stg_ord"), "staging")
+    val warehouse = new WarehouseStore(spark, tmpDir("wh_ord"))
+    val meta = new MetaCatalog(spark, tmpDir("meta_ord") + "/lmod")
+    staging.write((1 to 20000).toDF("v"), TableRef("staging", "big"), SaveMode.Overwrite)
+    staging.write((1 to 5).toDF("v"), TableRef("staging", "tiny"), SaveMode.Overwrite)
+
+    val r1 = Transfer.transfer(staging, warehouse, "rds",
+      aliases = Map("tiny" -> "renamed"), meta = Some(meta))
+    assert(r1.ok, r1.failures.toString)
+    // catalog stats order the work biggest-first (rds-to-bq.py:174)
+    assert(r1.results.map(_.table) == Seq("big", "tiny"))
+    // __alias__-style rename applied before the store-prefix convention
+    assert(r1.results.map(_.target).contains("rds_renamed"))
+    assert(warehouse.exists(TableRef("warehouse", "rds_renamed")))
+    // write-metric verification: counts agree without a source re-scan
+    assert(r1.transferred.forall(t => t.sourceRows == t.targetRows))
+
+    // unchanged sources: second run transfers nothing (Singer
+    // initial_full_table_complete semantics)
+    val r2 = Transfer.transfer(staging, warehouse, "rds",
+      aliases = Map("tiny" -> "renamed"), meta = Some(meta))
+    assert(r2.ok && r2.transferred.isEmpty && r2.unchanged.size == 2)
+
+    // touching one source re-transfers only it
+    staging.write((1 to 6).toDF("v"), TableRef("staging", "tiny"), SaveMode.Overwrite)
+    val r3 = Transfer.transfer(staging, warehouse, "rds",
+      aliases = Map("tiny" -> "renamed"), meta = Some(meta))
+    assert(r3.ok)
+    assert(r3.transferred.map(_.table) == Seq("tiny"))
+    assert(r3.unchanged.map(_.table) == Seq("big"))
+    assert(warehouse.count(TableRef("warehouse", "rds_renamed")) == 6)
+  }
+}
