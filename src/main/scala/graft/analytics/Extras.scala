@@ -97,13 +97,17 @@ object Extras {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
-    // A genuine Structured Streaming execution: file source -> watermarked
-    // tumbling aggregation -> memory sink, drained with AvailableNow.
-    // Complete output mode makes the drained table equal the batch answer,
-    // so the same DuckDB oracle applies.
+    // A genuine Structured Streaming execution: file source -> tumbling
+    // aggregation -> UPDATE-mode upsert log on files, drained with
+    // AvailableNow. Each micro-batch appends its changed groups (stamped
+    // with the batch id) from the executors — nothing accumulates on the
+    // driver and nothing is rewritten per batch, unlike complete+memory.
+    // The read-back compacts the log (last update per key wins), which is
+    // exactly the state a keyed upsert sink (Delta/JDBC MERGE) would hold.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q51_log").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q51_ckpt").toString
     val stream = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -113,13 +117,22 @@ object Extras {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("hour_ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_ts", "event_type").orderBy(col("__batch").desc)
+    s.read.parquet(outDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("hour_ts", "event_type", "n")
+      .orderBy("hour_ts", "event_type")
   }
 
   // ---------------------------------------------------------------- q52
