@@ -1,0 +1,148 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for offset/limit-paginated REST endpoints
+  * (SURVEY §2.1 S7): the PostgREST/Supabase contract the reference pages
+  * through driver-side (supabase-bq.py:99-170), re-expressed as a Spark
+  * source so the pagination fans out across executors.
+  *
+  * `spark.read.format("graft-rest")` with options:
+  *  - `url`       endpoint returning a JSON array of flat objects
+  *  - `fields`    comma-separated field names (schema is all-string —
+  *                REST payloads land as text exactly like the reference's
+  *                all-TEXT staging; `Staging.inferTypes` types them later)
+  *  - `pageSize`  rows per request (default 1000)
+  *  - `totalRows` optional exact count (PostgREST emits one in
+  *                Content-Range; the caller probes it with one HEAD/count
+  *                request). When present, pages are planned as
+  *                DETERMINISTIC disjoint offset ranges, one partition per
+  *                `pagesPerPartition` pages — this is what lets 1000
+  *                executors pull pages concurrently. When absent, a
+  *                single partition pages until a short page (the
+  *                reference's loop shape — correct, not parallel).
+  *  - `pagesPerPartition` pages per Spark partition (default 1)
+  *
+  * Every reader re-checks for a short page, so a source that shrank
+  * between planning and reading terminates cleanly instead of erroring.
+  */
+class RestDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestTable.schemaFromOptions(options)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RestTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object RestTable {
+  def schemaFromOptions(options: CaseInsensitiveStringMap): StructType = {
+    val fields = Option(options.get("fields")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-rest requires a 'fields' option (comma-separated field names)"))
+    StructType(fields.split(",").map(f => StructField(f.trim, StringType)))
+  }
+}
+
+class RestTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-rest:${options.get("url")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScan(tableSchema, caseInsensitiveOptions)
+}
+
+class RestScan(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  private val url = Option(options.get("url")).getOrElse(
+    throw new IllegalArgumentException("graft-rest requires a 'url' option"))
+  private val pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(1000)
+  private val totalRows = Option(options.get("totalRows")).map(_.toLong)
+  private val pagesPerPartition =
+    Option(options.get("pagesPerPartition")).map(_.toInt).getOrElse(1)
+  private val fields = tableSchema.fieldNames
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = totalRows match {
+    case Some(total) =>
+      // deterministic disjoint offset ranges: page i covers
+      // [i*pageSize, (i+1)*pageSize); partitions group whole pages
+      val rowsPerPartition = pageSize.toLong * pagesPerPartition
+      val nParts = math.max(1L, (total + rowsPerPartition - 1) / rowsPerPartition)
+      (0L until nParts).map { p =>
+        RestRange(url, p * rowsPerPartition,
+          math.min(total, (p + 1) * rowsPerPartition), pageSize, fields)
+      }.toArray
+    case None =>
+      // unknown total: one partition, short-page termination
+      Array(RestRange(url, 0L, Long.MaxValue, pageSize, fields))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new RestReaderFactory
+}
+
+/** One partition = a contiguous offset range fetched as `pageSize` pages. */
+final case class RestRange(url: String, start: Long, end: Long, pageSize: Int,
+    fields: Array[String]) extends InputPartition
+
+class RestReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPartitionReader(partition.asInstanceOf[RestRange])
+}
+
+class RestPartitionReader(p: RestRange) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var offset = p.start
+  private var exhausted = false
+  private var buf: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    while (!buf.hasNext && !exhausted && offset < p.end) fetchPage()
+    buf.hasNext
+  }
+
+  private def fetchPage(): Unit = {
+    val limit = math.min(p.pageSize.toLong, p.end - offset).toInt
+    val sep = if (p.url.contains("?")) "&" else "?"
+    val conn = new java.net.URL(s"${p.url}${sep}offset=$offset&limit=$limit")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("Accept", "application/json")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    val body =
+      try {
+        val in = conn.getInputStream
+        try in.readAllBytes() finally in.close()
+      } finally conn.disconnect()
+    val node = mapper.readTree(body)
+    require(node.isArray, s"graft-rest expects a JSON array page, got ${node.getNodeType}")
+    val rows = (0 until node.size()).map { i =>
+      val obj = node.get(i)
+      InternalRow.fromSeq(p.fields.toSeq.map { f =>
+        val v = obj.get(f)
+        if (v == null || v.isNull) null
+        else UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+      })
+    }
+    if (rows.size < limit) exhausted = true // short page: no more upstream rows
+    offset += limit
+    buf = rows.iterator
+  }
+
+  override def get(): InternalRow = buf.next()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+
+/** graft-rest DSv2 reader against a local offset/limit HTTP fixture
+  * mirroring the PostgREST pagination contract (supabase-bq.py:99-170).
+  */
+class RestSourceSpec extends SparkSpec {
+
+  // 25 synthetic rows: {"id": i, "name": "item-i", "note": null for i%5==0}
+  private val total = 25
+
+  private def pageJson(offset: Int, limit: Int): String =
+    (offset until math.min(total, offset + limit)).map { i =>
+      val note = if (i % 5 == 0) "null" else s""""n$i""""
+      s"""{"id": $i, "name": "item-$i", "note": $note}"""
+    }.mkString("[", ",", "]")
+
+  private def withServer[A](f: (String, () => Int) => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var requests = 0
+    server.createContext("/items", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        requests += 1
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        val body = pageJson(params.getOrElse("offset", "0").toInt,
+          params.getOrElse("limit", "1000").toInt).getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items", () => requests)
+    finally server.stop(0)
+  }
+
+  test("graft-rest: deterministic page partitioning with known totalRows") {
+    withServer { (url, _) =>
+      val df = spark.read.format("graft-rest")
+        .option("url", url)
+        .option("fields", "id,name,note")
+        .option("pageSize", "10")
+        .option("totalRows", total.toString)
+        .load()
+      assert(df.schema.fieldNames.toSeq == Seq("id", "name", "note"))
+      assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+      // ceil(25/10) = 3 disjoint offset ranges = 3 partitions
+      assert(df.rdd.getNumPartitions == 3)
+      val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows.length == total)
+      assert(rows.map(_._1).toSet == (0 until total).map(_.toString).toSet)
+      assert(rows.forall { case (id, name, _) => name == s"item-$id" })
+      // JSON null -> SQL NULL
+      assert(rows.count(_._3 == null) == 5)
+    }
+  }
+
+  test("graft-rest: unknown total pages until a short page; column pruning still applies") {
+    withServer { (url, requests) =>
+      val df = spark.read.format("graft-rest")
+        .option("url", url)
+        .option("fields", "id,name,note")
+        .option("pageSize", "10")
+        .load()
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == total)
+      // 3 pages: 10 + 10 + 5 (short page terminates the loop)
+      assert(requests() == 3)
+    }
+  }
+
+  test("graft-rest: pagesPerPartition groups pages; totalRows caps the last range") {
+    withServer { (url, _) =>
+      val df = spark.read.format("graft-rest")
+        .option("url", url)
+        .option("fields", "id")
+        .option("pageSize", "4")
+        .option("pagesPerPartition", "3")
+        .option("totalRows", total.toString)
+        .load()
+      // ceil(25 / (4*3)) = 3 partitions
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.count() == total)
+      assert(df.distinct().count() == total) // ranges are disjoint
+    }
+  }
+}
