@@ -349,10 +349,13 @@ object LlmQueries {
   val q55 = QuerySpec.rowsOnly("q55_langid_trained") { (s, d) =>
     // self-trained n-gram-profile language ID: profiles learned from the
     // corpus's own labels, then applied back — the trainable upgrade of
-    // q32's fixed marker heuristic.
+    // q32's fixed marker heuristic. Classification is the scan-side form
+    // (profile maps as literals, zero shuffle); LangProfileSpec pins its
+    // equality to the explode+join form.
     val docs = Tables.documents(s, d)
     val profiles = graft.ops.LangProfile.train(docs, "text", "lang", topK = 80)
-    graft.ops.LangProfile.classify(docs, "doc_id", "text", profiles)
+    val maps = graft.ops.LangProfile.collectProfiles(profiles)
+    graft.ops.LangProfile.classifyScanSide(docs, "doc_id", "text", maps)
       .orderBy("doc_id")
   }
 

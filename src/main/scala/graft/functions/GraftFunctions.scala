@@ -19,6 +19,8 @@ object GraftFunctions {
     if (registered.add(key)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lang_scores", exprs => LangScores(exprs(0), exprs(1)), "scala_udf")
     }
   }
 
@@ -26,4 +28,10 @@ object GraftFunctions {
     * [[FloatDotProduct]]). Requires `register(spark)` on the session.
     */
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+
+  /** One-pass per-language profile scores (see [[LangScores]]). Requires
+    * `register(spark)` on the session.
+    */
+  def lang_scores(tokens: Column, profiles: Column): Column =
+    call_function("lang_scores", tokens, profiles)
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-language profile scores for a token/trigram array in ONE pass:
+  * `lang_scores(tokens, profiles)` where `profiles` is a foldable
+  * `map<string, map<string,bigint>>` (language -> token -> weight).
+  * Returns `map<string,bigint>` of summed weights per language.
+  *
+  * Why a native expression: the composable form — one `aggregate` lambda
+  * per language with `element_at` on a map literal — is interpreted AND
+  * `element_at` on Catalyst map data is a LINEAR scan, so a 4-language ×
+  * 80-entry profile costs 320 string comparisons per token per row
+  * (measured 10× slower than the explode+join classifier at sf0.1).
+  * Here the foldable profile literal is compiled once per executor into a
+  * token -> weight-vector hash table; each row is then one hash lookup
+  * per token. CodegenFallback is fine — the per-row loop is tight JVM and
+  * the boxing cost is one call per row, not per token.
+  */
+case class LangScores(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val leftOk = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    val rightOk = right.dataType match {
+      case MapType(StringType, MapType(StringType, LongType, _), _) => true
+      case _ => false
+    }
+    if (!leftOk || !rightOk)
+      TypeCheckResult.TypeCheckFailure(
+        "lang_scores expects (array<string>, map<string,map<string,bigint>>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("lang_scores profiles must be a literal/foldable map")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** languages (sorted) and token -> per-language weight vector, built
+    * once per executor from the foldable profile literal.
+    */
+  @transient private lazy val (langKeys, weightTable) = {
+    val m = right.eval(InternalRow.empty).asInstanceOf[MapData]
+    val n = m.numElements()
+    val langs = (0 until n)
+      .map(i => i -> m.keyArray().getUTF8String(i).copy())
+      .sortBy(_._2.toString)
+    val table = new java.util.HashMap[UTF8String, Array[Long]]()
+    langs.zipWithIndex.foreach { case ((srcIdx, _), langPos) =>
+      val inner = m.valueArray().getMap(srcIdx)
+      var j = 0
+      while (j < inner.numElements()) {
+        val tok = inner.keyArray().getUTF8String(j).copy()
+        val vec = table.computeIfAbsent(tok, _ => new Array[Long](n))
+        vec(langPos) += inner.valueArray().getLong(j)
+        j += 1
+      }
+    }
+    (langs.map(_._2).toArray, table)
+  }
+
+  override def nullSafeEval(tokens: Any, profiles: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val scores = new Array[Long](langKeys.length)
+    var i = 0
+    val nTok = arr.numElements()
+    while (i < nTok) {
+      if (!arr.isNullAt(i)) {
+        val vec = weightTable.get(arr.getUTF8String(i))
+        if (vec ne null) {
+          var l = 0
+          while (l < scores.length) { scores(l) += vec(l); l += 1 }
+        }
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(
+      new GenericArrayData(langKeys.asInstanceOf[Array[Any]]),
+      new GenericArrayData(scores))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LangScores = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "lang_scores"
+}

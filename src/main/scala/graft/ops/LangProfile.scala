@@ -53,9 +53,50 @@ object LangProfile {
       .select(col("lang"), col("trigram"), (lit(topK + 1) - col("rank")).cast(LongType).as("weight"))
   }
 
+  /** The trained profiles as driver-held maps: lang -> (trigram -> weight).
+    * Tiny by construction (langs × topK rows) — this is what the scan-side
+    * classifier ships to executors as map literals.
+    */
+  def collectProfiles(profiles: DataFrame): Map[String, Map[String, Long]] =
+    profiles.collect().groupBy(_.getString(0)).map { case (lang, rows) =>
+      lang -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+
+  /** Scan-side classification: all language scores in ONE pass over the
+    * document's trigram array via the native `lang_scores` expression
+    * (profiles compiled to a token->weight-vector hash table per
+    * executor), argmax via a strict-greater fold (alphabetical
+    * tie-break). No explode, no join, no shuffle, no window — the
+    * classifier is a pure projection that pipelines with whatever scan
+    * feeds it. Same scores and predictions as [[classify]] (which
+    * shuffles doc×trigram rows); prefer this form whenever the profile
+    * table fits in a literal (it always does: langs × topK entries).
+    */
+  def classifyScanSide(docs: DataFrame, idCol: String, textCol: String,
+      profileMaps: Map[String, Map[String, Long]]): DataFrame = {
+    require(profileMaps.nonEmpty, "no trained profiles")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val langs = profileMaps.keys.toSeq.sorted
+    val profilesLit = typedlit(profileMaps)
+    val scored = docs.select(col(idCol),
+      graft.functions.GraftFunctions.lang_scores(
+        charTrigrams(col(textCol)), profilesLit).as("__scores"))
+    def s(l: String): Column = element_at(col("__scores"), lit(l))
+    val (pred, best) = langs.tail.foldLeft((lit(langs.head), s(langs.head))) {
+      case ((p, b), l) => (when(s(l) > b, lit(l)).otherwise(p), greatest(b, s(l)))
+    }
+    scored
+      .select(col(idCol), pred.as("lang_pred"), best.as("lang_score"))
+      // parity with classify(): a doc matching no profile trigram at all
+      // has no prediction (the join form drops it)
+      .filter(col("lang_score") > 0)
+  }
+
   /** Classify documents against trained profiles: per-doc, per-lang score
     * = sum of matched trigram weights; argmax with alphabetical tie-break.
-    * Returns (idCol, lang_pred, lang_score).
+    * Returns (idCol, lang_pred, lang_score). The explode+join form —
+    * [[classifyScanSide]] computes the same thing as a pure projection
+    * and is the preferred bulk path.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame): DataFrame = {

@@ -46,3 +46,30 @@ class LangProfileSpec extends SparkSpec {
     assert(pred.select("lang_pred").distinct().collect().map(_.getString(0)).toSet.subsetOf(langs))
   }
 }
+
+class LangProfileScanSideSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classifyScanSide equals the explode+join classify exactly (fixture corpus)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val profiles = LangProfile.train(docs, "text", "lang", topK = 80)
+    val joined = LangProfile.classify(docs, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val scan = LangProfile.classifyScanSide(docs, "doc_id", "text",
+      LangProfile.collectProfiles(profiles))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(scan == joined)
+  }
+
+  test("classifyScanSide drops no-match docs, same as the inner join") {
+    val profiles = LangProfile.train(
+      Seq(("en", "the cat sat on the mat")).toDF("lang", "text"), "text", "lang")
+    val maps = LangProfile.collectProfiles(profiles)
+    val docs = Seq((1L, "the cat"), (2L, "zzzzq")).toDF("doc_id", "text")
+    val scan = LangProfile.classifyScanSide(docs, "doc_id", "text", maps)
+      .collect().map(_.getLong(0)).toSet
+    val joined = LangProfile.classify(docs, "doc_id", "text", profiles)
+      .collect().map(_.getLong(0)).toSet
+    assert(scan == joined && scan == Set(1L))
+  }
+}
