@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** REST batch writer (SURVEY §2.2 K6, hf-csv-s3/app.py:249-283): rows are
+  * posted as JSON-array batches of `batchSize` directly FROM THE
+  * EXECUTORS (`toJSON` + `foreachPartition`) — the driver never
+  * materializes the data, so the sink scales with the cluster exactly
+  * like a file write.
+  *
+  * Fallback ladder per batch, matching the reference: first an UPSERT
+  * (PostgREST `Prefer: resolution=merge-duplicates`); if the endpoint
+  * rejects it (4xx/5xx), retry the same batch as a plain insert (no
+  * Prefer header). A batch that fails both raises — partial-failure
+  * reporting belongs to the caller's ledger, not silent drops.
+  */
+object RestSink {
+
+  def write(df: DataFrame, url: String, batchSize: Int = 10000,
+      upsert: Boolean = true): Unit = {
+    require(batchSize > 0, "batchSize must be positive")
+    df.toJSON.rdd.foreachPartition { rows =>
+      rows.grouped(batchSize).foreach { batch =>
+        val body = batch.mkString("[", ",", "]").getBytes("UTF-8")
+        val first = post(url, body, upsertHeader = upsert)
+        if (first >= 400) {
+          // ladder: upsert rejected -> plain insert (app.py:269-277)
+          val second = post(url, body, upsertHeader = false)
+          if (second >= 400)
+            throw new java.io.IOException(
+              s"REST sink failed: upsert=$first, insert=$second for ${batch.size} rows")
+        }
+      }
+    }
+  }
+
+  /** One POST; returns the HTTP status (connection errors raise). */
+  private def post(url: String, body: Array[Byte], upsertHeader: Boolean): Int = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      if (upsertHeader)
+        conn.setRequestProperty("Prefer", "resolution=merge-duplicates")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(60000)
+      val os = conn.getOutputStream
+      try { os.write(body); os.flush() } finally os.close()
+      val code = conn.getResponseCode
+      // drain so the connection can be reused
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (in != null) try in.readAllBytes() finally in.close()
+      code
+    } finally conn.disconnect()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import scala.jdk.CollectionConverters._
+
+class RestSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private final case class Req(upsert: Boolean, nRows: Int)
+
+  private def withServer[A](rejectUpsert: Boolean)(
+      f: (String, java.util.List[Req]) => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[Req]())
+    server.createContext("/rows", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val upsert = Option(ex.getRequestHeaders.getFirst("Prefer"))
+          .exists(_.contains("merge-duplicates"))
+        // count top-level objects in the JSON array (flat payloads)
+        val n = body.count(_ == '{')
+        seen.add(Req(upsert, n))
+        val code = if (upsert && rejectUpsert) 409 else 201
+        ex.sendResponseHeaders(code, -1L)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/rows", seen)
+    finally server.stop(0)
+  }
+
+  test("RestSink batches rows from executors with the upsert header") {
+    withServer(rejectUpsert = false) { (url, seen) =>
+      val df = (0 until 25).map(i => (i, s"item-$i")).toDF("id", "name").coalesce(1)
+      RestSink.write(df, url, batchSize = 10)
+      val reqs = seen.asScala.toSeq
+      assert(reqs.map(_.nRows).sorted == Seq(5, 10, 10)) // 25 rows in batches of 10
+      assert(reqs.forall(_.upsert)) // ladder starts with upsert
+    }
+  }
+
+  test("RestSink falls back to plain insert when upsert is rejected") {
+    withServer(rejectUpsert = true) { (url, seen) =>
+      val df = (0 until 8).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      RestSink.write(df, url, batchSize = 10)
+      val reqs = seen.asScala.toSeq
+      assert(reqs.map(r => (r.upsert, r.nRows)) == Seq((true, 8), (false, 8)))
+    }
+  }
+
+  test("RestSink raises when both rungs fail; empty partitions post nothing") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rows", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(500, -1L); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/rows"
+      intercept[org.apache.spark.SparkException] {
+        RestSink.write(Seq((1, "a")).toDF("id", "v"), url)
+      }
+      // empty frame: no requests, no failure
+      RestSink.write(Seq.empty[(Int, String)].toDF("id", "v"), url)
+    } finally server.stop(0)
+  }
+}
