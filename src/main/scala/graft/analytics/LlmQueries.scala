@@ -405,6 +405,50 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q61
+  // Oracle thresholds come from the SAME Curation.thresholds code the
+  // operator uses, so the hex literals can never drift.
+  private val q61Weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val q61Case: String = {
+    val cuts = graft.ops.Curation.thresholds(q61Weights)
+    val h = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    cuts.init.map { case (n, c) => s"WHEN $h < '$c' THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${q61Weights.last._1}' END")
+  }
+  val q61 = QuerySpec.sql(
+    "q61_hash_split",
+    s"""SELECT doc_id, $q61Case AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // deterministic train/val/test assignment: depends only on the id
+    // (stable across runs, cluster sizes, partitionings), pure projection.
+    graft.ops.Curation.hashSplit(
+      Tables.documents(s, d).select("doc_id"), "doc_id", q61Weights)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q62
+  val q62 = QuerySpec.sql(
+    "q62_sequence_packing",
+    s"""WITH t AS (
+      |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, token_offset,
+      |  CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS chunk_id
+      |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // concatenate-and-chunk packing into 512-token windows, per source
+    // shard — the group is the parallelism unit, so no global sort.
+    graft.ops.Curation.packSequences(
+      Tables.documents(s, d).select("doc_id", "source", "text"),
+      "doc_id", "text", "source", maxTokens = 512)
+      .select("doc_id", "source", "n_tokens", "token_offset", "chunk_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62)
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators: deterministic dataset splitting and
+  * sequence packing — the steps between "deduplicated corpus" and
+  * "batches the trainer reads".
+  */
+object Curation {
+
+  /** Deterministic hash split: a row's assignment depends only on its id —
+    * stable across runs, cluster sizes, and partitionings (a `rand()`
+    * split is none of those). The md5 hex digest of the id is compared
+    * against hex-prefix thresholds: the first 8 hex chars are uniform on
+    * [0, 16^8), so a fraction f maps to the threshold hex(floor(f·16^8)).
+    * Pure string comparison — any engine reproduces it bit-for-bit.
+    *
+    * @param weights (name, fraction) in order; fractions sum to ~1. The
+    *                last split absorbs rounding.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val h = substring(md5(col(idCol).cast(StringType)), 1, 8)
+    val splitCol = splitExpr(h, weights)
+    df.withColumn("split", splitCol)
+  }
+
+  /** The CASE chain over cumulative hex thresholds (exposed for oracle
+    * construction: `thresholds` yields the same hex literals).
+    */
+  private def splitExpr(h: Column, weights: Seq[(String, Double)]): Column = {
+    val cuts = thresholds(weights)
+    cuts.init.foldRight(lit(weights.last._1)) { case ((name, cut), rest) =>
+      when(h < lit(cut), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** (name, cumulative-threshold-hex) per split; the last threshold is
+    * unused (it absorbs the remainder).
+    */
+  def thresholds(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+    val space = 1L << 32 // 16^8
+    var acc = 0.0
+    weights.map { case (name, f) =>
+      acc += f
+      // clamp to 8 hex chars: the final cumulative cut (1.0) is unused by
+      // the CASE chain (the last split absorbs the remainder)
+      val cut = math.min(space - 1, math.floor(acc * space).toLong)
+      name -> f"$cut%08x"
+    }
+  }
+
+  /** Concatenate-and-chunk sequence packing (the standard LLM-pretraining
+    * layout): documents are laid end-to-end in (group, id) order and cut
+    * into fixed `maxTokens` windows; a document's `chunk_id` is the window
+    * its first token lands in. Packing runs PER GROUP (shard/source), so
+    * the window sort is one partition per group, not a global sort — at
+    * 100 TB the groups are the parallelism unit, exactly like the
+    * trainer's shards.
+    *
+    * Returns the input plus (n_tokens, token_offset, chunk_id).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast(LongType))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("chunk_id", floor(col("token_offset") / maxTokens))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, id-only, and roughly proportional") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Curation.hashSplit(ids, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // repartitioning cannot change any assignment
+    val s2 = Curation.hashSplit(ids.repartition(7), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    val bySplit = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 80/10/10 within generous tolerance at n=2000
+    assert(bySplit("train") > 1500 && bySplit("train") < 1700, bySplit.toString)
+    assert(bySplit("val") > 120 && bySplit("val") < 280, bySplit.toString)
+  }
+
+  test("thresholds map fractions to exact hex cuts") {
+    val cuts = Curation.thresholds(Seq("a" -> 0.8, "b" -> 0.1, "c" -> 0.1))
+    assert(cuts.map(_._2) == Seq("cccccccc", "e6666666", "ffffffff"))
+  }
+
+  test("packSequences: per-group running offsets and chunk boundaries") {
+    val docs = Seq(
+      (1L, "g1", "a b c"),         // 3 tokens, offset 0, chunk 0
+      (2L, "g1", "d e f g"),       // 4 tokens, offset 3, chunk 0
+      (3L, "g1", "h i"),           // offset 7, chunk 1 (maxTokens=4)
+      (10L, "g2", "x y z w q")     // separate group: offset 0, chunk 0
+    ).toDF("doc_id", "grp", "text")
+    val packed = Curation.packSequences(docs, "doc_id", "text", "grp", maxTokens = 4)
+      .select("doc_id", "n_tokens", "token_offset", "chunk_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(packed(1L) == ((3L, 0L, 0L)))
+    assert(packed(2L) == ((4L, 3L, 0L)))
+    assert(packed(3L) == ((2L, 7L, 1L)))
+    assert(packed(10L) == ((5L, 0L, 0L)))
+  }
+}
