@@ -38,8 +38,16 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
+  /** Separator between tokens inside a shingle. Must be a character that
+    * cannot appear in a token (tokens are whitespace-split words), or
+    * distinct windows collide across token boundaries — ["ab","c"] vs
+    * ["a","bc"] — inflating Jaccard in both the MinHash signatures and
+    * the exact verify. DuckDB oracles mirror it as chr(1).
+    */
+  val ShingleSep = "\u0001"
+
   /** Word k-shingles of a text column (contiguous token windows joined by
-    * a separator), deduplicated.
+    * [[ShingleSep]]), deduplicated.
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
@@ -53,8 +61,8 @@ object Dedup {
     array_distinct(
       when(n >= k,
         transform(zipped,
-          s => concat_ws("", (0 until k).map(j => s.getField(j.toString)): _*)))
-        .otherwise(array(concat_ws("", toks))))
+          s => concat_ws(ShingleSep, (0 until k).map(j => s.getField(j.toString)): _*)))
+        .otherwise(array(concat_ws(ShingleSep, toks))))
   }
 
   /** MinHash signature as a single Column: sig[i] = min over shingles of
@@ -78,6 +86,14 @@ object Dedup {
     * shuffle carries only (id, 64 longs) after map-side combine — at
     * 100 TB this is the only shape that works. Documents with no shingles
     * (empty text) are dropped — they cannot near-dup anything.
+    *
+    * Hash family: numHashes INDEPENDENT seeded xxhash64 calls per
+    * shingle. Kirsch-Mitzenmacher double hashing (h1 + i·h2) was tried
+    * and REVERTED: its per-shingle hash values are correlated across i,
+    * which correlates the per-band minima and measurably drops banding
+    * recall — it missed a planted j>=0.9 near-dup pair at sf0.01 that the
+    * independent family catches with P(miss) ~ 4e-8. Bloom-filter lore
+    * does not transfer to min-wise hashing.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
@@ -117,10 +133,20 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate pairs against token shingle
     * sets; keeps pairs with jaccard >= threshold.
+    *
+    * Only docs that APPEAR in a candidate pair are shingled (semi-join
+    * first): candidates are a vanishing fraction of the corpus when the
+    * banding is tuned, so re-shingling the whole corpus for the verify
+    * join — twice, once per pair side — would dominate the pipeline at
+    * scale.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val ids = pairs.select(col("id_a").as("__cid"))
+      .union(pairs.select(col("id_b").as("__cid"))).distinct()
+    val candidates = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+    val sets = candidates
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
     pairs
@@ -131,12 +157,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: returns verified pairs. */
+  /** Full MinHash-LSH near-dup pipeline: returns verified pairs.
+    *
+    * The candidate pair set is MATERIALIZED (localCheckpoint: executor
+    * storage, lineage truncated) before verification: verifyJaccard
+    * consumes it three times (two pair-side joins + the candidate-id
+    * semi-join), and each lazy re-evaluation would re-run the whole
+    * signature+banding subtree — the most expensive stage. Candidates are
+    * tiny by construction when banding is tuned, so the checkpoint is
+    * cheap; the verify step then shingles candidate docs only.
+    */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleK)
     val pairs = candidatePairs(lshBuckets(sigs, idCol, "sig", bands), idCol)
+      .localCheckpoint()
     verifyJaccard(pairs, docs, idCol, textCol, shingleK, threshold)
   }
 
