@@ -21,6 +21,8 @@ object GraftFunctions {
         "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lang_scores", exprs => LangScores(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "char_ngrams", exprs => CharNgrams(exprs(0), exprs(1)), "scala_udf")
     }
   }
 
@@ -34,4 +36,10 @@ object GraftFunctions {
     */
   def lang_scores(tokens: Column, profiles: Column): Column =
     call_function("lang_scores", tokens, profiles)
+
+  /** Lowercased character n-grams in one per-row loop (see
+    * [[CharNgrams]]). Requires `register(spark)` on the session.
+    */
+  def char_ngrams(text: Column, n: Column): Column =
+    call_function("char_ngrams", text, n)
 }

@@ -17,14 +17,25 @@ import org.apache.spark.sql.types._
   */
 object LangProfile {
 
-  /** Lowercased character trigrams of a text column, built by zipping
-    * three shifted slices of the char array (same pattern as
-    * Dedup.shingles): a `substring(lower(text), i, 3)` lambda would
-    * re-lower the whole string once per trigram index (O(len²) — free
-    * variables in lambda bodies re-evaluate per element); the zip form
-    * evaluates `lower`+`split` a constant number of times.
+  /** Lowercased character trigrams of a text column, via the native
+    * `char_ngrams` expression: one per-row loop emitting one UTF8String
+    * per trigram. The composable form ([[charTrigramsComposable]]) pays
+    * interpreted higher-order lambdas and a per-character array — ~10×
+    * slower per row; LangProfileSpec pins the two forms equal.
+    *
+    * NOTE: requires `GraftFunctions.register` on the session before an
+    * action runs — [[train]], [[classify]] and [[classifyScanSide]] do it.
     */
-  def charTrigrams(text: Column): Column = {
+  def charTrigrams(text: Column): Column =
+    graft.functions.GraftFunctions.char_ngrams(text, lit(3))
+
+  /** Built-in-only referee for [[charTrigrams]]: zip three shifted slices
+    * of the char array (same pattern as Dedup.shingles — a
+    * `substring(lower(text), i, 3)` lambda would re-lower the whole
+    * string once per trigram index, since free variables in lambda
+    * bodies re-evaluate per element).
+    */
+  def charTrigramsComposable(text: Column): Column = {
     val chars = filter(split(lower(text), ""), c => length(c) > 0)
     val n = size(chars)
     val windows = n - 2
@@ -43,6 +54,7 @@ object LangProfile {
   def train(labeled: DataFrame, textCol: String, langCol: String,
       topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(labeled.sparkSession)
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
     labeled
       .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("trigram"))
@@ -71,6 +83,14 @@ object LangProfile {
     * feeds it. Same scores and predictions as [[classify]] (which
     * shuffles doc×trigram rows); prefer this form whenever the profile
     * table fits in a literal (it always does: langs × topK entries).
+    *
+    * Docs matching no profile trigram get a NULL `lang_pred` and score 0
+    * (the join form simply drops them). Deliberately NOT a filter: a
+    * `Filter` on the score pushes below the scores projection by alias
+    * substitution, re-evaluating the whole trigram+scores tree a second
+    * time per row (measured 2× the query). Keeping unmatched rows is also
+    * the right call at scale — drop/route them downstream, where the
+    * decision is a cheap null check on an already-computed column.
     */
   def classifyScanSide(docs: DataFrame, idCol: String, textCol: String,
       profileMaps: Map[String, Map[String, Long]]): DataFrame = {
@@ -85,11 +105,9 @@ object LangProfile {
     val (pred, best) = langs.tail.foldLeft((lit(langs.head), s(langs.head))) {
       case ((p, b), l) => (when(s(l) > b, lit(l)).otherwise(p), greatest(b, s(l)))
     }
-    scored
-      .select(col(idCol), pred.as("lang_pred"), best.as("lang_score"))
-      // parity with classify(): a doc matching no profile trigram at all
-      // has no prediction (the join form drops it)
-      .filter(col("lang_score") > 0)
+    scored.select(col(idCol),
+      when(best > 0, pred).as("lang_pred"),
+      best.as("lang_score"))
   }
 
   /** Classify documents against trained profiles: per-doc, per-lang score
@@ -101,6 +119,7 @@ object LangProfile {
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val exploded = docs.select(col(idCol),
       explode(charTrigrams(col(textCol))).as("trigram"))
     val scored = exploded

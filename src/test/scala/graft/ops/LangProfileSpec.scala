@@ -14,12 +14,24 @@ class LangProfileSpec extends SparkSpec {
   ).toDF("lang", "text")
 
   test("charTrigrams slides over lowered text") {
+    graft.functions.GraftFunctions.register(spark)
     val tg = Seq("AbCd").toDF("t")
       .select(LangProfile.charTrigrams(col("t"))).collect()(0).getSeq[String](0)
     assert(tg == Seq("abc", "bcd"))
     val short = Seq("ab").toDF("t")
       .select(LangProfile.charTrigrams(col("t"))).collect()(0).getSeq[String](0)
     assert(short == Seq("ab"))
+  }
+
+  test("native char_ngrams equals the composable form on the fixture corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+      LangProfile.charTrigrams(col("text")).as("a"),
+      LangProfile.charTrigramsComposable(col("text")).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(mismatches == 0)
   }
 
   test("train produces per-lang ranked profiles; classify recovers the language") {
@@ -57,19 +69,20 @@ class LangProfileScanSideSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     val scan = LangProfile.classifyScanSide(docs, "doc_id", "text",
       LangProfile.collectProfiles(profiles))
+      .filter(col("lang_pred").isNotNull)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(scan == joined)
   }
 
-  test("classifyScanSide drops no-match docs, same as the inner join") {
+  test("classifyScanSide keeps no-match docs with NULL pred; the inner join drops them") {
     val profiles = LangProfile.train(
       Seq(("en", "the cat sat on the mat")).toDF("lang", "text"), "text", "lang")
     val maps = LangProfile.collectProfiles(profiles)
     val docs = Seq((1L, "the cat"), (2L, "zzzzq")).toDF("doc_id", "text")
     val scan = LangProfile.classifyScanSide(docs, "doc_id", "text", maps)
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     val joined = LangProfile.classify(docs, "doc_id", "text", profiles)
       .collect().map(_.getLong(0)).toSet
-    assert(scan == joined && scan == Set(1L))
+    assert(scan == Map(1L -> Some("en"), 2L -> None) && joined == Set(1L))
   }
 }
