@@ -1,0 +1,140 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.{Merge, Profile, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Curation-pipeline query surfaces: deterministic sampling and mixing,
+  * keyed merge/CDC, and one-pass column profiling. All oracles reproduce
+  * the engine's hash/threshold arithmetic exactly (md5 hex prefixes are
+  * engine-independent), so every query here is hash-checked, not
+  * rows-only.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q63
+  private val q63Cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  private def q63OracleCol(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  CAST(COUNT($c) AS BIGINT) AS non_nulls,
+       |  CAST(COUNT(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS null_count,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(MIN($c) AS VARCHAR) AS min_value,
+       |  CAST(MAX($c) AS VARCHAR) AS max_value
+       |FROM lineitem""".stripMargin
+  val q63 = QuerySpec.sql(
+    "q63_column_profile",
+    s"""SELECT * FROM (
+      |${q63Cols.map(q63OracleCol).mkString("\n", "\nUNION ALL\n", "\n")})
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    // single scan, single aggregate for all columns; exact distincts via
+    // the Expand rewrite (approx=true is the 100 TB path)
+    Profile.columns(Tables.lineitem(s, d), q63Cols).orderBy("col_name")
+  }
+
+  // ---------------------------------------------------------------- q64
+  // Stratified deterministic sample: downsample the common segments, keep
+  // more of the targeted ones. Oracle thresholds come from the SAME
+  // Sampling.fractionThreshold code the operator uses.
+  private val q64Rates = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2)
+  private val q64Default = 0.05
+  val q64 = QuerySpec.sql(
+    "q64_stratified_sample",
+    s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) <
+      |  CASE c_mktsegment
+      |    ${q64Rates.toSeq.sortBy(_._1).map { case (k, f) =>
+             s"WHEN '$k' THEN '${Sampling.fractionThreshold(f)}'" }.mkString("\n    ")}
+      |    ELSE '${Sampling.fractionThreshold(q64Default)}' END
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Sampling.stratified(Tables.customer(s, d), "c_mktsegment", "c_custkey",
+      q64Rates, q64Default)
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q65
+  // Weighted mixing of document sources with provenance: per-source keep
+  // rates applied as scan-side hash predicates, then union.
+  private val q65Head = (0 to 4).map(i => s"src$i")
+  private val q65Mid = (5 to 9).map(i => s"src$i")
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+  private def q65Pred(f: Double) =
+    s"substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.fractionThreshold(f)}'"
+  val q65 = QuerySpec.sql(
+    "q65_weighted_mix",
+    s"""SELECT * FROM (
+      |SELECT doc_id, source, 'head' AS mix_source FROM documents
+      |  WHERE source IN ${inList(q65Head)} AND ${q65Pred(0.9)}
+      |UNION ALL
+      |SELECT doc_id, source, 'mid' AS mix_source FROM documents
+      |  WHERE source IN ${inList(q65Mid)} AND ${q65Pred(0.5)}
+      |UNION ALL
+      |SELECT doc_id, source, 'tail' AS mix_source FROM documents
+      |  WHERE source NOT IN ${inList(q65Head ++ q65Mid)} AND ${q65Pred(0.1)}
+      |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    Sampling.weightedMix(Seq(
+      ("head", docs.filter(col("source").isin(q65Head: _*)), 0.9),
+      ("mid", docs.filter(col("source").isin(q65Mid: _*)), 0.5),
+      ("tail", docs.filter(not(col("source").isin(q65Head ++ q65Mid: _*))), 0.1)),
+      "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q66
+  // Latest-wins upsert: a synthetic correction batch (every 10th order,
+  // price doubled) merged over the base table in one keyed window pass.
+  val q66 = QuerySpec.sql(
+    "q66_upsert_merge",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+      |    AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val base = o.withColumn("version", lit(0L))
+    val updates = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("version", lit(1L))
+    Merge.upsertByKey(base, updates, Seq("o_orderkey"), "version")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q67
+  // CDC apply: disjoint delete/update/insert change sets (deletes win on
+  // their keys, updates patch the price, inserts land on fresh keys)
+  // folded into the base in the same single-shuffle window pass.
+  val q67 = QuerySpec.sql(
+    "q67_cdc_apply",
+    """SELECT * FROM (
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      |       THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS version
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(1 AS BIGINT) AS version
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val base = o.withColumn("version", lit(0L))
+    val deletes = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("version", lit(1L)).withColumn("op", lit("D"))
+    val updates = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("version", lit(1L)).withColumn("op", lit("I"))
+    Merge.applyCdc(base, deletes.unionByName(updates).unionByName(inserts),
+      Seq("o_orderkey"), "version")
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67)
+}

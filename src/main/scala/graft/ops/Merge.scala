@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge operators — the incremental-load half of an ETL engine:
+  * upsert (latest-wins by key) and CDC apply (insert/update/delete
+  * streams folded into a base table).
+  *
+  * Both are one shuffle on the key: union the inputs, window row_number
+  * per key ordered by (version, origin-precedence) descending, keep rank
+  * 1. No join — a join-based merge (base LEFT ANTI updates UNION updates)
+  * shuffles both sides twice and still mishandles multiple updates to one
+  * key in a batch; the window form handles any number of versions per key
+  * in the same pass. At 100 TB the window partitions by key — perfectly
+  * parallel, skew only if one key receives pathological update volume.
+  */
+object Merge {
+
+  /** Latest-wins upsert: rows from `updates` replace same-key rows in
+    * `base`; within `updates`, the highest `versionCol` wins; ties break
+    * toward `updates` over `base`. Schemas must agree by name.
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val tagged = base.withColumn("__origin", lit(0))
+      .unionByName(updates.withColumn("__origin", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__origin").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__origin")
+  }
+
+  /** CDC apply: fold a change stream carrying an `opCol` ('I'/'U'/'D')
+    * and a `versionCol` into `base`. The latest change per key decides:
+    * delete wins by vanishing, insert/update win by replacing; keys with
+    * no change keep their base row. Same single-shuffle window shape as
+    * [[upsertByKey]] — the op column just adds a final filter.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String = "op"): DataFrame = {
+    val tagged = base
+      .withColumn("__origin", lit(0)).withColumn("__op", lit("I"))
+      .unionByName(changes
+        .withColumnRenamed(opCol, "__op").withColumn("__origin", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__origin").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__rn", "__origin", "__op")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass per-column data profiling — the "what is in this table"
+  * operator a pipeline runs before trusting a source (the reference
+  * samples three rows and counts; this is the grown-up version).
+  *
+  * All requested columns are profiled in a SINGLE aggregate over one scan:
+  * the wide one-row result is then unpivoted driver-side into one row per
+  * column (the unpivot is over #cols values — trivially small). Exact
+  * distinct counts use Spark's Expand-based multi-distinct rewrite (still
+  * one scan, #distinct-cols× expanded rows before partial aggregation);
+  * at 100 TB prefer `approx = true`, which keeps the aggregate a plain
+  * single pass of HyperLogLog sketches.
+  */
+object Profile {
+
+  /** Returns (col_name, non_nulls, null_count, n_distinct, min_value,
+    * max_value) with min/max rendered as strings (cast AFTER the typed
+    * min/max, so ordering is the column type's, not lexicographic).
+    */
+  def columns(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nu_$c"),
+        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+          .as(s"nd_$c"),
+        min(col(c)).cast(StringType).as(s"mn_$c"),
+        max(col(c)).cast(StringType).as(s"mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the one-row wide result into one row per profiled column;
+    // stack() keeps this in-plan (no driver collect)
+    val stacked = cols.map(c =>
+      s"'$c', nn_$c, nu_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, non_nulls, null_count, n_distinct, min_value, max_value)")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling and dataset mixing for training-data curation.
+  *
+  * Everything here keys off a content-stable hash of the row id — not
+  * `rand()` — so a sample is reproducible across runs, cluster sizes and
+  * partitionings, and any engine (the DuckDB oracle included) reproduces
+  * it bit-for-bit. The md5-hex-prefix trick is shared with
+  * [[Curation.hashSplit]]: the first 8 hex chars of md5(id) are uniform
+  * on [0, 16^8), so "keep a fraction f" is one string comparison against
+  * a precomputed threshold — a pure scan-side predicate that pushes into
+  * the parquet reader and costs no shuffle anywhere.
+  */
+object Sampling {
+
+  /** hex threshold for fraction f: floor(f * 16^8) as 8 hex chars. */
+  def fractionThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
+    val space = 1L << 32
+    f"${math.min(space - 1, math.floor(f * space).toLong)}%08x"
+  }
+
+  /** The keep-predicate for a fraction: md5-prefix(id) < threshold(f).
+    * Exposed so callers (and oracle SQL) can embed the same predicate.
+    */
+  def keepPredicate(id: Column, fraction: Double): Column =
+    substring(md5(id.cast(StringType)), 1, 8) < lit(fractionThreshold(fraction))
+
+  /** Uniform deterministic sample: keeps ~`fraction` of rows, chosen by
+    * id hash. A pure filter — no shuffle, no state, safe at any scale.
+    */
+  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(keepPredicate(col(idCol), fraction))
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * downsample the dominant language, keep all of a rare one). Strata
+    * not in `rates` keep `defaultRate`. Still a pure scan-side filter:
+    * the rate lookup is a CASE chain over the stratum column, and the
+    * hash compare is per row — no shuffle, no per-stratum pass, unlike
+    * `df.stat.sampleBy` (which is also rand()-based and irreproducible).
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val h = substring(md5(col(idCol).cast(StringType)), 1, 8)
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(fractionThreshold(defaultRate))) { case (rest, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(fractionThreshold(f))).otherwise(rest)
+    }
+    df.filter(h < cut)
+  }
+
+  /** Weighted dataset mixing: per-source deterministic downsampling with a
+    * provenance column — the "mix 30% web, 60% curated, 10% code" step of
+    * a pretraining pipeline. Each source is sampled independently by its
+    * own id hash (scan-side filter), then unioned by NAME (schemas must
+    * agree). Fractions are per-source keep rates, not output proportions:
+    * proportions follow from rate × source size, which is the form that
+    * needs no global count pass.
+    */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.map { case (name, df, fraction) =>
+      uniform(df, idCol, fraction).withColumn("mix_source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic uniform top-n without replacement: the n rows with the
+    * smallest id hash. A distributed TakeOrdered (per-partition top-n,
+    * then merge) — no full sort, no full shuffle. Reproducible across
+    * runs and engines, unlike reservoir sampling.
+    */
+  def deterministicTopN(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("__h", md5(col(idCol).cast(StringType)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .drop("__h")
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform sample is deterministic and ~fraction sized") {
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.uniform(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniform(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 3000) < 150) // md5 prefix is uniform
+  }
+
+  test("uniform sample is monotone in the fraction (nested samples)") {
+    val df = (1L to 5000L).toDF("id")
+    val small = Sampling.uniform(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val big = Sampling.uniform(df, "id", 0.4).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big)) // same hash, higher threshold
+  }
+
+  test("stratified applies per-stratum rates") {
+    val df = (1L to 6000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling.stratified(df, "s", "id", Map("a" -> 0.5, "b" -> 0.1))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 1500) < 150)
+    assert(math.abs(out("b") - 300) < 100)
+    // unknown strata default to rate 0
+    val none = Sampling.stratified(df, "s", "id", Map("zzz" -> 1.0))
+    assert(none.count() == 0)
+  }
+
+  test("weightedMix tags provenance and respects per-source rates") {
+    val a = (1L to 1000L).toDF("id")
+    val b = (1001L to 2000L).toDF("id")
+    val out = Sampling.weightedMix(Seq(("a", a, 1.0), ("b", b, 0.2)), "id")
+      .groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 1000)
+    assert(math.abs(out("b") - 200) < 80)
+  }
+
+  test("deterministicTopN returns exactly n, stable across runs and partitionings") {
+    val df = (1L to 5000L).toDF("id")
+    val a = Sampling.deterministicTopN(df, "id", 100).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicTopN(df.repartition(13), "id", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 100 && a == b)
+  }
+}
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq((1L, "x", 0L), (2L, "y", 0L), (3L, "z", 0L))
+    .toDF("k", "v", "version")
+
+  test("upsertByKey replaces, inserts, and keeps untouched rows") {
+    val updates = Seq((2L, "Y2", 1L), (4L, "w", 1L)).toDF("k", "v", "version")
+    val out = Merge.upsertByKey(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("x", 0L), 2L -> ("Y2", 1L), 3L -> ("z", 0L), 4L -> ("w", 1L)))
+  }
+
+  test("upsertByKey: highest version wins within a batch; tie goes to updates") {
+    val updates = Seq((1L, "v1", 1L), (1L, "v2", 2L), (3L, "tie", 0L))
+      .toDF("k", "v", "version")
+    val out = Merge.upsertByKey(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "v2") // max version
+    assert(out(3L) == "tie") // same version: updates beat base
+  }
+
+  test("applyCdc deletes, updates, and inserts in one pass") {
+    val changes = Seq(
+      (1L, "ignored", 1L, "D"),
+      (2L, "Y2", 1L, "U"),
+      (5L, "new", 1L, "I")).toDF("k", "v", "version", "op")
+    val out = Merge.applyCdc(base, changes, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "Y2", 3L -> "z", 5L -> "new"))
+  }
+
+  test("applyCdc: a later re-insert after delete resurrects the key") {
+    val changes = Seq((1L, "dead", 1L, "D"), (1L, "alive", 2L, "I"))
+      .toDF("k", "v", "version", "op")
+    val out = Merge.applyCdc(base, changes, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alive")
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("columns profiles nulls, distincts and typed min/max in one pass") {
+    val df = Seq[(java.lang.Long, String)](
+      (10L, "b"), (2L, null), (10L, "a"), (null, "c"))
+      .toDF("n", "s")
+    val out = Profile.columns(df, Seq("n", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    // typed ordering: min 2 < 10 numerically ("10" < "2" lexicographically)
+    assert(out("n") == ((3L, 1L, 2L, "2", "10")))
+    assert(out("s") == ((3L, 1L, 3L, "a", "c")))
+  }
+
+  test("approx mode agrees with exact on small cardinalities") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "g")
+    val exact = Profile.columns(df, Seq("g")).collect()(0).getLong(3)
+    val approx = Profile.columns(df, Seq("g"), approx = true).collect()(0).getLong(3)
+    assert(exact == 7L && approx == 7L)
+  }
+
+  test("profile is a single aggregate over one scan (no join, one Aggregate pair)") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val plan = Profile.columns(df, Seq("id", "v")).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty)
+  }
+}
