@@ -136,5 +136,51 @@ object CurationQueries {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67)
+  // ---------------------------------------------------------------- q68
+  // SCD Type 2: three versioned snapshots of the orders price folded into
+  // a validity-ranged history (one keyed window pass, no self-join).
+  val q68 = QuerySpec.sql(
+    "q68_scd2_history",
+    """WITH c AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(0 AS BIGINT) AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * 2, CAST(1 AS BIGINT) FROM orders
+      |    WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * 4, CAST(2 AS BIGINT) FROM orders
+      |    WHERE o_orderkey % 100 = 0)
+      |SELECT o_orderkey, o_totalprice, version,
+      |  version AS valid_from,
+      |  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to,
+      |  CAST(CASE WHEN LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM c ORDER BY o_orderkey, version""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val changes = o.withColumn("version", lit(0L))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("version", lit(1L)))
+      .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 4)
+        .withColumn("version", lit(2L)))
+    graft.ops.Scd.history(changes, Seq("o_orderkey"), "version")
+      .withColumn("is_current", col("is_current").cast("int"))
+      .orderBy("o_orderkey", "version")
+  }
+
+  // ---------------------------------------------------------------- q69
+  // Fixed-width histogram: explicit bin geometry (no min/max pre-pass),
+  // one aggregate, decimal-exact per-bin sums.
+  val q69 = QuerySpec.sql(
+    "q69_histogram",
+    """SELECT FLOOR(o_totalprice / 25000.0) * 25000.0 + 0.0 AS bin_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+      |FROM orders WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1 ORDER BY bin_start""".stripMargin) { (s, d) =>
+    Profile.histogram(Tables.orders(s, d), "o_totalprice", binWidth = 25000.0)
+      .orderBy("bin_start")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69)
 }

@@ -278,5 +278,40 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59, q60)
+  // ---------------------------------------------------------------- q70
+  // Streaming exact dedup with bounded state: a real Structured Streaming
+  // run (file source -> watermark -> dropDuplicatesWithinWatermark ->
+  // append log), drained with AvailableNow. The output is the distinct
+  // key set, which is deterministic even though WHICH duplicate row
+  // survives is not — so the DuckDB oracle is a plain DISTINCT.
+  val q70 = QuerySpec.sql(
+    "q70_streaming_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q70_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q70_ckpt").toString
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    val deduped = graft.streaming.FileIngest.dedupByKey(
+      stream, Seq("user_id", "event_type"), "ts", "1 hour")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59,
+    q60, q70)
 }

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2: turn a keyed change stream into a
+  * history table with validity ranges — every version of every key is
+  * kept, stamped [valid_from, valid_to) with `is_current` on the open
+  * row. The warehouse-side complement of [[Merge.upsertByKey]] (which
+  * keeps only the latest version).
+  *
+  * One shuffle on the key: validity is a per-key `lead` over the version
+  * column — no self-join against "the previous version" (the join form
+  * shuffles twice and breaks when a batch carries several versions of one
+  * key). Version can be any ordered type (event time, batch id, LSN).
+  */
+object Scd {
+
+  /** Stamp validity ranges onto a change stream: valid_from = the row's
+    * version, valid_to = the next version of the same key (NULL = still
+    * current), is_current = no later version exists.
+    */
+  def history(changes: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** The rows valid at a point in time: valid_from <= at < valid_to. */
+  def asAt(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+}

@@ -60,4 +60,17 @@ object FileIngest {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
   }
+
+  /** Streaming exact dedup by key with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per key and expires
+    * key state once the watermark passes — the streaming half of
+    * [[graft.ops.Dedup.exact]]. Without the watermark bound, dedup state
+    * grows with the key cardinality forever; with it, state is
+    * O(keys per watermark window). Plan transformer: batch tests and the
+    * declared query apply it to a real stream.
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -92,6 +92,32 @@ class MergeSpec extends SparkSpec {
   }
 }
 
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("history stamps validity ranges; asAt reconstructs any point in time") {
+    val changes = Seq(
+      (1L, "a0", 0L), (1L, "a1", 5L), (1L, "a2", 9L),
+      (2L, "b0", 3L)).toDF("k", "v", "version")
+    val h = Scd.history(changes, Seq("k"), "version")
+    val rows = h.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5))).toSet
+    assert(rows == Set(
+      (1L, "a0", 0L, Some(5L), false),
+      (1L, "a1", 5L, Some(9L), false),
+      (1L, "a2", 9L, None, true),
+      (2L, "b0", 3L, None, true)))
+    val at7 = Scd.asAt(h, lit(7L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at7 == Map(1L -> "a1", 2L -> "b0"))
+    // before key 2 existed
+    val at1 = Scd.asAt(h, lit(1L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at1 == Map(1L -> "a0"))
+  }
+}
+
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
@@ -114,10 +140,34 @@ class ProfileSpec extends SparkSpec {
     assert(exact == 7L && approx == 7L)
   }
 
-  test("profile is a single aggregate over one scan (no join, one Aggregate pair)") {
-    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
-    val plan = Profile.columns(df, Seq("id", "v")).queryExecution.optimizedPlan
-    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-    assert(joins.isEmpty)
+  test("single-pass and per-column forms agree; neither plans a join") {
+    val df = Seq[(java.lang.Long, String)](
+      (10L, "b"), (2L, null), (10L, "a"), (null, "c")).toDF("n", "s")
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSet
+    val perCol = Profile.columns(df, Seq("n", "s"))
+    val onePass = Profile.columns(df, Seq("n", "s"), singlePass = true)
+    assert(rows(perCol) == rows(onePass))
+    Seq(perCol, onePass).foreach { p =>
+      val joins = p.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty)
+    }
+  }
+
+  test("histogram bins by explicit geometry with decimal-exact sums") {
+    val df = Seq(0.0, 10.0, 24.99, 25.0, 49.5, 100.0).toDF("x")
+    val out = Profile.histogram(df, "x", binWidth = 25.0).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0.0) == ((3L, 34.99)))
+    assert(out(25.0) == ((2L, 74.5)))
+    assert(out(100.0) == ((1L, 100.0)))
+    // nulls are excluded, origin shifts the grid
+    val shifted = Profile.histogram(
+      Seq[java.lang.Double](5.0, null, 6.0).toDF("x"), "x", 10.0, origin = 5.0)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(shifted == Map(5.0 -> 2L))
   }
 }
