@@ -449,6 +449,42 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q71
+  // Near-dup clustering: the q33 pair graph collapsed to exact connected
+  // components (min id labels the cluster). The oracle replays the
+  // all-pairs referee and closes it transitively with a recursive CTE —
+  // the engine plan is the banded-LSH pair generation plus an
+  // O(diameter)-round min-label propagation.
+  val q71 = QuerySpec.sql(
+    "q71_neardup_clusters",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3 AS sh FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach)
+      |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      |FROM rec GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71)
 }

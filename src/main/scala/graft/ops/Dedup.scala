@@ -178,14 +178,63 @@ object Dedup {
 
   /** Star-collapse representative assignment: every doc appearing in a
     * near-dup pair maps to the min id it pairs with (one extra join, not a
-    * full connected-components fixpoint — document the approximation; a
-    * fixpoint needs O(diameter) iterations and is rarely worth it for
-    * dedup, where clusters are small and dense).
+    * full connected-components fixpoint — an approximation that can split
+    * a chain a-b-c into two clusters; [[connectedComponents]] is the
+    * exact form).
     */
   def representatives(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("id"), col("id_a").as("rep"))
       .union(pairs.select(col("id_a").as("id"), col("id_a").as("rep")))
       .groupBy("id").agg(min("rep").as("rep"))
+
+  /** Exact connected components over the near-dup pair graph: every node
+    * labels itself with the minimum id of its component (min-label
+    * propagation / "hash-to-min"), so chains a-b-c land in ONE cluster —
+    * the pairs→clusters→canonical step of a dedup pipeline.
+    *
+    * Each iteration is one join + one aggregate, labels materialized with
+    * localCheckpoint (executor storage) so the loop's lineage stays flat;
+    * convergence is O(graph diameter) iterations — near-dup components
+    * are small and dense, so 2-3 in practice (`maxIter` is a guard, and
+    * the loop stops on the first iteration that changes no label: one
+    * extra count per round on a frame of one row per node). At huge
+    * diameters the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce") halves rounds;
+    * not needed at dedup's cluster shapes.
+    *
+    * Returns (id, cluster_id) for every id appearing in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label")).localCheckpoint()
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Canonical-document selection: drop every doc that near-dups a
+    * smaller-id doc (exact components, min id survives per cluster).
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 
   // ----------------------------------------------------------- simhash
 

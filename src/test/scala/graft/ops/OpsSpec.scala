@@ -94,6 +94,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("connectedComponents closes chains exactly; star-collapse does not") {
+    // chain 1-2, 2-6: one component labeled 1, even though (1,6) is no pair
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 7L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 3L -> 3L, 7L -> 3L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 1-2-3-...-9: diameter 8, single component
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 9)
+  }
+
+  test("dropNearDups keeps the min id per cluster and all unpaired docs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1,2,4 cluster -> keep 1; 3 and 5 unpaired -> kept
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("simhash: identical docs same signature, near-dups within small hamming") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
