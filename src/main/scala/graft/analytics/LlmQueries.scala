@@ -485,6 +485,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q72
+  // Semantic (embedding-space) dedup clusters: q56's LSH-blocked cosine
+  // pair graph collapsed to exact connected components — composition of
+  // two existing scale paths (bucket equi-join pair generation, then
+  // O(diameter) min-label rounds). The oracle replays the bit-exact
+  // blocking and closes it with a recursive CTE.
+  val q72 = QuerySpec.sql(
+    "q72_embedding_clusters",
+    s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("embedding", b)} AS b$b").mkString(",\n    ")}
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CASE WHEN a.nm * b.nm > 0
+      |      THEN ${duckDot("a.e", "b.e")} / (a.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    AND (${(0 until q56Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE sim >= 0.4
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach)
+      |SELECT id AS vec_id, LEAST(id, MIN(r)) AS cluster_id
+      |FROM rec GROUP BY id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val pairs = Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.4, bands = q56Bands, planesPerBand = q56Planes)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72)
 }
