@@ -312,6 +312,60 @@ object Extras {
     s.read.parquet(outDir).orderBy("user_id", "event_type")
   }
 
+  // ---------------------------------------------------------------- q73
+  // Stream-stream inner join with an event-time range condition: views
+  // joined to same-user purchases within 30 minutes. Both sides carry
+  // watermarks, so join state for rows older than watermark+range is
+  // dropped — the bounded-state form; without the time condition the
+  // right side would buffer forever. Executed as a real AvailableNow run
+  // (append mode emits each matched pair exactly once).
+  val q73 = QuerySpec.sql(
+    "q73_stream_stream_join",
+    """SELECT e1.user_id,
+      |  CAST(e1.ts AS TIMESTAMP) AS view_ts,
+      |  CAST(e2.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+      |  AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+      |  AND CAST(e2.ts AS TIMESTAMP) >= CAST(e1.ts AS TIMESTAMP)
+      |  AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY e1.user_id, view_ts, purchase_ts""".stripMargin) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q73_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q73_ckpt").toString
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      // watermarks require TIMESTAMP (not NTZ); the session is pinned UTC
+      // so the instant equals the NTZ value — outputs cast back to NTZ at
+      // the sink for oracle alignment
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("user_id", "view_ts", "purchase_ts")
+  }
+
   val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59,
-    q60, q70)
+    q60, q70, q73)
 }
