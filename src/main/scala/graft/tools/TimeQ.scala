@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Scratch per-query timer (delete before round end). args: qname [shufflePartitions] */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    if (args.length > 1) spark.conf.set("spark.sql.shuffle.partitions", args(1))
+    val fn = graft.SparkEntry.queries(args(0))
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"[time] ${args(0)} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
