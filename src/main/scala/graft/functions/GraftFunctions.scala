@@ -23,6 +23,10 @@ object GraftFunctions {
         "lang_scores", exprs => LangScores(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "char_ngrams", exprs => CharNgrams(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sigs", exprs => MinHashSigs(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "word_shingles", exprs => WordShingles(exprs(0), exprs(1), exprs(2)), "scala_udf")
     }
   }
 
@@ -42,4 +46,16 @@ object GraftFunctions {
     */
   def char_ngrams(text: Column, n: Column): Column =
     call_function("char_ngrams", text, n)
+
+  /** Scan-side MinHash signature of a shingle array (see
+    * [[MinHashSigs]]). Requires `register(spark)` on the session.
+    */
+  def minhash_sigs(shingles: Column, numHashes: Column): Column =
+    call_function("minhash_sigs", shingles, numHashes)
+
+  /** One-loop deduplicated word k-shingles (see [[WordShingles]]).
+    * Requires `register(spark)` on the session.
+    */
+  def word_shingles(text: Column, k: Column, sep: Column): Column =
+    call_function("word_shingles", text, k, sep)
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deduplicated word k-shingles of a text column in one per-row loop:
+  * `word_shingles(text, k, sep)` -> array<string> of the contiguous
+  * k-token windows joined by `sep`, first-occurrence order, with the
+  * whole joined token list as single fallback element for texts shorter
+  * than k tokens.
+  *
+  * Bit-parity with the composable form (whitespace split -> filter
+  * empties -> zip of k shifted slices -> concat_ws -> array_distinct):
+  * same `\s+` Java regex, same separator, same fallback, same distinct
+  * order — shingle STRINGS feed seeded xxhash64 MinHash, so any byte
+  * difference would silently change signatures. Why native: the
+  * composable form evaluates interpreted higher-order lambdas over
+  * per-token arrays (measured 0.57 s for 5k docs at sf0.1 vs ~0.1 s for
+  * this loop), and it sits under every near-dup signature and verify.
+  */
+case class WordShingles(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, StringType)
+        if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "word_shingles expects (string, foldable int, foldable string), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+            s"${third.dataType.simpleString})")
+    }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(text: Any, kVal: Any, sepVal: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    val k = kVal.asInstanceOf[Int]
+    val sep = sepVal.asInstanceOf[UTF8String].toString
+    val toks = ws.split(s).filter(_.nonEmpty)
+    if (toks.length < k) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(sep))))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(sep)
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): WordShingles =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "word_shingles"
+}

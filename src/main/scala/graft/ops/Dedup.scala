@@ -47,15 +47,23 @@ object Dedup {
   val ShingleSep = "\u0001"
 
   /** Word k-shingles of a text column (contiguous token windows joined by
-    * [[ShingleSep]]), deduplicated.
+    * [[ShingleSep]]), deduplicated — the native one-loop form
+    * ([[graft.functions.WordShingles]]); [[shinglesComposable]] is the
+    * built-in-only referee, pinned bit-identical in DedupSpec. Callers
+    * must have run GraftFunctions.register (every Dedup entry point does).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.GraftFunctions.word_shingles(text, lit(k), lit(ShingleSep))
+
+  /** Built-in-only referee for [[shingles]]: zip k shifted slices of the
+    * token array rather than slicing inside a per-index lambda — free
+    * variables in a lambda body are re-evaluated per element, which would
+    * re-tokenize the document once per shingle (O(n^2)); the zip form
+    * tokenizes k times (O(n*k)).
+    */
+  def shinglesComposable(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
     val n = size(toks)
-    // Shingle by zipping k shifted slices of the token array rather than
-    // slicing inside a per-index lambda: free variables in a lambda body
-    // are re-evaluated per element, which would re-tokenize the document
-    // once per shingle (O(n^2)); the zip form tokenizes k times (O(n*k)).
     val windows = n - lit(k - 1)
     val zipped = arrays_zip((0 until k).map(j => slice(toks, lit(j + 1), windows)): _*)
     array_distinct(
@@ -81,21 +89,43 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(i, s))))
   }
 
-  /** Bulk MinHash signatures: explode shingles to rows (shingling runs
-    * once per document), then numHashes partial-aggregated MINs. The
-    * shuffle carries only (id, 64 longs) after map-side combine — at
-    * 100 TB this is the only shape that works. Documents with no shingles
-    * (empty text) are dropped — they cannot near-dup anything.
+  /** Bulk MinHash signatures, computed SCAN-SIDE by the native
+    * `minhash_sigs` expression: one per-row loop over the shingle array,
+    * signatures available in the same stage as the scan — no explode, no
+    * shuffle, nothing materialized (the exploded+aggregated referee form
+    * below pushes docs × shingles rows through a 64-buffer MIN aggregate;
+    * measured ~2 s slower per query at sf0.1). Documents with no shingles
+    * are dropped — they cannot near-dup anything.
     *
     * Hash family: numHashes INDEPENDENT seeded xxhash64 calls per
-    * shingle. Kirsch-Mitzenmacher double hashing (h1 + i·h2) was tried
-    * and REVERTED: its per-shingle hash values are correlated across i,
-    * which correlates the per-band minima and measurably drops banding
-    * recall — it missed a planted j>=0.9 near-dup pair at sf0.01 that the
-    * independent family catches with P(miss) ~ 4e-8. Bloom-filter lore
-    * does not transfer to min-wise hashing.
+    * shingle (bit-identical with the exploded form — same
+    * XxHash64Function chain). Kirsch-Mitzenmacher double hashing
+    * (h1 + i·h2) was tried and REVERTED: its per-shingle hash values are
+    * correlated across i, which correlates the per-band minima and
+    * measurably drops banding recall — it missed a planted j>=0.9
+    * near-dup pair at sf0.01 that the independent family catches with
+    * P(miss) ~ 4e-8. Bloom-filter lore does not transfer to min-wise
+    * hashing.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // drop null-text docs on the INPUT side: a filter on the computed sig
+    // would push below the projection by alias substitution and evaluate
+    // the whole signature expression twice per row (non-null text always
+    // yields >= 1 shingle, so sig is never null past this point)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.minhash_sigs(
+          shingles(col(textCol), shingleK), lit(numHashes)).as("sig"))
+  }
+
+  /** Built-in-only referee for [[minHashSignatures]]: explode shingles to
+    * rows (shingling runs once per document), then numHashes
+    * partial-aggregated MINs — the shuffle carries only (id, 64 longs)
+    * after map-side combine. DedupSpec pins it equal to the native form.
+    */
+  def minHashSignaturesExploded(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
     val exploded = docs.select(col(idCol),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
@@ -108,13 +138,21 @@ object Dedup {
     * (band, bandHash, id). Docs sharing any band bucket are candidates.
     * rowsPerBand = numHashes / bands controls precision/recall:
     * P(candidate) = 1 - (1 - j^r)^b for Jaccard j.
+    *
+    * Band hashes are built as EXPLICIT per-band columns, not a
+    * `transform(sequence(...))` lambda: when sigCol is a projection alias
+    * (the scan-side `minhash_sigs` path), a single lambda reference gets
+    * inlined by CollapseProject and then re-evaluates the whole signature
+    * expression PER BAND (free variables in lambda bodies re-evaluate per
+    * element); with `bands`+1 explicit references the multi-reference
+    * non-cheap-alias protection keeps the signature evaluated once.
+    * Output is bit-identical (same xxhash64-over-joined-slice per band).
     */
   def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
     val rowsPer = floor(size(col(sigCol)) / bands)
-    df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col(sigCol), b * rowsPer + 1, rowsPer)))))
-        .as(Seq("band", "band_hash")))
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), concat_ws(",", slice(col(sigCol), lit(b) * rowsPer + 1, rowsPer)))): _*)
+    df.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The
@@ -142,6 +180,7 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val ids = pairs.select(col("id_a").as("__cid"))
       .union(pairs.select(col("id_b").as("__cid"))).distinct()
     val candidates = docs.join(ids, col(idCol) === col("__cid"), "left_semi")

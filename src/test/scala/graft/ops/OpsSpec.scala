@@ -94,6 +94,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("native word_shingles is bit-identical with the composable form") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = fixture.select(
+      Dedup.shingles(col("text"), 3).as("a"),
+      Dedup.shinglesComposable(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mismatches == 0)
+    // short-text fallback + dedup-within-doc parity
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "a b a b a b", "  padded   out  ").toDF("text")
+    val m2 = edge.select(Dedup.shingles(col("text"), 3).as("a"),
+      Dedup.shinglesComposable(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(m2 == 0)
+  }
+
+  test("native minhash_sigs is bit-identical with the exploded aggregate form") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val native = Dedup.minHashSignatures(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = Dedup.minHashSignaturesExploded(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == exploded)
+  }
+
   test("connectedComponents closes chains exactly; star-collapse does not") {
     // chain 1-2, 2-6: one component labeled 1, even though (1,6) is no pair
     val pairs = Seq((1L, 2L), (2L, 6L), (3L, 7L)).toDF("id_a", "id_b")
