@@ -182,5 +182,21 @@ object CurationQueries {
       .orderBy("bin_start")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69)
+  // ---------------------------------------------------------------- q74
+  // Per-group cap: at most 8 docs per source, uniformly + deterministically
+  // chosen by id hash — the "no domain dominates the mix" curation step.
+  val q74 = QuerySpec.sql(
+    "q74_capped_per_source",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 8 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.cappedPerGroup(
+      Tables.documents(s, d).select("doc_id", "source"), "source", "doc_id", 8)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74)
 }

@@ -78,4 +78,20 @@ object Sampling {
       .orderBy(col("__h"), col(idCol))
       .limit(n)
       .drop("__h")
+
+  /** Per-group cap: at most `n` rows per group, chosen uniformly and
+    * deterministically by id hash — "no domain contributes more than N
+    * documents". One shuffle on the group key; the per-group sort is a
+    * window over each group's rows only, and rank ties are impossible
+    * (the id breaks them).
+    */
+  def cappedPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -42,6 +42,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("b") - 200) < 80)
   }
 
+  test("cappedPerGroup caps each group, keeps small groups whole, is repartition-stable") {
+    val df = (1L to 900L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .union(Seq((1000L, "tiny")).toDF("id", "g"))
+    val out = Sampling.cappedPerGroup(df, "g", "id", 10)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L, "tiny" -> 1L))
+    val a = out.collect().map(_.getLong(0)).toSet
+    val b = Sampling.cappedPerGroup(df.repartition(17), "g", "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("deterministicTopN returns exactly n, stable across runs and partitionings") {
     val df = (1L to 5000L).toDF("id")
     val a = Sampling.deterministicTopN(df, "id", 100).collect().map(_.getLong(0)).toSet
