@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * it bit-for-bit. The md5-hex-prefix trick is shared with
   * [[Curation.hashSplit]]: the first 8 hex chars of md5(id) are uniform
   * on [0, 16^8), so "keep a fraction f" is one string comparison against
-  * a precomputed threshold — a pure scan-side predicate that pushes into
-  * the parquet reader and costs no shuffle anywhere.
+  * a precomputed threshold — evaluated in the scan stage (an expression
+  * predicate is not parquet-reader-pushable, but it pipelines with the
+  * scan) and costs no shuffle anywhere.
   */
 object Sampling {
 

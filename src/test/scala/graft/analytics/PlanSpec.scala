@@ -70,4 +70,41 @@ class PlanSpec extends SparkSpec {
     // classification itself adds a projection and a sort only.
     assert(p.contains("lang_scores"), "native lang_scores expression missing from plan")
   }
+
+  test("q33: signatures are scan-side and evaluated exactly once") {
+    val p = plan("q33_jaccard_pairs")
+    // the native expression must appear exactly once per consuming subtree
+    // (banding + verify-side recompute would each show an extra copy if a
+    // lambda inline or filter pushdown duplicated it); the signature
+    // pipeline must not plan an explode-side aggregate
+    val n = "minhash_sigs".r.findAllIn(p).size
+    assert(n <= 2, s"minhash_sigs duplicated $n times in the physical plan")
+    assert(p.contains("word_shingles"), "native word_shingles missing from plan")
+  }
+
+  test("q63: per-column profile plans no join and no Expand") {
+    val p = plan("q63_column_profile")
+    assert(!p.contains("Expand"), "default profile form must avoid the multi-distinct Expand")
+    Seq("SortMergeJoin", "BroadcastHashJoin").foreach(j =>
+      assert(!p.contains(j), s"profile planned a $j"))
+  }
+
+  test("q66: keyed upsert merge is a single shuffle (one Exchange before the window)") {
+    val p = plan("q66_upsert_merge")
+    // union + window + filter: exchanges = one for the window partition
+    // + one for the final orderBy; a join-based merge would add two more
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"merge plans $exchanges exchanges:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "merge must not plan a join")
+  }
+
+  test("q64: stratified sample is a scan-stage filter — no shuffle before output sort") {
+    val p = plan("q64_stratified_sample")
+    // the md5-threshold predicate is not parquet-pushable (expression on
+    // md5), but it must evaluate in the scan stage: the only exchange is
+    // the final orderBy's range partitioning
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling added a shuffle:\n${p.take(800)}")
+  }
 }
