@@ -19,6 +19,29 @@ object Bench {
     // measure the engine, not first-call classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Also warm the Structured Streaming machinery (micro-batch planner,
+    // state store provider): the first streaming query otherwise pays
+    // several seconds of one-time classloading inside its timed window.
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_warm_ckpt").toString
+      val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.specs.map { q =>
       val t0 = System.nanoTime()
