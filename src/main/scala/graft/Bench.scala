@@ -43,15 +43,23 @@ object Bench {
       q.awaitTermination()
     } catch { case _: Throwable => () }
 
+    // Median-of-N per query (default 3): a single cold run is dominated by
+    // JIT/GC noise — round-2 showed 3× swings on queries whose code had not
+    // changed. The median of three back-to-back runs is robust to one GC
+    // pause without hiding a real regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.specs.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    } ++ etlTiming(spark, sfDir)
+      q.name -> times.sorted.apply(times.size / 2)
+    } ++ etlTiming(spark, sfDir, reps)
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -65,7 +73,7 @@ object Bench {
     * the fixture tables (CSV export itself is untimed prep).
     */
   private def etlTiming(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Seq[(String, Double)] = {
+      sfDir: String, reps: Int): Seq[(String, Double)] = {
     try {
       import graft.connect.{FileStore, TableRef, WarehouseStore}
       import graft.pipeline.{Ingest, Transfer, VerifyCleanup}
@@ -77,42 +85,56 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
           .write.option("header", "true").mode("overwrite").csv(s"$root/stage0/$t")
       }
-      // flatten part-files into one folder of csvs (prep, untimed)
+      // flatten part-files into a pristine copy of the source csvs (prep,
+      // untimed); each rep re-copies from here because ingest archives its
+      // inputs away
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       tables.foreach { t =>
         val dir = new org.apache.hadoop.fs.Path(s"$root/stage0/$t")
         val parts = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
         parts.foreach { p =>
-          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(s"$root/src/$t.csv"))
+          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(s"$root/pristine/$t.csv"))
         }
       }
-      val t0 = System.nanoTime()
-      val staging = new FileStore(spark, s"$root/staging", "staging")
-      val warehouse = new WarehouseStore(spark, s"$root/warehouse")
-      // multiLine=false: these exports carry no quoted newlines, so each
-      // CSV parses SPLITTABLY across the cluster instead of one task per
-      // file — the right configuration whenever the source contract
-      // guarantees it (PipelineSpec covers the multiLine=true path)
-      val ing = Ingest.ingestFolder(spark, s"$root/src", s"$root/archive", staging,
-        multiLine = false)
-      // independent table copies submit concurrently (fair scheduling);
-      // per-write metrics are path-attributed so verification stays exact
-      val tr = Transfer.transfer(staging, warehouse, "rds", parallelism = 8)
-      val cleaned = {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result(Future.traverse(tr.transferred) { r =>
-          Future(VerifyCleanup.verifyThenTruncate(staging, TableRef("staging", r.table),
-            warehouse, TableRef("warehouse", r.target)))
-        }, Duration.Inf)
-        finally pool.shutdown()
+      val times = (1 to reps).map { rep =>
+        tables.foreach { t =>
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$root/pristine/$t.csv"),
+            fs, new org.apache.hadoop.fs.Path(s"$root/src/$t.csv"),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
+        Seq("staging", "warehouse", "archive").foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d-$rep"), true)
+        }
+        val t0 = System.nanoTime()
+        val staging = new FileStore(spark, s"$root/staging-$rep", "staging")
+        val warehouse = new WarehouseStore(spark, s"$root/warehouse-$rep")
+        // multiLine=false: these exports carry no quoted newlines, so each
+        // CSV parses SPLITTABLY across the cluster instead of one task per
+        // file — the right configuration whenever the source contract
+        // guarantees it (PipelineSpec covers the multiLine=true path)
+        val ing = Ingest.ingestFolder(spark, s"$root/src", s"$root/archive-$rep",
+          staging, multiLine = false)
+        // independent table copies submit concurrently (fair scheduling);
+        // per-write metrics are path-attributed so verification stays exact
+        val tr = Transfer.transfer(staging, warehouse, "rds", parallelism = 8)
+        val cleaned = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.traverse(tr.transferred) { r =>
+            Future(VerifyCleanup.verifyThenTruncate(staging, TableRef("staging", r.table),
+              warehouse, TableRef("warehouse", r.target)))
+          }, Duration.Inf)
+          finally pool.shutdown()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ok = ing.ok && tr.ok && cleaned.forall(c => c.verified && c.truncated)
+        if (!ok) System.err.println("[bench] etl_pipeline had failures")
+        secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      val ok = ing.ok && tr.ok && cleaned.forall(c => c.verified && c.truncated)
-      if (!ok) System.err.println("[bench] etl_pipeline had failures")
-      Seq("etl_pipeline" -> secs)
+      Seq("etl_pipeline" -> times.sorted.apply(times.size / 2))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")

@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM image header parser: container formats carry their pixel
+  * dimensions in the first bytes, so width/height/channels need NO codec —
+  * just byte arithmetic. Supported: PNG, BMP, GIF, binary/ASCII PPM/PGM,
+  * and JPEG (marker-segment scan to SOF). Anything else → null.
+  *
+  * This is the real replacement for the former hash-based decode stub
+  * (the container ships no codec libraries, but headers never needed
+  * one): pixel DEcoding stays out of scope, header metadata is genuine.
+  */
+object ImageHeaders {
+
+  /** Parse image header metadata from payload bytes.
+    * @return InternalRow(format: UTF8String, width: Int, height: Int,
+    *         channels: Int) or null if the payload is not a recognized
+    *         image container.
+    */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 2) return null
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    if (b0 == 0x89 && b1 == 0x50) png(bytes)
+    else if (b0 == 'B' && b1 == 'M') bmp(bytes)
+    else if (b0 == 'G' && b1 == 'I') gif(bytes)
+    else if (b0 == 'P' && b1 >= '2' && b1 <= '6') pnm(bytes)
+    else if (b0 == 0xff && b1 == 0xd8) jpeg(bytes)
+    else null
+  }
+
+  private def row(fmt: String, w: Int, h: Int, c: Int): InternalRow =
+    if (w <= 0 || h <= 0) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
+      w, h, c))
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (length+type+13 bytes):
+    * width/height big-endian at offsets 16/20, color type at 25.
+    */
+  private def png(b: Array[Byte]): InternalRow = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 26) return null
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return null; i += 1 }
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette
+      case 4 => 2 // grey+alpha
+      case 6 => 4 // truecolor+alpha
+      case _ => return null
+    }
+    row("png", be32(b, 16), be32(b, 20), channels)
+  }
+
+  /** BMP: BITMAPINFOHEADER (and later variants) carry signed
+    * little-endian width at 18, height at 22 (negative = top-down row
+    * order — dimensions are the absolute value), bits-per-pixel at 28.
+    */
+  private def bmp(b: Array[Byte]): InternalRow = {
+    if (b.length < 30) return null
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null // BITMAPCOREHEADER not supported
+    val bpp = le16(b, 28)
+    val channels = if (bpp <= 8) 1 else bpp / 8
+    row("bmp", le32(b, 18), math.abs(le32(b, 22)), channels)
+  }
+
+  /** GIF87a/GIF89a: logical screen width/height little-endian at 6/8. */
+  private def gif(b: Array[Byte]): InternalRow = {
+    if (b.length < 10) return null
+    val v = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (v != "GIF87a" && v != "GIF89a") return null
+    row("gif", le16(b, 6), le16(b, 8), 3)
+  }
+
+  /** Netpbm P2/P3 (ASCII) and P5/P6 (binary): magic, then
+    * whitespace/comment-separated decimal width and height.
+    */
+  private def pnm(b: Array[Byte]): InternalRow = {
+    val channels = b(1) match {
+      case '2' | '5' => 1 // PGM greyscale
+      case '3' | '6' => 3 // PPM rgb
+      case _ => return null
+    }
+    var i = 2
+    def skipSeparators(): Boolean = {
+      var seen = false
+      var more = true
+      while (more && i < b.length) {
+        val c = b(i) & 0xff
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { seen = true; i += 1 }
+        else if (c == '#') { seen = true; while (i < b.length && b(i) != '\n') i += 1 }
+        else more = false
+      }
+      seen
+    }
+    def readInt(): Int = {
+      var v = 0L
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    if (!skipSeparators()) return null
+    val w = readInt()
+    if (!skipSeparators()) return null
+    val h = readInt()
+    row(if (channels == 1) "pgm" else "ppm", w, h, channels)
+  }
+
+  /** JPEG: walk marker segments from SOI to the first start-of-frame
+    * (SOF0..SOF15, excluding DHT/DAC/RST); height/width big-endian at
+    * +5/+7 into the SOF payload, component count at +9.
+    */
+  private def jpeg(b: Array[Byte]): InternalRow = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return null
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers carry no length
+      } else {
+        val len = be16(b, i + 2)
+        if (len < 2) return null
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length) return null
+          return row("jpeg", be16(b, i + 7), be16(b, i + 5), b(i + 9) & 0xff)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+}
+
+/** Catalyst expression wrapping [[ImageHeaders.parse]]:
+  * `image_meta(binary)` → `struct<format string, width int, height int,
+  * channels int>`, null for unrecognized payloads. Codegen is a static
+  * call — the parser reads a handful of header bytes, so the win over an
+  * interpreted UDF is avoiding per-row boxing/serialization, not the loop
+  * body itself.
+  */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_meta expects binary, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ImageHeaders.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parsed = ctx.freshName("imageMeta")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        InternalRow $parsed = graft.functions.ImageHeaders.parse(${childGen.value});
+        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_meta"
+}

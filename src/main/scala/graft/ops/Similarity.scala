@@ -175,21 +175,52 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) via banded
     * hyperplane-LSH blocking + exact verify; id_a < id_b. Recall at
     * cosine c: 1 - (1 - (1 - acos(c)/pi)^planesPerBand)^bands.
+    *
+    * Shuffle discipline (the 100 TB shape): candidate generation carries
+    * (band, bucket, id) ONLY — at production embedding dims (1k-4k floats)
+    * a vector payload on the banded exchange would move bands × n × dim
+    * floats. Vectors are fetched afterwards for just the ids that appear
+    * in a candidate pair (semi-join, then two id-keyed joins), mirroring
+    * [[Dedup.verifyJaccard]]. The candidate set is localCheckpointed:
+    * the verify consumes it three times and each lazy re-evaluation would
+    * re-run the banding subtree.
     */
+  /** Candidate (id_a, id_b) pairs from the banded bucket join — the only
+    * stage that shuffles the whole corpus, and it moves three scalar
+    * columns per exploded row. Exposed separately so plan guards can
+    * assert the exchange payload (localCheckpoint in the caller truncates
+    * lineage, hiding this subtree from the final plan).
+    */
+  def embeddingCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val buckets = df.select(col(idCol).as("id"),
+      posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
+        .as(Seq("band", "bucket")))
+    val l = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val b = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
-        .as(Seq("band", "bucket"))), "vec", "__n")
-    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("__pv"), col("__n").as("__pn"))
-    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("__cv"), col("__n").as("__cn"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = embeddingCandidatePairs(df, idCol, vecCol, bands, planesPerBand)
+      .localCheckpoint()
+    val ids = pairs.select(col("id_a").as("__cid"))
+      .union(pairs.select(col("id_b").as("__cid"))).distinct()
+    val vecs = withNorm(
+      df.join(ids, col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__n")
+    pairs
+      .join(vecs.select(col("__id"), col("__v").as("__pv"), col("__n").as("__pn")),
+        col("id_a") === col("__id")).drop("__id")
+      .join(vecs.select(col("__id"), col("__v").as("__cv"), col("__n").as("__cn")),
+        col("id_b") === col("__id")).drop("__id")
       .select(col("id_a"), col("id_b"), pairSim.as("sim"))
-      .distinct()
       .filter(col("sim") >= threshold)
   }
 }

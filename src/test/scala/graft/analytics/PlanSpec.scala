@@ -99,6 +99,31 @@ class PlanSpec extends SparkSpec {
       "merge must not plan a join")
   }
 
+  test("q56/q72 candidate stage: no exchange carries an embedding vector") {
+    // embeddingNearDups must fetch vectors by semi-join AFTER candidate
+    // generation: the banded shuffle moves (band, bucket, id) only. At
+    // production dims a vector on that exchange is 4-16 KB per row per
+    // band. Walk every shuffle in the candidate plan and assert no
+    // array-typed attribute rides it.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = graft.ops.Similarity.embeddingCandidatePairs(
+      graft.analytics.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      bands = 4, planesPerBand = 4)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "expected at least the banded-join exchange")
+    shuffles.foreach { s =>
+      val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"exchange carries array columns ${arrays.map(_.name).mkString(",")}: $s")
+    }
+  }
+
   test("q64: stratified sample is a scan-stage filter — no shuffle before output sort") {
     val p = plan("q64_stratified_sample")
     // the md5-threshold predicate is not parquet-pushable (expression on
