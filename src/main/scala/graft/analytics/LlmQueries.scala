@@ -241,17 +241,36 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  // ---------------------------------------------------------------- q41 (rows-only: stubbed decode)
-  val q41 = QuerySpec.rowsOnly("q41_media_decode_stub") { (s, d) =>
+  // ---------------------------------------------------------------- q41
+  val q41 = QuerySpec.sql(
+    "q41_media_decode",
+    """SELECT doc_id AS asset_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+      |    ELSE 'ppm' END AS format,
+      |  CAST(doc_id % 1920 + 1 AS INT) AS width,
+      |  CAST(doc_id % 1080 + 1 AS INT) AS height,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 1
+      |    ELSE 3 END AS channels
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+    // Real header decode, externally checked: each doc gets a genuine
+    // PNG/BMP/PPM header SYNTHESIZED from doc_id arithmetic
+    // (Multimodal.synthHeader), and the pure-JVM parser (image_meta)
+    // reads the dims back out of the bytes. The oracle recomputes the
+    // same dims arithmetically — any parser/synth drift breaks the hash
+    // match. Payload bytes never shuffle; decode is scan-side.
+    graft.functions.GraftFunctions.register(s)
     val media = Tables.documents(s, d).select(
       col("doc_id").as("asset_id"),
-      lit("image").as("media_type"),
-      col("text").cast(BinaryType).as("payload"))
+      Multimodal.synthHeader(
+        pmod(col("doc_id"), lit(3)).cast(IntegerType),
+        (pmod(col("doc_id"), lit(1920)) + 1).cast(IntegerType),
+        (pmod(col("doc_id"), lit(1080)) + 1).cast(IntegerType)).as("payload"))
     media.select(
       col("asset_id"),
-      Multimodal.decodeImageStub(col("payload")).as("decoded"))
+      Multimodal.decodeImage(col("payload")).as("decoded"))
       .select(
         col("asset_id"),
+        col("decoded.format").as("format"),
         col("decoded.width").as("width"),
         col("decoded.height").as("height"),
         col("decoded.channels").as("channels"))

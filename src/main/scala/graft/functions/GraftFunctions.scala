@@ -27,6 +27,8 @@ object GraftFunctions {
         "minhash_sigs", exprs => MinHashSigs(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "word_shingles", exprs => WordShingles(exprs(0), exprs(1), exprs(2)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "image_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
     }
   }
 
@@ -58,4 +60,10 @@ object GraftFunctions {
     */
   def word_shingles(text: Column, k: Column, sep: Column): Column =
     call_function("word_shingles", text, k, sep)
+
+  /** Pure-JVM image container header parse (see [[ImageMeta]]):
+    * `struct<format,width,height,channels>` or null. Requires
+    * `register(spark)` on the session.
+    */
+  def image_meta(payload: Column): Column = call_function("image_meta", payload)
 }

@@ -39,10 +39,50 @@ object Multimodal {
         map(lit("length"), col("length").cast(StringType),
           lit("modificationTime"), col("modificationTime").cast(StringType)).as("meta"))
 
+  /** REAL image metadata decode: parses width/height/channels straight
+    * from container header bytes (PNG/BMP/GIF/PPM/PGM/JPEG) with the
+    * native [[graft.functions.ImageMeta]] expression — no codec library
+    * involved, because none is needed for header fields. Null for
+    * payloads that aren't a recognized container. Pixel decoding (which
+    * genuinely needs a codec this container doesn't ship) remains out of
+    * scope; [[decodeImageStub]] survives only as the stand-in for that
+    * step. Requires `GraftFunctions.register` (callers via graft APIs get
+    * it automatically).
+    */
+  def decodeImage(payload: Column): Column = {
+    graft.functions.GraftFunctions.image_meta(payload)
+  }
+
+  /** Synthesizes a minimal-but-valid image header as binary, entirely in
+    * Column arithmetic — PNG (color type 6, RGBA), 8-bit-palette BMP, or
+    * binary PPM by `fmt` (0/1/2). The product parses under any compliant
+    * header reader, so it gives [[decodeImage]] a computable external
+    * oracle: dims in, bytes out, dims back out.
+    */
+  def synthHeader(fmt: Column, w: Column, h: Column): Column = {
+    def beHex(c: Column) = lpad(hex(c.cast(LongType)), 8, "0")
+    // little-endian = byte-swap of the big-endian hex
+    def leHex(c: Column) = {
+      val be = beHex(c)
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      beHex(w), beHex(h), lit("0806000000")))
+    val bmp = unhex(concat(
+      lit("424D" + "00000000" + "0000" + "0000" + "36000000" + "28000000"),
+      leHex(w), leHex(h), lit("0100" + "0800")))
+    val ppm = concat(lit("P6\n").cast(BinaryType),
+      concat_ws(" ", w.cast(StringType), h.cast(StringType)).cast(BinaryType),
+      lit("\n255\n").cast(BinaryType))
+    when(fmt === 0, png).when(fmt === 1, bmp).otherwise(ppm)
+  }
+
   /** STUB image decode: deterministic pseudo-dimensions from the payload
-    * hash. Real implementation plugs a codec into the same Column shape
-    * (or a mapInPandas/mapPartitions batch decode); the schema and the
-    * plan around it do not change.
+    * hash. Superseded by [[decodeImage]] for header metadata; retained as
+    * the documented stand-in for pixel-level decoding, which requires
+    * codec libraries this container does not ship.
     */
   def decodeImageStub(payload: Column): Column = {
     val h = xxhash64(payload)

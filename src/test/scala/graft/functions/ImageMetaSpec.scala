@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Header parser referee tests: hand-built byte arrays with known
+  * dimensions (real fixtures from each format family), the synthHeader →
+  * image_meta round trip, a composable hex/conv referee for the PNG path,
+  * and garbage-robustness.
+  */
+class ImageMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    val r = ImageHeaders.parse(bytes)
+    if (r == null) None
+    else Some((r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3)))
+  }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("png: IHDR big-endian dims, channels by color type") {
+    // 640x480 truecolor (type 2 → 3 channels)
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452" +
+      " 00000280 000001E0 08 02 00 00 00")
+    assert(parse(png) === Some(("png", 640, 480, 3)))
+    // greyscale+alpha (type 4 → 2 channels)
+    val ga = hexBytes("89504E470D0A1A0A 0000000D 49484452" +
+      " 00000001 00000002 08 04 00 00 00")
+    assert(parse(ga) === Some(("png", 1, 2, 2)))
+  }
+
+  test("bmp: little-endian dims, abs(height) for top-down, channels by bpp") {
+    // 3x5 24bpp, height stored NEGATIVE (top-down row order)
+    val bmp = hexBytes("424D 00000000 0000 0000 36000000 28000000" +
+      " 03000000 FBFFFFFF 0100 1800")
+    assert(parse(bmp) === Some(("bmp", 3, 5, 3)))
+  }
+
+  test("gif, ppm with comments, pgm ascii") {
+    val gif = "GIF89a".getBytes("US-ASCII") ++ hexBytes("1600 2C01") // 22 x 300
+    assert(parse(gif) === Some(("gif", 22, 300, 3)))
+    val ppm = "P6\n# a comment\n 1920\t1080\n255\n".getBytes("US-ASCII")
+    assert(parse(ppm) === Some(("ppm", 1920, 1080, 3)))
+    val pgm = "P2\n7 9\n255\n".getBytes("US-ASCII")
+    assert(parse(pgm) === Some(("pgm", 7, 9, 1)))
+  }
+
+  test("jpeg: marker walk skips APP/comment segments to SOF") {
+    // SOI, APP0 (JFIF, 16 bytes), COM (4 bytes), SOF0: 8bit 480x640 3comp
+    val jpg = hexBytes("FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFFE 0004 4142" +
+      "FFC0 0011 08 01E0 0280 03 011100 021101 031101")
+    assert(parse(jpg) === Some(("jpeg", 640, 480, 3)))
+  }
+
+  test("garbage, truncated, and empty payloads parse to null (no crash)") {
+    assert(parse(Array.empty[Byte]) === None)
+    assert(parse("not an image at all".getBytes) === None)
+    assert(parse(hexBytes("89504E47")) === None) // truncated png sig
+    assert(parse(hexBytes("FFD8FFC0")) === None) // jpeg cut mid-marker
+    assert(parse("P6\nxx yy\n".getBytes) === None) // non-numeric pnm dims
+    // random bytes, deterministic seeds — a fuzz sweep must never throw
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { n =>
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+      parse(b) // any result fine; absence of exception is the assertion
+    }
+  }
+
+  test("synthHeader -> image_meta round-trips dims for all three formats") {
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 300).select(
+      col("id"),
+      Multimodal.synthHeader(pmod(col("id"), lit(3)).cast("int"),
+        (pmod(col("id"), lit(1920)) + 1).cast("int"),
+        (pmod(col("id"), lit(1080)) + 1).cast("int")).as("payload"))
+    val bad = df.select(col("id"), GraftFunctions.image_meta(col("payload")).as("m"))
+      .filter(
+        col("m.width") =!= (pmod(col("id"), lit(1920)) + 1).cast("int") ||
+        col("m.height") =!= (pmod(col("id"), lit(1080)) + 1).cast("int") ||
+        col("m").isNull)
+    assert(bad.count() === 0)
+  }
+
+  test("composable hex/conv referee matches the native parser on PNG") {
+    // An independent Column-arithmetic decode of the PNG IHDR: width is
+    // the 4 big-endian bytes at offset 16 → hex chars 33..40. Pins the
+    // native expression against a form any engine can replay.
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 200).select(
+      col("id"),
+      Multimodal.synthHeader(lit(0), (col("id") * 7 % 4096 + 1).cast("int"),
+        (col("id") * 13 % 4096 + 1).cast("int")).as("payload"))
+    val referee = df.select(col("id"),
+      conv(substring(hex(col("payload")), 33, 8), 16, 10).cast("int").as("w"),
+      conv(substring(hex(col("payload")), 41, 8), 16, 10).cast("int").as("h"))
+    val native = df.select(col("id"),
+      GraftFunctions.image_meta(col("payload")).getField("width").as("w"),
+      GraftFunctions.image_meta(col("payload")).getField("height").as("h"))
+    assert(native.exceptAll(referee).count() === 0)
+    assert(referee.exceptAll(native).count() === 0)
+  }
+}
