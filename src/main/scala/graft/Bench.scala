@@ -48,7 +48,8 @@ object Bench {
     // changed. The median of three back-to-back runs is robust to one GC
     // pause without hiding a real regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.specs.map { q =>
+    // referee specs are gate-side consistency checks, not operator workload
+    val results = SparkEntry.specs.filterNot(_.referee).map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

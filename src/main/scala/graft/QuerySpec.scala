@@ -6,15 +6,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
   * tables. Column names/types are aligned on both sides; every query ends
   * in a deterministic ORDER BY so row order can never differ.
+  *
+  * `referee = true` marks in-gate consistency checks (native form vs an
+  * independent referee form, evaluated engine-side): they run in Verify so
+  * the driver's gate catches drift in hash-based operators that have no
+  * DuckDB twin, but Bench skips them — they are correctness
+  * infrastructure, not operator workload.
   */
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    referee: Boolean = false)
 
 object QuerySpec {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
+  /** In-gate referee: output is a single `status` column that is exactly
+    * one 'ok' row when the native and referee forms agree; every
+    * discrepancy adds a row, so the constant oracle hash-mismatches and
+    * the gate FAILS on drift.
+    */
+  def refereeCheck(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some("SELECT 'ok' AS status"), referee = true)
 }

@@ -1,0 +1,184 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.{Dedup, LangProfile, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** In-gate referees for the hash/sketch/data-adaptive queries that have no
+  * DuckDB twin (q35/q36/q42/q43/q45/q47/q55). Each referee computes the
+  * SAME result through an independent form — composable built-ins vs the
+  * native expression, brute force vs the approximate index — entirely
+  * engine-side, and emits one 'ok' row plus one row per discrepancy. The
+  * declared oracle is the constant `SELECT 'ok'`, so ANY discrepancy row
+  * hash-mismatches and fails the driver's gate, not just `sbt test`.
+  *
+  * This mirrors the reference's own verify-by-recount discipline
+  * (bec-aws-bq/bec-rds-to-bq.py row-count gate): an independent recompute
+  * guards every load path that a single engine run can't self-check.
+  */
+object RefereeQueries {
+
+  /** 'ok' + one stringified row per discrepancy, deterministically
+    * ordered. The gate's hash compare does the rest.
+    */
+  private def report(diffs: Seq[DataFrame])(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = diffs.map(d => d.select(to_json(struct(d.columns.map(col): _*)).as("status")))
+    rows.foldLeft(Seq("ok").toDF("status"))(_ unionAll _).orderBy("status")
+  }
+
+  /** Symmetric difference of two frames (same schema), as diff frames. */
+  private def symDiff(a: DataFrame, b: DataFrame): Seq[DataFrame] =
+    Seq(a.exceptAll(b).withColumn("side", lit("native_only")),
+      b.exceptAll(a).withColumn("side", lit("referee_only")))
+
+  // ------------------------------------------------------ q35 referee
+  // Full near-dup pipeline re-run with the exploded-aggregate signature
+  // form instead of the native scan-side minhash_sigs expression; the
+  // banding + verify stages run on both, so a drift in either signature
+  // path (or in shingling, which both share via word_shingles vs its own
+  // referee below) breaks set equality of the verified pairs.
+  val q35r = QuerySpec.refereeCheck("q35r_minhash_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val docs = Tables.documents(s, d)
+    val native = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 8, shingleK = 3, threshold = 0.8)
+    val sigs = Dedup.minHashSignaturesExploded(docs.filter(col("text").isNotNull),
+      "doc_id", "text", numHashes = 64, shingleK = 3)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sigs, "doc_id", "sig", bands = 8), "doc_id").localCheckpoint()
+    val referee = Dedup.verifyJaccard(pairs, docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.8)
+    report(symDiff(native, referee))
+  }
+
+  // ------------------------------------------------------ q36 referee
+  // Bulk explode+64-SUM simhash vs the per-row composable fold
+  // (Dedup.simHash): independent aggregation strategies over the same
+  // token hashes must produce identical 64-bit signatures.
+  val q36r = QuerySpec.refereeCheck("q36r_simhash_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val docs = Tables.documents(s, d)
+    val native = Dedup.simHashes(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sig"))
+    val referee = docs
+      .filter(size(TextOps.tokens(col("text"))) > 0) // bulk form drops empty docs
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+    report(symDiff(native, referee))
+  }
+
+  // ------------------------------------------------------ q42 referee
+  // The rolling-fingerprint hash chain recomputed OUTSIDE Catalyst: a
+  // typed Dataset map folds XxHash64Function over the whitespace tokens in
+  // plain JVM code — an execution path sharing nothing with the codegen'd
+  // Column tree except the hash function's published definition.
+  val q42r = QuerySpec.refereeCheck("q42r_fingerprint_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val native = docs.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+    val referee = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        import org.apache.spark.unsafe.types.UTF8String
+        val fp = text.split("\\s+").filter(_.nonEmpty).foldLeft(0L) { (acc, t) =>
+          // xxhash64(acc, t) hashes its children in sequence from seed 42
+          val h1 = XxHash64Function.hash(acc, LongType, 42L)
+          XxHash64Function.hash(UTF8String.fromString(t), StringType, h1)
+        }
+        (id, fp)
+      }.toDF("doc_id", "fingerprint")
+    report(symDiff(native, referee))
+  }
+
+  // ------------------------------------------------- q43 / q47 helpers
+  /** ANN-vs-brute-force referee: every (probe, neighbor) the index
+    * returns must carry the EXACT cosine (recomputed via the composable
+    * HOF dot, bit-identical by FloatDotProduct's contract), and recall
+    * against the brute-force top-k must clear `floor` — collapse of the
+    * candidate generation (empty buckets, broken banding) shows up as a
+    * recall row even though a subset-with-exact-sims property would pass.
+    */
+  private def annReferee(s: SparkSession, ann: DataFrame, emb: DataFrame,
+      k: Int, floor: Double): DataFrame = {
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val brute = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val simBad = ann
+      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("__pv")), "probe_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")), "neighbor_id")
+      .filter(col("sim") =!= Similarity.cosine(col("__pv"), col("__cv")))
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+    val hit = ann.select("probe_id", "neighbor_id").intersect(brute).count().toDouble
+    val total = brute.count().toDouble
+    val recall = if (total == 0) 1.0 else hit / total
+    val recallRow =
+      if (recall >= floor) Seq.empty[String] else Seq(f"recall=$recall%.3f<floor=$floor%.2f")
+    report(Seq(simBad)).unionAll(recallRow.toDF("status")).orderBy("status")
+  }
+
+  val q43r = QuerySpec.refereeCheck("q43r_ann_lsh_referee") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val ann = Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", k = 3, nPlanes = 6)
+    // single-table 6-plane LSH genuinely recalls ~7% of the full top-3 at
+    // sf0.01 (it prunes 64x harder than a banded config); the floor is a
+    // collapse detector (broken bucketing -> recall 0), not a quality bar
+    // — q56's banded config is the recall-tuned path.
+    annReferee(s, ann, emb, k = 3, floor = 0.02)
+  }
+
+  val q47r = QuerySpec.refereeCheck("q47r_ivf_referee") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val ann = graft.ops.Ivf.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 3, iters = 2)
+    annReferee(s, ann, emb, k = 3, floor = 0.3)
+  }
+
+  // ------------------------------------------------------ q45 referee
+  // Sketches vs exact aggregates, engine-side: HLL distinct within the
+  // configured rsd (0.02, checked at 5x = 10%) and the approximate median
+  // inside the exact [p45, p55] envelope. Catches a sketch gone wrong
+  // while tolerating its specified error.
+  val q45r = QuerySpec.refereeCheck("q45r_approx_stats_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val li = Tables.table(s, d, "lineitem")
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      expr("percentile(l_extendedprice, 0.45)").as("p45"),
+      expr("percentile(l_extendedprice, 0.55)").as("p55"))
+    val bad = approx.join(exact, "l_returnflag").filter(
+      abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.10 ||
+      col("approx_median") < col("p45") || col("approx_median") > col("p55"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("approx_median"), col("p45"), col("p55"))
+    report(Seq(bad))
+  }
+
+  // ------------------------------------------------------ q55 referee
+  // Scan-side trained language-ID vs the explode+join classifier: two
+  // plan shapes over the same learned profiles must agree doc-for-doc
+  // (the join form drops no-match docs; the scan-side form flags them
+  // NULL — compared on the join form's domain).
+  val q55r = QuerySpec.refereeCheck("q55r_langid_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val docs = Tables.documents(s, d)
+    val profiles = LangProfile.train(docs, "text", "lang", topK = 80)
+    val native = LangProfile.classifyScanSide(docs, "doc_id", "text",
+      LangProfile.collectProfiles(profiles))
+      .filter(col("lang_pred").isNotNull)
+    val referee = LangProfile.classify(docs, "doc_id", "text", profiles)
+    report(symDiff(native, referee))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r)
+}
