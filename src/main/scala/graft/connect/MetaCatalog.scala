@@ -34,23 +34,75 @@ class MetaCatalog(spark: SparkSession, path: String) {
     */
   def recordTransfer(tableNames: Seq[String]): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val fresh = tableNames.map(t => (java.util.UUID.randomUUID().toString, t, now))
-      .toDF("id", "table_name", "modified_date")
+    recordTransferAt(tableNames.map(_ -> now))
+  }
+
+  /** Bookmark upsert with caller-supplied timestamps. Callers should pass
+    * the source's mtime AS OBSERVED BEFORE READING, not the post-run wall
+    * clock: a source modified mid-run (after its read, before this write)
+    * must compare NEWER than the bookmark so the next run picks it up —
+    * stamping completion time would wrongly skip it (TOCTOU).
+    */
+  def recordTransferAt(entries: Seq[(String, java.sql.Timestamp)]): Unit = {
+    val fresh = entries.map { case (t, ts) =>
+      (java.util.UUID.randomUUID().toString, t, ts)
+    }.toDF("id", "table_name", "modified_date")
     val existing = readAll()
     val kept = existing.join(fresh.select("table_name"), Seq("table_name"), "left_anti")
       .select("id", "table_name", "modified_date")
     val merged = kept.unionByName(fresh.select("id", "table_name", "modified_date"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(path + "__stage")
-    merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(staged, dst)
-    ()
+    atomicOverwrite(merged, path)
   }
 
   def lastModified(tableName: String): Option[java.sql.Timestamp] =
     readAll().filter(col("table_name") === tableName)
       .select("modified_date").collect().headOption.map(_.getTimestamp(0))
+
+  // ------------------------------------------------- cursor high-water
+  // Column-level incremental state (tap-mysql INCREMENTAL mode's
+  // replication-key bookmark): per table, the cursor column and the
+  // highest value ALREADY LOADED, rendered as a string (cast back to the
+  // column type at read — see Source.readSince). Kept in a sibling
+  // parquet table with the same stage+rename discipline.
+
+  private val cursorPath = path + "__cursors"
+
+  def readCursors(): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cursorPath), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(cursorPath)))
+      spark.read.parquet(cursorPath)
+    else Seq.empty[(String, String, String)]
+      .toDF("table_name", "cursor_col", "high_water")
+  }
+
+  /** Upsert the high-water mark for `tableName`. The value must be the
+    * max cursor value among rows ACTUALLY LOADED (not a fresh source-side
+    * max, which would skip rows arriving between the read and this write).
+    */
+  def recordCursor(tableName: String, cursorCol: String, highWater: String): Unit = {
+    val fresh = Seq((tableName, cursorCol, highWater))
+      .toDF("table_name", "cursor_col", "high_water")
+    val kept = readCursors()
+      .join(fresh.select("table_name"), Seq("table_name"), "left_anti")
+      .select("table_name", "cursor_col", "high_water")
+    atomicOverwrite(kept.unionByName(fresh), cursorPath)
+  }
+
+  /** (cursor column, high-water mark) recorded for `tableName`, if any. */
+  def cursor(tableName: String): Option[(String, String)] =
+    readCursors().filter(col("table_name") === tableName)
+      .select("cursor_col", "high_water").collect().headOption
+      .map(r => (r.getString(0), r.getString(1)))
+
+  private def atomicOverwrite(df: DataFrame, dst: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(dst + "__stage")
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(dstPath, true)
+    fs.rename(staged, dstPath)
+    ()
+  }
 }

@@ -41,11 +41,36 @@ trait Source {
     */
   def count(t: TableRef): Long = read(t).count()
 
+  /** Cheap emptiness probe for the empty-skip path (rds-to-bq.py:219-226):
+    * a limit-1 read, which every scan terminates after the first row —
+    * unlike count(), which for formats with no row metadata (CSV) is a
+    * full parse of the table. JDBC overrides with COUNT(*) pushdown.
+    */
+  def isEmpty(t: TableRef): Boolean = read(t).limit(1).count() == 0L
+
   /** Most recent data-modification signal, when the store exposes one —
     * the bookmark input for skip-unchanged transfers (Singer
     * `initial_full_table_complete` semantics).
     */
   def lastModified(t: TableRef): Option[java.sql.Timestamp] = None
+
+  /** Column-level incremental read (tap-mysql INCREMENTAL replication,
+    * bec-meltano/plugins/extractors/tap-mysql--transferwise.lock): rows
+    * with `cursorCol` strictly greater than the recorded high-water mark.
+    * `after` is the mark rendered as a string (see
+    * [[MetaCatalog.recordCursor]]); it is cast back to the column's own
+    * type so the comparison is typed, constant-folded, and PUSHED DOWN —
+    * to parquet row-group pruning on file stores, to a WHERE clause on
+    * JDBC — so an incremental hop reads the increment, not the table.
+    * `None` (no mark yet) reads everything: the initial full load.
+    */
+  def readSince(t: TableRef, cursorCol: String, after: Option[String]): DataFrame = {
+    val df = read(t)
+    after.fold(df) { v =>
+      val tpe = df.schema(cursorCol).dataType
+      df.filter(col(cursorCol) > lit(v).cast(tpe))
+    }
+  }
 }
 
 trait Sink {
@@ -67,6 +92,12 @@ trait Sink {
     * concurrency. None for non-file sinks.
     */
   def locationHint(t: TableRef): Option[String] = None
+
+  /** Whole-store drop (SURVEY §2.9 D5, drop-database.py:20-26): remove
+    * every table this sink holds. The reference drops the staging
+    * DATABASE once the warehouse load is verified.
+    */
+  def dropAll(): Unit
 }
 
 /** Directory-of-tables store: `<root>/<table>/` holds one table in the
@@ -169,6 +200,14 @@ class FileStore(spark: SparkSession, val root: String, val storeName: String,
 
   override def drop(t: TableRef): Unit = {
     fs.delete(new org.apache.hadoop.fs.Path(path(t)), true)
+    ()
+  }
+
+  /** Whole-store drop: delete the root directory (one recursive delete —
+    * the filesystem analog of DROP DATABASE).
+    */
+  override def dropAll(): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
     ()
   }
 
@@ -320,6 +359,16 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
       .option("query", s"SELECT COUNT(*) AS c FROM ${catalog.quote(t.name)}").load()
     asLong(c.collect()(0).get(0)).getOrElse(0L)
   }
+
+  // COUNT(*) pushdown is already database-side metadata work; a limit-1
+  // probe through Spark's JDBC source would fetch unbounded rows instead
+  override def isEmpty(t: TableRef): Boolean = count(t) == 0L
+
+  /** DROP every base table in the catalog (drop-database.py:20-26 —
+    * MySQL's DROP DATABASE needs a server-level statement; iterating the
+    * catalog is the dialect-portable equivalent with the same end state).
+    */
+  override def dropAll(): Unit = list().foreach(drop)
 
   // unquoted identifiers are case-normalized per engine; compare loosely
   override def exists(t: TableRef): Boolean =

@@ -34,7 +34,8 @@ object Transfer {
 
   final case class TableResult(table: String, target: String, sourceRows: Long,
       targetRows: Long, skippedEmpty: Boolean, ok: Boolean, error: Option[String],
-      skippedUnchanged: Boolean = false)
+      skippedUnchanged: Boolean = false,
+      srcModified: Option[java.sql.Timestamp] = None)
 
   final case class Report(results: Seq[TableResult]) {
     def transferred: Seq[TableResult] =
@@ -69,8 +70,13 @@ object Transfer {
       val stream = aliases.getOrElse(t.name, t.name)
       val target = TableRef("warehouse", targetName(sourceStoreName, stream))
       try {
+        // capture the source mtime BEFORE reading: it becomes the recorded
+        // bookmark, so a source modified mid-run (mtime > this snapshot)
+        // still compares newer next run — stamping post-run wall-clock
+        // time would wrongly skip it (TOCTOU)
+        val srcModAtStart = src.lastModified(t)
         val unchanged = meta.exists { m =>
-          (src.lastModified(t), m.lastModified(target.name)) match {
+          (srcModAtStart, m.lastModified(target.name)) match {
             case (Some(srcMod), Some(recorded)) => !srcMod.after(recorded)
             case _ => false
           }
@@ -79,12 +85,15 @@ object Transfer {
           TableResult(t.name, target.name, -1L, -1L, skippedEmpty = false,
             ok = true, None, skippedUnchanged = true)
         } else {
-          // store-native count: COUNT(*) pushdown / metadata, not a scan
-          val srcRows = src.count(t)
-          if (srcRows == 0L) {
-            // empty-table skip (rds-to-bq.py:219-226)
+          // empty-table skip (rds-to-bq.py:219-226) via a bounded probe —
+          // limit-1 on file stores, COUNT(*) pushdown on JDBC — so a CSV
+          // table is never fully parsed just to discover it's empty
+          if (src.isEmpty(t)) {
             TableResult(t.name, target.name, 0L, 0L, skippedEmpty = true, ok = true, None)
           } else {
+            // exact count for the post-write verification (COUNT(*)
+            // pushdown / parquet metadata where the store has it)
+            val srcRows = src.count(t)
             val df = src.read(t)
             val written = WriteMetrics.countRows(df.sparkSession, dst.locationHint(target)) {
               dst.write(df, target, mode)
@@ -93,7 +102,8 @@ object Transfer {
             val matches = dstRows == srcRows
             TableResult(t.name, target.name, srcRows, dstRows, skippedEmpty = false,
               ok = matches,
-              if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"))
+              if (matches) None else Some(s"count mismatch: src=$srcRows dst=$dstRows"),
+              srcModified = srcModAtStart)
           }
         }
       } catch {
@@ -115,11 +125,72 @@ object Transfer {
         finally pool.shutdown()
       }
     // one batched bookmark upsert for the whole run (MetaCatalog's
-    // read-merge-rewrite is not concurrent-safe and N rewrites are waste)
+    // read-merge-rewrite is not concurrent-safe and N rewrites are waste);
+    // each bookmark is the source mtime captured before that table's read
+    // (fallback: now, for sources with no mtime signal)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
     val okTargets = results.collect {
-      case r if r.ok && !r.skippedEmpty && !r.skippedUnchanged => r.target
+      case r if r.ok && !r.skippedEmpty && !r.skippedUnchanged =>
+        r.target -> r.srcModified.getOrElse(now)
     }
-    if (okTargets.nonEmpty) meta.foreach(_.recordTransfer(okTargets))
+    if (okTargets.nonEmpty) meta.foreach(_.recordTransferAt(okTargets))
+    Report(results)
+  }
+
+  /** Column-level incremental transfer (tap-mysql INCREMENTAL mode): for
+    * each table in `cursors` (table → replication-key column), read only
+    * rows with cursor strictly above the recorded high-water mark
+    * (predicate-bounded read, pushed to the store — see Source.readSince),
+    * APPEND them to the target, and advance the mark to the max cursor
+    * value among the rows actually loaded (never a fresh source-side max:
+    * rows arriving between read and bookmark must stay above the mark).
+    * First run (no mark) is the initial full load via Overwrite.
+    *
+    * The increment is evaluated twice (once for max+count, once for the
+    * write) — both evaluations are bounded by the increment, which is the
+    * point of incremental mode. Verification: target row delta must equal
+    * the increment count.
+    */
+  def transferIncremental(src: Source, dst: Sink, sourceStoreName: String,
+      cursors: Map[String, String], meta: MetaCatalog,
+      targetName: (String, String) => String = (store, t) => s"${store}_$t",
+      aliases: Map[String, String] = Map.empty): Report = {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max}
+    val results = cursors.toSeq.sortBy(_._1).map { case (table, cursorCol) =>
+      val t = TableRef(sourceStoreName, table)
+      val stream = aliases.getOrElse(table, table)
+      val target = TableRef("warehouse", targetName(sourceStoreName, stream))
+      try {
+        val mark = meta.cursor(target.name)
+        mark.foreach { case (recordedCol, _) =>
+          require(recordedCol == cursorCol,
+            s"cursor column changed for $table: recorded $recordedCol, asked $cursorCol")
+        }
+        val inc = src.readSince(t, cursorCol, mark.map(_._2))
+        val stats = inc.agg(cnt(lit(1)), max(org.apache.spark.sql.functions.col(cursorCol)))
+          .collect()(0)
+        val n = stats.getLong(0)
+        if (n == 0L) {
+          TableResult(table, target.name, 0L, -1L, skippedEmpty = false,
+            ok = true, None, skippedUnchanged = true)
+        } else {
+          val before = if (mark.isDefined && dst.exists(target)) dst.count(target) else 0L
+          val writeMode = if (mark.isDefined) SaveMode.Append else SaveMode.Overwrite
+          dst.write(inc, target, writeMode)
+          val after = dst.count(target)
+          val matches = after - before == n
+          if (matches) meta.recordCursor(target.name, cursorCol, stats.get(1).toString)
+          TableResult(table, target.name, n, after - before, skippedEmpty = false,
+            ok = matches,
+            if (matches) None
+            else Some(s"incremental count mismatch: read=$n appended=${after - before}"))
+        }
+      } catch {
+        case e: Throwable =>
+          TableResult(table, target.name, -1L, -1L, skippedEmpty = false,
+            ok = false, Some(e.getMessage))
+      }
+    }
     Report(results)
   }
 }

@@ -99,6 +99,62 @@ class JdbcDerbySpec extends SparkSpec {
     assert(!store.exists(t))
   }
 
+  test("dropAll removes every table on both store kinds (D5)") {
+    // FileStore: root directory gone in one recursive delete
+    val root = tmpDir("drop_all_fs")
+    val fsStore = new FileStore(spark, root, "staging")
+    fsStore.write(Seq(1, 2).toDF("v"), TableRef("staging", "a"), SaveMode.Overwrite)
+    fsStore.write(Seq(3).toDF("v"), TableRef("staging", "b"), SaveMode.Overwrite)
+    assert(fsStore.list().size == 2)
+    fsStore.dropAll()
+    assert(fsStore.list().isEmpty)
+
+    // JdbcStore: catalog-iterated drop, end state = empty database
+    val db = tmpDir("derby_dropall") + "/graftdb"
+    val jdbc = new JdbcStore(spark, s"jdbc:derby:$db;create=true", Map.empty,
+      "rds", catalog = JdbcCatalog.Derby)
+    jdbc.write(Seq(1L).toDF("ID"), TableRef("rds", "t1"), SaveMode.Overwrite)
+    jdbc.write(Seq(2L).toDF("ID"), TableRef("rds", "t2"), SaveMode.Overwrite)
+    assert(jdbc.list().size == 2)
+    jdbc.dropAll()
+    assert(jdbc.list().isEmpty)
+  }
+
+  test("isEmpty probe is limit-bounded, not a full scan (csv store)") {
+    val root = tmpDir("isempty_csv")
+    val store = new FileStore(spark, root, "staging", format = "csv")
+    val t = TableRef("staging", "big")
+    store.write((1 to 5000).map(i => (i, s"row$i")).toDF("id", "v"),
+      t, SaveMode.Overwrite)
+    assert(!store.isEmpty(t))
+    val empty = TableRef("staging", "none")
+    store.write((1 to 5000).map(i => (i, s"row$i")).toDF("id", "v").limit(0),
+      empty, SaveMode.Overwrite)
+    assert(store.isEmpty(empty))
+    // plan guard: the probe's plan carries a limit node above the scan —
+    // every task stops after its first row instead of parsing the table
+    val plan = store.read(t).limit(1).queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"),
+      s"emptiness probe plans a full scan:\n$plan")
+  }
+
+  test("JDBC incremental read: cursor predicate reaches the database as WHERE") {
+    val db = tmpDir("derby_inc") + "/graftdb"
+    val store = new JdbcStore(spark, s"jdbc:derby:$db;create=true", Map.empty,
+      "rds", catalog = JdbcCatalog.Derby)
+    val t = TableRef("rds", "inc")
+    store.write((1L to 50L).map(i => (i, i * 2)).toDF("ID", "V"), t, SaveMode.Overwrite)
+    val inc = store.readSince(t, "ID", Some("40"))
+    assert(inc.count() == 10)
+    // the typed cast-literal filter is pushed into the JDBC scan, so the
+    // database evaluates WHERE — the increment is what crosses the wire
+    val plan = inc.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters:") && plan.contains("ID"),
+      s"cursor predicate not pushed to JDBC:\n$plan")
+    assert(store.readSince(t, "ID", None).count() == 50) // no mark = full load
+  }
+
   test("FileStore listStats/lastModified/delete(predicate) with SQL NULL semantics") {
     val root = tmpDir("store_stats")
     val store = new FileStore(spark, root, "staging")

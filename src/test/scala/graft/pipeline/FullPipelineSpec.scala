@@ -81,6 +81,54 @@ class FullPipelineSpec extends SparkSpec {
     assert(catalog.readAll().count() == 2)
   }
 
+  test("incremental transfer: second run moves only rows above the cursor mark") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val stg = tmpDir("inc_stg")
+    val wh = tmpDir("inc_wh")
+    val meta = new MetaCatalog(spark, tmpDir("inc_meta") + "/lmod")
+    val staging = new FileStore(spark, stg, "staging")
+    val warehouse = new WarehouseStore(spark, wh)
+    val t = TableRef("staging", "events")
+    staging.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"),
+      t, SaveMode.Overwrite)
+
+    // run 1: no mark -> initial full load, mark advances to max(id)=100
+    val r1 = Transfer.transferIncremental(staging, warehouse, "rds",
+      Map("events" -> "id"), meta)
+    assert(r1.ok && r1.transferred.map(_.sourceRows) == Seq(100L))
+    assert(warehouse.count(TableRef("warehouse", "rds_events")) == 100)
+    assert(meta.cursor("rds_events").contains(("id", "100")))
+
+    // run 2: nothing new -> skipped without moving rows
+    val r2 = Transfer.transferIncremental(staging, warehouse, "rds",
+      Map("events" -> "id"), meta)
+    assert(r2.unchanged.map(_.table) == Seq("events") && r2.transferred.isEmpty)
+
+    // append 20 rows above the mark (plus a late row BELOW it, which
+    // incremental mode by contract does not resurrect)
+    staging.write(((101L to 120L) :+ 50L).map(i => (i, s"n$i")).toDF("id", "payload"),
+      t, SaveMode.Append)
+
+    // run 3: moves exactly the 20 new rows; mark advances to 120
+    val r3 = Transfer.transferIncremental(staging, warehouse, "rds",
+      Map("events" -> "id"), meta)
+    assert(r3.ok && r3.transferred.map(_.sourceRows) == Seq(20L))
+    assert(warehouse.count(TableRef("warehouse", "rds_events")) == 120)
+    assert(meta.cursor("rds_events").contains(("id", "120")))
+
+    // the bounded read pushes its predicate into the parquet scan
+    val plan = staging.readSince(t, "id", Some("100")).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(id,100)"),
+      s"cursor predicate not pushed:\n$plan")
+
+    // cursor-column change is refused, not silently honored
+    val r4 = Transfer.transferIncremental(staging, warehouse, "rds",
+      Map("events" -> "payload"), meta)
+    assert(r4.failures.nonEmpty)
+  }
+
   test("JdbcStore builds partitioned-read options (no DB needed offline)") {
     val store = new JdbcStore(spark, "jdbc:mysql://host/db", Map("user" -> "u"))
     val opts = store.partitionedReadOptions("id", 0L, 1000000L, 32)
