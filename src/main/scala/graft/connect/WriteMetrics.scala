@@ -58,20 +58,21 @@ object WriteMetrics {
     @volatile var rows: Option[Long] = None
     val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-        val mine = outputPath match {
-          case Some(p) => writesTo(qe, p)
-          case None => WriteFuncs.contains(funcName)
-        }
-        if (mine) {
-          qe.executedPlan.metrics.get("numOutputRows").foreach { m =>
-            rows = Some(m.value)
-            done.countDown()
-          }
-        }
+      private def mine(funcName: String, qe: QueryExecution): Boolean = outputPath match {
+        case Some(p) => writesTo(qe, p)
+        case None => WriteFuncs.contains(funcName)
       }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (mine(funcName, qe)) {
+          rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+          // release even when the command exposes no row metric (JDBC and
+          // other non-file commands): the caller falls back to a store
+          // count immediately instead of burning the full latch timeout
+          // on every such table
+          done.countDown()
+        }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-        if (outputPath.isEmpty) done.countDown()
+        if (mine(funcName, qe)) done.countDown()
     }
     spark.listenerManager.register(listener)
     try {

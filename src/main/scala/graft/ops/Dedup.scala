@@ -263,6 +263,14 @@ object Dedup {
       labels = next.select(col("id"), col("next_label").as("label")).localCheckpoint()
       it += 1
     }
+    // EXACT means exact: partial labels from a diameter > maxIter graph
+    // would silently split clusters (and dropNearDups would then keep
+    // non-canonical docs) — refuse instead. Callers with genuinely deep
+    // graphs should raise maxIter or use a star-contraction variant.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing): component diameter exceeds maxIter; " +
+        "raise maxIter for high-diameter graphs")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -18,11 +18,23 @@ import org.apache.spark.sql.types._
   */
 object Sampling {
 
-  /** hex threshold for fraction f: floor(f * 16^8) as 8 hex chars. */
+  /** hex threshold for fraction f: floor(f * 16^8) as 8 hex chars.
+    *
+    * f = 1.0 returns a sentinel that sorts ABOVE every hex string
+    * ("keep everything" must be identity): clamping to "ffffffff" with
+    * the strict '<' keep-predicate would drop any row whose md5 prefix
+    * is exactly "ffffffff" — one row in 2^32, invisible in tests,
+    * guaranteed at 100 TB. Every consumer (keepPredicate, stratified,
+    * and the q61/q64/q65 oracle SQL builders) compares against this same
+    * function, so the sentinel fixes all of them at once.
+    */
   def fractionThreshold(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
-    val space = 1L << 32
-    f"${math.min(space - 1, math.floor(f * space).toLong)}%08x"
+    if (f >= 1.0) "g" // > every [0-9a-f] prefix => keep-all
+    else {
+      val space = 1L << 32
+      f"${math.floor(f * space).toLong}%08x"
+    }
   }
 
   /** The keep-predicate for a fraction: md5-prefix(id) < threshold(f).

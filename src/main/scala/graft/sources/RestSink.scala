@@ -13,6 +13,19 @@ import org.apache.spark.sql.DataFrame
   * rejects it (4xx/5xx), retry the same batch as a plain insert (no
   * Prefer header). A batch that fails both raises — partial-failure
   * reporting belongs to the caller's ledger, not silent drops.
+  *
+  * DELIVERY CONTRACT — AT-LEAST-ONCE. `foreachPartition` side effects
+  * re-run on task retry and speculative re-execution, so a batch can be
+  * POSTed twice. Three mitigations, by endpoint capability:
+  *  - upsert endpoints (the default ladder rung) are naturally
+  *    idempotent: a re-posted batch merges onto itself;
+  *  - every request carries a DETERMINISTIC `Idempotency-Key` header
+  *    (stable across retries: partition id + batch index + batch hash),
+  *    so endpoints implementing the idempotency-key convention can
+  *    drop duplicates even on the plain-insert rung;
+  *  - for endpoints with neither, run the job with
+  *    `spark.speculation=false` (the default) and treat task retries
+  *    after a partial post as potential duplicates.
   */
 object RestSink {
 
@@ -20,12 +33,17 @@ object RestSink {
       upsert: Boolean = true): Unit = {
     require(batchSize > 0, "batchSize must be positive")
     df.toJSON.rdd.foreachPartition { rows =>
-      rows.grouped(batchSize).foreach { batch =>
+      val partitionId = org.apache.spark.TaskContext.getPartitionId()
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, batchIdx) =>
         val body = batch.mkString("[", ",", "]").getBytes("UTF-8")
-        val first = post(url, body, upsertHeader = upsert)
+        // stable across task retries (partition content and order are
+        // deterministic for a deterministic input plan) — NOT across
+        // different jobs, which legitimately re-deliver
+        val key = f"graft-$partitionId%d-$batchIdx%d-${java.util.Arrays.hashCode(body)}%08x"
+        val first = post(url, body, upsertHeader = upsert, idempotencyKey = key)
         if (first >= 400) {
           // ladder: upsert rejected -> plain insert (app.py:269-277)
-          val second = post(url, body, upsertHeader = false)
+          val second = post(url, body, upsertHeader = false, idempotencyKey = key)
           if (second >= 400)
             throw new java.io.IOException(
               s"REST sink failed: upsert=$first, insert=$second for ${batch.size} rows")
@@ -35,13 +53,15 @@ object RestSink {
   }
 
   /** One POST; returns the HTTP status (connection errors raise). */
-  private def post(url: String, body: Array[Byte], upsertHeader: Boolean): Int = {
+  private def post(url: String, body: Array[Byte], upsertHeader: Boolean,
+      idempotencyKey: String): Int = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("Idempotency-Key", idempotencyKey)
       if (upsertHeader)
         conn.setRequestProperty("Prefer", "resolution=merge-duplicates")
       conn.setConnectTimeout(30000)

@@ -21,6 +21,19 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big)) // same hash, higher threshold
   }
 
+  test("fraction 1.0 is identity: the threshold sorts above every md5 prefix") {
+    // the strict '<' keep-predicate with a clamped "ffffffff" threshold
+    // would drop a row whose md5 prefix is exactly "ffffffff" (p=2^-32
+    // per row — guaranteed at scale); the keep-all sentinel must compare
+    // greater than the largest possible hex prefix
+    assert(Sampling.fractionThreshold(1.0) > "ffffffff")
+    assert(Sampling.fractionThreshold(0.9999999999) <= "ffffffff")
+    val df = spark.range(0, 1000).toDF("id")
+    assert(Sampling.uniform(df, "id", 1.0).count() == 1000)
+    assert(Sampling.stratified(df.withColumn("s", (col("id") % 2).cast("string")),
+      "s", "id", Map("0" -> 1.0, "1" -> 1.0)).count() == 1000)
+  }
+
   test("stratified applies per-stratum rates") {
     val df = (1L to 6000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     val out = Sampling.stratified(df, "s", "id", Map("a" -> 0.5, "b" -> 0.1))
