@@ -274,6 +274,66 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Exact connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm): converges in O(log n) rounds
+    * on ANY graph shape, vs O(diameter) for [[connectedComponents]]'s
+    * min-label propagation. The flag-the-other-path variant for
+    * high-diameter graphs (chains of borderline near-dups, web-graph
+    * shapes); near-dup components are small and dense, so the default
+    * min-label path stays right for the dedup pipeline.
+    *
+    * Each round: large-star links every neighbor larger than u to u's
+    * minimum neighborhood node; small-star then links u and its smaller
+    * neighbors to their minimum. Both are one aggregate + one join over
+    * edges keyed by node — same shuffle shape as a round of min-label,
+    * but the round count is logarithmic. Fixpoint: the star edge set
+    * stops changing; every component is then a star centered on its min.
+    *
+    * Returns (id, cluster_id) for every id appearing in a pair.
+    */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // symmetric working set; self-loops dropped
+    val base = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = sym(base).distinct().localCheckpoint()
+    var stars = edges.filter(col("u") > col("v")) // (larger, smaller)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: m = min(Γ(u) ∪ {u}); link every v > u to m
+      val lsMin = edges.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = edges.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
+        .distinct()
+      // small-star over (larger a, smaller b): m = min(smaller nbrs);
+      // link each smaller neighbor AND a itself to m
+      val ssMin = ls.groupBy("a").agg(min("b").as("mn"))
+      val next = ls.join(ssMin, "a").select(col("b").as("u"), col("mn").as("v"))
+        .union(ssMin.select(col("a").as("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      converged = next.exceptAll(stars.select(col("u"), col("v"))).isEmpty &&
+        stars.select(col("u"), col("v")).exceptAll(next).isEmpty
+      stars = next
+      edges = sym(next).localCheckpoint()
+      round += 1
+    }
+    if (!converged && round >= maxRounds) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds " +
+        "(O(log n) expected — raise maxRounds only for astronomically large n)")
+    // stars: (member, center=min); centers and isolated-by-contraction
+    // nodes label themselves
+    nodes.join(stars, nodes("id") === stars("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
+
   /** Canonical-document selection: drop every doc that near-dups a
     * smaller-id doc (exact components, min id survives per cluster).
     */

@@ -135,6 +135,28 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L) && cc.size == 9)
   }
 
+  test("connectedComponentsStar: logarithmic rounds close a path far deeper than maxRounds") {
+    // path 1-2-...-64: diameter 63. Min-label propagation needs 63 rounds;
+    // star contraction must close it well inside 12 (2·log2(64))
+    val pairs = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 64 && cc.values.toSet == Set(1L))
+  }
+
+  test("connectedComponentsStar equals min-label on assorted graphs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (Seq((1L, 2L), (2L, 6L), (3L, 7L), (10L, 10L)) ++ // chain, pair, self-loop
+      (1 to 40).map(_ => (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1)))
+      .filter(p => p._1 != p._2)
+    val df = pairs.toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(df, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("dropNearDups keeps the min id per cluster and all unpaired docs") {
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
       numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
