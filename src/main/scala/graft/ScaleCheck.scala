@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend check: times the operators whose cost COULD go quadratic
+  * (candidate generation in near-dup/similarity blocking, profile's
+  * per-column aggregates) on the sf0.1 fixture and on a synthetic
+  * `factor`x blow-up of it (id-shifted unions — every copy keeps the
+  * fixture's duplicate/cluster structure, so candidate density per row is
+  * preserved, which is the property that would expose super-linear
+  * growth). Prints one JSON line per operator with both wall times and
+  * the growth ratio; ratios near `factor` (vs `factor`^2) are the pass
+  * signal. A dev-side diagnostic, not part of the driver contract.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [factor]
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = analytics.Tables.documents(spark, sfDir)
+    val emb1 = analytics.Tables.embeddings(spark, sfDir)
+    // id-shifted copies: same near-dup structure per copy, disjoint ids
+    def blowUp(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val span = 1000000L
+      (0 until n).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * span))).reduce(_ unionByName _)
+    }
+    val docsN = blowUp(docs1, "doc_id", factor).localCheckpoint()
+    val embN = blowUp(emb1, "vec_id", factor).localCheckpoint()
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String, small: => DataFrame, big: => DataFrame): Unit = {
+      val t1 = time(small); val tN = time(big)
+      val ratio = tN / t1
+      println(f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}""")
+    }
+
+    run("exact_dedup",
+      ops.Dedup.exactGroups(docs1, "doc_id", Seq("text")),
+      ops.Dedup.exactGroups(docsN, "doc_id", Seq("text")))
+    run("minhash_near_dups",
+      ops.Dedup.minHashNearDups(docs1, "doc_id", "text", 64, 8, 3, 0.8),
+      ops.Dedup.minHashNearDups(docsN, "doc_id", "text", 64, 8, 3, 0.8))
+    run("simhash",
+      ops.Dedup.simHashes(docs1, "doc_id", "text"),
+      ops.Dedup.simHashes(docsN, "doc_id", "text"))
+    run("embedding_near_dups",
+      ops.Similarity.embeddingNearDups(emb1, "vec_id", "embedding", 0.4, 4, 6),
+      ops.Similarity.embeddingNearDups(embN, "vec_id", "embedding", 0.4, 4, 6))
+    run("column_profile",
+      ops.Profile.columns(docs1, docs1.columns.toSeq),
+      ops.Profile.columns(docsN, docsN.columns.toSeq))
+    spark.stop()
+  }
+}
