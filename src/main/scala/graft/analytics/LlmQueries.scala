@@ -378,6 +378,93 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- q75/q76/q77
+  // DuckDB word-k-shingle fragment over a `toks` list column, mirroring
+  // Dedup.shingles for any k (distinct windows, chr(1) separator,
+  // join-all fallback below k tokens).
+  private def duckShinglesK(k: Int): String =
+    s"""CASE WHEN len(toks) >= $k
+       | THEN list_distinct(list_transform(range(len(toks)-${k - 1}),
+       |   i -> concat_ws(chr(1), ${(1 to k).map(j => s"toks[i+$j]").mkString(", ")})))
+       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+
+  val q75 = QuerySpec.sql(
+    "q75_redact_pii",
+    s"""WITH t AS (
+      |  SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |    '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+      |    '.7 tel +1 (555) 123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+      |    '${TextOps.Ipv4Re}', '<IPV4>', 'g'),
+      |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // PII scrubbing with a byte-exact external check: deterministic PII
+    // (email, IPv4, phone) is injected from doc_id arithmetic, then
+    // redacted scan-side; the oracle replays both steps with RE2. The
+    // patterns stay in the Java-regex ∩ RE2 common subset on purpose.
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.redact(concat(
+        col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
+        lit(".7 tel +1 (555) 123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val q76 = QuerySpec.sql(
+    "q76_decontaminate",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 97 <> 0
+      |), b AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 97 = 0
+      |), ts AS (
+      |  SELECT doc_id, unnest(${duckShinglesK(2)}) AS sh FROM t
+      |), bs AS (
+      |  SELECT DISTINCT unnest(${duckShinglesK(2)}) AS sh FROM b)
+      |SELECT ts.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM ts JOIN bs ON ts.sh = bs.sh
+      |GROUP BY ts.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // benchmark-overlap decontamination: doc_id % 97 == 0 plays the eval
+    // set; training docs sharing any word bigram with it are flagged
+    // with their overlap count. Bench shingles broadcast; the corpus
+    // side never shuffles its exploded shingles (see
+    // Dedup.contaminationOverlap).
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationOverlap(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", shingleK = 2)
+      .orderBy("doc_id")
+  }
+
+  val q77 = QuerySpec.sql(
+    "q77_repetition",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(toks) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      |    ELSE 0.0 END AS rep1,
+      |  1.0 - CAST(len(${duckShinglesK(2)}) AS DOUBLE)
+      |      / CAST(greatest(len(toks) - 1, 1) AS DOUBLE) AS rep2,
+      |  1.0 - CAST(len(${duckShinglesK(3)}) AS DOUBLE)
+      |      / CAST(greatest(len(toks) - 2, 1) AS DOUBLE) AS rep3
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Gopher/C4-style repetition signal: duplicated-n-gram fraction per
+    // document for n = 1, 2, 3 — pure per-row expressions, no shuffle.
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.repetitionRatio(col("text"), 1).as("rep1"),
+      TextOps.repetitionRatio(col("text"), 2).as("rep2"),
+      TextOps.repetitionRatio(col("text"), 3).as("rep3"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q56
   // The oracle mirrors the banded hyperplane-LSH blocking itself: plane
   // components are Rademacher ±1.0 (exactly representable — see
@@ -544,5 +631,6 @@ object LlmQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72)
+    q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
+    q75, q76, q77)
 }

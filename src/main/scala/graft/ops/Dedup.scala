@@ -334,6 +334,35 @@ object Dedup {
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 
+  /** Train/benchmark decontamination: for every training doc, the number
+    * of distinct word k-shingles it shares with the benchmark set —
+    * the standard n-gram-overlap contamination check run before
+    * training on a scraped corpus (docs overlapping an eval set leak
+    * the benchmark). Returns (idCol, n_shared) for contaminated docs
+    * only; callers anti-join to drop them.
+    *
+    * Scale shape: the benchmark set is orders of magnitude smaller than
+    * the corpus, so its distinct shingle set is BROADCAST — the corpus's
+    * exploded shingles never shuffle (the join runs map-side in the scan
+    * stage, and the only exchange is the per-doc count aggregate keyed by
+    * id). Shingles are compared as strings here for oracle parity; at
+    * extreme shingle cardinality hash them (xxhash64) on both sides
+    * first — same plan, 8-byte keys.
+    */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val tSh = train.select(col(idCol),
+      explode(shingles(col(textCol), shingleK)).as("__sh"))
+    val bSh = bench.select(explode(shingles(col(textCol), shingleK)).as("__sh"))
+      .distinct()
+    // shingles are distinct within each train doc and across the bench
+    // set, so plain COUNT counts distinct shared shingles
+    tSh.join(broadcast(bSh), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Canonical-document selection: drop every doc that near-dups a
     * smaller-id doc (exact components, min id survives per cluster).
     */

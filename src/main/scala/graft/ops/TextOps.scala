@@ -109,4 +109,53 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  // ------------------------------------------------------ PII redaction
+
+  /** Redaction patterns, ordered: email first (so its digits can't feed
+    * the phone pattern), then IPv4 (dotted digit runs would otherwise
+    * match as phones), then phone-ish digit runs. Every pattern sticks to
+    * the regex subset with identical semantics in Java regex and RE2
+    * (character classes, bounded quantifiers, \b) so external engines
+    * (the DuckDB oracle included) reproduce the redaction byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+
+  /** Scan-side PII scrubbing for training corpora: emails, IPv4s and
+    * phone-like digit runs replaced with typed placeholder tokens. A pure
+    * projection — no shuffle, pipelines with the scan.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IPV4>"),
+      PhoneRe, "<PHONE>")
+
+  // ------------------------------------------------- repetition signal
+
+  /** Fraction of duplicated n-grams (1 - distinct/total) — the
+    * Gopher/C4-style repetition quality signal: boilerplate and
+    * degenerate generations repeat n-grams far more than natural text.
+    * Pure per-row expression; for n >= 2 the distinct count reuses the
+    * native word-shingle expression ([[Dedup.shingles]] — callers via
+    * graft query APIs have it registered). Documents shorter than n
+    * grams (including empty) score 0.0 — nothing repeats.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val nToks = size(tokens(text))
+    if (n == 1)
+      when(nToks > 0,
+        lit(1.0) - size(distinctTokens(text)).cast(DoubleType) / nToks.cast(DoubleType))
+        .otherwise(lit(0.0))
+    else {
+      // total n-grams = max(tokens - (n-1), 1); the shingle fallback for
+      // short docs yields exactly 1 distinct shingle, so rep = 0 there
+      val total = greatest(nToks - lit(n - 1), lit(1)).cast(DoubleType)
+      lit(1.0) - size(Dedup.shingles(text, n)).cast(DoubleType) / total
+    }
+  }
 }

@@ -31,6 +31,49 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.langId(col("t")), "xyzzy plugh") == "de") // all-zero → first alphabetical
   }
 
+  test("redact scrubs emails, IPv4s and phone runs; order prevents cross-matching") {
+    val rows = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "server at 192.168.001.1 port",
+      "call +1 (555) 123-4567 today",
+      "mixed a@b.co and 10.0.0.7 and 555-123-9999",
+      "clean text with no pii at all").toDF("text")
+      .select(TextOps.redact(col("text")).as("r")).collect().map(_.getString(0))
+    assert(rows(0) == "mail <EMAIL> now")
+    assert(rows(1) == "server at <IPV4> port")
+    assert(rows(2) == "call <PHONE> today")
+    assert(rows(3) == "mixed <EMAIL> and <IPV4> and <PHONE>")
+    assert(rows(4) == "clean text with no pii at all")
+  }
+
+  test("repetitionRatio: degenerate repetition scores high, unique text zero, short docs zero") {
+    val df = Seq(
+      ("a b a b a b a b", 1L),   // 2 distinct of 8 tokens; bigrams cycle
+      ("one two three four", 2L), // fully unique
+      ("x", 3L), ("", 4L)).toDF("text", "id")
+    val got = df.select(col("id"),
+      TextOps.repetitionRatio(col("text"), 1).as("r1"),
+      TextOps.repetitionRatio(col("text"), 2).as("r2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 1.0 - 2.0 / 8.0)
+    assert(got(1L)._2 == 1.0 - 2.0 / 7.0) // "a b" and "b a" only
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)) && got(4L) == ((0.0, 0.0)))
+  }
+
+  test("contaminationOverlap counts distinct shared shingles, bench side broadcast") {
+    val train = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "the quick red fox")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown cat")).toDF("doc_id", "text")
+    val got = Dedup.contaminationOverlap(train, bench, "doc_id", "text", shingleK = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1 shares "the quick" + "quick brown"; doc3 only "the quick"; doc2 clean
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    val plan = Dedup.contaminationOverlap(train, bench, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val a = one(TextOps.fingerprint(col("t")), "a b c")
     val b = one(TextOps.fingerprint(col("t")), "c b a")
