@@ -124,6 +124,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("plan lint: no cartesian product in ANY query; nested-loop joins only where intended") {
+    // sweep every declared operator query (referee checks excluded — they
+    // intentionally embed brute-force baselines): a cartesian scan
+    // anywhere is a 100 TB outage; BNLJ is legal only for the explicit
+    // broadcast-crossJoin brute-force path
+    // q37: broadcast crossJoin of the probe set (brute-force baseline);
+    // q18: scalar-subquery-as-1-row-broadcast (exact decimal average)
+    val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts")
+    graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      if (!allowBnlj(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a broadcast nested-loop join")
+    }
+  }
+
   test("q64: stratified sample is a scan-stage filter — no shuffle before output sort") {
     val p = plan("q64_stratified_sample")
     // the md5-threshold predicate is not parquet-pushable (expression on
