@@ -386,6 +386,71 @@ object Extras {
     s.read.parquet(outDir).orderBy("user_id", "view_ts", "purchase_ts")
   }
 
+  // ---------------------------------------------------------------- q78
+  // Stateful streaming sessionization via flatMapGroupsWithState with
+  // EVENT-TIME timeouts — deterministic, so oracle-checkable: a session
+  // emits when a later same-user event exceeds the 30-min gap (any
+  // non-final session) or when the final watermark (max event time - 1 h)
+  // passes its last-event+gap timeout. The oracle replays both rules:
+  // gaps-and-islands for in-stream closes, the watermark inequality for
+  // timeout closes. Final sessions the watermark never reaches stay open
+  // and unemitted, exactly as a live consumer would see.
+  private val q78GapMs = 30L * 60 * 1000
+  private val q78DelayMs = 60L * 60 * 1000
+  val q78 = QuerySpec.sql(
+    "q78_stream_sessionize",
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+      |), mx AS (SELECT MAX(ms) AS max_ms FROM e),
+      |o AS (
+      |  SELECT user_id, ms, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ms,
+      |    SUM(CASE WHEN prev IS NULL OR ms - prev > $q78GapMs THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM o),
+      |s AS (
+      |  SELECT user_id, grp, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM g GROUP BY user_id, grp),
+      |l AS (SELECT user_id, MAX(session_start_ms) AS last_start FROM s GROUP BY user_id)
+      |SELECT s.user_id, session_start_ms, session_end_ms, n_events
+      |FROM s JOIN l ON s.user_id = l.user_id, mx
+      |WHERE session_start_ms < l.last_start
+      |   OR session_end_ms + $q78GapMs < mx.max_ms - $q78DelayMs
+      |ORDER BY s.user_id, session_start_ms""".stripMargin) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q78_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q78_ckpt").toString
+    import graft.streaming.Sessionize
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    implicit val enc = org.apache.spark.sql.Encoders.product[Sessionize.TimedEvent]
+    val sessions = Sessionize.sessionizeEventTime(
+      stream.as[Sessionize.TimedEvent], q78GapMs)
+    withStreamingPartitions(s, 8) {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.TimedSessionOut],
+            _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir).orderBy("user_id", "session_start_ms")
+  }
+
   val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59,
-    q60, q70, q73)
+    q60, q70, q73, q78)
 }

@@ -62,4 +62,65 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         updateUser(gapUs))
   }
+
+  // --------------------------------------------- event-time variant
+
+  /** Event-time sessionization: like [[sessionize]], but sessions close
+    * on WATERMARK progress instead of wall-clock — the deterministic
+    * form (same input, same watermark delay → same emitted sessions,
+    * regardless of machine speed), and therefore the replayable /
+    * oracle-checkable one. A session emits either when a later event of
+    * the same user exceeds the gap, or when the event-time watermark
+    * passes its (last event + gap) timeout. Sessions whose timeout the
+    * final watermark never reaches stay open (bounded by delay) and are
+    * not emitted — exactly the contract a downstream consumer of an
+    * unbounded stream sees.
+    *
+    * Caller contract: `events` must carry `withWatermark("ts", delay)`.
+    * Timestamps are millisecond-resolution (GroupState timeouts are ms).
+    */
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class TimedSessionState(startMs: Long, lastMs: Long, n: Long)
+  final case class TimedSessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  def updateUserEventTime(gapMs: Long)(
+      userId: Long,
+      events: Iterator[TimedEvent],
+      state: GroupState[TimedSessionState]): Iterator[TimedSessionOut] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TimedSessionOut]
+    if (state.hasTimedOut) {
+      state.getOption.foreach(s =>
+        out += TimedSessionOut(userId, s.startMs, s.lastMs, s.n))
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val ms = e.ts.getTime
+        cur match {
+          case Some(s) if ms - s.lastMs <= gapMs =>
+            cur = Some(TimedSessionState(s.startMs, math.max(s.lastMs, ms), s.n + 1))
+          case Some(s) =>
+            out += TimedSessionOut(userId, s.startMs, s.lastMs, s.n)
+            cur = Some(TimedSessionState(ms, ms, 1))
+          case None =>
+            cur = Some(TimedSessionState(ms, ms, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+    }
+    out.iterator
+  }
+
+  def sessionizeEventTime(events: Dataset[TimedEvent],
+      gapMs: Long): Dataset[TimedSessionOut] = {
+    implicit val stateEnc = Encoders.product[TimedSessionState]
+    implicit val outEnc = Encoders.product[TimedSessionOut]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUserEventTime(gapMs))
+  }
 }

@@ -67,6 +67,36 @@ class StreamingSpec extends SparkSpec {
     assert(s3.isRemoved)
   }
 
+  test("event-time sessionize state machine: gap close, watermark timeout, late-max guard") {
+    import Sessionize._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st(prev: Option[TimedSessionState], timedOut: Boolean) =
+      TestGroupState.create[TimedSessionState](
+        prev.map(Optional.of[TimedSessionState]).getOrElse(Optional.empty[TimedSessionState]()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(0L).asInstanceOf[Optional[Long]], timedOut)
+    def ev(ms: Long) = TimedEvent(7L, new java.sql.Timestamp(ms))
+
+    // events inside the gap accumulate; timeout is set to last + gap
+    val s1 = st(None, timedOut = false)
+    val out1 = updateUserEventTime(1000L)(7L, Iterator(ev(100), ev(600)), s1).toSeq
+    assert(out1.isEmpty && s1.get == TimedSessionState(100, 600, 2))
+    assert(s1.getTimeoutTimestampMs.get() == 1600L)
+
+    // out-of-order within a batch is sorted; gap close emits the old session
+    val s2 = st(Some(s1.get), timedOut = false)
+    val out2 = updateUserEventTime(1000L)(7L, Iterator(ev(5600), ev(5000)), s2).toSeq
+    assert(out2 == Seq(TimedSessionOut(7L, 100, 600, 2)))
+    assert(s2.get == TimedSessionState(5000, 5600, 2))
+
+    // watermark timeout: open session flushed, state removed
+    val s3 = st(Some(s2.get), timedOut = true)
+    val out3 = updateUserEventTime(1000L)(7L, Iterator.empty, s3).toSeq
+    assert(out3 == Seq(TimedSessionOut(7L, 5000, 5600, 2)))
+    assert(s3.isRemoved)
+  }
+
   test("windowed aggregation semantics on a static frame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
