@@ -245,8 +245,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the pair set before symmetrizing: the two union branches
+    // would otherwise each re-evaluate the caller's pair pipeline (for
+    // near-dup inputs that is the whole LSH candidate+verify subtree)
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -296,9 +300,10 @@ object Dedup {
       idB: String = "id_b", maxRounds: Int = 25): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-    // symmetric working set; self-loops dropped
+    // symmetric working set; self-loops dropped; materialized before the
+    // double consumption in sym() (see connectedComponents)
     val base = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .filter(col("u") =!= col("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct().localCheckpoint()
     var edges = sym(base).distinct().localCheckpoint()
