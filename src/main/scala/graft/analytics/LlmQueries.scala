@@ -378,6 +378,43 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q79
+  val q79 = QuerySpec.sql(
+    "q79_media_resize",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    doc_id % 40 + 17 AS w, doc_id % 30 + 9 AS h,
+      |    CAST(16 AS DOUBLE) / greatest(doc_id % 40 + 17, doc_id % 30 + 9) AS scale
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(1, floor(w * scale)) AS INT) AS width,
+      |    CAST(greatest(1, floor(h * scale)) AS INT) AS height
+      |  FROM t)
+      |SELECT doc_id AS asset_id, width, height, true AS resized,
+      |  CAST(3 + length(CAST(width AS VARCHAR)) + 1 + length(CAST(height AS VARCHAR))
+      |    + 5 + width * height AS INT) AS payload_len
+      |FROM r ORDER BY asset_id""".stripMargin) { (s, d) =>
+    // REAL pixel-path resize in the gate: each doc becomes a genuine
+    // binary PGM (header + w·h solid-gray samples, synthesized from
+    // doc_id arithmetic in pure Column code), then
+    // Multimodal.resizeImages DECODES the pixels, nearest-neighbor
+    // resizes to fit maxSide=16, and RE-ENCODES — and the oracle
+    // recomputes the resized dims and the exact re-encoded byte length
+    // arithmetically. A wrong filter path, stride bug, or header drift
+    // changes payload_len or dims and hash-fails.
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      expr("CAST(concat('P5\n', CAST(doc_id % 40 + 17 AS STRING), ' ', " +
+        "CAST(doc_id % 30 + 9 AS STRING), '\n255\n', " +
+        "repeat(chr(doc_id % 95 + 32), CAST((doc_id % 40 + 17) * (doc_id % 30 + 9) AS INT))" +
+        ") AS BINARY)").as("payload"))
+    Multimodal.resizeImages(media, maxSide = 16)
+      .select(col("asset_id"), col("width"), col("height"), col("resized"),
+        octet_length(col("payload")).as("payload_len"))
+      .orderBy("asset_id")
+  }
+
   // ------------------------------------------------------- q75/q76/q77
   // DuckDB word-k-shingle fragment over a `toks` list column, mirroring
   // Dedup.shingles for any k (distinct windows, chr(1) separator,
@@ -632,5 +669,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77)
+    q75, q76, q77, q79)
 }

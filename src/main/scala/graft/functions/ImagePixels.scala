@@ -1,0 +1,281 @@
+package graft.functions
+
+/** Pure-JVM pixel codecs for the uncompressed/deflate image formats —
+  * no external codec library involved:
+  *
+  *  - PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced): zlib
+  *    inflate via `java.util.zip.Inflater` + the five standard row
+  *    filters (None/Sub/Up/Average/Paeth). Encoder writes the same
+  *    subset with a selectable row filter, so every unfilter path has a
+  *    bit-exact round-trip referee.
+  *  - Binary PPM/PGM (maxval <= 255): header + raw samples.
+  *
+  * JPEG pixels (DCT entropy decode) genuinely need a codec and stay
+  * stubbed in [[graft.ops.Multimodal]]; header metadata for it is
+  * handled by [[ImageHeaders]].
+  *
+  * All formats normalize to `Pixels(width, height, channels, data)` with
+  * row-major, channel-interleaved bytes.
+  */
+object ImagePixels {
+
+  final case class Pixels(width: Int, height: Int, channels: Int, data: Array[Byte]) {
+    require(data.length == width * height * channels, "pixel buffer size mismatch")
+  }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  // ----------------------------------------------------------- PNG
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    case t => throw new IllegalArgumentException(s"unsupported PNG color type $t")
+  }
+  private def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    case c => throw new IllegalArgumentException(s"unsupported channel count $c")
+  }
+
+  /** Decode an 8-bit non-interlaced PNG. Throws on malformed or
+    * unsupported input (palette, 16-bit, interlaced) — callers wanting
+    * null-on-failure semantics use [[ImageHeaders.parse]] first.
+    */
+  def decodePng(bytes: Array[Byte]): Pixels = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG")
+    var pos = 8
+    var width = 0; var height = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenEnd = false
+    while (!seenEnd && pos + 8 <= bytes.length) {
+      val len = be32(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataAt = pos + 8
+      require(len >= 0 && dataAt + len + 4 <= bytes.length, s"truncated chunk $typ")
+      typ match {
+        case "IHDR" =>
+          width = be32(bytes, dataAt); height = be32(bytes, dataAt + 4)
+          require(bytes(dataAt + 8) == 8, "only 8-bit PNGs supported")
+          channels = channelsOf(bytes(dataAt + 9) & 0xff)
+          require(bytes(dataAt + 12) == 0, "interlaced PNGs unsupported")
+        case "IDAT" => idat.write(bytes, dataAt, len)
+        case "IEND" => seenEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos = dataAt + len + 4 // skip CRC
+    }
+    require(width > 0 && height > 0 && channels > 0, "missing IHDR")
+    val raw = inflate(idat.toByteArray, height * (1 + width * channels))
+    unfilter(raw, width, height, channels)
+  }
+
+  /** Encode as 8-bit non-interlaced PNG; `rowFilter` 0-4 selects the
+    * filter applied to every row (0 = None is the normal choice; the
+    * others exist so tests can exercise every unfilter path bit-exactly).
+    */
+  def encodePng(px: Pixels, rowFilter: Int = 0): Array[Byte] = {
+    require(rowFilter >= 0 && rowFilter <= 4, "row filter must be 0..4")
+    val bpp = px.channels
+    val stride = px.width * bpp
+    val raw = new Array[Byte](px.height * (1 + stride))
+    var y = 0
+    while (y < px.height) {
+      raw(y * (1 + stride)) = rowFilter.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = px.data(y * stride + i) & 0xff
+        val left = if (i >= bpp) px.data(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) px.data((y - 1) * stride + i) & 0xff else 0
+        val upLeft = if (y > 0 && i >= bpp) px.data((y - 1) * stride + i - bpp) & 0xff else 0
+        val filtered = rowFilter match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, px.width); putBe32(ihdr, 4, px.height)
+    ihdr(8) = 8; ihdr(9) = colorTypeOf(px.channels).toByte
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putBe32(len, 0, data.length)
+    out.write(len)
+    val typBytes = typ.getBytes("US-ASCII")
+    out.write(typBytes)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typBytes); crc.update(data)
+    val c = new Array[Byte](4); putBe32(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+      off += n
+    }
+    inf.end()
+    require(off == expected, s"IDAT inflated to $off of $expected bytes")
+    out
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](math.max(64, data.length + data.length / 2 + 64))
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def unfilter(raw: Array[Byte], width: Int, height: Int,
+      channels: Int): Pixels = {
+    val bpp = channels
+    val stride = width * bpp
+    val out = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (1 + stride)) & 0xff
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) out(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+        val upLeft = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, upLeft)
+          case f => throw new IllegalArgumentException(s"bad PNG row filter $f")
+        }
+        out(y * stride + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Pixels(width, height, channels, out)
+  }
+
+  // ------------------------------------------------------- PPM / PGM
+
+  /** Decode binary P5/P6 with maxval <= 255. */
+  def decodePpm(bytes: Array[Byte]): Pixels = {
+    require(bytes.length >= 2 && bytes(0) == 'P' &&
+      (bytes(1) == '5' || bytes(1) == '6'), "not a binary PNM")
+    val channels = if (bytes(1) == '6') 3 else 1
+    var i = 2
+    def skipSep(): Unit = {
+      var more = true
+      while (more && i < bytes.length) {
+        val c = bytes(i) & 0xff
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Int = {
+      skipSep()
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+      }
+      require(any, "bad PNM header int")
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval > 0 && maxval <= 255, "only 8-bit PNM supported")
+    i += 1 // exactly one whitespace byte separates header from samples
+    val need = w * h * channels
+    require(bytes.length - i >= need, "truncated PNM payload")
+    Pixels(w, h, channels, java.util.Arrays.copyOfRange(bytes, i, i + need))
+  }
+
+  def encodePpm(px: Pixels): Array[Byte] = {
+    require(px.channels == 3 || px.channels == 1, "PNM is gray or RGB")
+    val magic = if (px.channels == 3) "P6" else "P5"
+    val header = s"$magic\n${px.width} ${px.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + px.data.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(px.data, 0, out, header.length, px.data.length)
+    out
+  }
+
+  // ----------------------------------------------------------- resize
+
+  /** Nearest-neighbor resize (integer source mapping sx = x·w/dw) — the
+    * deterministic, arithmetic-only policy, reproducible anywhere.
+    */
+  def resizeNearest(px: Pixels, dw: Int, dh: Int): Pixels = {
+    require(dw > 0 && dh > 0, "target dims must be positive")
+    val out = new Array[Byte](dw * dh * px.channels)
+    var y = 0
+    while (y < dh) {
+      val sy = (y.toLong * px.height / dh).toInt
+      var x = 0
+      while (x < dw) {
+        val sx = (x.toLong * px.width / dw).toInt
+        var c = 0
+        while (c < px.channels) {
+          out((y * dw + x) * px.channels + c) =
+            px.data((sy * px.width + sx) * px.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(dw, dh, px.channels, out)
+  }
+
+  // ------------------------------------------------- format dispatch
+
+  /** Decode any supported pixel format by sniffing the container
+    * (PNG, binary PPM/PGM); None for recognizable-but-pixel-unsupported
+    * or unknown payloads.
+    */
+  def decode(bytes: Array[Byte]): Option[Pixels] = {
+    if (bytes == null || bytes.length < 2) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      scala.util.Try(decodePng(bytes)).toOption
+    else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6'))
+      scala.util.Try(decodePpm(bytes)).toOption
+    else None
+  }
+}

@@ -92,6 +92,50 @@ object Multimodal {
       lit(3).cast(IntegerType).as("channels"))
   }
 
+  /** REAL pixel-level resize for the formats decodable in pure JVM (PNG
+    * via java.util.zip inflate/deflate, binary PPM/PGM — see
+    * [[graft.functions.ImagePixels]]): decode → nearest-neighbor resize
+    * to fit `maxSide` (aspect preserved, only downscales) → re-encode in
+    * the source container. Runs per-partition over the raw payloads —
+    * payloads never shuffle, memory is one image at a time per task.
+    * Unsupported containers (JPEG pixels need a DCT codec) pass through
+    * untouched with `resized = false`.
+    * Output: (asset_id, payload, width, height, resized).
+    */
+  def resizeImages(df: DataFrame, maxSide: Int): DataFrame = {
+    import graft.functions.ImagePixels
+    require(maxSide > 0, "maxSide must be positive")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("resized", BooleanType, nullable = false)))
+    val idIdx = df.schema.fieldIndex("asset_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val payload = if (row.isNullAt(payloadIdx)) null else row.getBinary(payloadIdx)
+        ImagePixels.decode(payload) match {
+          case Some(px) if math.max(px.width, px.height) > maxSide =>
+            val scale = maxSide.toDouble / math.max(px.width, px.height)
+            val dw = math.max(1, math.floor(px.width * scale).toInt)
+            val dh = math.max(1, math.floor(px.height * scale).toInt)
+            val small = ImagePixels.resizeNearest(px, dw, dh)
+            val encoded =
+              if ((payload(0) & 0xff) == 0x89) ImagePixels.encodePng(small)
+              else ImagePixels.encodePpm(small)
+            Row(id, encoded, dw, dh, true)
+          case Some(px) => Row(id, payload, px.width, px.height, false)
+          case None => Row(id, payload, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd.map(identity), outSchema)
+  }
+
   /** STUB resize: new logical dims, payload passed through untouched. */
   def resizeStub(decoded: Column, maxSide: Int): Column = {
     val w = decoded.getField("width")

@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.ImagePixels.Pixels
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ImagePixelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gradient(w: Int, h: Int, c: Int): Pixels =
+    Pixels(w, h, c, Array.tabulate(w * h * c)(i => ((i * 7 + 13) % 256).toByte))
+
+  test("png round-trips bit-exactly for every row filter and channel count") {
+    for (filter <- 0 to 4; channels <- Seq(1, 2, 3, 4)) {
+      val px = gradient(9, 5, channels)
+      val decoded = ImagePixels.decodePng(ImagePixels.encodePng(px, filter))
+      assert(decoded.width == 9 && decoded.height == 5 && decoded.channels == channels)
+      assert(java.util.Arrays.equals(decoded.data, px.data),
+        s"pixel mismatch at filter=$filter channels=$channels")
+    }
+  }
+
+  test("encoder output parses under the independent header reader (cross-referee)") {
+    // ImageHeaders.parse was written against the PNG spec, ImagePixels
+    // against the same spec independently — they must agree on encoder
+    // output, and the encoded file must also decode under a third party
+    // (javax.imageio ships with the JDK) to prove spec compliance
+    val px = gradient(33, 21, 3)
+    val bytes = ImagePixels.encodePng(px, rowFilter = 4)
+    val hdr = ImageHeaders.parse(bytes)
+    assert(hdr != null && hdr.getInt(1) == 33 && hdr.getInt(2) == 21 && hdr.getInt(3) == 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 33 && img.getHeight == 21)
+    // spot-check pixel (1,0): ImageIO getRGB packs 0xRRGGBB
+    val expR = px.data(3) & 0xff; val expG = px.data(4) & 0xff; val expB = px.data(5) & 0xff
+    assert(img.getRGB(1, 0) == (0xff << 24 | expR << 16 | expG << 8 | expB))
+  }
+
+  test("ppm round-trip and comment-bearing header decode") {
+    val px = gradient(7, 3, 3)
+    val rt = ImagePixels.decodePpm(ImagePixels.encodePpm(px))
+    assert(rt == px.copy(data = rt.data) && java.util.Arrays.equals(rt.data, px.data))
+    val withComment = ("P6\n# sneaky comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6))
+    val dec = ImagePixels.decodePpm(withComment)
+    assert(dec.width == 2 && dec.height == 1 && dec.data.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+
+  test("nearest-neighbor resize picks floor-mapped source pixels") {
+    // 4x2 gray image, downscale to 2x1: out(x,y) = src(x*4/2, y*2/1) = src(2x, 0)
+    val px = Pixels(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val down = ImagePixels.resizeNearest(px, 2, 1)
+    assert(down.data.toSeq == Seq[Byte](10, 30))
+    // upscale duplicates: 1x1 -> 3x2
+    val up = ImagePixels.resizeNearest(Pixels(1, 1, 1, Array[Byte](99)), 3, 2)
+    assert(up.data.toSeq == Seq.fill(6)(99.toByte))
+  }
+
+  test("Multimodal.resizeImages: real decode/resize/re-encode per partition") {
+    val imgs = Seq(
+      (1L, ImagePixels.encodePng(gradient(64, 32, 3))),      // downscale
+      (2L, ImagePixels.encodePpm(gradient(10, 40, 3))),      // tall ppm
+      (3L, ImagePixels.encodePng(gradient(8, 8, 4))),        // already small
+      (4L, "not an image".getBytes)                          // passthrough
+    ).toDF("asset_id", "payload")
+    val out = Multimodal.resizeImages(imgs, maxSide = 16)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getBoolean(4),
+          if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    assert(out(1L)._1.contains(16) && out(1L)._2.contains(8) && out(1L)._3)
+    assert(out(2L)._1.contains(4) && out(2L)._2.contains(16) && out(2L)._3)
+    assert(out(3L)._1.contains(8) && out(3L)._2.contains(8) && !out(3L)._3)
+    assert(out(4L)._1.isEmpty && !out(4L)._3)
+    // the resized payloads re-decode to the reported dims in their
+    // original container family
+    val p1 = ImagePixels.decodePng(out(1L)._4)
+    assert(p1.width == 16 && p1.height == 8 && p1.channels == 3)
+    val p2 = ImagePixels.decodePpm(out(2L)._4)
+    assert(p2.width == 4 && p2.height == 16)
+  }
+}
