@@ -415,6 +415,48 @@ object LlmQueries {
       .orderBy("asset_id")
   }
 
+  // ---------------------------------------------------------------- q81
+  val q81 = QuerySpec.sql(
+    "q81_audio_meta",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    doc_id % 95 + 32 AS v,
+      |    doc_id % 2000 + 100 AS n,
+      |    CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 8000 ELSE 16000 END AS rate
+      |  FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(rate AS INT) AS sample_rate,
+      |  1 AS channels, 8 AS bits,
+      |  CAST(n AS INT) AS n_samples,
+      |  CAST(n * (128 - v) AS BIGINT) AS abs_dev_sum,
+      |  CAST((n * 1000) // rate AS BIGINT) AS duration_ms
+      |FROM t ORDER BY asset_id""".stripMargin) { (s, d) =>
+    // Audio modality, real parse: a valid 8-bit mono PCM WAV is
+    // synthesized per doc from doc_id arithmetic (constant sample v, n
+    // samples, 8/16 kHz), then the native wav_meta expression walks the
+    // RIFF chunks and folds Σ|sample-128| in one scan-side pass. The
+    // oracle recomputes every field arithmetically — chunk-walk, sample
+    // loop, or header drift all hash-fail.
+    graft.functions.GraftFunctions.register(s)
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      Multimodal.synthWav(
+        (pmod(col("doc_id"), lit(95)) + 32).cast(IntegerType),
+        (pmod(col("doc_id"), lit(2000)) + 100).cast(IntegerType),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(8000)).otherwise(lit(16000)))
+        .as("payload"))
+    media.select(col("asset_id"), Multimodal.decodeWav(col("payload")).as("m"))
+      .select(
+        col("asset_id"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bits").as("bits"),
+        col("m.n_samples").as("n_samples"),
+        col("m.abs_dev_sum").as("abs_dev_sum"),
+        expr("(CAST(m.n_samples AS BIGINT) * 1000) div m.sample_rate").as("duration_ms"))
+      .orderBy("asset_id")
+  }
+
   // ------------------------------------------------------- q75/q76/q77
   // DuckDB word-k-shingle fragment over a `toks` list column, mirroring
   // Dedup.shingles for any k (distinct windows, chr(1) separator,
@@ -669,5 +711,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79)
+    q75, q76, q77, q79, q81)
 }

@@ -29,6 +29,8 @@ object GraftFunctions {
         "word_shingles", exprs => WordShingles(exprs(0), exprs(1), exprs(2)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "image_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "wav_meta", exprs => WavMeta(exprs(0)), "scala_udf")
     }
   }
 
@@ -66,4 +68,10 @@ object GraftFunctions {
     * `register(spark)` on the session.
     */
   def image_meta(payload: Column): Column = call_function("image_meta", payload)
+
+  /** Pure-JVM WAV/PCM header + sample-statistic parse (see [[WavMeta]]):
+    * `struct<sample_rate,channels,bits,n_samples,abs_dev_sum>` or null.
+    * Requires `register(spark)` on the session.
+    */
+  def wav_meta(payload: Column): Column = call_function("wav_meta", payload)
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Pure-JVM WAV/RIFF PCM parser — audio's analog of [[ImageHeaders]]:
+  * format metadata AND a one-pass sample statistic, no codec library
+  * (PCM is raw samples behind a chunked header). Supports 8-bit unsigned
+  * and 16-bit signed little-endian integer PCM, any channel count.
+  *
+  * `abs_dev_sum` = Σ |sample - midpoint| over every sample in the data
+  * chunk (midpoint 128 for 8-bit, 0 for 16-bit) — an exact-integer
+  * loudness proxy chosen over float RMS deliberately: it is replayable
+  * bit-for-bit by any external referee with no floating-point
+  * accumulation-order caveats.
+  */
+object WavHeaders {
+
+  /** @return InternalRow(sample_rate, channels, bits, n_samples,
+    *         abs_dev_sum) or null if not parseable PCM WAV.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 44) return null
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
+    var i = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var fmtSeen = false
+    while (i + 8 <= b.length) {
+      val t = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return null
+      t match {
+        case "fmt " =>
+          if (len < 16 || le16(b, i + 8) != 1) return null // integer PCM only
+          channels = le16(b, i + 10)
+          sampleRate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+          bits = le16(b, i + 22)
+          if (channels <= 0 || sampleRate <= 0 || (bits != 8 && bits != 16)) return null
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return null
+          val bytesPer = bits / 8
+          val nSamples = len / (bytesPer * channels)
+          var acc = 0L
+          var j = i + 8
+          val end = i + 8 + len - (bytesPer - 1)
+          while (j < end) {
+            val dev =
+              if (bits == 8) math.abs((b(j) & 0xff) - 128)
+              else math.abs((b(j) & 0xff) | (b(j + 1) << 8)) // sign from high byte
+            acc += dev
+            j += bytesPer
+          }
+          return new GenericInternalRow(
+            Array[Any](sampleRate, channels, bits, nSamples, acc))
+        case _ => () // skip ancillary chunks (LIST, fact, ...)
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+}
+
+/** `wav_meta(binary)` → `struct<sample_rate int, channels int, bits int,
+  * n_samples int, abs_dev_sum bigint>`, null for non-PCM-WAV payloads.
+  * Scan-side: metadata and the sample statistic come out of one pass over
+  * the payload in the scan stage — the bytes never move.
+  */
+case class WavMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("abs_dev_sum", LongType)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_meta expects binary, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WavHeaders.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parsed = ctx.freshName("wavMeta")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        InternalRow $parsed = graft.functions.WavHeaders.parse(${childGen.value});
+        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+
+  override def prettyName: String = "wav_meta"
+}

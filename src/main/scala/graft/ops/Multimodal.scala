@@ -59,14 +59,23 @@ object Multimodal {
     * header reader, so it gives [[decodeImage]] a computable external
     * oracle: dims in, bytes out, dims back out.
     */
+  /** 8-hex-char big-endian rendering of an int column. */
+  private[ops] def beHex(c: Column): Column = lpad(hex(c.cast(LongType)), 8, "0")
+
+  /** little-endian 32-bit = byte-swap of the big-endian hex. */
+  private[ops] def leHex(c: Column): Column = {
+    val be = beHex(c)
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** little-endian 16-bit. */
+  private[ops] def leHex16(c: Column): Column = {
+    val be = beHex(c)
+    concat(substring(be, 7, 2), substring(be, 5, 2))
+  }
+
   def synthHeader(fmt: Column, w: Column, h: Column): Column = {
-    def beHex(c: Column) = lpad(hex(c.cast(LongType)), 8, "0")
-    // little-endian = byte-swap of the big-endian hex
-    def leHex(c: Column) = {
-      val be = beHex(c)
-      concat(substring(be, 7, 2), substring(be, 5, 2),
-        substring(be, 3, 2), substring(be, 1, 2))
-    }
     val png = unhex(concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       beHex(w), beHex(h), lit("0806000000")))
@@ -134,6 +143,30 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd.map(identity), outSchema)
+  }
+
+  /** Decode WAV/PCM metadata + loudness proxy scan-side (real parse, see
+    * [[graft.functions.WavHeaders]]). Null for non-PCM-WAV payloads.
+    */
+  def decodeWav(payload: Column): Column =
+    graft.functions.GraftFunctions.wav_meta(payload)
+
+  /** Synthesizes a valid 8-bit mono PCM WAV as binary, in pure Column
+    * arithmetic: constant sample value `v` (32..126 so the repeat/chr
+    * trick stays single-byte UTF-8), `n` samples at `rate` Hz — the
+    * computable-oracle fixture for [[decodeWav]].
+    */
+  def synthWav(v: Column, n: Column, rate: Column): Column = {
+    val header = unhex(concat(
+      lit("52494646"), leHex(n + 36), lit("57415645"), // RIFF <size> WAVE
+      lit("666D7420"), lit("10000000"), // "fmt " len=16
+      lit("0100"), lit("0100"), // integer PCM, 1 channel
+      leHex(rate), leHex(rate), // sample rate; byte rate = rate·1·1
+      lit("0100"), lit("0800"), // block align 1, 8 bits
+      lit("64617461"), leHex(n))) // "data" <len>
+    concat(header,
+      call_function("repeat", call_function("chr", v), n.cast(IntegerType))
+        .cast(BinaryType))
   }
 
   /** STUB resize: new logical dims, payload passed through untouched. */

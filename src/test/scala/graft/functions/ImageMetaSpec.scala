@@ -87,6 +87,50 @@ class ImageMetaSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("wav_meta: hand-built PCM fixtures, 16-bit signed, ancillary chunks, garbage") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def wav(rate: Int, ch: Int, bits: Int, data: Array[Byte],
+        extraChunk: Boolean = false): Array[Byte] = {
+      val extra = if (extraChunk) ascii("LIST") ++ le32(4) ++ ascii("INFO") else Array.empty[Byte]
+      ascii("RIFF") ++ le32(36 + extra.length + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits) ++
+        extra ++ ascii("data") ++ le32(data.length) ++ data
+    }
+    def parse(b: Array[Byte]) = Option(WavHeaders.parse(b))
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+
+    // 8-bit mono: samples 100,156 -> |100-128| + |156-128| = 56
+    assert(parse(wav(8000, 1, 8, Array[Byte](100.toByte, 156.toByte)))
+      === Some((8000, 1, 8, 2, 56L)))
+    // 16-bit stereo incl. negative + Short.MinValue; LIST chunk skipped
+    val samples = le16(-300 & 0xffff) ++ le16(200) ++ le16(0x8000) ++ le16(0)
+    assert(parse(wav(44100, 2, 16, samples, extraChunk = true))
+      === Some((44100, 2, 16, 2, 300L + 200L + 32768L)))
+    // rejects: float PCM fmt tag, truncated, not RIFF
+    val floatFmt = wav(8000, 1, 8, Array[Byte](1)).clone()
+    floatFmt(20) = 3 // IEEE-float format code
+    assert(parse(floatFmt).isEmpty)
+    assert(parse(ascii("RIFFxxxx")).isEmpty)
+    assert(parse(ascii("not audio at all, definitely not 44 bytes of it..")).isEmpty)
+  }
+
+  test("synthWav -> wav_meta round-trips the arithmetic fields") {
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 200).select(
+      col("id"),
+      graft.ops.Multimodal.synthWav((pmod(col("id"), lit(95)) + 32).cast("int"),
+        (pmod(col("id"), lit(500)) + 10).cast("int"), lit(8000)).as("p"))
+    val bad = df.select(col("id"), GraftFunctions.wav_meta(col("p")).as("m"))
+      .filter(col("m").isNull ||
+        col("m.n_samples") =!= (pmod(col("id"), lit(500)) + 10).cast("int") ||
+        col("m.abs_dev_sum") =!=
+          ((pmod(col("id"), lit(500)) + 10) * (lit(128) - pmod(col("id"), lit(95)) - 32)).cast("long"))
+    assert(bad.count() === 0)
+  }
+
   test("composable hex/conv referee matches the native parser on PNG") {
     // An independent Column-arithmetic decode of the PNG IHDR: width is
     // the 4 big-endian bytes at offset 16 → hex chars 33..40. Pins the
