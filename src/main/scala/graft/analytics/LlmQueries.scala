@@ -415,6 +415,42 @@ object LlmQueries {
       .orderBy("asset_id")
   }
 
+  // ---------------------------------------------------------------- q80
+  val q80 = QuerySpec.sql(
+    "q80_quantize_embeddings",
+    s"""WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS scale
+      |  FROM t
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(qv, x -> abs(x))), (a, b) -> a + b) AS q_l1,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS q_sum,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    // symmetric int8 quantization (4x compression before ANN); both
+    // engines round half-away-from-zero on doubles, so q matches
+    // element-for-element. The gate output is per-vector exact-integer
+    // digests of q (L1, sum, max) plus the scale — array columns can't
+    // ride the hash compare, and a single element off by one moves L1.
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(transform(col("q"), x => abs(x).cast(LongType)),
+          lit(0L), (a, b) => a + b).as("q_l1"),
+        aggregate(col("q").cast("array<long>"), lit(0L), (a, b) => a + b).as("q_sum"),
+        array_max(col("q")).cast(LongType).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- q81
   val q81 = QuerySpec.sql(
     "q81_audio_meta",
@@ -711,5 +747,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q81)
+    q75, q76, q77, q79, q80, q81)
 }

@@ -196,7 +196,7 @@ object Multimodal {
     */
   def extractFeaturesBatched(df: DataFrame, dim: Int, batchSize: Int = 64)(
       batchFn: Seq[Array[Byte]] => Seq[Array[Float]] =
-        _.map(deterministicFakeFeatures(_, 16))): DataFrame = {
+        _.map(b => histogramFeatures(b, 16).getOrElse(deterministicFakeFeatures(b, 16)))): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -215,8 +215,33 @@ object Multimodal {
     spark.createDataFrame(rdd.map(identity), outSchema)
   }
 
+  /** REAL feature extraction for decodable payloads: `dim`-bin
+    * normalized luminance histogram over the decoded pixels (PNG/PPM via
+    * [[graft.functions.ImagePixels]]; luminance = mean of color
+    * channels, alpha excluded). Deterministic, codec-free, and a genuine
+    * (if simple) visual signature — duplicate frames and flat images are
+    * separable on it. None when the payload has no pure-JVM pixel path.
+    */
+  def histogramFeatures(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] =
+    graft.functions.ImagePixels.decode(bytes).map { px =>
+      val hist = new Array[Float](dim)
+      val colorCh = if (px.channels == 2 || px.channels == 4) px.channels - 1 else px.channels
+      val n = px.width * px.height
+      var i = 0
+      while (i < n) {
+        var s = 0; var c = 0
+        while (c < colorCh) { s += px.data(i * px.channels + c) & 0xff; c += 1 }
+        hist(((s / colorCh) * dim) / 256) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < dim) { hist(b) /= n; b += 1 }
+      hist
+    }
+
   /** Deterministic fake features (hash-seeded) standing in for a real
-    * encoder; marked STUB. Values in [-0.5, 0.5).
+    * encoder; marked STUB — the fallback for payloads
+    * [[histogramFeatures]] cannot decode. Values in [-0.5, 0.5).
     */
   def deterministicFakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val seed = java.util.Arrays.hashCode(bytes).toLong

@@ -155,6 +155,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-vector symmetric int8 quantization — the standard compression
+    * step before ANN at scale (4× smaller than float32; distance error
+    * bounded by the per-vector scale): scale = max|x| / 127, q[i] =
+    * round(x[i] / scale). Returns (idCol, scale, q).
+    *
+    * The `scale` alias is referenced twice (output column + inside the
+    * quantizing lambda) on purpose: a single lambda reference would be
+    * inlined by CollapseProject and re-evaluate the max-abs pass per
+    * ELEMENT (O(dim²) per row); the multi-reference non-cheap-alias
+    * protection keeps it evaluated once per row.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
+    df.select(col(idCol), col(vecCol).as("__v"),
+      when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(1.0)).as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"),
+          x => round(x.cast(DoubleType) / col("scale")).cast(IntegerType)).as("q"))
+  }
+
   /** Exact all-pairs cosine (id_a < id_b) — the verification baseline for
     * the LSH-blocked paths, NOT a scale path: deliberately quadratic, so
     * it refuses inputs larger than `maxRows` (limit-probe, not a full

@@ -58,6 +58,17 @@ class ImagePixelsSpec extends SparkSpec {
     assert(up.data.toSeq == Seq.fill(6)(99.toByte))
   }
 
+  test("histogramFeatures: solid image one-hot bin, gradient spreads, fallback for undecodable") {
+    val solid = Pixels(6, 4, 3, Array.fill(6 * 4 * 3)(100.toByte))
+    val h = Multimodal.histogramFeatures(ImagePixels.encodePng(solid), 16).get
+    assert(h(100 * 16 / 256) == 1.0f && h.sum == 1.0f)
+    val grad = gradient(16, 16, 1)
+    val hg = Multimodal.histogramFeatures(ImagePixels.encodePpm(
+      grad.copy(channels = 1, data = grad.data)), 16).get
+    assert(math.abs(hg.sum - 1.0f) < 1e-5 && hg.count(_ > 0) > 4)
+    assert(Multimodal.histogramFeatures("jpeg-or-garbage".getBytes, 16).isEmpty)
+  }
+
   test("Multimodal.resizeImages: real decode/resize/re-encode per partition") {
     val imgs = Seq(
       (1L, ImagePixels.encodePng(gradient(64, 32, 3))),      // downscale

@@ -266,6 +266,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("quantizeInt8: round-trip cosine stays close; q bounded by 127; zero vector safe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = quant.join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        transform(col("q"), x => (x.cast("double") * col("scale")).cast("float")).as("deq"))
+    // every quantized component within int8 range
+    assert(quant.filter(exists(col("q"), x => abs(x) > 127)).count() == 0)
+    // dequantized vector stays cosine-close to the original
+    val minCos = joined.select(Similarity.cosine(col("embedding"), col("deq")).as("c"))
+      .agg(min("c")).collect()(0).getDouble(0)
+    assert(minCos > 0.999, s"quantization destroyed geometry: min cosine $minCos")
+    // zero vector: scale guard 1.0, all-zero q
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding").collect()(0)
+    assert(zq.getDouble(1) == 1.0 && zq.getSeq[Int](2).forall(_ == 0))
+  }
+
   test("exactAllPairs is the exact baseline for embeddingNearDups, with a size guard") {
     val all = Similarity.exactAllPairs(vecs, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
