@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Merge, Profile, Sampling}
+import graft.ops.{Curation, Merge, Profile, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Curation-pipeline query surfaces: deterministic sampling and mixing,
@@ -198,5 +198,31 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74)
+  // ---------------------------------------------------------------- q82
+  // Context-window chunking: 200-char chunks, 50-char overlap (stride
+  // 150). Scan-side explode+substring — the oracle replays the exact
+  // chunk-count ceil and 1-based substring arithmetic.
+  val q82 = QuerySpec.sql(
+    "q82_doc_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |), n AS (
+      |  SELECT doc_id, text,
+      |    CAST(greatest(1, ceil((len - 50) / 150.0)) AS INT) AS n_chunks
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, n_chunks, unnest(range(n_chunks)) AS ci, text FROM n
+      |)
+      |SELECT doc_id, n_chunks, CAST(ci AS INT) AS chunk_idx,
+      |  substring(text, CAST(ci AS INT) * 150 + 1, 200) AS chunk_text,
+      |  CAST(length(substring(text, CAST(ci AS INT) * 150 + 1, 200)) AS INT) AS chunk_len
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Curation.chunkByChars(Tables.documents(s, d).select("doc_id", "text"),
+      "doc_id", "text", chunkChars = 200, overlap = 50)
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        col("chunk_text"), col("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82)
 }

@@ -745,7 +745,90 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q83
+  // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
+  // every arithmetic step (casts, one divide, one multiply) is
+  // IEEE-exact, so score AND top-k selection replay bit-for-bit in any
+  // engine — see TextOps.tfIdfTopK's scaladoc; the ln-idf variant is
+  // pinned in ScalaTest instead.
+  val q83 = QuerySpec.sql(
+    "q83_tfidf_keywords",
+    s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |        CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score,
+      |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) DESC,
+      |                   tf.term ASC) AS rank
+      |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+      |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    TextOps.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q84
+  // Bloom-filter decontamination — q76's zero-join 100 TB shape: the
+  // bench side folds into a few-KB broadcast BloomFilter, the corpus
+  // probes it scan-side. Deterministic (constant-seed hashes) but with
+  // no DuckDB twin; q84r referees it in-gate against the exact join
+  // path (superset + fp-bound).
+  val q84 = QuerySpec.rowsOnly("q84_bloom_decontaminate") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.bloomDecontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", shingleK = 2, fpp = 1e-4)
+      .filter(col("contaminated")).select("doc_id").orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q85
+  // Video modality, real parse: a valid AVI container (RIFF hdrl/avih)
+  // is synthesized per doc from doc_id arithmetic, the native avi_meta
+  // expression walks the chunk tree scan-side, and the evenly-spaced
+  // frame-sample plan comes off the PARSED frame count. The oracle
+  // recomputes every field arithmetically.
+  val q85 = QuerySpec.sql(
+    "q85_video_meta",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41667 END AS us_per_frame,
+      |    CAST(doc_id % 900 + 30 AS INT) AS total_frames,
+      |    CAST(doc_id % 640 + 16 AS INT) AS width,
+      |    CAST(doc_id % 360 + 16 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(us_per_frame AS INT) AS us_per_frame, total_frames, 1 AS streams,
+      |  width, height,
+      |  (CAST(total_frames AS BIGINT) * us_per_frame) // 1000 AS duration_ms,
+      |  CAST(floor(total_frames * 1 / 4.0) + floor(total_frames * 2 / 4.0)
+      |     + floor(total_frames * 3 / 4.0) AS BIGINT) AS sampled_sum
+      |FROM t ORDER BY asset_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      Multimodal.synthAvi(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(33333)).otherwise(lit(41667)),
+        (pmod(col("doc_id"), lit(900)) + 30).cast(IntegerType),
+        (pmod(col("doc_id"), lit(640)) + 16).cast(IntegerType),
+        (pmod(col("doc_id"), lit(360)) + 16).cast(IntegerType)).as("payload"))
+    media.select(col("asset_id"), Multimodal.decodeAvi(col("payload")).as("m"))
+      .select(
+        col("asset_id"),
+        col("m.us_per_frame").as("us_per_frame"),
+        col("m.total_frames").as("total_frames"),
+        col("m.streams").as("streams"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        expr("(CAST(m.total_frames AS BIGINT) * m.us_per_frame) div 1000").as("duration_ms"),
+        aggregate(Multimodal.frameSampleIndices(col("m.total_frames"), 4),
+          lit(0L), (a, b) => a + b.cast(LongType)).as("sampled_sum"))
+      .orderBy("asset_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85)
 }

@@ -180,5 +180,31 @@ object RefereeQueries {
     report(symDiff(native, referee))
   }
 
-  val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r)
+  // ------------------------------------------------------ q84 referee
+  // Bloom-flagged set vs the exact join path: Bloom guarantees no false
+  // negatives (every exactly-contaminated doc MUST be flagged — a hard
+  // set-containment check), and false positives must stay under a bound
+  // generous vs fpp=1e-4 × ~100 shingles/doc (expected <1% of docs) but
+  // tight enough to catch a broken filter (an always-true probe flags
+  // 100%).
+  val q84r = QuerySpec.refereeCheck("q84r_bloom_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val bloom = Dedup.bloomDecontaminate(train, bench, "doc_id", "text",
+      shingleK = 2, fpp = 1e-4)
+      .filter(col("contaminated")).select("doc_id")
+    val exact = Dedup.contaminationOverlap(train, bench, "doc_id", "text",
+      shingleK = 2).select("doc_id")
+    val falseNegatives = exact.except(bloom).withColumn("side", lit("bloom_missed"))
+    val extras = bloom.except(exact).count()
+    val bound = math.max(5L, (train.count() * 0.05).toLong)
+    val fpRow = if (extras <= bound) Seq.empty[String]
+      else Seq(s"false_positives=$extras>bound=$bound")
+    report(Seq(falseNegatives)).unionAll(fpRow.toDF("status")).orderBy("status")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r)
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Pure-JVM AVI/RIFF container parser — video's analog of [[WavHeaders]]:
+  * walks the RIFF chunk tree to the `hdrl` LIST and reads the `avih`
+  * main header. No codec involved: frame-rate, frame-count and dimensions
+  * live in plain little-endian header fields (frame *pixels* would need a
+  * real video codec, which stays out of scope exactly like JPEG pixels in
+  * [[ImageHeaders]]).
+  */
+object AviHeaders {
+
+  /** @return InternalRow(us_per_frame, total_frames, streams, width,
+    *         height) or null if not a parseable AVI.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ")) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val t = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return null
+      if (t == "LIST" && len >= 4 && tag(b, i + 8) == "hdrl") {
+        // scan the hdrl list's children for the avih chunk
+        var j = i + 12
+        val end = i + 8 + len
+        while (j + 8 <= end) {
+          val ct = tag(b, j)
+          val clen = le32(b, j + 4)
+          if (clen < 0 || j + 8 + clen > end) return null
+          if (ct == "avih") {
+            if (clen < 40) return null
+            val usPerFrame = le32(b, j + 8)
+            val totalFrames = le32(b, j + 24)
+            val streams = le32(b, j + 32)
+            val width = le32(b, j + 40)
+            val height = le32(b, j + 44)
+            if (usPerFrame <= 0 || totalFrames < 0 || width <= 0 || height <= 0) return null
+            return new GenericInternalRow(
+              Array[Any](usPerFrame, totalFrames, streams, width, height))
+          }
+          j += 8 + clen + (clen & 1)
+        }
+        return null // hdrl without avih is not a valid AVI
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+}
+
+/** `avi_meta(binary)` → `struct<us_per_frame int, total_frames int,
+  * streams int, width int, height int>`, null for non-AVI payloads.
+  * Scan-side like [[WavMeta]]: the payload bytes never move.
+  */
+case class AviMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("us_per_frame", IntegerType),
+    StructField("total_frames", IntegerType),
+    StructField("streams", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"avi_meta expects binary, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    AviHeaders.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parsed = ctx.freshName("aviMeta")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        InternalRow $parsed = graft.functions.AviHeaders.parse(${childGen.value});
+        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AviMeta =
+    copy(child = newChild)
+
+  override def prettyName: String = "avi_meta"
+}

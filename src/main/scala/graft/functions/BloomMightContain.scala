@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `bloom_might_contain(filterBytes, item)` → boolean: membership probe
+  * against a serialized [[org.apache.spark.util.sketch.BloomFilter]]
+  * carried as a (foldable) binary argument.
+  *
+  * This is the broadcast half of Bloom-filter decontamination at 100 TB:
+  * the benchmark side is aggregated once into a few-KB filter
+  * (`Dataset.stat.bloomFilter`, deterministic — Spark's sketch seeds its
+  * Murmur3 hashes with a constant), and the corpus side then probes it
+  * scan-side with zero shuffle and zero join. False positives are bounded
+  * by the filter's fpp; false negatives are impossible, which is exactly
+  * the direction decontamination needs (never ship a contaminated doc).
+  *
+  * The probe hashes the item's UTF-8 bytes (`mightContainBinary`),
+  * matching what `BloomFilter.putString` hashed on the build side. The
+  * filter deserializes lazily once per JVM (transient), not per row.
+  */
+case class BloomMightContain(filterBytes: Expression, item: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = filterBytes
+  override def right: Expression = item
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = filterBytes.nullable || item.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (filterBytes.dataType, item.dataType) match {
+      case (BinaryType, StringType) =>
+        if (filterBytes.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain expects a foldable (constant) filter argument")
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (binary, string), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = filterBytes.eval(null).asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Row-level probe — public so generated code can call through the
+    * expression reference (keeps the BloomFilter instance off the
+    * serialized-plan path; it re-inflates from the literal per JVM).
+    */
+  def test(s: UTF8String): Boolean = filter.mightContainBinary(s.getBytes)
+
+  override def nullSafeEval(bytes: Any, str: Any): Any =
+    test(str.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContain].getName)
+    val itemGen = item.genCode(ctx)
+    ev.copy(code = code"""
+      ${itemGen.code}
+      boolean ${ev.isNull} = ${itemGen.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = $ref.test(${itemGen.value});
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(filterBytes = newLeft, item = newRight)
+
+  override def prettyName: String = "bloom_might_contain"
+}

@@ -31,6 +31,10 @@ object GraftFunctions {
         "image_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "wav_meta", exprs => WavMeta(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
     }
   }
 
@@ -74,4 +78,16 @@ object GraftFunctions {
     * Requires `register(spark)` on the session.
     */
   def wav_meta(payload: Column): Column = call_function("wav_meta", payload)
+
+  /** Pure-JVM AVI/RIFF header parse (see [[AviMeta]]):
+    * `struct<us_per_frame,total_frames,streams,width,height>` or null.
+    * Requires `register(spark)` on the session.
+    */
+  def avi_meta(payload: Column): Column = call_function("avi_meta", payload)
+
+  /** Membership probe against a serialized BloomFilter literal (see
+    * [[BloomMightContain]]). Requires `register(spark)` on the session.
+    */
+  def bloom_might_contain(filterBytes: Column, item: Column): Column =
+    call_function("bloom_might_contain", filterBytes, item)
 }

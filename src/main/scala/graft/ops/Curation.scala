@@ -55,6 +55,39 @@ object Curation {
     }
   }
 
+  /** Fixed-size character chunking with overlap — the "context window"
+    * split between corpus and trainer: each document becomes
+    * ceil((len - overlap) / stride) windows (at least one, so empty and
+    * short docs stay represented) of `chunkChars` characters starting
+    * every `stride = chunkChars - overlap` characters.
+    *
+    * Pure scan-side explode+substring: no shuffle, output rows stay on
+    * the partition that read the document, and the expansion factor is
+    * len/stride per doc — bounded and known ahead of time, so at 100 TB
+    * this pipelines with the scan exactly like any other projection. The
+    * chunk count uses double ceil on exact small integers (identical in
+    * any IEEE engine), never integer-division tricks with engine-varying
+    * semantics.
+    *
+    * Output: input columns minus `textCol`, plus (chunk_idx, n_chunks,
+    * chunk_text, chunk_len).
+    */
+  def chunkByChars(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    require(overlap >= 0 && overlap < chunkChars, "overlap must be in [0, chunkChars)")
+    val stride = chunkChars - overlap
+    val len = length(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((len - lit(overlap)).cast(DoubleType) / lit(stride.toDouble)).cast(IntegerType))
+    df.withColumn("n_chunks", nChunks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_text",
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(chunkChars)))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .drop(textCol)
+  }
+
   /** Concatenate-and-chunk sequence packing (the standard LLM-pretraining
     * layout): documents are laid end-to-end in (group, id) order and cut
     * into fixed `maxTokens` windows; a document's `chunk_id` is the window

@@ -368,6 +368,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[contaminationOverlap]]: instead of broadcasting the benchmark
+    * shingle SET into a join, the bench side aggregates into a few-KB
+    * BloomFilter once (driver-side over the SMALL side only — the bench
+    * set is fixtures-sized by definition), and the corpus probes it with
+    * a scan-side native expression ([[graft.functions.BloomMightContain]])
+    * — zero shuffle, zero join, no per-executor hash-set. The trade:
+    * false positives at rate ~`fpp` per shingle (over-flagging, safe for
+    * decontamination), never false negatives (Bloom's hard guarantee —
+    * every genuinely contaminated doc is flagged). Spark's sketch hashes
+    * with constant seeds, so the flagged set is deterministic.
+    *
+    * Returns `train` plus a `contaminated` boolean.
+    */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 2, fpp: Double = 1e-4): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val bSh = bench.select(explode(shingles(col(textCol), shingleK)).as("__sh")).distinct()
+    val n = math.max(1L, bSh.count())
+    val bf = bSh.stat.bloomFilter("__sh", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    train.withColumn("contaminated",
+      exists(shingles(col(textCol), shingleK),
+        s => graft.functions.GraftFunctions.bloom_might_contain(lit(bytes), s)))
+  }
+
   /** Canonical-document selection: drop every doc that near-dups a
     * smaller-id doc (exact components, min id survives per cluster).
     */

@@ -169,6 +169,43 @@ object Multimodal {
         .cast(BinaryType))
   }
 
+  /** Decode AVI/RIFF video header metadata scan-side (real parse, see
+    * [[graft.functions.AviHeaders]]). Null for non-AVI payloads.
+    */
+  def decodeAvi(payload: Column): Column =
+    graft.functions.GraftFunctions.avi_meta(payload)
+
+  /** Synthesizes a minimal valid AVI container (RIFF 'AVI ' + hdrl LIST
+    * + avih main header, 88 bytes) in pure Column arithmetic — the
+    * computable-oracle fixture for [[decodeAvi]]: frame timing, frame
+    * count and dimensions in, bytes out, the same numbers back out.
+    */
+  def synthAvi(usPerFrame: Column, totalFrames: Column, w: Column, h: Column): Column =
+    unhex(concat(
+      lit("52494646" + "50000000" + "41564920"), // RIFF len=80 'AVI '
+      lit("4C495354" + "44000000" + "6864726C"), // LIST len=68 'hdrl'
+      lit("61766968" + "38000000"), // 'avih' len=56
+      leHex(usPerFrame), // dwMicroSecPerFrame
+      lit("00000000" * 3), // maxBytesPerSec, padding, flags
+      leHex(totalFrames), // dwTotalFrames
+      lit("00000000"), // dwInitialFrames
+      lit("01000000"), // dwStreams = 1
+      lit("00000000"), // dwSuggestedBufferSize
+      leHex(w), leHex(h), // dwWidth, dwHeight
+      lit("00000000" * 4))) // dwReserved[4]
+
+  /** Evenly-spaced frame-sample indices — the "pick n frames per video"
+    * step before a (codec-bound, out-of-scope) frame decode: index i of n
+    * maps to frame floor(total * i / n). Pure Column arithmetic over the
+    * REAL parsed frame count, so the sampling plan is exact even though
+    * pixel extraction stays stubbed.
+    */
+  def frameSampleIndices(totalFrames: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    transform(sequence(lit(0), lit(n - 1)),
+      i => floor((totalFrames * i).cast(DoubleType) / lit(n.toDouble)).cast(IntegerType))
+  }
+
   /** STUB resize: new logical dims, payload passed through untouched. */
   def resizeStub(decoded: Column, maxSide: Int): Column = {
     val w = decoded.getField("width")

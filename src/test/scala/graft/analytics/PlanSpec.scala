@@ -130,8 +130,11 @@ class PlanSpec extends SparkSpec {
     // anywhere is a 100 TB outage; BNLJ is legal only for the explicit
     // broadcast-crossJoin brute-force path
     // q37: broadcast crossJoin of the probe set (brute-force baseline);
-    // q18: scalar-subquery-as-1-row-broadcast (exact decimal average)
-    val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts")
+    // q18: scalar-subquery-as-1-row-broadcast (exact decimal average);
+    // q83: corpus row count as a 1-row broadcast riding into every
+    //      tf row's idf (the declarative alternative to a driver-side
+    //      collect of N)
+    val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

@@ -26,6 +26,35 @@ class CurationSpec extends SparkSpec {
     assert(cuts.map(_._2) == Seq("cccccccc", "e6666666", "ffffffff"))
   }
 
+  test("chunkByChars: chunk geometry, overlap reconstruction, edge docs") {
+    val docs = Seq(
+      (1L, "abcdefghij"),   // 10 chars
+      (2L, "abcd"),         // shorter than one chunk
+      (3L, ""),             // empty still yields one (empty) chunk
+      (4L, "abcdefg")       // len == chunkChars exactly
+    ).toDF("doc_id", "text")
+    val chunks = Curation.chunkByChars(docs, "doc_id", "text", chunkChars = 7, overlap = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        ((r.getAs[Int]("n_chunks"), r.getAs[String]("chunk_text")))).toMap
+    // stride 4: doc 1 (len 10) -> ceil((10-3)/4) = 2 chunks
+    assert(chunks((1L, 0)) == ((2, "abcdefg")))
+    assert(chunks((1L, 1)) == ((2, "efghij")))
+    assert(chunks((2L, 0)) == ((1, "abcd")))
+    assert(chunks((3L, 0)) == ((1, "")))
+    assert(chunks((4L, 0)) == ((1, "abcdefg")))
+    // overlap reconstruction: dropping the trailing overlap of every
+    // non-final chunk and concatenating restores the document
+    val rebuilt = chunks.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2._2)
+      .zipWithIndex.map { case (c, i) => if (i < 1) c.take(4) else c }.mkString
+    assert(rebuilt == "abcdefghij")
+  }
+
+  test("chunkByChars rejects bad geometry") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Curation.chunkByChars(df, "doc_id", "text", 0, 0))
+    intercept[IllegalArgumentException](Curation.chunkByChars(df, "doc_id", "text", 5, 5))
+  }
+
   test("packSequences: per-group running offsets and chunk boundaries") {
     val docs = Seq(
       (1L, "g1", "a b c"),         // 3 tokens, offset 0, chunk 0

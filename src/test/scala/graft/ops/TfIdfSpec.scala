@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry cherry date"),
+    (3L, "apple date date date egg"),
+    (4L, "egg fig fig")
+  ).toDF("doc_id", "text")
+
+  test("tfIdfTopK(logIdf=true) matches an in-process scala referee") {
+    val n = 4.0
+    val toks = Map(
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "cherry", "cherry", "date"),
+      3L -> Seq("apple", "date", "date", "date", "egg"),
+      4L -> Seq("egg", "fig", "fig"))
+    val dfreq = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (t, tf) => (t, tf, tf * math.log(n / dfreq(t))) }
+        .sortBy { case (t, _, s) => (-s, t) }
+        .take(2).zipWithIndex
+        .map { case ((t, tf, s), i) => (id, i + 1) -> ((t, tf.toLong, dfreq(t).toLong, s)) }
+    }
+    val got = TextOps.tfIdfTopK(corpus, "doc_id", "text", k = 2, logIdf = true)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (t, tf, df, s)) =>
+      val (gt, gtf, gdf, gs) = got(k)
+      assert(gt == t && gtf == tf && gdf == df, s"$k: got ${got(k)}, want ($t,$tf,$df,$s)")
+      assert(math.abs(gs - s) < 1e-12, s"$k score: got $gs want $s")
+    }
+  }
+
+  test("linear-idf scores are exact rationals: tf * (N / df)") {
+    val got = TextOps.tfIdfTopK(corpus, "doc_id", "text", k = 10, logIdf = false)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score")))).toMap
+    got.foreach { case (k, (tf, df, s)) =>
+      assert(s == tf.toDouble * (4.0 / df.toDouble), s"$k")
+    }
+    // a term in every doc gets the minimum idf (N/df = 1) — here 'cherry'
+    // in docs 1,2 but 'date' in 2,3: spot-check one known ordering
+    assert(got((3L, "date"))._1 == 3L)
+  }
+
+  test("ranking is deterministic under ties (term ascending)") {
+    val tied = Seq((1L, "zeta alpha beta")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopK(tied, "doc_id", "text", k = 3)
+      .orderBy("rank").collect().map(_.getAs[String]("term")).toSeq
+    assert(got == Seq("alpha", "beta", "zeta"))
+  }
+}
