@@ -62,6 +62,20 @@ object ScaleCheck {
     run("column_profile",
       ops.Profile.columns(docs1, docs1.columns.toSeq),
       ops.Profile.columns(docsN, docsN.columns.toSeq))
+    def bench(df: DataFrame) = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+    def train(df: DataFrame) = df.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    run("bloom_decontaminate",
+      ops.Dedup.bloomDecontaminate(train(docs1), bench(docs1), "doc_id", "text", 2, 1e-4),
+      ops.Dedup.bloomDecontaminate(train(docsN), bench(docsN), "doc_id", "text", 2, 1e-4))
+    run("tfidf_topk",
+      ops.TextOps.tfIdfTopK(docs1, "doc_id", "text", 3),
+      ops.TextOps.tfIdfTopK(docsN, "doc_id", "text", 3))
+    run("doc_chunks",
+      ops.Curation.chunkByChars(docs1, "doc_id", "text", 200, 50),
+      ops.Curation.chunkByChars(docsN, "doc_id", "text", 200, 50))
+    run("vocab_coverage",
+      ops.TextOps.buildVocab(docs1, "text", 100),
+      ops.TextOps.buildVocab(docsN, "text", 100))
     spark.stop()
   }
 }

@@ -224,5 +224,46 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82)
+  // ---------------------------------------------------------------- q87
+  // Reproducible training order: seeded hash shuffle (seed 42). The sort
+  // is range-partitioned — the key, not a dense global index, is the
+  // artifact (see Curation.seededShuffleKey).
+  val q87 = QuerySpec.sql(
+    "q87_seeded_shuffle",
+    """SELECT doc_id, source,
+      |  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin) { (s, d) =>
+    Curation.seededShuffle(
+      Tables.documents(s, d).select("doc_id", "source"), "doc_id", seed = 42L)
+  }
+
+  // ---------------------------------------------------------------- q88
+  // Dynamic batching: 16-token length buckets cut into batches of 32 —
+  // same-length sequences batch together (minimal padding), windows run
+  // per bucket (no global sort).
+  val q88 = QuerySpec.sql(
+    "q88_length_batches",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, n_tokens, CAST(floor(n_tokens / 16) AS INT) AS len_bucket FROM t
+      |), r AS (
+      |  SELECT doc_id, n_tokens, len_bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, n_tokens, len_bucket,
+      |  CAST(floor((rn - 1) / 32) AS INT) AS batch_idx,
+      |  CAST((rn - 1) % 32 AS INT) AS batch_pos
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.lengthBucketBatches(
+      Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+      bucketWidth = 16, batchSize = 32)
+      .select("doc_id", "n_tokens", "len_bucket", "batch_idx", "batch_pos")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
+    q87, q88)
 }

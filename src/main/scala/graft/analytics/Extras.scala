@@ -451,6 +451,31 @@ object Extras {
     s.read.parquet(outDir).orderBy("user_id", "session_start_ms")
   }
 
+  // ---------------------------------------------------------------- q86
+  // Vocabulary with dense ids + cumulative coverage: q49's count scan
+  // extended to the tokenizer-training artifact (see TextOps.buildVocab
+  // for the scale shape). Exact integer window sums; one final IEEE
+  // division for the coverage fraction.
+  val q86 = QuerySpec.sql(
+    "q86_vocab_coverage",
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      |  FROM documents
+      |), c AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
+      |), w AS (
+      |  SELECT token, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS token_id,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+      |    SUM(cnt) OVER () AS total_cnt
+      |  FROM c)
+      |SELECT CAST(token_id AS INT) AS token_id, token, cnt,
+      |  CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE) AS cum_frac
+      |FROM w WHERE token_id <= 100 ORDER BY token_id""".stripMargin) { (s, d) =>
+    graft.ops.TextOps.buildVocab(Tables.documents(s, d), "text", maxVocab = 100)
+      .orderBy("token_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59,
-    q60, q70, q73, q78)
+    q60, q70, q73, q78, q86)
 }

@@ -828,7 +828,35 @@ object LlmQueries {
       .orderBy("asset_id")
   }
 
+  // ---------------------------------------------------------------- q89
+  // Cross-corpus dedup: the odd-id half plays "new crawl", the even-id
+  // half "existing corpus"; LSH blocks across the two sides only (no
+  // within-side pairs), exact Jaccard verifies. Same banding recall
+  // argument as q33 (P(miss) ~ 4e-8 at the planted j >= 0.9 dups, no
+  // pairs between 0.1 and 0.9 in the fixture), so the quadratic
+  // brute-force oracle matches the linear-ish engine plan exactly.
+  val q89 = QuerySpec.sql(
+    "q89_cross_corpus_dedup",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |s AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM (SELECT * FROM s WHERE doc_id % 2 = 1) a
+      |  JOIN (SELECT * FROM s WHERE doc_id % 2 = 0) b ON true)
+      |SELECT id_a, id_b, jaccard FROM p
+      |WHERE jaccard >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.crossNearDups(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81, q83, q84, q85)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89)
 }

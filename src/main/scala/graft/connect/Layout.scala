@@ -1,0 +1,56 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+/** Hive-style partitioned layout + within-partition clustering — the
+  * complement to [[Bucketing]]: bucketing co-locates JOINS, partitioning
+  * prunes SCANS. A corpus laid out as `path/source=.../lang=...` lets any
+  * query filtering on those columns skip whole directories at planning
+  * time (PartitionFilters — zero I/O for pruned partitions), and
+  * clustering within each partition keeps parquet row-group min/max
+  * stats tight so range predicates on the cluster key skip row groups
+  * inside the files that do get read.
+  *
+  * The write REPARTITIONS BY THE PARTITION COLUMNS first. This is the
+  * part that matters at 100 TB: without it, every one of the ~10k write
+  * tasks opens a file in every partition directory — a
+  * tasks × partitions small-file explosion that poisons every
+  * downstream scan. With it, each hive partition is written by exactly
+  * the tasks that own its rows (AQE coalesces skewed ones).
+  */
+object Layout {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      clusterCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val routed = df.repartition(partitionCols.map(col): _*)
+    val clustered =
+      if (clusterCols.isEmpty) routed
+      else routed.sortWithinPartitions((partitionCols ++ clusterCols).map(col): _*)
+    clustered.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The partition-pruning predicates the planner attached to `df`'s file
+    * scans — empty means a filter you expected to prune is being applied
+    * row-by-row instead (plan-guard material, see LayoutSpec).
+    */
+  def partitionFilters(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.partitionFilters.map(_.sql)
+    }.flatten
+
+  /** Number of hive partitions the scan will actually read after
+    * pruning (directory-listing level, before any row-group skipping).
+    */
+  def selectedPartitionCount(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size.toLong
+    }.sum
+}

@@ -55,6 +55,47 @@ object Curation {
     }
   }
 
+  /** Deterministic seeded shuffle: a reproducible global random order for
+    * training (same seed → identical order on any cluster; new seed →
+    * fresh permutation). The key is `md5(seed || ':' || id)` — pure
+    * scan-side projection; ORDERING by it is Spark's range-partitioned
+    * sort (sampled split points, fully parallel), NOT a single-partition
+    * window, which is why the operator exposes the key rather than a
+    * global row index: at 100 TB the sorted files ARE the shuffle, and a
+    * dense index would serialize on one partition for no training
+    * benefit.
+    */
+  def seededShuffleKey(idCol: String, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), col(idCol).cast(StringType)))
+
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key", seededShuffleKey(idCol, seed))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Length-bucketed batching — the dynamic-batching layout for
+    * inference/training over variable-length sequences: documents are
+    * grouped into token-length buckets (`bucket = floor(tokens/width)`),
+    * ordered deterministically within each bucket, and cut into batches
+    * of `batchSize`. Batching same-length sequences together minimizes
+    * padding waste; the window runs PER BUCKET, so parallelism is the
+    * bucket count and no global sort exists.
+    *
+    * Output: input plus (n_tokens, len_bucket, batch_idx, batch_pos).
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0 && batchSize > 0, "bucketWidth and batchSize must be positive")
+    val w = Window.partitionBy(col("len_bucket")).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
+      .withColumn("len_bucket", floor(col("n_tokens") / bucketWidth).cast(IntegerType))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", floor((col("__rn") - 1) / batchSize).cast(IntegerType))
+      .withColumn("batch_pos", ((col("__rn") - 1) % batchSize).cast(IntegerType))
+      .drop("__rn")
+  }
+
   /** Fixed-size character chunking with overlap — the "context window"
     * split between corpus and trainer: each document becomes
     * ceil((len - overlap) / stride) windows (at least one, so empty and

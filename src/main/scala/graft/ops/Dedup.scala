@@ -215,6 +215,47 @@ object Dedup {
     verifyJaccard(pairs, docs, idCol, textCol, shingleK, threshold)
   }
 
+  /** Cross-corpus near-dup detection — "dedupe the new crawl against the
+    * existing corpus": MinHash signatures on BOTH sides (scan-side),
+    * banded LSH buckets joined ACROSS corpora (left × right per bucket,
+    * never within a side — existing-vs-existing pairs are the other
+    * operator's job), then exact Jaccard verify with each side shingling
+    * only its candidate docs.
+    *
+    * Scale shape matches [[minHashNearDups]]: shuffles carry
+    * (band, hash, id); the typically-much-larger `right` (historical
+    * corpus) is never self-joined; candidates localCheckpoint before the
+    * three-way verify consumption. Ids may collide across corpora — the
+    * output (id_a from left, id_b from right) is corpus-tagged by
+    * position, not by ordering.
+    */
+  def crossNearDups(left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val lB = lshBuckets(minHashSignatures(left, idCol, textCol, numHashes, shingleK),
+      idCol, "sig", bands).withColumnRenamed(idCol, "id_a")
+    val rB = lshBuckets(minHashSignatures(right, idCol, textCol, numHashes, shingleK),
+      idCol, "sig", bands).withColumnRenamed(idCol, "id_b")
+    val pairs = lB.join(rB, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct().localCheckpoint()
+    val lSets = left
+      .join(pairs.select(col("id_a").as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__ida"), shingles(col(textCol), shingleK).as("sh_a"))
+    val rSets = right
+      .join(pairs.select(col("id_b").as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__idb"), shingles(col(textCol), shingleK).as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    pairs
+      .join(lSets, col("id_a") === col("__ida")).drop("__ida")
+      .join(rSets, col("id_b") === col("__idb")).drop("__idb")
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Star-collapse representative assignment: every doc appearing in a
     * near-dup pair maps to the min id it pairs with (one extra join, not a
     * full connected-components fixpoint — an approximation that can split

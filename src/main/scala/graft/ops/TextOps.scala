@@ -158,6 +158,41 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  // ------------------------------------------------ vocabulary building
+
+  /** Token vocabulary with dense ids and cumulative corpus coverage —
+    * the tokenizer-training precursor: ids assigned by (count desc,
+    * token asc), `cum_frac` = fraction of all corpus tokens covered by
+    * ids 1..i (the "how big must the vocab be for 99% coverage" curve).
+    *
+    * Shape at 100 TB: the explode+count aggregate collapses to
+    * vocab-sized data BEFORE its shuffle (partial aggregation), and the
+    * global id window runs on the aggregated vocabulary — a deliberate
+    * single-partition sort of vocab-sized (not corpus-sized) data, the
+    * same trade every tokenizer trainer makes. The corpus-total for the
+    * coverage fraction is an unordered whole-partition window over the
+    * same vocab rows, not a second corpus pass (and not a cross join).
+    */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      maxVocab: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxVocab > 0, "maxVocab must be positive")
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("token_id", row_number().over(byFreq))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_cnt", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("token_id") <= maxVocab)
+      .withColumn("cum_frac",
+        col("cum_cnt").cast(DoubleType) / col("total_cnt").cast(DoubleType))
+      .select(col("token_id"), col("token"), col("cnt"), col("cum_frac"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Redaction patterns, ordered: email first (so its digits can't feed

@@ -1,0 +1,59 @@
+package graft.connect
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned layout: directory pruning, pushed range filter, no small-file explosion") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val nSources = docs.select("source").distinct().count()
+    val out = tmpDir("graft_layout")
+    Layout.writePartitioned(docs, out, Seq("source"), clusterCols = Seq("doc_id"))
+
+    // lossless roundtrip
+    val back = Layout.read(spark, out)
+    assert(back.count() == total)
+
+    // one-partition directory selected when filtering on the partition col
+    val one = back.filter(col("source") === "src3" && col("doc_id") < 100)
+    assert(Layout.partitionFilters(one).exists(_.contains("source")),
+      "source filter did not become a PartitionFilter")
+    assert(Layout.selectedPartitionCount(one) == 1,
+      s"expected 1 of $nSources partition dirs after pruning")
+
+    // the cluster-key range predicate reaches the parquet reader
+    val formatted = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") && formatted.contains("LessThan(doc_id"),
+      "doc_id range filter not pushed to parquet")
+
+    // results identical to the unpartitioned path
+    val expect = docs.filter(col("source") === "src3" && col("doc_id") < 100)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = one.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+
+    // repartition-before-write keeps it to ONE data file per partition dir
+    // (tasks x partitions files is the classic layout mistake at scale)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+    assert(dirs.length == nSources)
+    dirs.foreach { dir =>
+      val files = fs.listStatus(dir.getPath).count(_.getPath.getName.startsWith("part-"))
+      assert(files == 1, s"${dir.getPath.getName} has $files data files, want 1")
+    }
+  }
+
+  test("unfiltered read has no partition filters (sanity of the guard itself)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = tmpDir("graft_layout2")
+    Layout.writePartitioned(docs, out, Seq("lang"))
+    val all = Layout.read(spark, out)
+    assert(Layout.partitionFilters(all).isEmpty)
+    assert(Layout.selectedPartitionCount(all) ==
+      docs.select("lang").distinct().count())
+  }
+}

@@ -55,6 +55,50 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curation.chunkByChars(df, "doc_id", "text", 5, 5))
   }
 
+  test("seededShuffle: reproducible per seed, permutes with the seed, partition-independent") {
+    val ids = (1L to 500L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Curation.seededShuffle(df, "id", seed).select("id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(ids, 42L)
+    assert(o1 == order(ids.repartition(7), 42L)) // layout cannot change the order
+    assert(o1 != (1L to 500L).toSeq)             // it actually shuffles
+    assert(o1 != order(ids, 43L))                // seed changes the permutation
+    assert(o1.sorted == (1L to 500L).toSeq)      // it is a permutation
+  }
+
+  test("lengthBucketBatches: same-length docs batch together, batches capped") {
+    val docs = (1L to 100L).map(i => (i, Seq.fill((i % 5).toInt * 4 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.lengthBucketBatches(docs, "doc_id", "text",
+      bucketWidth = 4, batchSize = 8)
+    // bucket = floor(tokens/4); tokens in {1,5,9,13,17} -> buckets {0,1,2,3,4}
+    val rows = got.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("len_bucket"),
+      r.getAs[Int]("batch_idx"), r.getAs[Int]("batch_pos")))
+    assert(rows.map(_._2).toSet == Set(0, 1, 2, 3, 4))
+    // 20 docs per bucket, batchSize 8 -> batches 0,1,2 with sizes 8,8,4
+    val byBucket = rows.groupBy(_._2)
+    byBucket.values.foreach { b =>
+      val sizes = b.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes == Map(0 -> 8, 1 -> 8, 2 -> 4), sizes.toString)
+      b.foreach { case (_, _, _, pos) => assert(pos >= 0 && pos < 8) }
+    }
+    // deterministic: batch_pos follows doc_id order within the bucket
+    val b0 = byBucket(0).sortBy(_._1).map(r => (r._3, r._4)).toSeq
+    assert(b0 == b0.sorted)
+  }
+
+  test("buildVocab: ids by frequency, exact cumulative coverage") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.buildVocab(docs, "text", maxVocab = 3)
+      .collect().map(r => (r.getAs[Int]("token_id"), r.getAs[String]("token"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("cum_frac")))
+    // counts: a=4, b=3, c=1, d=1 over 9 tokens; ties by token asc
+    assert(got.toSeq == Seq(
+      (1, "a", 4L, 4.0 / 9.0),
+      (2, "b", 3L, 7.0 / 9.0),
+      (3, "c", 1L, 8.0 / 9.0)))
+  }
+
   test("packSequences: per-group running offsets and chunk boundaries") {
     val docs = Seq(
       (1L, "g1", "a b c"),         // 3 tokens, offset 0, chunk 0

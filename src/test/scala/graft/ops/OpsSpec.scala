@@ -137,6 +137,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("crossNearDups pairs across corpora only, never within a side") {
+    import spark.implicits._
+    val newDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content with no match at all here")
+    ).toDF("doc_id", "text")
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dups new#1; same id on purpose
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact text of new#1
+      (9L, "another unrelated document about entirely other things")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearDups(newDocs, existing, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"missed exact cross dup: $keys")
+    assert(keys.contains((1L, 1L)), s"missed near cross dup (id collision ok): $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 9L), s"false pair: $keys")
+    assert(got.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
   test("native word_shingles is bit-identical with the composable form") {
     val fixture = spark.read.parquet(s"$sf/documents.parquet")
     val mismatches = fixture.select(
