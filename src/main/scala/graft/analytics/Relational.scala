@@ -616,7 +616,80 @@ object Relational {
       .orderBy("window_start", "event_type")
   }
 
+  // ---------------------------------------------------------------- q90
+  val q90 = QuerySpec.sql(
+    "q90_sliding_window",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
+      |), w AS (
+      |  SELECT us - us % 300000000 - 300000000 * i AS ws, event_type, value
+      |  FROM e, (SELECT unnest([0, 1]) AS i))
+      |SELECT CAST(to_timestamp(ws / 1000000) AS TIMESTAMP) AS window_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    // Sliding (hopping) windows: 10-minute windows every 5 minutes, so
+    // each event lands in exactly 2 — Spark's window() generates the
+    // per-event window set BEFORE the aggregate (map-side, no extra
+    // shuffle vs tumbling); the oracle replays the epoch-aligned window
+    // starts with modular arithmetic.
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------- q91
+  val q91 = QuerySpec.sql(
+    "q91_moment_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sx / CAST(n AS DOUBLE) AS mean_qty,
+      |  (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_qty,
+      |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Second-moment statistics (variance, stddev, correlation) assembled
+    // from EXACT decimal power sums rather than Spark's native
+    // stddev/corr aggregates: float moment accumulation is
+    // partition-order-dependent (non-reproducible run to run, and never
+    // comparable across engines), while decimal sums are exact and
+    // order-free — the double assembly on top is a fixed IEEE expression
+    // tree both engines evaluate identically. Same one-shuffle cost as
+    // the native aggregates.
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    val m = T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      asDouble(sum(q)).as("sx"), asDouble(sum(q * q)).as("sxx"),
+      asDouble(sum(p)).as("sy"), asDouble(sum(p * p)).as("syy"),
+      asDouble(sum(q * p)).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    m.select(col("l_returnflag"), col("n"),
+      (col("sx") / nD).as("mean_qty"),
+      ((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - lit(1))))
+        .as("var_qty"),
+      sqrt((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - lit(1))))
+        .as("stddev_qty"),
+      ((nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+          sqrt(nD * col("syy") - col("sy") * col("sy"))))
+        .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29)
+    q28, q29, q90, q91)
 }
