@@ -264,6 +264,65 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q92
+  // Per-group z-score outliers over events.value: moments from exact
+  // decimal power sums (reproducible — see Profile.momentStats), stats
+  // broadcast back, |z| > 3 kept. One aggregation shuffle total.
+  val q92 = QuerySpec.sql(
+    "q92_zscore_outliers",
+    """WITH m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |s AS (
+      |  SELECT event_type, sx / CAST(n AS DOUBLE) AS mean,
+      |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev
+      |  FROM m)
+      |SELECT e.event_id, e.event_type, e.value, (e.value - s.mean) / s.stddev AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE abs((e.value - s.mean) / s.stddev) > 3
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Profile.zScoreOutliers(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      "event_type", "value", threshold = 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q93
+  // Per-group winsorization of the heavy-tailed price column: exact
+  // [p01, p99] envelope (one array-buffer percentile aggregate per
+  // group), bounds broadcast back, clip + flag; the gate output is the
+  // per-group clipped decimal sum so a single mis-clipped row
+  // hash-fails.
+  val q93 = QuerySpec.sql(
+    "q93_winsorize",
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, [0.01, 0.99])[1] AS lo,
+      |    quantile_cont(l_extendedprice, [0.01, 0.99])[2] AS hi
+      |  FROM lineitem GROUP BY l_returnflag),
+      |c AS (
+      |  SELECT l.l_returnflag,
+      |    least(greatest(l.l_extendedprice, b.lo), b.hi) AS clipped,
+      |    CASE WHEN l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi THEN 1 ELSE 0 END AS f
+      |  FROM lineitem l JOIN b USING (l_returnflag))
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(f) AS BIGINT) AS n_clipped,
+      |  CAST(SUM(CAST(clipped AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Profile.winsorize(
+      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", pLow = 0.01, pHigh = 0.99)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clipped").cast("int")).cast("long").as("n_clipped"),
+        sum(col("l_extendedprice_clipped").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_clipped"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88)
+    q87, q88, q92, q93)
 }

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -856,7 +856,42 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q94
+  // Quality-decile pruning: keep the top 3 of 10 quality tiles PER
+  // SOURCE (ntile windows run per group — no global sort). The oracle
+  // replays the q31 quality score and DuckDB's identical NTILE bucket
+  // geometry; ties break on doc_id in both engines.
+  val q94 = QuerySpec.sql(
+    "q94_quality_tiles",
+    s"""WITH t AS (
+      |  SELECT doc_id, source, text, $duckToks AS toks FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, text, len(toks) AS n_toks,
+      |    CAST(len(list_filter(toks, x -> list_contains($duckStops, x))) AS DOUBLE) AS n_stop
+      |  FROM t
+      |), r AS (
+      |  SELECT doc_id, source,
+      |    round((least(n_toks / 64.0, 1.0) * 0.4
+      |      + (1.0 - abs((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) - 0.4)) * 0.4
+      |      + (1.0 - least((CASE WHEN length(text) > 0
+      |          THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+      |          ELSE 0.0 END) * 4.0, 1.0)) * 0.2), 6) AS score
+      |  FROM m
+      |), w AS (
+      |  SELECT doc_id, source, score,
+      |    NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile
+      |  FROM r)
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile
+      |FROM w WHERE tile <= 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.keepTopTiles(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("score")),
+      "source", "score", "doc_id", nTiles = 10, keepTiles = 3)
+      .select("doc_id", "source", "score", "tile")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94)
 }

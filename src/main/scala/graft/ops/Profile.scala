@@ -84,4 +84,62 @@ object Profile {
         // decimal accumulation (order-insensitive exact), double render
         sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as("bin_sum"))
   }
+
+  /** Exact per-group (n, mean, stddev) from DECIMAL power sums — the
+    * reproducible alternative to the native float moment aggregates
+    * (whose accumulation order varies run to run). Shared by
+    * [[zScoreOutliers]] and q91-style reporting; one shuffle.
+    */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(x * x).cast(DoubleType).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    m.select(col(groupCol), col("n"),
+      (col("sx") / nD).as("mean"),
+      sqrt((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - lit(1))))
+        .as("stddev"))
+  }
+
+  /** Per-group z-score outlier detection: rows whose value deviates from
+    * the group mean by more than `threshold` sample standard deviations.
+    * The per-group stats frame is group-cardinality-sized, so it
+    * BROADCASTS back onto the data — one aggregation shuffle total, the
+    * corpus itself never reshuffles.
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val stats = momentStats(df, groupCol, valueCol)
+      .select(col(groupCol), col("mean"), col("stddev"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", (col(valueCol) - col("mean")) / col("stddev"))
+      .filter(abs(col("z")) > threshold)
+      .drop("mean", "stddev")
+  }
+
+  /** Per-group winsorization: clip `valueCol` into the group's
+    * [pLow, pHigh] exact-percentile envelope — the standard heavy-tail
+    * taming step before aggregate statistics. Percentiles are one
+    * sort-based aggregate per group (array form: one buffer for both
+    * bounds); the bounds frame broadcasts back like [[zScoreOutliers]].
+    * Adds `<valueCol>_clipped` and a `clipped` flag.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), typedlit(Seq(pLow, pHigh))).as("__p"))
+      .select(col(groupCol),
+        element_at(col("__p"), 1).as("__lo"), element_at(col("__p"), 2).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("clipped", col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -107,4 +107,22 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Per-group quantile-bucket pruning: rank rows into `nTiles` equal
+    * buckets by `scoreCol` (best first; ties broken by `idCol` so the
+    * bucketing is deterministic in any engine) and keep buckets
+    * 1..`keepTiles` — "keep the top 30% of documents per source by
+    * quality score". NTILE windows run PER GROUP, so parallelism is the
+    * group count and no global sort exists. Adds `tile`.
+    */
+  def keepTopTiles(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, nTiles: Int, keepTiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTiles > 0 && keepTiles > 0 && keepTiles <= nTiles,
+      "need 0 < keepTiles <= nTiles")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("tile", ntile(nTiles).over(w))
+      .filter(col("tile") <= keepTiles)
+  }
 }

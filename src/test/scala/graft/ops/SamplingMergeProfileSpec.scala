@@ -183,6 +183,52 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("momentStats: exact moments match hand computation") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 10.0), ("b", 10.0))
+      .toDF("g", "x")
+    val got = Profile.momentStats(df, "g", "x").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a")._1 == 3L && got("a")._2 == 4.0)
+    assert(math.abs(got("a")._3 - 2.0) < 1e-12) // sample stddev of {2,4,6}
+    assert(got("b")._2 == 10.0 && got("b")._3 == 0.0)
+  }
+
+  test("zScoreOutliers flags only |z| > threshold, stats broadcast back") {
+    val base = (1L to 100L).map(i => (i, "g", 10.0)) :+ ((101L, "g", 1000.0))
+    val df = base.toDF("id", "g", "x")
+    val out = Profile.zScoreOutliers(df, "g", "x", threshold = 3.0).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(101L))
+    // z of the outlier: (1000 - mean)/stddev, comfortably over 3
+    assert(math.abs(out.head.getAs[Double]("z")) > 3.0)
+  }
+
+  test("winsorize clips into the exact percentile envelope and flags clipped rows") {
+    val df = ((1 to 98).map(i => ("g", i.toDouble)) ++ Seq(("g", -1000.0), ("g", 1000.0)))
+      .toDF("g", "x")
+    val out = Profile.winsorize(df, "g", "x", 0.05, 0.95).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.count(_._3) > 0, "tail rows must be flagged")
+    val (lo, hi) = (out.map(_._2).min, out.map(_._2).max)
+    out.foreach { case (x, c, flagged) =>
+      assert(c >= lo && c <= hi)
+      assert(flagged == (x < lo || x > hi))
+    }
+    assert(!out.exists(r => r._2 == -1000.0 || r._2 == 1000.0), "tails must clip")
+  }
+
+  test("keepTopTiles keeps the best tiles per group deterministically") {
+    val df = (1L to 40L).map(i => (i, s"g${i % 2}", (i % 10).toDouble))
+      .toDF("id", "g", "score")
+    val out = Sampling.keepTopTiles(df, "g", "score", "id", nTiles = 4, keepTiles = 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("tile")))
+    assert(out.forall(_._2 == 1))
+    assert(out.length == 10) // 2 groups x 20 rows / 4 tiles
+    // rerun is identical (ties broken by id)
+    val again = Sampling.keepTopTiles(df.repartition(5), "g", "score", "id", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("tile")))
+    assert(out.toSet == again.toSet)
+  }
+
   test("histogram bins by explicit geometry with decimal-exact sums") {
     val df = Seq(0.0, 10.0, 24.99, 25.0, 49.5, 100.0).toDF("x")
     val out = Profile.histogram(df, "x", binWidth = 25.0).collect()
