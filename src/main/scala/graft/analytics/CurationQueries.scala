@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Curation, Merge, Profile, Sampling}
+import graft.ops.{Curation, Merge, Profile, Sampling, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Curation-pipeline query surfaces: deterministic sampling and mixing,
@@ -323,6 +323,79 @@ object CurationQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q95
+  // The END-TO-END curation pipeline as one declarative plan (see
+  // Curation.curateCorpus): exact dedup → MinHash-LSH near-dup
+  // clustering with min-id canonicals → 5-gram benchmark
+  // decontamination → per-source quality-decile pruning → deterministic
+  // hash split. The oracle replays every stage: window dedup,
+  // brute-force Jaccard pairs + recursive-CTE transitive closure,
+  // shingle join, q31 quality + NTILE, md5-threshold split.
+  private val duckToks95 = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private def duckShK95(k: Int): String = {
+    val parts = (1 to k).map(j => s"toks[i+$j]").mkString(", ")
+    s"""CASE WHEN len(toks) >= $k
+       | THEN list_distinct(list_transform(range(len(toks)-${k - 1}),
+       |   i -> concat_ws(chr(1), $parts)))
+       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+  }
+  private val duckStops95 =
+    TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  val q95 = QuerySpec.sql(
+    "q95_curation_pipeline",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |e AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM corpus) WHERE doc_id = keep),
+      |t AS (SELECT doc_id, $duckToks95 AS toks FROM e),
+      |s AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM t),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e2.a, t2.r FROM edges e2 JOIN reach t2 ON e2.b = t2.id
+      |  ) SELECT * FROM reach),
+      |labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id),
+      |dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
+      |e2s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM dropped)),
+      |t2s AS (SELECT doc_id, $duckToks95 AS toks FROM e2s),
+      |ts AS (SELECT doc_id, unnest(${duckShK95(5)}) AS sh FROM t2s),
+      |tb AS (SELECT doc_id, $duckToks95 AS toks FROM bench),
+      |bs AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb),
+      |cont AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sh)),
+      |e3s AS (SELECT * FROM e2s WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM e3s),
+      |m3 AS (SELECT doc_id, source, text, len(toks) AS n_toks,
+      |  CAST(len(list_filter(toks, x -> list_contains($duckStops95, x))) AS DOUBLE) AS n_stop FROM t3),
+      |r3 AS (SELECT doc_id, source,
+      |  round((least(n_toks / 64.0, 1.0) * 0.4
+      |    + (1.0 - abs((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) - 0.4)) * 0.4
+      |    + (1.0 - least((CASE WHEN length(text) > 0
+      |        THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+      |        ELSE 0.0 END) * 4.0, 1.0)) * 0.2), 6) AS score
+      |  FROM m3),
+      |w3 AS (SELECT doc_id, source, score,
+      |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
+      |k3 AS (SELECT * FROM w3 WHERE tile <= 7)
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curateCorpus(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source")
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93)
+    q87, q88, q92, q93, q95)
 }

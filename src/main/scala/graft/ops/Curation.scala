@@ -55,6 +55,49 @@ object Curation {
     }
   }
 
+  /** The end-to-end corpus curation pipeline, composed from this
+    * library's own operators into ONE declarative plan — the flagship
+    * "a training-data user runs their whole pipeline on this engine"
+    * surface:
+    *
+    *  1. exact dedup (keep min id per identical text — one keyed window)
+    *  2. near-dup dedup: MinHash+LSH candidate pairs, exact-Jaccard
+    *     verify, exact connected components, min-id canonical survives
+    *  3. benchmark decontamination: drop docs sharing any `decontamK`-gram
+    *     with the eval set (long shingles — short ones flag everything;
+    *     [[Dedup.bloomDecontaminate]] is the sketch variant of this stage)
+    *  4. quality-decile pruning per source ([[TextOps.qualityScore]] +
+    *     [[Sampling.keepTopTiles]])
+    *  5. deterministic train/val/test [[hashSplit]]
+    *
+    * Every stage is shuffle-minimal (see each operator's scaladoc); the
+    * whole chain is lazy — Catalyst plans it as one DAG, nothing
+    * materializes except the LSH candidate checkpoint inside stage 2.
+    * Output: (idCol, sourceCol, score, tile, split).
+    */
+  def curateCorpus(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      nearDupThreshold: Double = 0.5, decontamK: Int = 5,
+      nTiles: Int = 10, keepTiles: Int = 7,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byText = Window.partitionBy(col(textCol))
+    val exactKept = docs
+      .withColumn("__keep", min(col(idCol)).over(byText))
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
+      numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
+    val nearKept = Dedup.dropNearDups(exactKept, pairs, idCol)
+    val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
+      shingleK = decontamK).select(col(idCol))
+    val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
+    val scored = clean.select(col(idCol), col(sourceCol),
+      TextOps.qualityScore(col(textCol)).as("score"))
+    hashSplit(Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles),
+      idCol, weights)
+  }
+
   /** Deterministic seeded shuffle: a reproducible global random order for
     * training (same seed → identical order on any cluster; new seed →
     * fresh permutation). The key is `md5(seed || ':' || id)` — pure
@@ -118,10 +161,15 @@ object Curation {
     require(chunkChars > 0, "chunkChars must be positive")
     require(overlap >= 0 && overlap < chunkChars, "overlap must be in [0, chunkChars)")
     val stride = chunkChars - overlap
-    val len = length(col(textCol))
+    // null text behaves like empty: a null length would null the chunk
+    // count and explode() would silently DROP the document — every input
+    // doc must stay represented
+    val text = coalesce(col(textCol), lit(""))
+    val len = length(text)
     val nChunks = greatest(lit(1),
       ceil((len - lit(overlap)).cast(DoubleType) / lit(stride.toDouble)).cast(IntegerType))
-    df.withColumn("n_chunks", nChunks)
+    df.withColumn(textCol, text)
+      .withColumn("n_chunks", nChunks)
       .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
       .withColumn("chunk_text",
         col(textCol).substr(col("chunk_idx") * stride + 1, lit(chunkChars)))

@@ -31,7 +31,8 @@ class CurationSpec extends SparkSpec {
       (1L, "abcdefghij"),   // 10 chars
       (2L, "abcd"),         // shorter than one chunk
       (3L, ""),             // empty still yields one (empty) chunk
-      (4L, "abcdefg")       // len == chunkChars exactly
+      (4L, "abcdefg"),      // len == chunkChars exactly
+      (5L, null.asInstanceOf[String]) // null behaves like empty, never dropped
     ).toDF("doc_id", "text")
     val chunks = Curation.chunkByChars(docs, "doc_id", "text", chunkChars = 7, overlap = 3)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
@@ -42,6 +43,7 @@ class CurationSpec extends SparkSpec {
     assert(chunks((2L, 0)) == ((1, "abcd")))
     assert(chunks((3L, 0)) == ((1, "")))
     assert(chunks((4L, 0)) == ((1, "abcdefg")))
+    assert(chunks((5L, 0)) == ((1, "")))
     // overlap reconstruction: dropping the trailing overlap of every
     // non-final chunk and concatenating restores the document
     val rebuilt = chunks.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2._2)
@@ -97,6 +99,32 @@ class CurationSpec extends SparkSpec {
       (1, "a", 4L, 4.0 / 9.0),
       (2, "b", 3L, 7.0 / 9.0),
       (3, "c", 1L, 8.0 / 9.0)))
+  }
+
+  test("curateCorpus: every stage drops exactly the docs it should") {
+    val common = "the project builds a fast engine for data and it scales well today"
+    val docs = Seq(
+      (1L, "s", common),
+      (2L, "s", common),                          // exact dup of 1 -> dropped (stage 1)
+      (3L, "s", common + " extra"),               // near-dup of 1 -> dropped (stage 2)
+      (4L, "s", "completely original text about algebra lectures and chalk dust everywhere"),
+      (5L, "s", "benchmark question one about prime numbers and their distribution patterns"),
+      (6L, "s", "unrelated survivor document with plenty of ordinary filler words inside it")
+    ).toDF("doc_id", "source", "text")
+    // bench shares a 5-gram with doc 5 (it IS doc 5's opening)
+    val bench = Seq(
+      (100L, "b", "benchmark question one about prime numbers and such")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2) // keep everything quality-wise
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.keySet == Set(1L, 4L, 6L), out.keySet.toString)
+    assert(out.values.forall(Set("train", "val", "test")))
+    // deterministic: same input, same assignment
+    val again = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out == again)
   }
 
   test("packSequences: per-group running offsets and chunk boundaries") {
