@@ -70,9 +70,15 @@ object Curation {
     *     [[Sampling.keepTopTiles]])
     *  5. deterministic train/val/test [[hashSplit]]
     *
-    * Every stage is shuffle-minimal (see each operator's scaladoc); the
-    * whole chain is lazy — Catalyst plans it as one DAG, nothing
-    * materializes except the LSH candidate checkpoint inside stage 2.
+    * Every stage is shuffle-minimal (see each operator's scaladoc), and
+    * the two stage-boundary corpora that downstream stages consume more
+    * than once — `exactKept` (feeds signature generation, the three-way
+    * candidate verify, and the near-dup filter) and `nearKept` (feeds
+    * contamination shingling and the final anti-join) — are MATERIALIZED
+    * with localCheckpoint (executor storage, lineage truncated): left
+    * lazy, each consumer re-ran the corpus scan plus the exact-dedup
+    * shuffle, 4-5 redundant corpus passes at any scale. The LSH
+    * candidate set checkpoints inside stage 2 as before.
     * Output: (idCol, sourceCol, score, tile, split).
     */
   def curateCorpus(docs: DataFrame, bench: DataFrame, idCol: String,
@@ -81,14 +87,10 @@ object Curation {
       nTiles: Int = 10, keepTiles: Int = 7,
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byText = Window.partitionBy(col(textCol))
-    val exactKept = docs
-      .withColumn("__keep", min(col(idCol)).over(byText))
-      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val exactKept = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
-    val nearKept = Dedup.dropNearDups(exactKept, pairs, idCol)
+    val nearKept = Dedup.dropNearDups(exactKept, pairs, idCol).localCheckpoint()
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
       shingleK = decontamK).select(col(idCol))
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")

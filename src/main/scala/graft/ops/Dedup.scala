@@ -29,11 +29,25 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** The deduplicated rows themselves (first-by-id winner per group). */
+  /** The deduplicated rows themselves (first-by-id winner per group).
+    *
+    * The exchange is keyed by `xxhash64(keys)` — 8 bytes — never by the
+    * key columns themselves: for text dedup the natural key is the whole
+    * document, and a shuffle that hashes/compares multi-KB partition keys
+    * pays for it on every exchanged row at 100 TB. The window still
+    * partitions by (hash, keys...) so hash COLLISIONS stay separate
+    * groups (exactness does not rest on xxhash64 being injective); that
+    * wider partition spec is satisfied by the existing hash-keyed
+    * exchange (ClusteredDistribution on a superset), so no second
+    * shuffle appears — PlanSpec pins both properties.
+    */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val w = Window.partitionBy((col("__kh") +: keyCols.map(col)): _*).orderBy(col(idCol))
+    df.withColumn("__kh", xxhash64(keyCols.map(col): _*))
+      .repartition(col("__kh"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__kh")
   }
 
   // ----------------------------------------------------------- minhash
@@ -305,7 +319,10 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
         .localCheckpoint()
       changed = next.filter(col("next_label") < col("label")).count()
-      labels = next.select(col("id"), col("next_label").as("label")).localCheckpoint()
+      // no second checkpoint: labels is a bare projection over the
+      // checkpointed `next`, so its lineage is already flat — a third
+      // materialization job per round bought nothing
+      labels = next.select(col("id"), col("next_label").as("label"))
       it += 1
     }
     // EXACT means exact: partial labels from a diameter > maxIter graph

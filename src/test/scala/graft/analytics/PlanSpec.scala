@@ -145,6 +145,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup: one exchange, keyed by the 8-byte hash — never by the text") {
+    // Dedup.exact partitions its window by (xxhash64(keys), keys...) but
+    // repartitions by the hash alone first: the wider window spec must be
+    // satisfied by that exchange (one shuffle total), and the shuffle's
+    // partitioning expressions must all be 8-byte longs — a string-typed
+    // partitioning key means the exchange is hashing/comparing whole
+    // documents again
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.LongType
+    val df = graft.ops.Dedup.exact(
+      graft.analytics.Tables.documents(spark, sf), "doc_id", Seq("text"))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"expected exactly one exchange (window reuses the hash repartition), got ${shuffles.size}")
+    shuffles.foreach {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.expressions.forall(_.dataType == LongType),
+            s"exchange partitioning carries non-long keys: ${h.expressions}")
+        case other => fail(s"expected hash partitioning, got $other")
+      }
+    }
+  }
+
   test("q64: stratified sample is a scan-stage filter — no shuffle before output sort") {
     val p = plan("q64_stratified_sample")
     // the md5-threshold predicate is not parquet-pushable (expression on
