@@ -136,6 +136,65 @@ object CurationQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q97
+  // Log-based CDC end-to-end: a binlog-style change log (rotated
+  // changes-<firstSeq>.log segments, seq\top\tjson-row-image lines) is
+  // GENERATED from orders (fixture: the OLTP server writing its log —
+  // driver-side by design, not an engine operator), then the engine path
+  // under test runs: graft-changelog DSv2 read (segment pruning +
+  // bookmark filter) → from_json row images → Merge.applyCdc. Per key:
+  // %5 deleted, %11 doubled (seq k*10+3), else %7 +1000 (seq k*10+2) —
+  // the %77 overlap proves the LATEST log record wins — and %13 inserts
+  // fresh keys. The oracle recomputes the final state (including each
+  // surviving row's seq) in pure SQL.
+  val q97 = QuerySpec.sql(
+    "q97_changelog_replay",
+    """SELECT * FROM (
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+      |       WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey * 10 + 3
+      |            WHEN o_orderkey % 7 = 0 THEN o_orderkey * 10 + 2
+      |            ELSE 0 END AS BIGINT) AS seq
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderkey * 10 + 4 AS BIGINT) AS seq
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.sources.ChangeLog
+    import org.apache.spark.sql.types.LongType
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    def seqCol(opIdx: Int) = (col("o_orderkey") * 10 + opIdx).cast(LongType).as("seq")
+    val deletes = o.filter(col("o_orderkey") % 5 === 0)
+      .select(seqCol(1), lit("D").as("op"), struct(o.columns.map(col): _*).as("r"))
+    val u1 = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .select(seqCol(2), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
+    val u2 = o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .select(seqCol(3), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
+    val ins = o.filter(col("o_orderkey") % 13 === 0)
+      .select(seqCol(4), lit("I").as("op"),
+        struct((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")).as("r"))
+    // fixture generation: collect the change records and write the log
+    // the way the database server would (ChangeLog.writeSegments scaladoc)
+    val lines = deletes.unionByName(u1).unionByName(u2).unionByName(ins)
+      .select(col("seq"), col("op"), to_json(col("r")).as("payload"))
+      .orderBy("seq").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_changelog_q97").toString
+    ChangeLog.writeSegments(
+      lines.iterator.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
+      dir, segmentSize = 2048)
+    // the engine path under test
+    ChangeLog.replay(s, dir, o, o.schema, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq")
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- q68
   // SCD Type 2: three versioned snapshots of the orders price folded into
   // a validity-ranged history (one keyed window pass, no self-join).
@@ -295,7 +354,10 @@ object CurationQueries {
   // [p01, p99] envelope (one array-buffer percentile aggregate per
   // group), bounds broadcast back, clip + flag; the gate output is the
   // per-group clipped decimal sum so a single mis-clipped row
-  // hash-fails.
+  // hash-fails. The EXACT percentile form is deliberately fixture-scale
+  // (its aggregate buffers the group's full value multiset — that is
+  // what makes a bit-exact DuckDB oracle possible); q96 is the same
+  // operator with sketch bounds, the form to run at 100 TB.
   val q93 = QuerySpec.sql(
     "q93_winsorize",
     """WITH b AS (
@@ -315,6 +377,25 @@ object CurationQueries {
     Profile.winsorize(
       Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
       "l_returnflag", "l_extendedprice", pLow = 0.01, pHigh = 0.99)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clipped").cast("int")).cast("long").as("n_clipped"),
+        sum(col("l_extendedprice_clipped").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_clipped"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q96 (rows-only: sketch bounds are engine-specific)
+  // The 100 TB winsorize: same clip-and-aggregate surface as q93, bounds
+  // from approx_percentile (constant-size Greenwald-Khanna buffers)
+  // instead of the exact full-multiset percentile buffer. Sketch results
+  // have no DuckDB twin, so the gate records rows-only here and the
+  // paired referee (q96r) pins the bounds inside an exact rank envelope.
+  val q96 = QuerySpec.rowsOnly("q96_winsorize_approx") { (s, d) =>
+    Profile.winsorize(
+      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", pLow = 0.01, pHigh = 0.99,
+      approx = true)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("clipped").cast("int")).cast("long").as("n_clipped"),
@@ -397,5 +478,5 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95)
+    q87, q88, q92, q93, q95, q96, q97)
 }

@@ -180,6 +180,40 @@ object RefereeQueries {
     report(symDiff(native, referee))
   }
 
+  // ------------------------------------------------------ q96 referee
+  // Approx-winsorize bounds vs an exact rank envelope: each group's
+  // sketch bound for percentile p must land inside the group's exact
+  // [p - tol, p + tol] percentile interval. The sketch's contract is
+  // rank error <= 1/accuracy (1e-4 here); tol = 0.005 adds headroom for
+  // duplicate-value mass at the boundary while still catching a broken
+  // sketch (a collapsed summary lands the bound whole percentiles off).
+  // The clip itself is the q93-tested code path, so bounds are the only
+  // thing approx changes. Bounds are read back as min/max of the clipped
+  // column: approx_percentile returns an actual element of the group, so
+  // the row holding that element clips to exactly the bound.
+  val q96r = QuerySpec.refereeCheck("q96r_winsorize_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val approx = graft.ops.Profile.winsorize(li, "l_returnflag", "l_extendedprice",
+      pLow = 0.01, pHigh = 0.99, approx = true)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice_clipped")).as("approx_lo"),
+        max(col("l_extendedprice_clipped")).as("approx_hi"))
+    val tol = 0.005
+    val envelope = li.groupBy(col("l_returnflag")).agg(
+      percentile(col("l_extendedprice"),
+        typedlit(Seq(0.01 - tol, 0.01 + tol, 0.99 - tol, 0.99 + tol))).as("__e"))
+      .select(col("l_returnflag"),
+        element_at(col("__e"), 1).as("lo_min"), element_at(col("__e"), 2).as("lo_max"),
+        element_at(col("__e"), 3).as("hi_min"), element_at(col("__e"), 4).as("hi_max"))
+    val bad = approx.join(envelope, "l_returnflag").filter(
+      col("approx_lo") < col("lo_min") || col("approx_lo") > col("lo_max") ||
+      col("approx_hi") < col("hi_min") || col("approx_hi") > col("hi_max"))
+      .select(col("l_returnflag"), col("approx_lo"), col("lo_min"), col("lo_max"),
+        col("approx_hi"), col("hi_min"), col("hi_max"))
+    report(Seq(bad))
+  }
+
   // ------------------------------------------------------ q84 referee
   // Bloom-flagged set vs the exact join path: Bloom guarantees no false
   // negatives (every exactly-contaminated doc MUST be flagged — a hard
@@ -206,5 +240,6 @@ object RefereeQueries {
     report(Seq(falseNegatives)).unionAll(fpRow.toDF("status")).orderBy("status")
   }
 
-  val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r)
+  val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
+    q96r)
 }

@@ -582,8 +582,11 @@ object Relational {
     // Exact (sort-based) percentiles with linear interpolation — both
     // engines interpolate identically on the same sorted doubles. The two
     // l_extendedprice percentiles share ONE aggregation buffer (array
-    // form) instead of maintaining the value multiset twice. For
-    // sketch-based quantiles at scale see q45_approx_stats.
+    // form) instead of maintaining the value multiset twice. The exact
+    // form is deliberately fixture-scale (the buffer holds the group's
+    // full value multiset — the price of a bit-exact cross-engine
+    // oracle); at 100 TB run the sketch forms instead: q45_approx_stats
+    // (approx quantiles) and q96_winsorize_approx (sketch-bounded clip).
     T(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(

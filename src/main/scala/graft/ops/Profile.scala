@@ -122,18 +122,32 @@ object Profile {
   }
 
   /** Per-group winsorization: clip `valueCol` into the group's
-    * [pLow, pHigh] exact-percentile envelope — the standard heavy-tail
-    * taming step before aggregate statistics. Percentiles are one
-    * sort-based aggregate per group (array form: one buffer for both
-    * bounds); the bounds frame broadcasts back like [[zScoreOutliers]].
-    * Adds `<valueCol>_clipped` and a `clipped` flag.
+    * [pLow, pHigh] percentile envelope — the standard heavy-tail
+    * taming step before aggregate statistics. The bounds frame broadcasts
+    * back like [[zScoreOutliers]]; adds `<valueCol>_clipped` and a
+    * `clipped` flag.
+    *
+    * `approx = true` is the 100 TB DEFAULT CHOICE: bounds come from
+    * `approx_percentile` (Greenwald-Khanna summaries — constant-size
+    * buffers, rank error <= 1/accuracy, map-side combinable), so a group
+    * of billions of rows costs the same aggregate state as a group of
+    * thousands. The exact form (`approx = false`) buffers the group's
+    * full value multiset in one aggregate buffer — exactly right for
+    * fixtures and cross-engine oracles (q93/q28's DuckDB twins), a
+    * reducer OOM waiting to happen on 100 TB groups. q96's in-gate
+    * referee pins the approx bounds inside an exact rank envelope.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLow: Double, pHigh: Double): DataFrame = {
+      pLow: Double, pHigh: Double, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    val pcts = typedlit(Seq(pLow, pHigh))
+    val pAgg =
+      if (approx) approx_percentile(col(valueCol), pcts, lit(accuracy))
+      else percentile(col(valueCol), pcts)
     val bounds = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), typedlit(Seq(pLow, pHigh))).as("__p"))
+      .agg(pAgg.as("__p"))
       .select(col(groupCol),
         element_at(col("__p"), 1).as("__lo"), element_at(col("__p"), 2).as("__hi"))
     df.join(broadcast(bounds), groupCol)

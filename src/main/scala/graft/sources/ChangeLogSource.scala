@@ -1,0 +1,225 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for an append-only change log — the log-based CDC
+  * source (MySQL binlog/GTID replication) that the reference's tap
+  * supports but its project config never engages
+  * (bec-meltano/plugins/extractors/tap-mysql--transferwise.lock declares
+  * LOG_BASED; .meltano/run/tap-mysql/tap.properties.json selects
+  * FULL_TABLE). This is the offline stand-in: the "server" appends change
+  * records to rotated segment files; the engine tails them from a
+  * bookmark and folds them into a base table with [[graft.ops.Merge]].
+  *
+  * Log layout (binlog-shaped, filesystem-agnostic via Hadoop FS):
+  *  - a directory of segment files `changes-<firstSeq>.log`, rotation
+  *    encoded in the name exactly like `binlog.000001`: `<firstSeq>` is
+  *    the zero-padded sequence number of the segment's first record, so
+  *    SEGMENT PRUNING needs only a directory listing — segment i covers
+  *    [firstSeq(i), firstSeq(i+1)), and every segment whose range lies at
+  *    or below the bookmark is skipped without opening it (the planner
+  *    never reads data it has already applied, the property that makes
+  *    tailing a year-old log from yesterday's bookmark cheap).
+  *  - each line is `<seq>\t<op>\t<payload-json>`: a monotonically
+  *    increasing sequence number (the GTID stand-in), an I/U/D op, and
+  *    the full row image as JSON (ROW-format binlog; the reader leaves
+  *    payload parsing to `from_json` so the schema stays on-read).
+  *
+  * `spark.read.format("graft-changelog")` with options:
+  *  - `path`      the log directory
+  *  - `startSeq`  EXCLUSIVE replay bookmark (default 0 = full replay):
+  *                records with seq <= startSeq are skipped — whole
+  *                segments by the filename prune, stragglers by a
+  *                per-row filter. The consumed position is recorded by
+  *                the caller in the cursor bookmark store
+  *                ([[graft.connect.MetaCatalog.recordCursor]] with
+  *                cursor column "seq"), same discipline as the
+  *                column-cursor incremental path.
+  *
+  * One partition per segment: rotation bounds segment size on a real
+  * server, so segments are the natural parallelism unit, and records
+  * within a segment stay in seq order (per-key ordering is then restored
+  * globally by the merge window — order across partitions never matters).
+  */
+class ChangeLogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changelog"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChangeLog.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ChangeLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+class ChangeLogTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-changelog:${options.get("path")}"
+  override def schema(): StructType = ChangeLog.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangeLogScan(caseInsensitiveOptions)
+}
+
+class ChangeLogScan(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  private val dir = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-changelog requires a 'path' option"))
+  private val startSeq = Option(options.get("startSeq")).map(_.toLong).getOrElse(0L)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = ChangeLog.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side planning: one listing, no segment opened
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val segments = fs.listStatus(p).map(_.getPath)
+      .filter(f => ChangeLog.segmentFirstSeq(f.getName).isDefined)
+      .map(f => (ChangeLog.segmentFirstSeq(f.getName).get, f.toString))
+      .sortBy(_._1)
+    // segment i covers [firstSeq(i), firstSeq(i+1)): prune it when that
+    // whole range is at or below the bookmark. The LAST segment's end is
+    // unknown from the listing, so it always plans (its reader's per-row
+    // seq filter may then emit nothing).
+    segments.zipWithIndex.filter { case ((_, _), i) =>
+      i == segments.length - 1 || segments(i + 1)._1 > startSeq + 1
+    }.map { case ((_, path), _) => ChangeLogSegment(path, startSeq) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ChangeLogReaderFactory
+}
+
+/** One partition = one rotated segment file, tailed from the bookmark. */
+final case class ChangeLogSegment(path: String, startSeq: Long) extends InputPartition
+
+class ChangeLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChangeLogPartitionReader(partition.asInstanceOf[ChangeLogSegment])
+}
+
+class ChangeLogPartitionReader(p: ChangeLogSegment) extends PartitionReader[InternalRow] {
+  // executor-side: default Hadoop conf resolves the same shared filesystem
+  // the path names (local FS here; fs.defaultFS / scheme on a cluster)
+  private val reader = {
+    val path = new org.apache.hadoop.fs.Path(p.path)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private var lineNo = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      lineNo += 1
+      val i1 = line.indexOf('\t')
+      val i2 = if (i1 < 0) -1 else line.indexOf('\t', i1 + 1)
+      if (i2 < 0) throw new IllegalArgumentException(
+        s"malformed change record at ${p.path}:$lineNo (expected seq\\top\\tpayload)")
+      val seq = line.substring(0, i1).toLong
+      if (seq > p.startSeq) {
+        current = InternalRow(seq,
+          UTF8String.fromString(line.substring(i1 + 1, i2)),
+          UTF8String.fromString(line.substring(i2 + 1)))
+        return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+object ChangeLog {
+
+  /** (seq, op, payload) — payload stays a JSON string; callers project it
+    * with `from_json` so the row-image schema is on-read, not baked into
+    * the source.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  private val SegmentName = """changes-(\d+)\.log""".r
+
+  def segmentFirstSeq(fileName: String): Option[Long] = fileName match {
+    case SegmentName(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  def segmentName(firstSeq: Long): String = f"changes-$firstSeq%012d.log"
+
+  /** Tail the log directory from the (exclusive) bookmark. */
+  def read(spark: SparkSession, dir: String, startSeq: Long = 0L): DataFrame =
+    spark.read.format("graft-changelog")
+      .option("path", dir).option("startSeq", startSeq).load()
+
+  /** Replay the log onto a base table: tail from the bookmark, project the
+    * JSON row images onto `payloadSchema`, and fold with
+    * [[graft.ops.Merge.applyCdc]] — latest seq per key decides, deletes
+    * vanish. Base rows enter the merge at version `startSeq` (anything
+    * already applied compares no newer than the bookmark), so the replay
+    * is idempotent from any recorded position.
+    */
+  def replay(spark: SparkSession, dir: String, base: DataFrame,
+      payloadSchema: StructType, keyCols: Seq[String],
+      startSeq: Long = 0L): DataFrame = {
+    val changes = read(spark, dir, startSeq)
+      .select(col("seq"), col("op"), from_json(col("payload"), payloadSchema).as("__r"))
+      .select(col("seq") +: col("op") +: payloadSchema.fieldNames.map(f => col(s"__r.$f")): _*)
+    graft.ops.Merge.applyCdc(base.withColumn("seq", lit(startSeq)), changes,
+      keyCols, versionCol = "seq")
+  }
+
+  /** Driver-side segment writer — the stand-in for the OLTP SERVER's
+    * binlog writer (fixture/test infrastructure, not an engine operator:
+    * in production the database produces the log; nothing here runs in a
+    * query plan). Lines must arrive in ascending seq order; segments
+    * rotate every `segmentSize` records and are named
+    * [[segmentName]](first seq in segment).
+    */
+  def writeSegments(lines: Iterator[(Long, String, String)], dir: String,
+      segmentSize: Int): Unit = {
+    require(segmentSize > 0, "segmentSize must be positive")
+    // no session dependency: this helper stands in for the DATABASE
+    // SERVER, which has no Spark session
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.mkdirs(dirPath)
+    var out: java.io.BufferedWriter = null
+    var inSegment = 0
+    var lastSeq = Long.MinValue
+    try {
+      lines.foreach { case (seq, op, payload) =>
+        require(seq > lastSeq, s"out-of-order seq $seq after $lastSeq")
+        lastSeq = seq
+        if (out == null || inSegment >= segmentSize) {
+          if (out != null) out.close()
+          out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(new org.apache.hadoop.fs.Path(dirPath, segmentName(seq)), true),
+            java.nio.charset.StandardCharsets.UTF_8))
+          inSegment = 0
+        }
+        out.write(s"$seq\t$op\t$payload")
+        out.newLine()
+        inSegment += 1
+      }
+    } finally if (out != null) out.close()
+  }
+}

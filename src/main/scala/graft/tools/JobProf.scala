@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Scratch per-job profiler (delete before round end). args: qname */
+object JobProf {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val fn = graft.SparkEntry.queries(args(0))
+    // warm
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties.getProperty("spark.job.description")).getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), desc.take(60)))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
+        rows.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+      }
+    })
+    val t0 = System.nanoTime()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    rows.forEach(r => println(r))
+    println(f"[total] ${args(0)}: $total%.2f s")
+    spark.stop()
+  }
+}

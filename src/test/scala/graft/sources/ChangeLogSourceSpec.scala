@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+class ChangeLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloadSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType)))
+
+  private def writeLog(dir: String, segmentSize: Int, n: Int): Unit =
+    ChangeLog.writeSegments(
+      (1 to n).iterator.map(i => (i.toLong, "U", s"""{"k":${i % 4},"v":$i.0}""")),
+      dir, segmentSize)
+
+  test("roundtrip: every record comes back, in schema, across segments") {
+    val dir = tmpDir("clog_rt")
+    writeLog(dir, segmentSize = 3, n = 10)
+    val df = ChangeLog.read(spark, dir)
+    assert(df.schema == ChangeLog.Schema)
+    assert(df.count() == 10)
+    assert(df.agg(min("seq"), max("seq")).as[(Long, Long)].head() == (1L, 10L))
+    // 10 records, 3 per segment -> 4 segment files
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".log")) == 4)
+  }
+
+  test("bookmark: startSeq filters rows AND prunes whole segments from the plan") {
+    val dir = tmpDir("clog_bm")
+    writeLog(dir, segmentSize = 3, n = 10) // segments start at 1, 4, 7, 10
+    val df = ChangeLog.read(spark, dir, startSeq = 5L)
+    assert(df.select("seq").as[Long].collect().sorted.toSeq == (6L to 10L))
+    // segment [1,4) lies wholly at-or-below the bookmark: planned away
+    assert(df.rdd.getNumPartitions == 3,
+      s"expected 3 of 4 segments planned, got ${df.rdd.getNumPartitions}")
+    // bookmark beyond the log end: nothing read, last segment still planned
+    assert(ChangeLog.read(spark, dir, startSeq = 99L).isEmpty)
+  }
+
+  test("empty/missing directory reads as empty, not an error") {
+    assert(ChangeLog.read(spark, tmpDir("clog_empty")).isEmpty)
+    assert(ChangeLog.read(spark, "/tmp/graft_clog_does_not_exist").isEmpty)
+  }
+
+  test("malformed record fails loudly with file and line position") {
+    val dir = tmpDir("clog_bad")
+    // a foreign writer producing a corrupt line (fresh file, no Hadoop
+    // checksum sidecar — LocalFS would otherwise fail on the crc first)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, ChangeLog.segmentName(1L)),
+      "1\tU\t{\"k\":1,\"v\":1.0}\nno tabs here\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      ChangeLog.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("malformed change record") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed change record")))
+  }
+
+  test("writeSegments refuses out-of-order sequence numbers") {
+    intercept[IllegalArgumentException] {
+      ChangeLog.writeSegments(Iterator((5L, "I", "{}"), (3L, "I", "{}")),
+        tmpDir("clog_ooo"), 10)
+    }
+  }
+
+  test("replay folds the log into the base; resume from a bookmark is idempotent") {
+    val dir = tmpDir("clog_replay")
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    // seq 1: update k=1 -> 11; seq 2: delete k=2; seq 3: insert k=4;
+    // seq 4: update k=1 AGAIN -> 12 (latest wins over seq 1)
+    ChangeLog.writeSegments(Iterator(
+      (1L, "U", """{"k":1,"v":11.0}"""),
+      (2L, "D", """{"k":2,"v":20.0}"""),
+      (3L, "I", """{"k":4,"v":40.0}"""),
+      (4L, "U", """{"k":1,"v":12.0}""")), dir, segmentSize = 2)
+    val full = ChangeLog.replay(spark, dir, base, payloadSchema, Seq("k"))
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(full == Seq((1L, 12.0), (3L, 30.0), (4L, 40.0)))
+    // resume: state after replaying seqs <= 2, then tail from bookmark 2
+    val mid = ChangeLog.replay(spark, dir, base, payloadSchema, Seq("k"))
+    val afterTwo = Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v") // manual state at seq 2
+    val resumed = ChangeLog.replay(spark, dir, afterTwo, payloadSchema, Seq("k"),
+      startSeq = 2L)
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(resumed == full, "tailing from the bookmark must converge to the full replay")
+    assert(mid.count() == 3)
+  }
+}
