@@ -745,6 +745,42 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q98
+  // The O(log n)-round large-star/small-star components path end-to-end
+  // on a graph where the default min-label propagation CANNOT work: 512
+  // disjoint chains over the orders keys (key k chained to the next key
+  // in its k%512 residue class), diameter ~n/512 — ~29 min-label rounds
+  // at gate SF (sf0.01's 15000 dense keys), past connectedComponents'
+  // maxIter=20 guard, but ~log2(chain) star-contraction rounds. The
+  // expected answer is analytic — every key's component is its whole
+  // residue class, so cluster_id = min(key) over k%512 — which gives a
+  // hash-checked DuckDB oracle with no recursive CTE (an O(n·diameter)
+  // reach table at this diameter). Chain construction is fixture
+  // topology (windows per residue class); the operator under test is
+  // connectedComponentsStar. The key<=30000 cap bounds the fixture above
+  // gate SF (sf0.01's keys all pass it): what this query gates is
+  // DIAMETER — the property the min-label path cannot survive — not
+  // volume; the iterative wall time is rounds × per-shuffle latency, so
+  // an uncapped fixture would just bench scheduler overhead × log2(n)
+  // rounds, while the id-keyed shuffle shapes are already volume-benched
+  // by q71/q72's components over the full corpus.
+  val q98 = QuerySpec.sql(
+    "q98_star_components",
+    """WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+      |           WHERE o_orderkey <= 30000)
+      |SELECT id, MIN(id) OVER (PARTITION BY id % 512) AS cluster_id
+      |FROM k ORDER BY id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 30000)
+      .select(col("o_orderkey").as("id")).distinct()
+    val w = Window.partitionBy(pmod(col("id"), lit(512))).orderBy(col("id"))
+    val edges = keys
+      .withColumn("nxt", lead(col("id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("id").as("id_a"), col("nxt").as("id_b"))
+    Dedup.connectedComponentsStar(edges).orderBy("id")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -893,5 +929,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98)
 }

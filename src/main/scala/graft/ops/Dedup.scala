@@ -309,6 +309,14 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // the labels frame is node-sized and CONSTANT across rounds: size the
+    // loop's checkpoints to it once (localCheckpoint keeps its input
+    // partitioning — the .rdd path skips AQE's final coalesce — so a tiny
+    // label frame would otherwise run every round at the inherited
+    // partition count, all scheduling overhead)
+    val parts = math.max(1, math.min(labels.rdd.getNumPartitions,
+      math.ceil(labels.count() / 1000000.0).toInt))
+    labels = labels.coalesce(parts).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -317,7 +325,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
-        .localCheckpoint()
+        .coalesce(parts).localCheckpoint()
       changed = next.filter(col("next_label") < col("label")).count()
       // no second checkpoint: labels is a bare projection over the
       // checkpointed `next`, so its lineage is already flat — a third
@@ -364,29 +372,77 @@ object Dedup {
       .filter(col("u") =!= col("v")).localCheckpoint()
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct().localCheckpoint()
-    var edges = sym(base).distinct().localCheckpoint()
-    var stars = edges.filter(col("u") > col("v")) // (larger, smaller)
-    var converged = edges.isEmpty
-    var round = 0
-    while (!converged && round < maxRounds) {
-      // large-star: m = min(Γ(u) ∪ {u}); link every v > u to m
-      val lsMin = edges.groupBy("u").agg(min("v").as("mn"))
+    // one large-star + small-star round over a symmetric edge set, LAZY:
+    // rounds are chained without materializing between them — every
+    // repeated reference to `e` lands on the same exchange subtree, which
+    // Spark computes once (ReusedExchange), so a chained round costs its
+    // 3 shuffles exactly once with no checkpoint write/read between.
+    def contractRound(e: DataFrame): DataFrame = {
+      // large-star: m = min(Γ(u) ∪ {u}); link every v > u to m. No
+      // distinct on ls: duplicate (a,b) links change neither ssMin's MIN
+      // nor the final distinct, and a dedup shuffle per round costs more
+      // than carrying the few duplicate rows.
+      val lsMin = e.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = edges.join(lsMin, "u").filter(col("v") > col("u"))
+      val ls = e.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
-        .distinct()
       // small-star over (larger a, smaller b): m = min(smaller nbrs);
       // link each smaller neighbor AND a itself to m
       val ssMin = ls.groupBy("a").agg(min("b").as("mn"))
-      val next = ls.join(ssMin, "a").select(col("b").as("u"), col("mn").as("v"))
+      ls.join(ssMin, "a").select(col("b").as("u"), col("mn").as("v"))
         .union(ssMin.select(col("a").as("u"), col("mn").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
-      converged = next.exceptAll(stars.select(col("u"), col("v"))).isEmpty &&
-        stars.select(col("u"), col("v")).exceptAll(next).isEmpty
+        .distinct()
+    }
+    // Partition budget tracks the SHRINKING edge set: star contraction
+    // collapses the frame geometrically, and a localCheckpoint keeps its
+    // input partitioning (the .rdd materialization path skips AQE's
+    // final-stage coalescing), so late rounds would otherwise run every
+    // stage at the initial partition count over near-empty partitions —
+    // pure scheduling overhead locally, thousands of empty tasks on a
+    // cluster. Budget = rows/1M (id-pair rows are ~16 bytes), never
+    // above the input's own partitioning.
+    val rowsPerPartition = 1000000L
+    def budget(rows: Long, cap: Int): Int = math.max(1,
+      math.min(cap, math.ceil(rows.toDouble / rowsPerPartition).toInt))
+    var parts = math.max(1, base.rdd.getNumPartitions)
+    var stars = sym(base).distinct().filter(col("u") > col("v"))
+      .coalesce(parts).localCheckpoint()
+    var converged = stars.isEmpty && base.isEmpty
+    var round = 0
+    // Convergence is probed every `probeEvery` rounds, not every round:
+    // the probe compares two CONSECUTIVE materialized rounds, so the test
+    // itself stays exact (the fixpoint is absorbing — once the star set is
+    // stable a further round is the identity, so overshooting by up to
+    // probeEvery-1 idempotent rounds changes nothing). Driver round trips
+    // dominate this loop's wall time on all but enormous graphs — each
+    // materialization is a scheduling barrier — so the cadence buys ~2x.
+    val probeEvery = 3
+    while (!converged && round < maxRounds) {
+      var chained = stars
+      (1 until probeEvery).foreach { _ => chained = contractRound(sym(chained)) }
+      val prev = chained.coalesce(parts).localCheckpoint()
+      val next = contractRound(sym(prev)).coalesce(parts).localCheckpoint()
+      round += probeEvery
+      // set-equality test in ONE small aggregate over the two checkpointed
+      // frames: a signed commutative fingerprint (count delta + hash-sum
+      // delta) is zero iff the multisets (almost certainly) match; the
+      // EXACT symmetric-difference probe then CONFIRMS — it runs once, at
+      // convergence, not every probe. The same pass counts the surviving
+      // star edges for the next round's partition budget.
+      val d = next.select(col("u"), col("v"), lit(1L).as("__s"))
+        .union(prev.select(col("u"), col("v"), lit(-1L).as("__s")))
+        .agg(sum(col("__s")).as("dn"),
+          sum(col("__s") * pmod(xxhash64(col("u"), col("v")), lit(1000000007L))).as("dh"),
+          sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n"))
+        .head()
+      // null sums = both frames empty = trivially equal
+      val (dn, dh) = (if (d.isNullAt(0)) 0L else d.getLong(0),
+        if (d.isNullAt(1)) 0L else d.getLong(1))
+      converged = dn == 0 && dh == 0 &&
+        next.exceptAll(prev).union(prev.exceptAll(next)).isEmpty
+      parts = budget(if (d.isNullAt(2)) 0L else d.getLong(2), parts)
       stars = next
-      edges = sym(next).localCheckpoint()
-      round += 1
     }
     if (!converged && round >= maxRounds) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxRounds rounds " +

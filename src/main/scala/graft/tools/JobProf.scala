@@ -7,6 +7,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 object JobProf {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    sys.env.get("JOBPROF_AQE").foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    sys.env.get("JOBPROF_PARTS").foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    sys.env.get("JOBPROF_BCAST").foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
@@ -23,6 +26,12 @@ object JobProf {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
         rows.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+        rows.add(f"stage ${i.stageId}%4d ${ms.getOrElse(-1L)}%6d ms tasks=${i.numTasks}%3d ${i.name.take(70)}")
       }
     })
     val t0 = System.nanoTime()
