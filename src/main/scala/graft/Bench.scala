@@ -86,7 +86,17 @@ object Bench {
       "\"" + short + f"""":$v%.2f"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line verbatim (round-3 lesson: the driver captures a
+    // bounded stdout tail, and a clipped line cannot be re-parsed later —
+    // cross-round per-query comparisons need the full artifact on disk).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+      line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 
@@ -157,7 +167,38 @@ object Bench {
         if (!ok) System.err.println("[bench] etl_pipeline had failures")
         secs
       }
-      Seq("etl_pipeline" -> times.min)
+      // The all-unchanged RE-RUN: the reference's 15.23 s number is its
+      // cleanup-mode pass; a scheduler re-fires the same DAG daily with
+      // nothing changed, and that hop's cost is the bookmark path (S8):
+      // per table, compare source mtime against the recorded transfer
+      // bookmark and skip without reading. Setup (ingest + first bookmarked
+      // transfer) is untimed; the timed pass must skip EVERY table.
+      val rerun = {
+        import graft.connect.MetaCatalog
+        tables.foreach { t =>
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$root/pristine/$t.csv"),
+            fs, new org.apache.hadoop.fs.Path(s"$root/src-rerun/$t.csv"),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
+        val staging = new FileStore(spark, s"$root/staging-rerun", "staging")
+        val warehouse = new WarehouseStore(spark, s"$root/warehouse-rerun")
+        val catalog = new MetaCatalog(spark, s"$root/meta-rerun")
+        Ingest.ingestFolder(spark, s"$root/src-rerun", s"$root/archive-rerun",
+          staging, multiLine = false)
+        Transfer.transfer(staging, warehouse, "rds", meta = Some(catalog), parallelism = 8)
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val rep = Transfer.transfer(staging, warehouse, "rds",
+            meta = Some(catalog), parallelism = 8)
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (rep.unchanged.size != tables.size)
+            System.err.println(s"[bench] etl_pipeline_rerun expected all " +
+              s"${tables.size} tables unchanged, got ${rep.unchanged.size}")
+          secs
+        }.min
+      }
+      Seq("etl_pipeline" -> times.min, "etl_pipeline_rerun" -> rerun)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")

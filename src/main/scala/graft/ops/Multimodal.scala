@@ -8,11 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus the batch decode /
   * feature-extract scaffolding a training-data pipeline needs.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `decodeImageStub` derives deterministic fake dimensions
-  * from the payload hash. Everything around it — schema, batched
-  * per-partition execution, partition sizing — is real and is the part
-  * that matters at 100 TB: payloads never shuffle; decode runs scan-side;
+  * The codecs are REAL native expressions, implemented from the public
+  * container specs with no external library: full PNG pixel decode
+  * (zlib inflate + all five row filters) and binary PNM via
+  * [[graft.functions.ImagePixels]] (with decode→resize→re-encode in
+  * [[resizeImages]]), header metadata for PNG/BMP/GIF/PPM/PGM/JPEG via
+  * [[graft.functions.ImageMeta]], WAV/PCM via
+  * [[graft.functions.WavMeta]], and AVI via [[graft.functions.AviMeta]].
+  * `decodeImageStub` survives ONLY as the documented stand-in for codec
+  * families that genuinely need a library this container can't ship
+  * (JPEG entropy decode and beyond — see its scaladoc). The Spark-side
+  * shape is the part that matters at 100 TB and is identical for stub
+  * and real paths: payloads never shuffle; decode runs scan-side;
   * metadata-only projections never touch the bytes.
   */
 object Multimodal {
