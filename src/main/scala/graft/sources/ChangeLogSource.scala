@@ -186,6 +186,60 @@ object ChangeLog {
       keyCols, versionCol = "seq")
   }
 
+  final case class TailResult(target: String, applied: Long, fromSeq: Long,
+      toSeq: Long, skippedNoNew: Boolean)
+
+  /** Tail-and-apply with a DURABLE consumed-position bookmark — the
+    * LOG_BASED analogue of `Transfer.transferIncremental`'s cursor
+    * discipline: the recorded high-water seq for `target` (cursor store,
+    * cursor column "seq") is the exclusive replay start; only newer
+    * records are read (whole segments pruned by filename); the folded
+    * table is rewritten; and the bookmark advances to the max seq
+    * actually READ — never the log's current end, so records appended
+    * between the read and the bookmark write replay next run (the same
+    * TOCTOU rule as `recordTransferAt`).
+    *
+    * The applied target keeps its per-row `seq` column, so the next tail
+    * merges against REAL per-key versions (a key untouched by new
+    * records keeps its old row and seq); a pre-existing target without a
+    * seq column (a snapshot base) enters at version 0. The merge result
+    * is materialized (localCheckpoint) before the overwrite — the write
+    * must not lazily re-read the table directory it is replacing.
+    */
+  def tailInto(spark: SparkSession, dir: String,
+      store: graft.connect.Source with graft.connect.Sink,
+      target: graft.connect.TableRef, payloadSchema: StructType,
+      keyCols: Seq[String], meta: graft.connect.MetaCatalog): TailResult = {
+    require(!payloadSchema.fieldNames.contains("seq"),
+      "payload schema must not carry a 'seq' column (reserved for the log position)")
+    val mark = meta.cursor(target.name)
+    mark.foreach { case (c, _) =>
+      require(c == "seq", s"cursor for ${target.name} is $c, not a changelog seq")
+    }
+    val startSeq = mark.map(_._2.toLong).getOrElse(0L)
+    val fresh = read(spark, dir, startSeq)
+    val stats = fresh.agg(count(lit(1)), max(col("seq"))).head()
+    val n = stats.getLong(0)
+    if (n == 0L) TailResult(target.name, 0L, startSeq, startSeq, skippedNoNew = true)
+    else {
+      val toSeq = stats.getLong(1)
+      val base =
+        if (store.exists(target)) {
+          val b = store.read(target)
+          if (b.columns.contains("seq")) b else b.withColumn("seq", lit(0L))
+        } else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(payloadSchema.fields :+ StructField("seq", LongType)))
+      val changes = fresh
+        .select(col("seq"), col("op"), from_json(col("payload"), payloadSchema).as("__r"))
+        .select(col("seq") +: col("op") +: payloadSchema.fieldNames.map(f => col(s"__r.$f")): _*)
+      val folded = graft.ops.Merge.applyCdc(base, changes, keyCols, versionCol = "seq")
+        .localCheckpoint()
+      store.write(folded, target, org.apache.spark.sql.SaveMode.Overwrite)
+      meta.recordCursor(target.name, "seq", toSeq.toString)
+      TailResult(target.name, n, startSeq, toSeq, skippedNoNew = false)
+    }
+  }
+
   /** Driver-side segment writer — the stand-in for the OLTP SERVER's
     * binlog writer (fixture/test infrastructure, not an engine operator:
     * in production the database produces the log; nothing here runs in a

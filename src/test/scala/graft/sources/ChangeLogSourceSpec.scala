@@ -64,6 +64,39 @@ class ChangeLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("tailInto: consumed bookmark advances with the log; re-tail is a no-op") {
+    import graft.connect.{FileStore, MetaCatalog, TableRef}
+    val root = tmpDir("clog_tail")
+    val logDir = s"$root/log"
+    val store = new FileStore(spark, s"$root/wh", "warehouse")
+    val meta = new MetaCatalog(spark, s"$root/meta")
+    val target = TableRef("warehouse", "kv")
+    // epoch 1: inserts k=1..3
+    ChangeLog.writeSegments((1L to 3L).iterator.map(i =>
+      (i, "I", s"""{"k":$i,"v":${i * 10}.0}""")), logDir, segmentSize = 2)
+    val r1 = ChangeLog.tailInto(spark, logDir, store, target, payloadSchema, Seq("k"), meta)
+    assert(r1.applied == 3 && r1.fromSeq == 0 && r1.toSeq == 3 && !r1.skippedNoNew)
+    assert(meta.cursor("kv").contains(("seq", "3")))
+    assert(store.read(target).select("k", "v").as[(Long, Double)].collect().sorted.toSeq
+      == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // re-tail with nothing new: skipped, bookmark unchanged
+    val r2 = ChangeLog.tailInto(spark, logDir, store, target, payloadSchema, Seq("k"), meta)
+    assert(r2.skippedNoNew && r2.applied == 0 && meta.cursor("kv").contains(("seq", "3")))
+    // epoch 2: the server rotates a new segment — update k=2, delete k=3,
+    // insert k=4; the tail must read ONLY seqs 4..6 (fromSeq = bookmark)
+    ChangeLog.writeSegments(Iterator(
+      (4L, "U", """{"k":2,"v":21.0}"""),
+      (5L, "D", """{"k":3,"v":30.0}"""),
+      (6L, "I", """{"k":4,"v":40.0}""")), logDir, segmentSize = 2)
+    val r3 = ChangeLog.tailInto(spark, logDir, store, target, payloadSchema, Seq("k"), meta)
+    assert(r3.applied == 3 && r3.fromSeq == 3 && r3.toSeq == 6)
+    assert(meta.cursor("kv").contains(("seq", "6")))
+    assert(store.read(target).select("k", "v").as[(Long, Double)].collect().sorted.toSeq
+      == Seq((1L, 10.0), (2L, 21.0), (4L, 40.0)))
+    // untouched k=1 kept its original applied seq (real per-key versions)
+    assert(store.read(target).filter(col("k") === 1).select("seq").as[Long].head() == 1L)
+  }
+
   test("replay folds the log into the base; resume from a bookmark is idempotent") {
     val dir = tmpDir("clog_replay")
     val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
