@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Dev-only: dump a NORMALIZED physical-plan fingerprint for every
+  * non-referee query to PLANS_SHA.txt (one `name sha1 n_ops` line per
+  * query) plus the full normalized plans to PLANS_DUMP.txt.
+  *
+  * Purpose: bench wobble triage. Rounds 2-4 each burned time on
+  * sub-second "regressions" that turned out to be host noise; the
+  * conclusive check is "did the plan change?" (round 5 answered it for
+  * q56/q71 by hand-diffing a rebuilt round-3 worktree). With these
+  * artifacts committed per round, the next round's check is
+  * `runMain graft.tools.PlanPrints && git diff PLANS_SHA.txt`.
+  *
+  * Normalization strips run-variant tokens (expression ids, plan ids,
+  * data paths, statistics) so the hash covers plan STRUCTURE: operators,
+  * join strategies, pushed filters, read schemas.
+  */
+object PlanPrints {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val lines = new StringBuilder
+    val dump = new StringBuilder
+    graft.SparkEntry.specs.filterNot(_.referee).sortBy(_.name).foreach { q =>
+      val res =
+        try {
+          val p = q.fn(spark, sf).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val norm = p.linesIterator.map { l =>
+            l.replaceAll("#\\d+L?", "")
+              .replaceAll("plan_id=\\d+", "")
+              .replaceAll("\\[file:[^\\]]*\\]", "[path]")
+              .replaceAll("Location: .*", "Location: [path]")
+              .replaceAll("file:/[^\\s,\\)\\]]*", "[path]")
+              .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+              .replaceAll("@[0-9a-fA-F]+", "@inst")
+              .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
+              .replaceAll("/tmp/[^\\s,\\)\\]]*", "[tmp]")
+              .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
+          }.mkString("\n")
+          val h = sha.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val nOps = "\\(\\d+\\) ".r.findAllIn(norm).size
+          dump.append(s"\n======== ${q.name} ========\n").append(norm).append("\n")
+          f"${q.name}%-34s ${h.take(16)} ops=$nOps"
+        } catch {
+          case e: Throwable => f"${q.name}%-34s ERROR ${e.getMessage.take(60)}"
+        }
+      lines.append(res).append("\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS_SHA.txt"),
+      lines.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS_DUMP.txt"),
+      dump.toString)
+    println(s"wrote PLANS_SHA.txt (${lines.length} chars) and PLANS_DUMP.txt (${dump.length} chars)")
+    spark.stop()
+  }
+}
