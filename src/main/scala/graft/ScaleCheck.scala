@@ -76,6 +76,12 @@ object ScaleCheck {
     run("vocab_coverage",
       ops.TextOps.buildVocab(docs1, "text", 100),
       ops.TextOps.buildVocab(docsN, "text", 100))
+    // the flagship end-to-end pipeline: exact dedup (hash-keyed window),
+    // LSH near-dup clustering, decontamination, quality pruning, split —
+    // super-linear growth in ANY stage shows up here
+    run("curate_corpus",
+      ops.Curation.curateCorpus(train(docs1), bench(docs1), "doc_id", "text", "source"),
+      ops.Curation.curateCorpus(train(docsN), bench(docsN), "doc_id", "text", "source"))
     spark.stop()
   }
 }

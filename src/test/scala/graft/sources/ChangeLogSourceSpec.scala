@@ -97,6 +97,45 @@ class ChangeLogSourceSpec extends SparkSpec {
     assert(store.read(target).filter(col("k") === 1).select("seq").as[Long].head() == 1L)
   }
 
+  test("property: epoch-wise tailing matches a sequential in-memory fold (random logs)") {
+    import graft.connect.{FileStore, MetaCatalog, TableRef}
+    // latest-record-wins with full row images == sequential put/remove
+    // fold; random logs across rotation boundaries and epoch cuts must
+    // agree with the reference fold after EVERY epoch
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val root = tmpDir(s"clog_prop$seed")
+      val store = new FileStore(spark, s"$root/wh", "warehouse")
+      val meta = new MetaCatalog(spark, s"$root/meta")
+      val target = TableRef("warehouse", "kv")
+      val state = scala.collection.mutable.Map[Long, Double]()
+      var seq = 0L
+      for (epoch <- 1 to 3) {
+        val records = (1 to 30).map { _ =>
+          seq += 1
+          val k = rnd.nextInt(10).toLong
+          val v = rnd.nextInt(1000).toDouble
+          val op = rnd.nextInt(10) match {
+            case 0 | 1 => "D"
+            case 2 | 3 | 4 => "I"
+            case _ => "U"
+          }
+          if (op == "D") state.remove(k) else state(k) = v
+          (seq, op, s"""{"k":$k,"v":$v}""")
+        }
+        ChangeLog.writeSegments(records.iterator, s"$root/log",
+          segmentSize = 1 + rnd.nextInt(7))
+        val r = ChangeLog.tailInto(spark, s"$root/log", store, target,
+          payloadSchema, Seq("k"), meta)
+        assert(r.applied == 30 && r.toSeq == seq)
+        val got = store.read(target).select("k", "v").as[(Long, Double)]
+          .collect().sorted.toSeq
+        assert(got == state.toSeq.sorted,
+          s"seed=$seed epoch=$epoch: engine $got vs reference ${state.toSeq.sorted}")
+      }
+    }
+  }
+
   test("replay folds the log into the base; resume from a bookmark is idempotent") {
     val dir = tmpDir("clog_replay")
     val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
