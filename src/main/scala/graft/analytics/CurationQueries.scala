@@ -385,6 +385,39 @@ object CurationQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q99
+  // Temperature-weighted mixing (square-root sampling, alpha = 0.5):
+  // per-source keep rates DERIVED from source counts — p_i ∝ sqrt(n_i),
+  // rate_i = min(1, target·p_i/n_i) — then the md5-threshold filter.
+  // The oracle recomputes the whole chain: counts, the SORTED-order
+  // weight-sum fold (list_reduce over list(... ORDER BY source) — SQL
+  // SUM has unspecified float order), identical IEEE rate arithmetic,
+  // and the same printf('%08x') threshold rendering, so the kept row
+  // set hash-matches exactly.
+  private val q99Target = 150L
+  val q99 = QuerySpec.sql(
+    "q99_temperature_mix",
+    s"""WITH c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+      |    (u, v) -> u + v) AS wsum FROM c),
+      |r AS (
+      |  SELECT c.source,
+      |    least(1.0, $q99Target * (sqrt(CAST(c.n AS DOUBLE)) / w.wsum) / c.n) AS rate
+      |  FROM c CROSS JOIN w),
+      |t AS (
+      |  SELECT source, CASE WHEN rate >= 1.0 THEN 'g'
+      |    ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END AS cut
+      |  FROM r)
+      |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+      |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.cut
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Sampling.temperatureMix(Tables.documents(s, d).select("doc_id", "source"),
+      "source", "doc_id", targetRows = q99Target, alpha = 0.5)._1
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q96 (rows-only: sketch bounds are engine-specific)
   // The 100 TB winsorize: same clip-and-aggregate surface as q93, bounds
   // from approx_percentile (constant-size Greenwald-Khanna buffers)
@@ -478,5 +511,5 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97)
+    q87, q88, q92, q93, q95, q96, q97, q99)
 }

@@ -81,6 +81,45 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Temperature-weighted source mixing — the standard pretraining
+    * recipe "sample source i with probability ∝ n_i^α" (α = 1 keeps
+    * natural proportions; α → 0 flattens toward uniform-per-source,
+    * lifting low-resource sources). Rates are DERIVED from the source
+    * counts:  p_i = n_i^α / Σ_j n_j^α,  rate_i = min(1, target·p_i/n_i),
+    * then applied as [[stratified]]'s scan-side md5-threshold filter —
+    * one counting aggregate (source-cardinality result collected
+    * driver-side: the mix table, same nature as IVF's k centroids) plus
+    * one scan-stage filter; the corpus never shuffles.
+    *
+    * Determinism: the weight sum folds over sources in sorted order, and
+    * α = 0.5 (the common "square-root sampling") computes via sqrt —
+    * every step IEEE-defined, so any engine (the DuckDB oracle included)
+    * reproduces the rates, thresholds and row set bit-for-bit. Other α
+    * use pow (correctly-rounded on practically all libm, but not
+    * IEEE-mandated — gate-checked queries should stick to α = 0.5).
+    * Capping at 1 means tiny sources are NOT oversampled here: epoch
+    * repetition is the trainer's policy, not the sampler's.
+    *
+    * Returns (kept rows, per-source rate map).
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      targetRows: Long, alpha: Double = 0.5): (DataFrame, Map[String, Double]) = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix needs at least one row")
+    val wsum = counts.map { case (_, n) => w(n) }.sum // sorted-order fold
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, targetRows * (w(n) / wsum) / n)
+    }.toMap
+    (stratified(df, sourceCol, idCol, rates), rates)
+  }
+
   /** Deterministic uniform top-n without replacement: the n rows with the
     * smallest id hash. A distributed TakeOrdered (per-partition top-n,
     * then merge) — no full sort, no full shuffle. Reproducible across

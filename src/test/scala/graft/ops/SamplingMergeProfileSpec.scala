@@ -55,6 +55,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("b") - 200) < 80)
   }
 
+  test("temperatureMix: sqrt-weighted rates lift small sources, cap at 1, hit target") {
+    // big: 9000 rows, small: 1000 — natural proportions 90/10; sqrt
+    // weights ~0.75/0.25 lift the small source's share
+    val df = (1L to 9000L).map((_, "big")).toDF("id", "s")
+      .union((9001L to 10000L).map((_, "small")).toDF("id", "s"))
+    val (out, rates) = Sampling.temperatureMix(df, "s", "id", targetRows = 2000L)
+    // expected: w = 3000·sqrt(1)+1000... sqrt(9000)≈94.87, sqrt(1000)≈31.62
+    val (wb, ws) = (math.sqrt(9000.0), math.sqrt(1000.0))
+    assert(math.abs(rates("big") - 2000 * (wb / (wb + ws)) / 9000) < 1e-12)
+    assert(math.abs(rates("small") - 2000 * (ws / (wb + ws)) / 1000) < 1e-12)
+    assert(rates("small") > rates("big"), "temperature must lift the small source's rate")
+    val n = out.count()
+    assert(math.abs(n - 2000L) < 200, s"total kept $n should be near the target")
+    // tiny source with rate capped at 1: everything kept, never oversampled
+    val tiny = df.union(Seq((20000L, "rare")).toDF("id", "s"))
+    val (outT, ratesT) = Sampling.temperatureMix(tiny, "s", "id", targetRows = 9000L)
+    assert(ratesT("rare") == 1.0)
+    assert(outT.filter($"s" === "rare").count() == 1)
+    // deterministic: same inputs, same row set
+    assert(Sampling.temperatureMix(df, "s", "id", 2000L)._1.exceptAll(out).isEmpty)
+  }
+
   test("cappedPerGroup caps each group, keeps small groups whole, is repartition-stable") {
     val df = (1L to 900L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
       .union(Seq((1000L, "tiny")).toDF("id", "g"))
