@@ -181,14 +181,24 @@ object CurationQueries {
         struct((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice")).as("r"))
     // fixture generation: collect the change records and write the log
-    // the way the database server would (ChangeLog.writeSegments scaladoc)
-    val lines = deletes.unionByName(u1).unionByName(u2).unionByName(ins)
-      .select(col("seq"), col("op"), to_json(col("r")).as("payload"))
-      .orderBy("seq").collect()
-    val dir = java.nio.file.Files.createTempDirectory("graft_changelog_q97").toString
-    ChangeLog.writeSegments(
-      lines.iterator.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
-      dir, segmentSize = 2048)
+    // the way the database server would (ChangeLog.writeSegments
+    // scaladoc). The log is a pure function of the source dir, so it is
+    // generated once per sf dir and reused (bench reps re-run the query;
+    // regenerating an identical fixture each rep times the harness, not
+    // the engine). The marker commits the directory only after a
+    // complete write, so a crashed generation retries.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_changelog_q97_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      val lines = deletes.unionByName(u1).unionByName(u2).unionByName(ins)
+        .select(col("seq"), col("op"), to_json(col("r")).as("payload"))
+        .orderBy("seq").collect()
+      ChangeLog.writeSegments(
+        lines.iterator.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
+        dir, segmentSize = 2048)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
     // the engine path under test
     ChangeLog.replay(s, dir, o, o.schema, Seq("o_orderkey"))
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq")
