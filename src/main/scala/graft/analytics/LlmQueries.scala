@@ -781,6 +781,21 @@ object LlmQueries {
     Dedup.connectedComponentsStar(edges).orderBy("id")
   }
 
+  // ------------------------------------------------------- q100 (rows-only: zlib output is library-specific)
+  // Byte-level compression-ratio quality signal: deflate_len runs
+  // scan-side (native expression), ratio = deflate/octet lengths.
+  // DEFLATE output is deterministic for a fixed level but
+  // library-build-specific, so there is no DuckDB twin; the q100r
+  // referee recomputes the length through a plain-JVM Dataset.map (the
+  // q42r pattern) and must match bit-for-bit.
+  val q100 = QuerySpec.rowsOnly("q100_compression_quality") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.deflateLen(col("text")).as("deflate_len"),
+      TextOps.compressionRatio(col("text")).as("compression_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -929,5 +944,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100)
 }

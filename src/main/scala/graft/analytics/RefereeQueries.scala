@@ -240,6 +240,25 @@ object RefereeQueries {
     report(Seq(falseNegatives)).unionAll(fpRow.toDF("status")).orderBy("status")
   }
 
+  // ----------------------------------------------------- q100 referee
+  // deflate_len recomputed through a plain-JVM Dataset.map — an
+  // execution path sharing nothing with the codegen'd expression except
+  // the deflate routine itself (and reaching it via String.getBytes vs
+  // UTF8String.getBytes) — must match bit-for-bit.
+  val q100r = QuerySpec.refereeCheck("q100r_deflate_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val native = docs.select(col("doc_id"),
+      graft.ops.TextOps.deflateLen(col("text")).as("n"))
+    val referee = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.DeflateStats.compressedLen(t.getBytes("UTF-8")))
+      }.toDF("doc_id", "n")
+    report(symDiff(native, referee))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r)
+    q96r, q100r)
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed length of a string's UTF-8 bytes — the input to the
+  * compression-ratio quality heuristic (highly repetitive or templated
+  * text compresses far below natural prose; the ratio
+  * `deflate_len/octet_length` is a standard cheap redundancy signal in
+  * web-corpus curation, complementing [[graft.ops.TextOps]]'s
+  * token-level repetition ratio which only sees exact n-gram repeats).
+  *
+  * Level and strategy are FIXED (level 6, raw deflate, default strategy),
+  * so the value is deterministic for a given JVM's zlib. Cross-ENGINE
+  * replay is deliberately not claimed — DuckDB's zlib may differ — which
+  * is why the gate covers this with a bit-identical plain-JVM referee
+  * (independent execution path, same library), not a SQL oracle, exactly
+  * like the fingerprint expression (q42r).
+  *
+  * Scan-side one pass per row; the dominant cost is the deflate itself
+  * (~20-100 MB/s/core) — cheap against a 100 TB corpus scan, and the
+  * text never moves.
+  */
+object DeflateStats {
+  def compressedLen(utf8: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6, true) // raw stream, fixed level
+    try {
+      d.setInput(utf8)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+}
+
+/** `deflate_len(string)` → int: DEFLATE(level 6) length of the UTF-8
+  * bytes. Null in, null out.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflate_len expects string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateStats.compressedLen(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.DeflateStats.compressedLen(${childGen.value}.getBytes());
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_len"
+}

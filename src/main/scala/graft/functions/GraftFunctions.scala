@@ -35,6 +35,8 @@ object GraftFunctions {
         "avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "deflate_len", exprs => DeflateLen(exprs(0)), "scala_udf")
     }
   }
 
@@ -90,4 +92,9 @@ object GraftFunctions {
     */
   def bloom_might_contain(filterBytes: Column, item: Column): Column =
     call_function("bloom_might_contain", filterBytes, item)
+
+  /** DEFLATE-compressed length of a string's UTF-8 bytes (see
+    * [[DeflateLen]]). Requires `register(spark)` on the session.
+    */
+  def deflate_len(text: Column): Column = call_function("deflate_len", text)
 }

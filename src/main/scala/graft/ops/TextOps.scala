@@ -241,4 +241,25 @@ object TextOps {
       lit(1.0) - size(Dedup.shingles(text, n)).cast(DoubleType) / total
     }
   }
+
+  // ---------------------------------------------- compression-ratio signal
+
+  /** DEFLATE length of the text's UTF-8 bytes (native scan-side
+    * expression, see [[graft.functions.DeflateLen]]). Callers via graft
+    * query APIs have it registered.
+    */
+  def deflateLen(text: Column): Column =
+    graft.functions.GraftFunctions.deflate_len(text)
+
+  /** Compression ratio `deflate_len/octet_length` — the byte-level
+    * redundancy quality signal (templated/boilerplate text compresses far
+    * below natural prose; near-random text ratios approach ~1). Byte-level
+    * DEFLATE sees repetition that [[repetitionRatio]]'s exact-n-gram form
+    * misses (near-repeats, long-range structure). Empty/whitespace-free
+    * zero-length text scores 0.0.
+    */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      deflateLen(text).cast(DoubleType) / octet_length(text).cast(DoubleType))
+      .otherwise(lit(0.0))
 }

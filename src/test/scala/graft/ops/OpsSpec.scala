@@ -61,6 +61,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)) && got(4L) == ((0.0, 0.0)))
   }
 
+  test("compressionRatio: boilerplate compresses far below varied text; edge cases safe") {
+    graft.functions.GraftFunctions.register(spark)
+    val boiler = "click here to subscribe " * 40
+    val varied = (1 to 160).map(i => s"w${i * 7919}").mkString(" ")
+    val df = Seq((boiler, 1L), (varied, 2L), ("", 3L), (null.asInstanceOf[String], 4L))
+      .toDF("text", "id")
+    val got = df.select(col("id"),
+      TextOps.deflateLen(col("text")).as("n"),
+      TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getDouble(2))).toMap
+    val rBoiler = got(1L)._2
+    val rVaried = got(2L)._2
+    assert(rBoiler < 0.1, s"templated text must compress hard, got $rBoiler")
+    assert(rVaried > 3 * rBoiler, s"varied text must compress far less ($rVaried vs $rBoiler)")
+    assert(got(3L)._2 == 0.0, "empty text scores 0")
+    assert(got(4L)._1.isEmpty, "null text -> null length")
+    // the expression matches a direct library call byte-for-byte
+    assert(got(1L)._1.contains(
+      graft.functions.DeflateStats.compressedLen(boiler.getBytes("UTF-8"))))
+  }
+
   test("contaminationOverlap counts distinct shared shingles, bench side broadcast") {
     val train = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
       (3L, "the quick red fox")).toDF("doc_id", "text")
