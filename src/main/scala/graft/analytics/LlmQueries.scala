@@ -796,6 +796,76 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q101
+  // Substring-level exact dedup (Lee et al. ExactSubstr, distributed):
+  // maximal per-doc character spans whose every 25-char window repeats
+  // somewhere in the corpus. The oracle replays the whole shape —
+  // window explode, count>1 gate, gaps-and-islands merge — on true
+  // substrings; the engine's rolling-hash candidate pass is invisible
+  // to the result (collisions only add verify work), so this is a full
+  // hash-match query, not rows-only.
+  private val q101K = 25
+  val q101 = QuerySpec.sql(
+    "q101_substring_spans",
+    s"""WITH p0 AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text)-$q101K+1)) AS pos
+      |  FROM documents),
+      |pos AS (SELECT doc_id, CAST(pos AS INT) AS pos, substring(text, pos, $q101K) AS gram FROM p0),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $q101K
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM m),
+      |g AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM b)
+      |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+      |  CAST(MAX(pos) + $q101K - 1 AS INT) AS span_end,
+      |  CAST(MAX(pos) + $q101K - MIN(pos) AS INT) AS span_len
+      |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = q101K)
+      .orderBy("doc_id", "span_start")
+  }
+
+  // --------------------------------------------------------------- q102
+  // BM25 ranked retrieval (rational-idf variant — IEEE-exact arithmetic
+  // only, see TextOps.bm25TopK): doc_id % 97 == 0 docs play the query
+  // set, the rest the corpus; top-5 per query. The float SUM folds in
+  // ascending-term order on BOTH sides (sort_array+aggregate vs
+  // list(ORDER BY)+list_reduce), so scores hash-match bit-for-bit.
+  val q102 = QuerySpec.sql(
+    "q102_bm25_topk",
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 97 = 0),
+      |toks AS (SELECT doc_id, unnest($duckToks) AS term FROM c),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS avgdl),
+      |qt AS (SELECT query_id, unnest(list_distinct($duckToks)) AS term FROM q),
+      |per AS (SELECT qt.query_id, tf.doc_id, tf.term,
+      |  ((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |     (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) AS sc
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+      |agg AS (SELECT query_id, doc_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)), (a, x) -> a + x) AS score
+      |  FROM per GROUP BY query_id, doc_id),
+      |r AS (SELECT query_id, doc_id, score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextOps.bm25TopK(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      "doc_id", "text", "query_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -944,5 +1014,6 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
-    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100)
+    q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
+    q101, q102)
 }

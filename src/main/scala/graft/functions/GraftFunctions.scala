@@ -37,6 +37,8 @@ object GraftFunctions {
         "bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "deflate_len", exprs => DeflateLen(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rolling_hashes", exprs => RollingHashes(exprs(0), exprs(1)), "scala_udf")
     }
   }
 
@@ -97,4 +99,10 @@ object GraftFunctions {
     * [[DeflateLen]]). Requires `register(spark)` on the session.
     */
   def deflate_len(text: Column): Column = call_function("deflate_len", text)
+
+  /** Rabin-Karp hash of every k-char window in one pass (see
+    * [[RollingHashes]]). Requires `register(spark)` on the session.
+    */
+  def rolling_hashes(text: Column, k: Column): Column =
+    call_function("rolling_hashes", text, k)
 }

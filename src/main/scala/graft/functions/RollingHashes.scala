@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_hashes(text, k)` -> array<bigint>: the Rabin-Karp polynomial
+  * hash of EVERY k-character window of `text`, computed in one O(n) pass
+  * (`hash[j] = sum over i of char(j+i) * B^(k-1-i)` wrapping mod 2^64,
+  * B odd so multiplication stays a bijection and no entropy drains out
+  * of the low bits). Windows are CHARACTER-based, matching
+  * `substring(text, pos, k)` in Spark and DuckDB, so a hash at 0-based
+  * index j covers the 1-based substring position j+1.
+  *
+  * This is the candidate-generation primitive for substring-level exact
+  * dedup (Lee et al. 2022, arXiv:2107.06499 — the ExactSubstr variant,
+  * re-expressed for a distributed engine: positions + 8-byte hashes
+  * through the exchange instead of a monolithic suffix array). Equal
+  * substrings ALWAYS hash equal, so the downstream
+  * [[graft.ops.Dedup.duplicatedSpans]] candidate set is a superset of
+  * the truth and the substring-equality verify pass restores exactness;
+  * hash collisions cost verify work, never correctness.
+  *
+  * Why a native expression: the composable form
+  * (`transform(sequence(...), i -> xxhash64(substring(text, i, k)))`)
+  * is an interpreted lambda that re-slices k characters per position —
+  * O(n*k) copies per document plus per-element lambda dispatch. This
+  * loop is O(n) with zero allocation beyond the output array. Returns
+  * an EMPTY array for texts shorter than k (no windows), null for null
+  * text.
+  */
+case class RollingHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        val k = right.eval(null).asInstanceOf[Int]
+        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"rolling_hashes window must be >= 1, got $k")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "rolling_hashes expects (string, foldable int), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  @transient private lazy val k: Int = right.eval(null).asInstanceOf[Int]
+  // B^(k-1) mod 2^64 — the weight the outgoing character carries
+  @transient private lazy val bPow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < k) { p *= RollingHashes.Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(text: Any, kAny: Any): Any = {
+    // char-based windows: UTF-16 units via toString (one O(n) conversion;
+    // ASCII corpora stay on the fast single-byte path inside String)
+    val s = text.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * RollingHashes.Base + s.charAt(i); i += 1 }
+    out(0) = h
+    var j = 1
+    while (j <= n - k) {
+      h = (h - s.charAt(j - 1) * bPow) * RollingHashes.Base + s.charAt(j + k - 1)
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RollingHashes = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "rolling_hashes"
+}
+
+object RollingHashes {
+  /** Odd base: an odd multiplier is invertible mod 2^64, so repeated
+    * multiplication never collapses the state space.
+    */
+  val Base: Long = 1000003L
+
+  /** Plain-JVM reference of the same polynomial (direct per-window sum,
+    * no rolling update) — pinned equal to the expression in tests, which
+    * proves the O(1) rolling recurrence preserves the polynomial value.
+    */
+  def direct(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array.emptyLongArray
+    Array.tabulate(n - k + 1) { j =>
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * Base + s.charAt(j + i); i += 1 }
+      h
+    }
+  }
+}

@@ -521,6 +521,77 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  // ------------------------------------------------ substring-span dedup
+
+  /** Substring-level exact dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * ExactSubstr): find, per document, the maximal character spans whose
+    * every k-window occurs more than once ANYWHERE in the corpus
+    * (including overlapping repeats inside one document). Doc-level
+    * dedup ([[exact]], [[minHashNearDups]]) misses boilerplate embedded
+    * in otherwise-unique pages — license headers, navigation chrome,
+    * quoted passages — which this operator pinpoints so callers can
+    * strip the span, not the document.
+    *
+    * Returns (idCol, span_start, span_end, span_len), 1-based inclusive
+    * character positions, ordered within each doc; overlapping and
+    * adjacent duplicated windows merge into one span (gaps-and-islands
+    * over window starts: a window starting within k chars of the
+    * previous one extends its island).
+    *
+    * Scale shape — the distributed re-expression of the paper's
+    * single-machine suffix array:
+    *  1. [[graft.functions.RollingHashes]] emits every window's 8-byte
+    *     Rabin-Karp hash scan-side in one O(n) pass per doc; the
+    *     position explode ships (id, pos, hash) = ~24 bytes/char — never
+    *     window text (k× amplification).
+    *  2. Hashes occurring >1 time — a map-side-combined count — gate a
+    *     semi-join; only CANDIDATE positions (true dups + rare
+    *     collisions) survive.
+    *  3. Candidates rejoin their docs to re-slice the actual k-char
+    *     window, and a second count over the REAL substrings restores
+    *     exactness: a hash collision can only add verify work, never a
+    *     false span. Both verify exchanges carry candidate rows only —
+    *     at real-corpus dup rates a small fraction of the corpus.
+    *  4. Island-merge is one window per doc over its candidate
+    *     positions.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol), posexplode(
+        graft.functions.GraftFunctions.rolling_hashes(col(textCol), lit(k))))
+      .select(col(idCol), (col("pos") + 1).cast(IntegerType).as("pos"),
+        col("col").as("__h"))
+    val dupHashes = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("__h")
+    val cand = grams.join(dupHashes, Seq("__h"), "left_semi")
+    // verify: re-slice the true window text for candidates only
+    val withGram = cand
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("pos"),
+        col(textCol).substr(col("pos"), lit(k)).as("__g"))
+    val dupGrams = withGram.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("__g")
+    val verified = withGram.join(dupGrams, Seq("__g"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    verified
+      // first position in a doc: lag is null -> CASE falls to 1 (new island)
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(run))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k) - 1).as("span_end"))
+      .select(col(idCol), col("span_start").cast(IntegerType).as("span_start"),
+        col("span_end").cast(IntegerType).as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast(IntegerType).as("span_len"))
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per token, xxhash64 gives 64 bits; each bit votes

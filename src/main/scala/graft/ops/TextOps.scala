@@ -158,6 +158,80 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  // --------------------------------------------------- BM25 retrieval
+
+  /** BM25 ranked retrieval: top-k corpus documents per query — the
+    * lexical-retrieval baseline a curation pipeline needs beside the
+    * embedding ANN path (sourcing docs for a topic mix, pulling
+    * contrastive negatives, dedup-by-retrieval audits).
+    *
+    * Scoring is the rational-idf BM25 variant:
+    * `idf = (N - df + 0.5) / (df + 0.5)` (the argument of Robertson's
+    * log, un-logged) with the standard saturation/length factor
+    * `tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`. Dropping the `ln`
+    * keeps every step an IEEE-exact double op (casts, add, multiply,
+    * divide), so an external engine replays scores bit-for-bit — the
+    * same trade [[tfIdfTopK]] documents. Rational idf is a monotone
+    * transform of the classic form, so per-term orderings agree;
+    * across-term SUMS can differ from log-idf BM25 (rare terms weigh
+    * relatively heavier here) — a documented variant, not a bug. The
+    * per-document score folds term contributions in ascending-term
+    * order (`sort_array` + `aggregate`), because float addition is
+    * order-sensitive and the gate's oracle must reproduce the sum
+    * exactly.
+    *
+    * Shape at 100 TB: tf/dl/df are the inverted-index aggregates (all
+    * partial-aggregated before their one shuffle each); the query term
+    * set is benchmark-sized and BROADCASTS onto the term counts, so the
+    * corpus postings never shuffle to meet the queries; (N, avgdl) ride
+    * as a broadcast 1-row aggregate (allowlisted BNLJ, the q83
+    * pattern); the fold and the top-k window touch only docs sharing a
+    * term with some query.
+    *
+    * Output: (qidCol, rank, idCol, score), rank 1..k per query by
+    * (score desc, idCol asc).
+    */
+  def bm25TopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      qidCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val terms = corpus.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL corpus docs (token-free docs too); avgdl divides the
+    // token total by that same N — one broadcast row, no driver collect
+    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(terms.agg(count(lit(1)).as("n_toks")))
+      .select(col("n_docs"),
+        (col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("avgdl"))
+    val qTerms = queries
+      .select(col(qidCol), explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val tfD = col("tf").cast(DoubleType)
+    val tfNorm = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    val perTerm = tf
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("term"), (idf * tfNorm).as("sc"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    perTerm
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("__t"))
+      .withColumn("score",
+        aggregate(col("__t"), lit(0.0), (acc, x) => acc + x.getField("sc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"))
+  }
+
   // ------------------------------------------------ vocabulary building
 
   /** Token vocabulary with dense ids and cumulative corpus coverage —

@@ -134,7 +134,10 @@ class PlanSpec extends SparkSpec {
     // q83: corpus row count as a 1-row broadcast riding into every
     //      tf row's idf (the declarative alternative to a driver-side
     //      collect of N)
-    val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords")
+    // q102: same pattern — (N, avgdl) as a 1-row broadcast into the
+    //      BM25 per-term scores
+    val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords",
+      "q102_bm25_topk")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

@@ -40,4 +40,38 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT float_dot(array(1.0), array(2.0))").collect() // array<double>
     }
   }
+
+  test("rolling_hashes: O(1) rolling update preserves the direct polynomial") {
+    GraftFunctions.register(spark)
+    // real doc texts + crafted edge strings; the direct per-window sum is
+    // the referee — if the rolling recurrence drifted (e.g. a wrong B^k
+    // weight on the outgoing char) any text longer than k would diverge
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("text")).as[String].collect()
+    val edge = Seq("", "ab", "aaa", "aaaa", "ababab", "x" * 999)
+    for (t <- docs ++ edge; k <- Seq(3, 25)) {
+      val got = Seq(t).toDF("text")
+        .select(GraftFunctions.rolling_hashes(col("text"), lit(k)))
+        .collect()(0).getSeq[Long](0).toArray
+      assert(got.sameElements(graft.functions.RollingHashes.direct(t, k)),
+        s"rolling vs direct mismatch, k=$k len=${t.length}")
+    }
+  }
+
+  test("rolling_hashes: equal substrings hash equal; null/short-text edges") {
+    GraftFunctions.register(spark)
+    val t = "the quick brown fox jumps over the quick brown dog"
+    val hs = Seq(t).toDF("text")
+      .select(GraftFunctions.rolling_hashes(col("text"), lit(9)))
+      .collect()(0).getSeq[Long](0)
+    // "the quick" at 1-based pos 1 and 32 -> 0-based hash indices 0 and 31
+    assert(t.substring(0, 9) == t.substring(31, 40))
+    assert(hs(0) == hs(31), "identical windows must hash identically")
+    // short text -> empty array, null -> null
+    val r = Seq(("ab", 1L), (null.asInstanceOf[String], 2L)).toDF("text", "id")
+      .select(col("id"), GraftFunctions.rolling_hashes(col("text"), lit(3)).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(r(1L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    assert(r(2L).isEmpty)
+  }
 }

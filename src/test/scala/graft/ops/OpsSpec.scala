@@ -82,6 +82,34 @@ class TextOpsSpec extends SparkSpec {
       graft.functions.DeflateStats.compressedLen(boiler.getBytes("UTF-8"))))
   }
 
+  test("bm25TopK: tf saturation, length norm, and rare-term idf rank as BM25 should") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple apple"),
+      (3L, "apple banana"),
+      (4L, "durian fig grape kiwi lemon mango")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple"), (101L, "durian banana")).toDF("query_id", "text")
+    val got = TextOps.bm25TopK(corpus, queries, "doc_id", "text", "query_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val q100 = got.filter(_._1 == 100L).sortBy(_._2)
+    // tf saturation still lets tf=4 win; among tf=1 docs the SHORTER doc
+    // (less length penalty) ranks higher; durian-only doc 4 absent
+    assert(q100.map(_._3).toSeq == Seq(2L, 3L, 1L), s"q100: ${q100.mkString(",")}")
+    val q101 = got.filter(_._1 == 101L).sortBy(_._2)
+    // rare term (df=1) outweighs common banana matches despite doc 4's length
+    assert(q101.map(_._3).toSeq == Seq(4L, 3L, 1L), s"q101: ${q101.mkString(",")}")
+    // spot-check one score against the closed form: doc 2 on query "apple"
+    // N=4, df(apple)=3, tf=4, dl=4, avgdl=15/4
+    val idf = (4.0 - 3.0 + 0.5) / (3.0 + 0.5)
+    val tfn = (4.0 * (1.2 + 1.0)) / (4.0 + 1.2 * ((1.0 - 0.75) + 0.75 * (4.0 / 3.75)))
+    assert(q100.head._4 == idf * tfn, s"score ${q100.head._4} != ${idf * tfn}")
+    // k caps the per-query list
+    val capped = TextOps.bm25TopK(corpus, queries, "doc_id", "text", "query_id", "text", k = 2)
+      .collect()
+    assert(capped.count(_.getLong(0) == 100L) == 2)
+  }
+
   test("contaminationOverlap counts distinct shared shingles, bench side broadcast") {
     val train = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
       (3L, "the quick red fox")).toDF("doc_id", "text")
@@ -260,6 +288,38 @@ class DedupSpec extends SparkSpec {
     val nd = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd.contains((1L, 4L)))
+  }
+
+  test("duplicatedSpans: cross-doc, within-doc, and multi-island spans, hand-checked") {
+    val shared = "qwertyuiopasdfghjklzxcvbnm1234" // 30 chars, no repeated 10-window
+    val seg1 = "abcdefghijkl"
+    val seg2 = "mnopqrstuvwx"
+    val corpus = Seq(
+      // boundary chars deliberately differ on BOTH sides of the shared
+      // block — a shared '-' would (correctly) extend the span past it
+      (1L, "headerone!" + shared + "#tailone()"),
+      (2L, "headertwo?" + shared + "%tailtwo[]"),
+      (3L, "0987654321" + "0987654321" + "END-UNIQUE"), // within-doc repeat
+      (4L, "unique-document-alpha-beta"), // no duplicated window anywhere
+      (5L, seg1 + "0123456789!@#$%^&*()" + seg2), // two distant shared segments
+      (6L, "ZZ" + seg1 + "9z8y7x6w5v4u" + seg2 + "WW")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq(
+      // the shared 30-char block sits at chars 11..40 of docs 1 and 2
+      (1L, 11, 40, 30), (2L, 11, 40, 30),
+      // doubled 10-char prefix: only windows at 1 and 11 repeat, and
+      // 11-1 <= k merges them into one span over the doubled region
+      (3L, 1, 20, 20),
+      // doc 5/6: two islands each — the 20/12-char unique gap between
+      // the shared segments exceeds k, so the spans must NOT merge
+      (5L, 1, 12, 12), (5L, 33, 44, 12),
+      (6L, 3, 14, 12), (6L, 27, 38, 12)),
+      s"got: ${spans.mkString(", ")}")
+    // doc 4 contributes nothing
+    assert(!spans.exists(_._1 == 4L))
   }
 }
 
