@@ -31,7 +31,7 @@ object PlanPrints {
         try {
           val p = q.fn(spark, sf).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          val norm = p.linesIterator.map { l =>
+          val norm0 = p.linesIterator.map { l =>
             l.replaceAll("#\\d+L?", "")
               .replaceAll("plan_id=\\d+", "")
               .replaceAll("\\[file:[^\\]]*\\]", "[path]")
@@ -43,6 +43,16 @@ object PlanPrints {
               .replaceAll("/tmp/[^\\s,\\)\\]]*", "[tmp]")
               .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
           }.mkString("\n")
+          // Lambda variable ids (`lambda x_7`) come from a GLOBAL counter
+          // that shifts whenever any earlier-initialized query adds a
+          // higher-order function — renumber per plan by first appearance
+          // so unrelated insertions can't wobble a query's fingerprint
+          val lambdaRe = "lambda ([A-Za-z]+)_(\\d+)".r
+          val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+          val norm = lambdaRe.replaceAllIn(norm0, m => {
+            val id = seen.getOrElseUpdate(m.group(1) + "_" + m.group(2), seen.size)
+            java.util.regex.Matcher.quoteReplacement(s"lambda ${m.group(1)}_$id")
+          })
           val h = sha.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val nOps = "\\(\\d+\\) ".r.findAllIn(norm).size
           dump.append(s"\n======== ${q.name} ========\n").append(norm).append("\n")
