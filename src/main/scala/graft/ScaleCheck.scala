@@ -82,6 +82,28 @@ object ScaleCheck {
     run("curate_corpus",
       ops.Curation.curateCorpus(train(docs1), bench(docs1), "doc_id", "text", "source"),
       ops.Curation.curateCorpus(train(docsN), bench(docsN), "doc_id", "text", "source"))
+    // Substring dedup needs a DIFFERENT blow-up: verbatim copies make
+    // every window duplicated (candidate density 100% — a degenerate
+    // worst case, not a scale trend). Rotating vowels per copy keeps
+    // each copy's planted duplicate structure (equal substrings stay
+    // equal under a per-copy character bijection) while keeping copies
+    // mutually distinct, so candidate density per row is preserved.
+    val vowelRot = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    val docsNd = (0 until factor).map { i =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"), "aeiou", vowelRot(i % 5)))
+    }.reduce(_ unionByName _).localCheckpoint()
+    run("substring_spans",
+      ops.Dedup.duplicatedSpans(docs1, "doc_id", "text", 25),
+      ops.Dedup.duplicatedSpans(docsNd, "doc_id", "text", 25))
+    // BM25: the realistic growth mode is corpus up, query set fixed
+    run("bm25_topk",
+      ops.TextOps.bm25TopK(train(docs1),
+        bench(docs1).withColumnRenamed("doc_id", "query_id"),
+        "doc_id", "text", "query_id", "text", 5),
+      ops.TextOps.bm25TopK(train(docsNd),
+        bench(docs1).withColumnRenamed("doc_id", "query_id"),
+        "doc_id", "text", "query_id", "text", 5))
     spark.stop()
   }
 }

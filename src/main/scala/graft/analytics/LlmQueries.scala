@@ -831,7 +831,11 @@ object LlmQueries {
   // --------------------------------------------------------------- q102
   // BM25 ranked retrieval (rational-idf variant — IEEE-exact arithmetic
   // only, see TextOps.bm25TopK): doc_id % 97 == 0 docs play the query
-  // set, the rest the corpus; top-5 per query. The float SUM folds in
+  // set — truncated to their first 5 tokens, the realistic short-query
+  // shape (the synthetic corpus's tiny vocabulary makes whole-document
+  // queries degenerate: every query matches every doc on ~40 terms,
+  // which is dense-retrieval worst case, not BM25's workload) — against
+  // the rest as corpus; top-5 per query. The float SUM folds in
   // ascending-term order on BOTH sides (sort_array+aggregate vs
   // list(ORDER BY)+list_reduce), so scores hash-match bit-for-bit.
   val q102 = QuerySpec.sql(
@@ -844,7 +848,7 @@ object LlmQueries {
       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
       |stats AS (SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_docs,
       |  CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS avgdl),
-      |qt AS (SELECT query_id, unnest(list_distinct($duckToks)) AS term FROM q),
+      |qt AS (SELECT query_id, unnest(list_distinct(list_slice($duckToks, 1, 5))) AS term FROM q),
       |per AS (SELECT qt.query_id, tf.doc_id, tf.term,
       |  ((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
       |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
@@ -861,7 +865,10 @@ object LlmQueries {
     TextOps.bm25TopK(
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(col("doc_id").as("query_id"), col("text")),
+        .select(col("doc_id").as("query_id"),
+          // first-5-token queries; re-tokenizing the single-space join
+          // reproduces the slice exactly on both engines
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text")),
       "doc_id", "text", "query_id", "text", k = 5)
       .orderBy("query_id", "rank")
   }

@@ -592,6 +592,51 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast(IntegerType).as("span_len"))
   }
 
+  /** Apply [[duplicatedSpans]] output back onto the corpus: cut every
+    * duplicated span out of its document, concatenating the surviving
+    * segments (the Lee-et-al "remove all copies" policy — callers who
+    * want keep-one-copy should anti-join a canonical doc set out of the
+    * span table first). Docs without spans pass through verbatim.
+    *
+    * Scale shape: spans are doc-keyed and tiny relative to text, so the
+    * only exchange is the doc-keyed join; the cut itself is a per-row
+    * fold over that doc's (collected, sorted) span list — bounded by
+    * spans-per-doc, never corpus-sized. Output: docs with `textCol`
+    * rewritten plus `n_cut` (chars removed, 0 when untouched).
+    */
+  def stripSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spanList = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    val others = docs.columns.filter(c => c != idCol && c != textCol).map(col)
+    // fold keeps (next-keep-position, kept-text-so-far); each span cuts
+    // [s, e], keeping [cursor, s-1]; the final flush appends the tail
+    val cut = aggregate(
+      col("__spans"),
+      struct(lit(1).as("cursor"), lit("").as("kept")),
+      (acc, sp) => struct(
+        greatest(acc.getField("cursor"), sp.getField("e") + 1).as("cursor"),
+        concat(acc.getField("kept"),
+          when(sp.getField("s") > acc.getField("cursor"),
+            col(textCol).substr(acc.getField("cursor"),
+              sp.getField("s") - acc.getField("cursor")))
+            .otherwise(lit(""))).as("kept")),
+      acc => concat(acc.getField("kept"),
+        when(length(col(textCol)) >= acc.getField("cursor"),
+          col(textCol).substr(acc.getField("cursor"),
+            length(col(textCol)) - acc.getField("cursor") + 1))
+          .otherwise(lit(""))))
+    docs.join(spanList, Seq(idCol), "left")
+      // materialize the fold ONCE; n_cut derives from the lengths (and is
+      // automatically 0 for span-free docs, where __clean == text)
+      .withColumn("__clean", when(col("__spans").isNull, col(textCol)).otherwise(cut))
+      .select(col(idCol) +: others :+
+        (length(col(textCol)) - length(col("__clean"))).cast(IntegerType).as("n_cut") :+
+        col("__clean").as(textCol): _*)
+      .select(col(idCol) +: others :+ col(textCol) :+ col("n_cut"): _*)
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per token, xxhash64 gives 64 bits; each bit votes

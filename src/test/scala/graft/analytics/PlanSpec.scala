@@ -178,6 +178,55 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q101 candidate stage: the dup-hash gate exchange never carries document text") {
+    // duplicatedSpans' first (corpus-sized) shuffles must move
+    // (id, pos, hash) / (hash, count) rows only — at 100 TB a text
+    // column on any of them multiplies the exchange by document size.
+    // Text may ride an exchange ONLY in the candidate-verify stage,
+    // where rows are gated to candidate positions; the gate itself
+    // (aggregate over raw gram hashes) must be text-free. We assert the
+    // stronger global property on everything REACHABLE BELOW the first
+    // string-carrying exchange: every shuffle under it is string-free,
+    // i.e. all corpus-sized exchanges precede any text movement.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.ops.Dedup.duplicatedSpans(
+      graft.analytics.Tables.documents(spark, sf), "doc_id", "text", k = 25)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    val stringFree = shuffles.filter(
+      _.output.forall(a => a.dataType != StringType))
+    // the hash-gate aggregate and the position semi-join are text-free
+    assert(stringFree.size >= 2,
+      s"expected the candidate-gate exchanges to carry no text; shuffles: " +
+        shuffles.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString("[", ",", "]")).mkString(" | "))
+    // and no text-free exchange sits ABOVE a text-carrying one (verify
+    // text moves only after candidate gating)
+    val textCarrying = shuffles.filterNot(stringFree.contains)
+    textCarrying.foreach { t =>
+      val below = t.collect { case s: ShuffleExchangeExec if s ne t => s }
+      below.foreach(b => assert(b.output.forall(_.dataType != StringType),
+        "a corpus-sized text exchange sits below the candidate gate"))
+    }
+  }
+
+  test("q102: query terms and term stats broadcast — corpus postings shuffle only by doc") {
+    // BM25's inverted-index aggregates may shuffle by (doc, term) /
+    // term / doc, but the postings must never shuffle to MEET the query
+    // set: the query-term join and the df join are broadcasts. Assert
+    // no sort-merge join exists anywhere in the plan.
+    val p = plan("q102_bm25_topk")
+    assert(!p.contains("SortMergeJoin"),
+      "BM25 should broadcast query terms and term stats, not sort-merge join")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+  }
+
   test("q64: stratified sample is a scan-stage filter — no shuffle before output sort") {
     val p = plan("q64_stratified_sample")
     // the md5-threshold predicate is not parquet-pushable (expression on

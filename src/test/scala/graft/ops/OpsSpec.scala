@@ -321,6 +321,27 @@ class DedupSpec extends SparkSpec {
     // doc 4 contributes nothing
     assert(!spans.exists(_._1 == 4L))
   }
+
+  test("stripSpans cuts exactly the spans, keeps other columns, and is idempotent here") {
+    val shared = "qwertyuiopasdfghjklzxcvbnm1234"
+    val corpus = Seq(
+      (1L, "headerone!" + shared + "#tailone()", "web"),
+      (2L, "headertwo?" + shared + "%tailtwo[]", "web"),
+      (3L, "09876543210987654321END-UNIQUE", "books"),
+      (4L, "unique-document-alpha-beta", "books")
+    ).toDF("doc_id", "text", "source")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 10)
+    val got = Dedup.stripSpans(corpus, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[String]("source"), r.getAs[Int]("n_cut")))).toMap
+    assert(got(1L) == (("headerone!" + "#tailone()", "web", 30)))
+    assert(got(2L) == (("headertwo?" + "%tailtwo[]", "web", 30)))
+    assert(got(3L) == (("END-UNIQUE", "books", 20)))
+    assert(got(4L) == (("unique-document-alpha-beta", "books", 0)))
+    // on this corpus the cut leaves no repeated windows behind
+    val again = Dedup.stripSpans(corpus, spans, "doc_id", "text")
+    assert(Dedup.duplicatedSpans(again, "doc_id", "text", k = 10).isEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
