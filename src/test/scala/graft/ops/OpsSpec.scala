@@ -342,6 +342,86 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.stripSpans(corpus, spans, "doc_id", "text")
     assert(Dedup.duplicatedSpans(again, "doc_id", "text", k = 10).isEmpty)
   }
+
+  test("duplicatedSpans matches a brute-force reference on dense random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 3-letter alphabet + short windows → dup-heavy inputs that stress
+    // the candidate gate, collision verify and island merge far harder
+    // than real text ever will
+    val k = 4
+    val doc = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    var seed = Seed(11L)
+    def refSpans(corpus: Seq[(Long, String)]): Seq[(Long, Int, Int, Int)] = {
+      val grams = for { (id, t) <- corpus; i <- 0 to t.length - k }
+        yield (id, i + 1, t.substring(i, i + k))
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => counts(g._3) > 1).groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, p) =>
+          if (p - acc.head.head <= k) (p :: acc.head) :: acc.tail
+          else List(p) :: acc
+        }
+        islands.map(i => (id, i.min, i.max + k - 1, i.max + k - i.min))
+      }.sortBy(t => (t._1, t._2))
+    }
+    (1 to 5).foreach { round =>
+      val corpus = (1 to 30).map { i =>
+        val t = doc.pureApply(Gen.Parameters.default, seed); seed = seed.next
+        (i.toLong, t)
+      }
+      val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == refSpans(corpus), s"round $round corpus: ${corpus.mkString("; ")}")
+    }
+  }
+
+  test("bm25TopK matches a plain-JVM reference bit-for-bit on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("ape", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    var seed = Seed(13L)
+    def next(): String = { val t = doc.pureApply(Gen.Parameters.default, seed); seed = seed.next; t }
+    def ref(corpus: Seq[(Long, String)], queries: Seq[(Long, String)], k: Int)
+        : Seq[(Long, Int, Long, Double)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val tf = toks.toSeq.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (w, o) => (id, w, o.size.toLong) } }
+      val dl = toks.view.mapValues(_.size.toLong).toMap
+      val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = corpus.size.toLong
+      val avgdl = dl.values.sum.toDouble / n.toDouble
+      queries.flatMap { case (qid, qt) =>
+        val terms = qt.split("\\s+").filter(_.nonEmpty).distinct
+        val perDoc = tf.filter(p => terms.contains(p._2))
+          .groupBy(_._1).map { case (id, ps) =>
+            // ascending-term fold from 0.0 — the exact order the operator uses
+            val score = ps.sortBy(_._2).foldLeft(0.0) { case (acc, (_, w, f)) =>
+              val idf = (n.toDouble - dfreq(w).toDouble + 0.5) / (dfreq(w).toDouble + 0.5)
+              val tfn = (f.toDouble * (1.2 + 1.0)) /
+                (f.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl(id).toDouble / avgdl)))
+              acc + idf * tfn
+            }
+            (id, score)
+          }.toSeq
+        perDoc.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, s), i) => (qid, i + 1, id, s) }
+      }.sortBy(t => (t._1, t._2))
+    }
+    (1 to 5).foreach { round =>
+      val corpus = (1 to 25).map(i => (i.toLong, next()))
+      val queries = (100 to 103).map(i => (i.toLong, next()))
+      val got = TextOps.bm25TopK(corpus.toDF("doc_id", "text"),
+        queries.toDF("query_id", "text"), "doc_id", "text", "query_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == ref(corpus, queries, 3), s"round $round")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
