@@ -542,16 +542,25 @@ object Dedup {
     * single-machine suffix array:
     *  1. [[graft.functions.RollingHashes]] emits every window's 8-byte
     *     Rabin-Karp hash scan-side in one O(n) pass per doc; the
-    *     position explode ships (id, pos, hash) = ~24 bytes/char — never
-    *     window text (k× amplification).
-    *  2. Hashes occurring >1 time — a map-side-combined count — gate a
-    *     semi-join; only CANDIDATE positions (true dups + rare
+    *     position explode ships (id, pos, hash) = ~20 bytes/window —
+    *     never window text (k× amplification).
+    *  2. The dup gate is a WINDOW COUNT over the hash, not an
+    *     aggregate + semi-join: `count(*) over (partition by hash) > 1`
+    *     moves the grams through ONE hash-keyed exchange and evaluates
+    *     the explode ONCE. (The agg+semi alternative exchanges ~1.8x
+    *     the bytes — its per-partition partial (hash, count) rows barely
+    *     shrink because window hashes are mostly unique, and the grams
+    *     must then shuffle AGAIN to meet the dup set whenever that set
+    *     outgrows a broadcast, which at corpus scale it always does —
+    *     and it evaluates the corpus scan+explode twice, once per
+    *     consumer.) Only CANDIDATE positions (true dups + rare
     *     collisions) survive.
     *  3. Candidates rejoin their docs to re-slice the actual k-char
-    *     window, and a second count over the REAL substrings restores
-    *     exactness: a hash collision can only add verify work, never a
-    *     false span. Both verify exchanges carry candidate rows only —
-    *     at real-corpus dup rates a small fraction of the corpus.
+    *     window, and the same window-count gate over the REAL
+    *     substrings restores exactness: a hash collision can only add
+    *     verify work, never a false span. Everything after the gate is
+    *     candidate-sized — at real-corpus dup rates a small fraction
+    *     of the corpus.
     *  4. Island-merge is one window per doc over its candidate
     *     positions.
     */
@@ -564,18 +573,17 @@ object Dedup {
         graft.functions.GraftFunctions.rolling_hashes(col(textCol), lit(k))))
       .select(col(idCol), (col("pos") + 1).cast(IntegerType).as("pos"),
         col("col").as("__h"))
-    val dupHashes = grams.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("__h")
-    val cand = grams.join(dupHashes, Seq("__h"), "left_semi")
+    val cand = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__n") > 1).select(col(idCol), col("pos"))
     // verify: re-slice the true window text for candidates only
     val withGram = cand
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .select(col(idCol), col("pos"),
         col(textCol).substr(col("pos"), lit(k)).as("__g"))
-    val dupGrams = withGram.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("__g")
-    val verified = withGram.join(dupGrams, Seq("__g"), "left_semi")
-      .select(col(idCol), col("pos"))
+    val verified = withGram
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__n") > 1).select(col(idCol), col("pos"))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

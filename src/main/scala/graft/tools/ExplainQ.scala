@@ -1,30 +1,23 @@
 package graft.tools
 
 import graft.GraftSession
-import org.apache.spark.sql.functions._
 
-/** Scratch plan/time inspector (delete before round end). */
+/** Scratch plan inspector (dev-only): prints the formatted physical plan
+  * of a named query against sf0.1. args: qname [sfDir]
+  */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val docs = graft.analytics.Tables.documents(spark, d)
-    docs.count()
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    (1 to 2).foreach { i =>
-      time(s"native sigs $i") { noop(graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text")) }
-      time(s"exploded sigs $i") { noop(graft.ops.Dedup.minHashSignaturesExploded(docs, "doc_id", "text")) }
-      time(s"native sigs+buckets $i") { noop(graft.ops.Dedup.lshBuckets(
-        graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id", "sig", 16)) }
-      time(s"shingles only $i") { noop(docs.select(graft.ops.Dedup.shingles(col("text"), 3).as("sh"))) }
-    }
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val df = graft.SparkEntry.queries(args(0))(spark, d)
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    // and the post-AQE view after one execution
+    df.write.format("noop").mode("overwrite").save()
+    println("==== after AQE ====")
+    println(df.queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }
