@@ -110,6 +110,22 @@ object TextOps {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Small-scan parallelization guard: a corpus whose scan yields far
+    * fewer splits than the session has cores (one small parquet file =
+    * one partition — row groups don't subdivide) would run the
+    * explode+aggregate index build on a single task. Repartitioning
+    * first costs one pass of the (small, by construction) text and buys
+    * full parallelism. At real corpus scale the scan's split count
+    * exceeds the core count and this is the identity — the check reads
+    * the plan's partitioning, it launches no job.
+    */
+  private def parallelized(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 4)) df.repartition(target)
+    else df
+  }
+
   // --------------------------------------------------- TF-IDF keywords
 
   /** Per-document top-k keywords by TF-IDF.
@@ -138,8 +154,12 @@ object TextOps {
       k: Int, logIdf: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val terms = parallelized(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // materialized: tf feeds both the score join and the df aggregate —
+    // left lazy, each consumer re-runs the corpus scan + explode + count
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // tf already holds one row per (doc, term), so df = COUNT(*) per term
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -180,13 +200,15 @@ object TextOps {
     * order-sensitive and the gate's oracle must reproduce the sum
     * exactly.
     *
-    * Shape at 100 TB: tf/dl/df are the inverted-index aggregates (all
-    * partial-aggregated before their one shuffle each); the query term
-    * set is benchmark-sized and BROADCASTS onto the term counts, so the
-    * corpus postings never shuffle to meet the queries; (N, avgdl) ride
-    * as a broadcast 1-row aggregate (allowlisted BNLJ, the q83
-    * pattern); the fold and the top-k window touch only docs sharing a
-    * term with some query.
+    * Shape at 100 TB: the (doc, term) postings aggregate is built from
+    * ONE corpus scan and MATERIALIZED (localCheckpoint — the inverted
+    * index every retrieval system persists); dl, df and the token total
+    * all derive from it rather than re-scanning the corpus once per
+    * statistic. The query term set is benchmark-sized and BROADCASTS
+    * onto the postings, so they never shuffle to meet the queries;
+    * (N, avgdl) ride as a broadcast 1-row aggregate (allowlisted BNLJ,
+    * the q83 pattern); the fold and the top-k window touch only docs
+    * sharing a term with some query.
     *
     * Output: (qidCol, rank, idCol, score), rank 1..k per query by
     * (score desc, idCol asc).
@@ -197,14 +219,16 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val terms = corpus.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val terms = parallelized(corpus)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N counts ALL corpus docs (token-free docs too); avgdl divides the
     // token total by that same N — one broadcast row, no driver collect
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(terms.agg(count(lit(1)).as("n_toks")))
+      .crossJoin(dl.agg(sum(col("dl")).as("n_toks")))
       .select(col("n_docs"),
         (col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("avgdl"))
     val qTerms = queries
