@@ -61,6 +61,13 @@ object Curation {
     * surface:
     *
     *  1. exact dedup (keep min id per identical text — one keyed window)
+    *  1b. (opt-in via `substrK = Some(k)`) substring-level dedup: strip
+    *     every duplicated-across-the-corpus k-char span from surviving
+    *     docs ([[Dedup.duplicatedSpans]] + [[Dedup.stripSpans]] — the
+    *     Lee-et-al ExactSubstr stage, run after doc-level exact dedup
+    *     as in the paper). Off by default because it REWRITES text:
+    *     downstream near-dup/decontamination/quality stages then see
+    *     the stripped corpus.
     *  2. near-dup dedup: MinHash+LSH candidate pairs, exact-Jaccard
     *     verify, exact connected components, min-id canonical survives
     *  3. benchmark decontamination: drop docs sharing any `decontamK`-gram
@@ -85,9 +92,18 @@ object Curation {
       textCol: String, sourceCol: String,
       nearDupThreshold: Double = 0.5, decontamK: Int = 5,
       nTiles: Int = 10, keepTiles: Int = 7,
-      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      substrK: Option[Int] = None)
       : DataFrame = {
-    val exactKept = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
+    val exactDeduped = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
+    val exactKept = substrK match {
+      case None => exactDeduped
+      case Some(k) =>
+        // stage-boundary corpus again: checkpointed for the same reason
+        Dedup.stripSpans(exactDeduped,
+          Dedup.duplicatedSpans(exactDeduped, idCol, textCol, k),
+          idCol, textCol).drop("n_cut").localCheckpoint()
+    }
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
     val nearKept = Dedup.dropNearDups(exactKept, pairs, idCol).localCheckpoint()

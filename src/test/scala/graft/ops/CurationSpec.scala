@@ -127,6 +127,32 @@ class CurationSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("curateCorpus substrK: stripped boilerplate no longer triggers decontamination") {
+    // docs 1 and 2 share a 40-char boilerplate prefix; the BENCH set
+    // contains that boilerplate's token run, nothing else from the docs
+    val boiler = "subscribe to our newsletter for updates "
+    val docs = Seq(
+      (1L, "s", boiler + "first article body about training large models properly"),
+      (2L, "s", boiler + "second piece entirely different content on data quality"),
+      (3L, "s", "standalone document with no boilerplate and enough words to stand alone")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq(
+      (100L, "b", "please " + boiler + "thanks")
+    ).toDF("doc_id", "source", "text")
+    // strip OFF: both boilerplate docs share a 5-gram with the bench set
+    // and decontamination drops them
+    val off = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(off == Set(3L), off.toString)
+    // strip ON: the duplicated prefix is cut BEFORE decontamination, so
+    // the cleaned bodies survive — proof the rewrite feeds downstream
+    val on = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, substrK = Some(20))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(on == Set(1L, 2L, 3L), on.toString)
+  }
+
   test("packSequences: per-group running offsets and chunk boundaries") {
     val docs = Seq(
       (1L, "g1", "a b c"),         // 3 tokens, offset 0, chunk 0
