@@ -428,6 +428,38 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q103
+  // Training-mix token-budget manifest: per source, exact doc/token
+  // counts, mix weight (head sources weighted 2x), token target,
+  // capped sampling rate, and the epoch factor (>1 = the source must
+  // repeat). Pure rational arithmetic on exact counts — bit-exact
+  // cross-engine; both sides write the weights as the same 2.0/25.0 /
+  // 1.0/25.0 constant expressions so even the literals constant-fold
+  // to identical doubles.
+  private val q103Budget = 40000L
+  private val q103Head = (0 to 4).map(i => s"src$i")
+  val q103 = QuerySpec.sql(
+    "q103_mix_manifest",
+    s"""WITH c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |m AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CASE WHEN source IN (${q103Head.map(s => s"'$s'").mkString(", ")})
+      |         THEN 2.0/25.0 ELSE 1.0/25.0 END AS weight
+      |  FROM c)
+      |SELECT source, n_docs, n_tokens, weight,
+      |  CAST($q103Budget AS DOUBLE) * weight AS target_tokens,
+      |  least(1.0, (CAST($q103Budget AS DOUBLE) * weight) / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+      |  (CAST($q103Budget AS DOUBLE) * weight) / CAST(n_tokens AS DOUBLE) AS epochs
+      |FROM m ORDER BY source""".stripMargin) { (s, d) =>
+    Sampling.mixManifest(Tables.documents(s, d), "source", "text", q103Budget,
+      when(col("source").isin(q103Head: _*), lit(2.0 / 25.0))
+        .otherwise(lit(1.0 / 25.0)))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q96 (rows-only: sketch bounds are engine-specific)
   // The 100 TB winsorize: same clip-and-aggregate surface as q93, bounds
   // from approx_percentile (constant-size Greenwald-Khanna buffers)
@@ -521,5 +553,5 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103)
 }

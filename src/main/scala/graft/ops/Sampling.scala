@@ -120,6 +120,37 @@ object Sampling {
     (stratified(df, sourceCol, idCol, rates), rates)
   }
 
+  /** Training-mix manifest — the token-budget plan (data card) for a
+    * weighted multi-source training run: per source, its document and
+    * exact token counts, the configured mix weight, the token target
+    * `budget * weight`, the sampling rate to hit it (capped at 1.0 —
+    * you can't sample more than once per epoch), and the epoch count
+    * `target / available` (values > 1 mean the source repeats —
+    * oversampling — exactly what mix designers watch for).
+    *
+    * `weight` is a Column over `sourceCol` so callers express policies
+    * declaratively (a CASE over domains, a join against a config
+    * table); every derived value is rational double arithmetic on
+    * exact counts, so an external engine replays the manifest
+    * bit-for-bit. One corpus aggregate; the manifest is
+    * source-cardinality-sized.
+    *
+    * Output: (sourceCol, n_docs, n_tokens, weight, target_tokens,
+    * sample_rate, epochs), one row per source.
+    */
+  def mixManifest(docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, weight: Column): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val target = lit(budgetTokens).cast(DoubleType) * weight
+    val epochs = target / col("n_tokens").cast(DoubleType)
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast(LongType)).as("n_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        weight.as("weight"), target.as("target_tokens"),
+        least(lit(1.0), epochs).as("sample_rate"), epochs.as("epochs"))
+  }
+
   /** Deterministic uniform top-n without replacement: the n rows with the
     * smallest id hash. A distributed TakeOrdered (per-partition top-n,
     * then merge) — no full sort, no full shuffle. Reproducible across

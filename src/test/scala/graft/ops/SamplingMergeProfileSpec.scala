@@ -97,6 +97,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a.size == 100 && a == b)
   }
+
+  test("mixManifest: exact counts, capped rates, epoch factor flags oversampling") {
+    val docs = Seq(
+      ("web", "one two three four"), ("web", "five six seven eight"),  // 8 tokens
+      ("books", "just two")                                            // 2 tokens
+    ).toDF("source", "text")
+    // budget 12, books weighted 2/3: books target 8 > its 2 tokens ->
+    // oversample 4 epochs, rate capped at 1; web target 4 of 8 -> rate 0.5
+    val got = Sampling.mixManifest(docs, "source", "text", budgetTokens = 12L,
+      when(col("source") === "books", lit(2.0 / 3.0)).otherwise(lit(1.0 / 3.0)))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("target_tokens"), r.getAs[Double]("sample_rate"),
+          r.getAs[Double]("epochs")))).toMap
+    assert(got("books") == ((1L, 2L, 12.0 * (2.0 / 3.0), 1.0, 12.0 * (2.0 / 3.0) / 2.0)))
+    assert(got("web") == ((2L, 8L, 12.0 * (1.0 / 3.0), 0.5, 0.5)))
+  }
 }
 
 class MergeSpec extends SparkSpec {
