@@ -460,6 +460,34 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q104
+  // Token-balanced shard layout manifest: nShards derives from the
+  // corpus token total by integer ceiling division, shards assigned by
+  // md5-bucket mod — both sides replay the identical integer
+  // arithmetic, so shard membership and the per-shard exact counts
+  // hash-match.
+  private val q104Target = 4000L
+  val q104 = QuerySpec.sql(
+    "q104_shard_manifest",
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tok),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |      % (SELECT (total + $q104Target - 1) // $q104Target FROM t) AS shard_id
+      |  FROM tok)
+      |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, d) =>
+    val (sharded, _) = Curation.assignShards(Tables.documents(s, d),
+      "doc_id", "text", q104Target)
+    Curation.shardManifest(sharded, "text").orderBy("shard_id")
+  }
+
   // ---------------------------------------------------------------- q96 (rows-only: sketch bounds are engine-specific)
   // The 100 TB winsorize: same clip-and-aggregate surface as q93, bounds
   // from approx_percentile (constant-size Greenwald-Khanna buffers)
@@ -553,5 +581,5 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99, q103)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104)
 }

@@ -217,4 +217,54 @@ object Curation {
           lit(0L)))
       .withColumn("chunk_id", floor(col("token_offset") / maxTokens))
   }
+
+  // ------------------------------------------------------ shard layout
+
+  /** Token-balanced training-shard assignment: `shard_id =
+    * md5bucket(id) mod nShards` with `nShards = ceil(total_tokens /
+    * targetTokens)` (integer arithmetic, no float ceil). Hash sharding
+    * is the deterministic, engine-independent choice: any permutation-
+    * based packing needs a global running token sum (a single-partition
+    * window at corpus scale), while hash shards are statistically
+    * token-balanced by the law of large numbers — each shard holds
+    * thousands of docs at any real target size — and reproducible from
+    * ids alone on any engine. One corpus aggregate (the token total, a
+    * driver scalar) plans the layout; assignment itself is a pure
+    * scan-side projection.
+    *
+    * Returns (docs + shard_id, nShards).
+    */
+  def assignShards(docs: DataFrame, idCol: String, textCol: String,
+      targetTokensPerShard: Long): (DataFrame, Int) = {
+    require(targetTokensPerShard > 0, "target tokens per shard must be positive")
+    val total = docs.agg(
+      coalesce(sum(TextOps.tokenCount(col(textCol)).cast(LongType)), lit(0L)))
+      .head().getLong(0)
+    val nShards = math.max(1L, (total + targetTokensPerShard - 1) / targetTokensPerShard).toInt
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    (docs.withColumn("shard_id", pmod(bucket, lit(nShards.toLong))), nShards)
+  }
+
+  /** Per-shard manifest: doc and exact token counts — the layout audit
+    * written beside the shards. Shard-cardinality-sized.
+    */
+  def shardManifest(sharded: DataFrame, textCol: String): DataFrame =
+    sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast(LongType)).as("n_tokens"))
+
+  /** Write token-balanced shards as a hive-partitioned parquet layout
+    * (`shard_id=N/...`, one directory per shard — the unit a trainer's
+    * data loader consumes) and return the manifest. The exchange before
+    * the write keys on shard_id so each shard is one writer's output,
+    * not a fragment per upstream task.
+    */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, targetTokensPerShard: Long): DataFrame = {
+    val (sharded, n) = assignShards(docs, idCol, textCol, targetTokensPerShard)
+    sharded.repartition(n, col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    shardManifest(sharded, textCol).orderBy("shard_id")
+  }
 }

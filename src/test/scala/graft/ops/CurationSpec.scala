@@ -153,6 +153,36 @@ class CurationSpec extends SparkSpec {
     assert(on == Set(1L, 2L, 3L), on.toString)
   }
 
+  test("writeShards: hive layout one dir per shard, manifest exact, roundtrip complete") {
+    val docs = (1L to 200L).map(i => (i, s"source$i",
+      (1 to (i % 7 + 3).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Curation.writeShards(docs, "doc_id", "text", dir, targetTokensPerShard = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // integer-ceil shard count from the exact token total
+    val total = manifest.map(_._3).sum
+    val expectShards = (total + 99) / 100
+    assert(manifest.map(_._1).toSet == (0L until expectShards).toSet,
+      s"manifest shards ${manifest.map(_._1).mkString(",")}")
+    assert(manifest.map(_._2).sum == 200L)
+    // layout: one hive directory per shard; roundtrip returns every doc
+    // with its shard column intact
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == (0L until expectShards).map(i => s"shard_id=$i").toSet, dirs.toString)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    assert(back.select("doc_id").distinct().count() == 200L)
+    // determinism: second assignment agrees shard-for-shard
+    val (again, n2) = Curation.assignShards(docs, "doc_id", "text", 100L)
+    assert(n2.toLong == expectShards)
+    val a = again.select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = back.select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard_id").longValue).toMap
+    assert(a == b)
+  }
+
   test("packSequences: per-group running offsets and chunk boundaries") {
     val docs = Seq(
       (1L, "g1", "a b c"),         // 3 tokens, offset 0, chunk 0
