@@ -873,6 +873,46 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // --------------------------------------------------------------- q105
+  // Quantization calibration audit: per-dimension mean/variance of the
+  // int8 codes plus the ±127 saturation rate. The codes match
+  // element-for-element across engines (q80's rounding argument), so
+  // their integer power sums — and the rational doubles derived from
+  // them — hash-match exactly. Scale note in Similarity.quantCalibration:
+  // integer sums are the ONLY per-dimension statistic that is both
+  // order-independent and bit-exact.
+  val q105 = QuerySpec.sql(
+    "q105_quant_calibration",
+    s"""WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS scale
+      |  FROM t
+      |), q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+      |  FROM s
+      |), e AS (
+      |  SELECT CAST(generate_subscripts(qv, 1) AS INT) AS dim, unnest(qv) AS v FROM q
+      |), m AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+      |    CAST(SUM(v * v) AS BIGINT) AS sxx,
+      |    CAST(SUM(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+      |  FROM e GROUP BY dim)
+      |SELECT dim, n,
+      |  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+      |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_q,
+      |  CAST(n_sat AS DOUBLE) / CAST(n AS DOUBLE) AS saturation_rate
+      |FROM m ORDER BY dim""".stripMargin) { (s, d) =>
+    Similarity.quantCalibration(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("dim")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -1022,5 +1062,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102)
+    q101, q102, q105)
 }

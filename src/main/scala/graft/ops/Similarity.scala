@@ -175,6 +175,39 @@ object Similarity {
           x => round(x.cast(DoubleType) / col("scale")).cast(IntegerType)).as("q"))
   }
 
+  /** Quantization calibration audit: per-dimension statistics of the
+    * int8 codes [[quantizeInt8]] emits — code mean and variance (a
+    * dimension whose codes hug zero wastes the int8 range; one pinned
+    * at ±127 clips) and the saturation rate (fraction of codes at
+    * ±127). The check every int8 deployment runs before serving.
+    *
+    * Exactness at scale, deliberately: float-valued per-dimension stats
+    * cannot be both order-independent and bit-exact (float sums commute
+    * only approximately, and float→decimal casts disagree across
+    * engines at the cast), but the CODES are integers — their power
+    * sums are exact, commutative, partial-aggregation-friendly longs,
+    * and mean/variance derive from them in rational double arithmetic.
+    * One explode + one dim-keyed aggregate; the exchange carries
+    * dim-cardinality rows per partition.
+    *
+    * Output: (dim, n, mean_q, var_q, saturation_rate), 1-based dim.
+    */
+  def quantCalibration(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val codes = quantizeInt8(df, idCol, vecCol)
+      .select(posexplode(col("q")).as(Seq("d0", "v")))
+      .select((col("d0") + 1).cast(IntegerType).as("dim"), col("v").cast(LongType).as("v"))
+    val n = col("n").cast(DoubleType)
+    val s = col("s").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    codes.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum(when(abs(col("v")) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .select(col("dim"), col("n"), (s / n).as("mean_q"),
+        ((n * sxx - s * s) / (n * (n - lit(1.0)))).as("var_q"),
+        (col("n_sat").cast(DoubleType) / n).as("saturation_rate"))
+  }
+
   /** Exact all-pairs cosine (id_a < id_b) — the verification baseline for
     * the LSH-blocked paths, NOT a scale path: deliberately quadratic, so
     * it refuses inputs larger than `maxRows` (limit-probe, not a full

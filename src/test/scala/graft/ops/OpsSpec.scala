@@ -488,6 +488,24 @@ class SimilaritySpec extends SparkSpec {
     assert(zq.getDouble(1) == 1.0 && zq.getSeq[Int](2).forall(_ == 0))
   }
 
+  test("quantCalibration: hand-checked dim stats, saturation counts the ±127 codes") {
+    import spark.implicits._
+    // dim 1 pins every vector's max -> always ±127 (saturation 1.0);
+    // dim 2 is half-scale (codes ±64, rounded); dim 3 all zero
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.0f)),
+      (3L, Array(4.0f, -2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantCalibration(emb, "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(got(1) == ((3L, (127.0 - 127.0 + 127.0) / 3.0, 1.0)))
+    // half-scale codes: round(0.5/ (1/127)) = 64 (half away from zero)
+    assert(got(2) == ((3L, (64.0 + 64.0 - 64.0) / 3.0, 0.0)))
+    assert(got(3) == ((3L, 0.0, 0.0)))
+  }
+
   test("exactAllPairs is the exact baseline for embeddingNearDups, with a size guard") {
     val all = Similarity.exactAllPairs(vecs, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
