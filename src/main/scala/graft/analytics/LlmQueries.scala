@@ -913,6 +913,64 @@ object LlmQueries {
       .orderBy("dim")
   }
 
+  // --------------------------------------------------------------- q106
+  // Source-pair shingle Jaccard matrix. The oracle replays the exact
+  // set semantics (distinct (source, shingle), equi-join intersection
+  // counts, complete matrix via size cross pairs); jaccard is one IEEE
+  // division of exact integers on both engines.
+  val q106 = QuerySpec.sql(
+    "q106_source_overlap",
+    s"""WITH t AS (
+      |  SELECT source, $duckToks AS toks FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source, s FROM (
+      |    SELECT source, unnest($duckShingles3) AS s FROM t)
+      |), sz AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+      |), iv AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS ni
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa.source AS src_a, sb.source AS src_b,
+      |  COALESCE(iv.ni, 0) AS n_inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(COALESCE(iv.ni, 0) AS DOUBLE)
+      |    / CAST(sa.n + sb.n - COALESCE(iv.ni, 0) AS DOUBLE) AS jaccard
+      |FROM sz sa JOIN sz sb ON sa.source < sb.source
+      |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", shingleK = 3)
+      .orderBy("src_a", "src_b")
+  }
+
+  // --------------------------------------------------------------- q107
+  // Overlap-coefficient (containment) pairs. The engine prunes with a
+  // rare-shingle posting join (df <= dfCap, hashed 8-byte keys); the
+  // oracle stays all-pairs quadratic — exact verify makes precision 1,
+  // and recall 1 holds on this corpus because every true pair shares
+  // rare shingles (corpus max df is single-digit; see
+  // Dedup.overlapPairs's recall contract for the general condition).
+  val q107 = QuerySpec.sql(
+    "q107_containment_pairs",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3 AS sh FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, n_inter, n_a, n_b,
+      |  CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS overlap
+      |FROM p
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -1062,5 +1120,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105)
+    q101, q102, q105, q106, q107)
 }

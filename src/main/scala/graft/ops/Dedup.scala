@@ -707,4 +707,132 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  // ------------------------------------- overlap coefficient (containment)
+
+  /** All unordered pairs (a < b under the array's sort order) drawn from a
+    * SORTED array — `[(x_i, x_j) | i < j]` as an array of (a, b) structs.
+    * The outer lambda's free reference to `arr` is re-evaluated per
+    * element, so callers must pass a bounded-cardinality array (group
+    * lists, source lists — never per-corpus collections).
+    */
+  private def sortedPairs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Overlap-coefficient (Szymkiewicz–Simpson) near-dup pairs:
+    * `|A ∩ B| / min(|A|, |B|)` over k-shingle sets — the CONTAINMENT
+    * detector. Jaccard-gated dedup ([[minHashNearDups]]) structurally
+    * misses a small document embedded verbatim in a much larger one
+    * (the union term dilutes: j = |B|/|A| → 0 as A grows), yet such
+    * quote-inclusions are exactly what corpus curation must catch; the
+    * overlap coefficient is 1.0 for any true subset regardless of the
+    * size ratio.
+    *
+    * Candidate generation is a rare-shingle posting join, not LSH
+    * (MinHash banding inherits Jaccard's blindness to containment):
+    * postings keyed by `xxhash64(shingle)` — 8-byte exchange keys, the
+    * shingle text never shuffles — with document frequency > `dfCap`
+    * postings dropped before the self-join, so per-key join fan-out is
+    * bounded by dfCap and boilerplate shingles shared by half the corpus
+    * can never drive it quadratic. df = 1 postings are also dropped
+    * (they cannot form a pair). Hash collisions only ADD candidates
+    * (verification is exact); equal shingles always collide, so no true
+    * candidate is lost to hashing.
+    *
+    * Recall contract: a pair at overlap >= threshold shares at least
+    * `ceil(threshold * min(|A|,|B|))` shingles and is found unless EVERY
+    * shared shingle has df > dfCap — i.e. unless the overlap consists
+    * entirely of corpus-wide boilerplate, which is [[duplicatedSpans]]'s
+    * job, not containment's. dfCap is the recall/scale dial; the default
+    * keeps group fan-out trivially executor-sized.
+    *
+    * Candidates localCheckpoint before the three-way verify consumption
+    * (same rationale as [[minHashNearDups]]); only candidate docs are
+    * re-shingled for the exact intersect counts. Output:
+    * (id_a, id_b, n_inter, n_a, n_b, overlap), overlap >= threshold.
+    */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8, dfCap: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val posting = docs
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleK)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val bounded = posting
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .drop("__df")
+    val cand = bounded.select(col("__h"), col("__id").as("id_a"))
+      .join(bounded.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint()
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val sets = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val nInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nA = size(col("sh_a")).cast(LongType)
+    val nB = size(col("sh_b")).cast(LongType)
+    cand
+      .join(sets.select(col("__id"), col("__sh").as("sh_a")), col("id_a") === col("__id")).drop("__id")
+      .join(sets.select(col("__id"), col("__sh").as("sh_b")), col("id_b") === col("__id")).drop("__id")
+      .select(col("id_a"), col("id_b"), nInter.as("n_inter"), nA.as("n_a"), nB.as("n_b"),
+        (nInter.cast(DoubleType) / least(nA, nB).cast(DoubleType)).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
+  // --------------------------------------------- source overlap matrix
+
+  /** Pairwise shingle-set overlap BETWEEN corpus groups (sources, crawls,
+    * snapshots): for every unordered group pair, the exact Jaccard of the
+    * groups' distinct-k-shingle sets, as a complete matrix including
+    * zero-overlap pairs. This is the corpus-level redundancy audit that
+    * feeds mix design: two sources with high shingle Jaccard contribute
+    * near-identical text, and weighting them independently double-counts
+    * their content.
+    *
+    * Shape at scale: one distinct on (group, shingle), one
+    * shingle-keyed aggregate collecting the (bounded, group-cardinality)
+    * source set, pair expansion per shingle (<= S²/2 rows per shingle,
+    * S = #groups), and a pair-keyed count with map-side combine. The
+    * corpus shuffles (group, shingle) once; everything after is
+    * group-cardinality- or pair-cardinality-sized. The complete-matrix
+    * output is inherently S² rows — callers with thousands of groups get
+    * a large (but still tiny vs corpus) result, by design. All counts are
+    * exact integers; jaccard = n_inter / (n_a + n_b - n_inter) is a
+    * single exact-operand IEEE division, so it is bit-identical across
+    * engines.
+    *
+    * Output: (src_a, src_b, n_inter, n_a, n_b, jaccard) for src_a < src_b.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grpSh = docs
+      .select(col(groupCol).as("__g"), explode(shingles(col(textCol), shingleK)).as("__s"))
+      .distinct()
+    val sizes = grpSh.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val interCounts = grpSh.groupBy("__s").agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .select(explode(sortedPairs(col("__gs"))).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // Complete matrix scaffold: group-cardinality rows collapsed to one,
+    // pairs expanded without a join (no BNLJ for the non-equi "<") —
+    // deliberately single-row, sizes is aggregated (group-count-sized).
+    val matrix = sizes
+      .agg(array_sort(collect_list(struct(col("__g"), col("__n")))).as("__all"))
+      .select(explode(sortedPairs(col("__all"))).as("__p"))
+      .select(col("__p.a.__g").as("src_a"), col("__p.a.__n").as("n_a"),
+        col("__p.b.__g").as("src_b"), col("__p.b.__n").as("n_b"))
+    matrix.join(interCounts, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+  }
 }

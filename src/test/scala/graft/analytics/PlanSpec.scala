@@ -216,6 +216,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q107 candidate stage: posting exchanges carry hashed 8-byte keys, text moves only at verify") {
+    // overlapPairs' corpus-sized exchanges are the df-window on
+    // xxhash64(shingle) and the posting self-join — (id, hash) rows
+    // only. Document text may ride an exchange only in the
+    // candidate-gated verify joins: assert no text-carrying exchange
+    // sits below a text-free one (same global property as q101).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.ops.Dedup.overlapPairs(
+      graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 1000)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    val stringFree = shuffles.filter(_.output.forall(_.dataType != StringType))
+    assert(stringFree.size >= 2,
+      s"expected text-free posting/candidate exchanges; shuffles: " +
+        shuffles.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString("[", ",", "]")).mkString(" | "))
+    shuffles.filterNot(stringFree.contains).foreach { t =>
+      t.collect { case s: ShuffleExchangeExec if s ne t => s }
+        .foreach(b => assert(b.output.forall(_.dataType != StringType),
+          "a corpus-sized text exchange sits below the candidate gate"))
+    }
+  }
+
   test("q102: query terms and term stats broadcast — corpus postings shuffle only by doc") {
     // BM25's inverted-index aggregates may shuffle by (doc, term) /
     // term / doc, but the postings must never shuffle to MEET the query

@@ -186,6 +186,55 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("overlapPairs catches containment that jaccard structurally misses") {
+    import spark.implicits._
+    val ws = (1 to 20).map(i => s"w$i")
+    val big = ws.mkString(" ")                       // 18 trigram shingles
+    val small = ws.slice(6, 14).mkString(" ")        // 6 trigrams, all inside big
+    val corpus = Seq(
+      (1L, big), (2L, small),
+      (3L, "totally unrelated filler text about parquet readers and joins")
+    ).toDF("doc_id", "text")
+    // jaccard(1,2) = 6/18 = 1/3 < 0.5 -> the jaccard pipeline CANNOT emit it
+    assert(Dedup.minHashNearDups(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5).count() == 0)
+    val got = Dedup.overlapPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 10).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((6L, 18L, 6L)))
+    assert(r.getDouble(5) == 1.0) // full containment
+  }
+
+  test("overlapPairs dfCap drops pairs whose overlap is all common shingles") {
+    import spark.implicits._
+    val ws = (1 to 20).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, ws.mkString(" ")), (2L, ws.slice(6, 14).mkString(" "))
+    ).toDF("doc_id", "text")
+    // every shared shingle has df=2 > dfCap=1 -> no candidates, documented recall dial
+    assert(Dedup.overlapPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 1).count() == 0)
+  }
+
+  test("sourceOverlap emits the complete matrix with exact set jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      ("sa", "a b c d"), ("sa", "a b c"),   // distinct shingles {abc, bcd}
+      ("sb", "a b c x"),                    // {abc, bcx}
+      ("sc", "p q r")                       // {pqr}
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text", shingleK = 3)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 3) // complete matrix incl. zero-overlap pairs
+    assert(got(("sa", "sb")) == ((1L, 2L, 2L, 1.0 / 3.0)))
+    assert(got(("sa", "sc")) == ((0L, 2L, 1L, 0.0)))
+    assert(got(("sb", "sc")) == ((0L, 2L, 1L, 0.0)))
+  }
+
   test("crossNearDups pairs across corpora only, never within a side") {
     import spark.implicits._
     val newDocs = Seq(
