@@ -96,6 +96,17 @@ object ScaleCheck {
     run("substring_spans",
       ops.Dedup.duplicatedSpans(docs1, "doc_id", "text", 25),
       ops.Dedup.duplicatedSpans(docsNd, "doc_id", "text", 25))
+    // Containment + source overlap reuse the rotated blow-up for the
+    // same reason as substring spans: verbatim copies would make every
+    // doc a cross-copy exact dup (candidate density 100% — degenerate,
+    // not a trend); rotation keeps per-copy planted containment pairs
+    // and per-source shingle-set structure with copies mutually distinct.
+    run("overlap_pairs",
+      ops.Dedup.overlapPairs(docs1, "doc_id", "text", 3, 0.8, 1000),
+      ops.Dedup.overlapPairs(docsNd, "doc_id", "text", 3, 0.8, 1000))
+    run("source_overlap",
+      ops.Dedup.sourceOverlap(docs1, "source", "text", 3),
+      ops.Dedup.sourceOverlap(docsNd, "source", "text", 3))
     // BM25: the realistic growth mode is corpus up, query set fixed
     run("bm25_topk",
       ops.TextOps.bm25TopK(train(docs1),
