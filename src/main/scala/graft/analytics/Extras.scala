@@ -476,6 +476,84 @@ object Extras {
       .orderBy("token_id")
   }
 
+  // --------------------------------------------------------------- q108
+  // Streaming near-dup admission gate, executed as a real multi-batch
+  // Structured Streaming run: the corpus arrives as 5 id-ordered parquet
+  // chunks (maxFilesPerTrigger=1 -> 5 micro-batches), each batch admitted
+  // against the lake-resident seen-store (stored MinHash signatures,
+  // exact candidate-only verify — streaming/NearDupFilter). The pairwise
+  // admission rule makes the admitted set independent of batch
+  // boundaries, so the oracle is the closed form: docs with no
+  // smaller-id near-dup at jaccard >= 0.8. Banding recall carries q33's
+  // probability argument (planted dups j >= 0.9, P(miss) ~ 4e-8).
+  private val duckToksE = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckShingles3E =
+    s"""CASE WHEN len(toks) >= 3
+       | THEN list_distinct(list_transform(range(len(toks)-2),
+       |   i -> concat_ws(chr(1), toks[i+1], toks[i+2], toks[i+3])))
+       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+  val q108 = QuerySpec.sql(
+    "q108_stream_neardup_gate",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToksE AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3E AS sh FROM t
+      |), rej AS (
+      |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import java.nio.file.{Files, Path}
+    // Input fixture: the corpus as 5 id-range chunks with ascending
+    // mtimes (FileStreamSource picks files up in modification-time
+    // order) — cached per sf dir like q97's changelog, since it is a
+    // pure function of the source.
+    val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_streamdocs_" +
+      Integer.toHexString(d.hashCode)
+    val marker = Path.of(inDir, "_complete")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Path.of(inDir))
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      (0 until 5).foreach { k =>
+        val slice = docs.filter(floor(col("doc_id") * 5 / (maxId + 1)) === k)
+        val tmp = Files.createTempDirectory("graft_q108_slice").toString
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Path.of(tmp)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = Path.of(inDir, f"chunk_$k%02d.parquet")
+        Files.move(part, dest)
+        dest.toFile.setLastModified(1000000000000L + k * 60000L)
+      }
+      Files.writeString(marker, "ok")
+    }
+    // store/out/ckpt are per-RUN (the store must start empty every run)
+    val storeDir = Files.createTempDirectory("graft_q108_store").toString
+    val outDir = Files.createTempDirectory("graft_q108_out").toString
+    val ckpt = Files.createTempDirectory("graft_q108_ckpt").toString
+    val schema = s.read.parquet(s"$inDir/chunk_00.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.NearDupFilter
+            .processBatch(batch, storeDir, "doc_id", "text",
+              numHashes = 64, bands = 16, shingleK = 3, threshold = 0.8)
+            .select("doc_id")
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q48, q49, q50, q51, q52, q53, q54, q57, q58, q59,
-    q60, q70, q73, q78, q86)
+    q60, q70, q73, q78, q86, q108)
 }

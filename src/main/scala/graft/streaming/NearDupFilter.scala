@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.Dedup
+
+/** Streaming near-duplicate gate for continuous corpus ingestion: each
+  * micro-batch of crawled documents is admitted only if it is not a
+  * near-dup (shingle Jaccard >= threshold) of anything already SEEN —
+  * earlier batches or smaller-id documents of the same batch.
+  *
+  * Design points, in 100 TB order of importance:
+  *
+  *  - **The seen-store lives in the lake, not in stream state.** The
+  *    store is (id, text, sig) parquet appended once per batch; stream
+  *    state mechanisms (mapGroupsWithState) hold state on executors and
+  *    would make the accumulated corpus a single job's memory liability.
+  *    A lake-resident store is exactly what the corpus itself is.
+  *  - **Signatures are computed once per document, ever.** The batch's
+  *    MinHash signatures are computed scan-side and PERSISTED with the
+  *    store, so batch-vs-store banding reads stored signatures instead of
+  *    re-signaturing the whole history each trigger (which would make
+  *    trigger cost grow with corpus size; with stored signatures it grows
+  *    only with candidate count).
+  *  - **The admission rule is pairwise, not transitive**: reject iff some
+  *    seen-or-smaller-id doc is within threshold. A pairwise rule makes
+  *    the result INDEPENDENT of micro-batch boundaries (a rejected doc
+  *    still enters the store, so it rejects later dups just as it would
+  *    have in one giant batch) — re-batching the same id-ordered stream
+  *    can never change the admitted set, which is what makes the result
+  *    oracle-checkable (q108: admitted = docs with no smaller-id
+  *    near-dup, a plain closed form over the corpus).
+  *  - Arrival is assumed id-ordered (crawl sequence numbers): the
+  *    cross-store check still guards on seen.id < new.id, so an
+  *    out-of-order smaller-id straggler is never rejected by a
+  *    larger-id doc it should itself have rejected (the larger-id doc's
+  *    earlier admission is the unavoidable cost of out-of-order arrival;
+  *    admission cannot be retracted).
+  *
+  * Exact verify (candidate-only shingling, both sides) keeps precision 1
+  * like [[graft.ops.Dedup.minHashNearDups]]; banding recall carries the
+  * same tuned-probability argument (q33's scaladoc).
+  */
+object NearDupFilter {
+
+  private def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    try {
+      val s = spark.read.parquet(storeDir)
+      if (s.columns.isEmpty) None else Some(s)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Process one micro-batch: returns the ADMITTED rows (id, text) —
+    * materialized before the store append so the batch can never match
+    * itself through the store — and appends every batch row (admitted or
+    * not) plus its signature to `storeDir`.
+    */
+  def processBatch(batch: DataFrame, storeDir: String, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val b = batch
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        graft.functions.GraftFunctions.minhash_sigs(
+          Dedup.shingles(col(textCol), shingleK), lit(numHashes)).as("sig"))
+      .localCheckpoint()
+    val store = readStore(spark, storeDir)
+
+    // candidates within the batch (smaller id rejects larger) ...
+    val withinCand = Dedup.candidatePairs(
+      Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands), idCol)
+    // ... plus batch-vs-store candidates from STORED signatures
+    // (id_a = new, id_b = seen; only smaller-id seen docs reject)
+    val crossCand = store.map { seen =>
+      val lB = Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands)
+        .withColumnRenamed(idCol, "id_a")
+      val rB = Dedup.lshBuckets(seen.select(col(idCol), col("sig")), idCol, "sig", bands)
+        .withColumnRenamed(idCol, "id_b")
+      lB.join(rB, Seq("band", "band_hash"))
+        .filter(col("id_b") < col("id_a"))
+        // normalize to (smaller, larger) so the exact verify below reads
+        // one orientation: the REJECTED doc is always id_b
+        .select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+        .distinct()
+    }
+    val cand = crossCand.fold(withinCand)(withinCand.union(_).distinct())
+      .localCheckpoint()
+
+    // exact Jaccard verify, candidate docs only; seen texts come from the
+    // store (batch side first so batch-only pairs resolve there)
+    val texts = store.fold(b.select(col(idCol), col(textCol)))(seen =>
+      b.select(col(idCol), col(textCol))
+        .unionByName(seen.select(col(idCol), col(textCol))))
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val sets = texts.join(ids, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), Dedup.shingles(col(textCol), shingleK).as("__sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val rejected = cand
+      .join(sets.select(col("__id"), col("__sh").as("sh_a")), col("id_a") === col("__id")).drop("__id")
+      .join(sets.select(col("__id"), col("__sh").as("sh_b")), col("id_b") === col("__id")).drop("__id")
+      .filter(when(uni > 0, inter / uni).otherwise(lit(0.0)) >= threshold)
+      .select(col("id_b").as("__rid")).distinct()
+
+    val admitted = b.join(rejected, col(idCol) === col("__rid"), "left_anti")
+      .select(col(idCol), col(textCol))
+      .localCheckpoint() // eager: must evaluate before the store append below
+    b.write.mode("append").parquet(storeDir)
+    admitted
+  }
+}

@@ -115,4 +115,43 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00", "click", 1L, 4.0),
       ("2024-01-01 00:00:00", "view", 1L, 8.0)))
   }
+
+  test("NearDupFilter: admission is batch-boundary independent; rejected docs still reject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, base + " today"),
+      (2L, base + " tonight"),        // near-dup of 1 -> rejected
+      (3L, "completely different content about catalyst optimizer rules"),
+      (4L, base + " tonight"),        // exact dup of REJECTED 2 -> still rejected
+      (5L, "another unrelated piece regarding shuffle partitions and skew")
+    )
+    def runWith(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val store = Files.createTempDirectory("ndf_store").toString
+      batches.flatMap { b =>
+        NearDupFilter.processBatch(b.toDF("doc_id", "text"), store, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+    }
+    val expected = Set(1L, 3L, 5L)
+    // one batch, doc-per-batch, and a 2/3 split must all agree
+    assert(runWith(Seq(docs)) == expected)
+    assert(runWith(docs.map(Seq(_))) == expected)
+    assert(runWith(Seq(docs.take(2), docs.drop(2))) == expected)
+  }
+
+  test("NearDupFilter: out-of-order smaller-id straggler is never rejected by a larger id") {
+    import spark.implicits._
+    val a = (10L, "the quick brown fox jumps over the lazy dog near the river today")
+    val b = (3L, "the quick brown fox jumps over the lazy dog near the river tonight")
+    val store = Files.createTempDirectory("ndf_store").toString
+    def admit(d: (Long, String)): Set[Long] =
+      NearDupFilter.processBatch(Seq(d).toDF("doc_id", "text"), store, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admit(a) == Set(10L))  // arrives first, admitted (cannot retract)
+    assert(admit(b) == Set(3L))   // smaller id: the seen.id < new.id guard protects it
+  }
 }
