@@ -760,11 +760,16 @@ object Dedup {
       .select(col(idCol).as("__id"),
         explode(shingles(col(textCol), shingleK)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
-    val bounded = posting
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+    // df via PARTIAL aggregation + semi-join, deliberately not a count
+    // window: partial aggregation is safe at any document frequency,
+    // while a per-__h count window buffers each hash group in one task —
+    // a corpus-wide boilerplate shingle (df in the hundreds of millions
+    // at 100 TB) would OOM the executor holding it. The df > dfCap drop
+    // happens in the df TABLE, so the giant group never reaches a join.
+    val rareHashes = posting.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfCap)
-      .drop("__df")
+      .select("__h")
+    val bounded = posting.join(rareHashes, Seq("__h"), "left_semi")
     val cand = bounded.select(col("__h"), col("__id").as("id_a"))
       .join(bounded.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))

@@ -69,24 +69,24 @@ object NearDupFilter {
       .localCheckpoint()
     val store = readStore(spark, storeDir)
 
-    // candidates within the batch (smaller id rejects larger) ...
-    val withinCand = Dedup.candidatePairs(
-      Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands), idCol)
-    // ... plus batch-vs-store candidates from STORED signatures
-    // (id_a = new, id_b = seen; only smaller-id seen docs reject)
-    val crossCand = store.map { seen =>
-      val lB = Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands)
-        .withColumnRenamed(idCol, "id_a")
-      val rB = Dedup.lshBuckets(seen.select(col(idCol), col("sig")), idCol, "sig", bands)
-        .withColumnRenamed(idCol, "id_b")
-      lB.join(rB, Seq("band", "band_hash"))
-        .filter(col("id_b") < col("id_a"))
-        // normalize to (smaller, larger) so the exact verify below reads
-        // one orientation: the REJECTED doc is always id_b
-        .select(col("id_b").as("id_a"), col("id_a").as("id_b"))
-        .distinct()
-    }
-    val cand = crossCand.fold(withinCand)(withinCand.union(_).distinct())
+    // ONE banding join finds both pair kinds: probe = the batch docs
+    // under test, refs = batch ∪ seen (from STORED signatures — the
+    // history is never re-signatured). The smaller-id side rejects, so
+    // the filter ref.id < probe.id covers within-batch pairs (both in
+    // the batch, smaller rejects larger) and cross-store pairs (seen
+    // docs are smaller by id-ordered arrival) in the same pass.
+    // Normalized to (id_a = smaller, id_b = the batch doc on trial).
+    val probe = Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands)
+      .withColumnRenamed(idCol, "__pid")
+    val refs = store.fold(b.select(col(idCol), col("sig")))(seen =>
+      b.select(col(idCol), col("sig"))
+        .unionByName(seen.select(col(idCol), col("sig"))))
+    val refBuckets = Dedup.lshBuckets(refs, idCol, "sig", bands)
+      .withColumnRenamed(idCol, "__rid")
+    val cand = probe.join(refBuckets, Seq("band", "band_hash"))
+      .filter(col("__rid") < col("__pid"))
+      .select(col("__rid").as("id_a"), col("__pid").as("id_b"))
+      .distinct()
       .localCheckpoint()
 
     // exact Jaccard verify, candidate docs only; seen texts come from the
