@@ -70,6 +70,13 @@ object Curation {
     *     the stripped corpus.
     *  2. near-dup dedup: MinHash+LSH candidate pairs, exact-Jaccard
     *     verify, exact connected components, min-id canonical survives
+    *  2b. (opt-in via `containment = Some(threshold)`) containment
+    *     dedup: for every pair at overlap coefficient >= threshold
+    *     ([[Dedup.overlapPairs]] — catches a small doc embedded
+    *     verbatim in a big one, which Jaccard-gated stage 2
+    *     structurally misses), drop the CONTAINED doc (smaller shingle
+    *     set; min id wins ties) — the superset doc carries all of its
+    *     content plus more, so dropping the subset loses nothing
     *  3. benchmark decontamination: drop docs sharing any `decontamK`-gram
     *     with the eval set (long shingles — short ones flag everything;
     *     [[Dedup.bloomDecontaminate]] is the sketch variant of this stage)
@@ -93,7 +100,8 @@ object Curation {
       nearDupThreshold: Double = 0.5, decontamK: Int = 5,
       nTiles: Int = 10, keepTiles: Int = 7,
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      substrK: Option[Int] = None)
+      substrK: Option[Int] = None,
+      containment: Option[Double] = None)
       : DataFrame = {
     val exactDeduped = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
     val exactKept = substrK match {
@@ -106,7 +114,21 @@ object Curation {
     }
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
-    val nearKept = Dedup.dropNearDups(exactKept, pairs, idCol).localCheckpoint()
+    val jaccardKept = Dedup.dropNearDups(exactKept, pairs, idCol)
+    val nearKept = (containment match {
+      case None => jaccardKept
+      case Some(t) =>
+        // stage-boundary corpus: overlapPairs consumes it twice
+        // (postings + candidate shingling) plus the anti-join below
+        val jk = jaccardKept.localCheckpoint()
+        // drop the CONTAINED side of each pair: smaller shingle set, min
+        // id on ties (id_a < id_b by construction, so the tie keeps id_a)
+        val contained = Dedup.overlapPairs(jk, idCol, textCol,
+          shingleK = 3, threshold = t)
+          .select(when(col("n_a") < col("n_b"), col("id_a"))
+            .otherwise(col("id_b")).as(idCol)).distinct()
+        jk.join(contained, Seq(idCol), "left_anti")
+    }).localCheckpoint()
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
       shingleK = decontamK).select(col(idCol))
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")

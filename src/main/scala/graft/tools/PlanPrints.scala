@@ -42,6 +42,9 @@ object PlanPrints {
               .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
               .replaceAll("/tmp/[^\\s,\\)\\]]*", "[tmp]")
               .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
+              // RDD callsites embed source line numbers — a pure code
+              // MOVE (insertion above) must not read as plan drift
+              .replaceAll("at ([A-Za-z0-9_]+\\.scala):\\d+", "at $1:n")
           }.mkString("\n")
           // Lambda variable ids (`lambda x_7`) come from a GLOBAL counter
           // that shifts whenever any earlier-initialized query adds a

@@ -153,6 +153,27 @@ class CurationSpec extends SparkSpec {
     assert(on == Set(1L, 2L, 3L), on.toString)
   }
 
+  test("curateCorpus containment: the contained doc is dropped, the superset survives") {
+    val ws = (1 to 24).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, "s", ws.mkString(" ")),                 // superset
+      (2L, "s", ws.slice(8, 16).mkString(" ")),    // contained in 1; jaccard 6/22 < 0.5
+      (3L, "s", "standalone document with its own content about parquet row groups here")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((100L, "b", "nothing in common with any corpus document at all truly"))
+      .toDF("doc_id", "source", "text")
+    // containment OFF: jaccard-gated stage 2 cannot see the pair
+    val off = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(off == Set(1L, 2L, 3L), off.toString)
+    // containment ON: doc 2 (the subset) is dropped, doc 1 keeps the content
+    val on = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, containment = Some(0.8))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(on == Set(1L, 3L), on.toString)
+  }
+
   test("writeShards: hive layout one dir per shard, manifest exact, roundtrip complete") {
     val docs = (1L to 200L).map(i => (i, s"source$i",
       (1 to (i % 7 + 3).toInt).map(j => s"w$j").mkString(" ")))
