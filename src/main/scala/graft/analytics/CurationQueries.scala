@@ -526,8 +526,10 @@ object CurationQueries {
   private val duckStops95 =
     TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-  val q95 = QuerySpec.sql(
-    "q95_curation_pipeline",
+  // CTE prefix replaying stages 1-4 (through k3) — shared verbatim by
+  // q95's row-level gate and q109's per-source funnel counts, exactly as
+  // the engine side shares Curation.curationStages.
+  private val q95StagesCtes =
     s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
       |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
       |e AS (SELECT doc_id, source, text FROM (
@@ -565,7 +567,10 @@ object CurationQueries {
       |  FROM m3),
       |w3 AS (SELECT doc_id, source, score,
       |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
-      |k3 AS (SELECT * FROM w3 WHERE tile <= 7)
+      |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+  val q95 = QuerySpec.sql(
+    "q95_curation_pipeline",
+    s"""$q95StagesCtes
       |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
       |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(0)._2}' THEN 'train'
       |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(1)._2}' THEN 'val'
@@ -580,6 +585,34 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q109
+  // Per-source curation funnel (the pipeline's data card): counts in /
+  // after each stage, zero-count sources included. Same CTE replay as
+  // q95 through k3, then one aggregate per stage boundary.
+  val q109 = QuerySpec.sql(
+    "q109_curation_funnel",
+    s"""$q95StagesCtes,
+      |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
+      |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY source),
+      |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2s GROUP BY source),
+      |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
+      |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
+      |SELECT ic.source, ic.n_in,
+      |  COALESCE(ec.n, 0) AS n_exact_kept,
+      |  COALESCE(nc.n, 0) AS n_neardup_kept,
+      |  COALESCE(cc.n, 0) AS n_decontam_kept,
+      |  COALESCE(fc.n, 0) AS n_final
+      |FROM ic LEFT JOIN ec USING (source) LEFT JOIN nc USING (source)
+      |LEFT JOIN cc USING (source) LEFT JOIN fc USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curationFunnel(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source")
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109)
 }

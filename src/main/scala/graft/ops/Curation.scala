@@ -102,7 +102,25 @@ object Curation {
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       substrK: Option[Int] = None,
       containment: Option[Double] = None)
-      : DataFrame = {
+      : DataFrame =
+    hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
+      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment).pruned,
+      idCol, weights)
+
+  /** The stage-boundary frames of [[curateCorpus]] — one chain, two
+    * consumers (the split pipeline and [[curationFunnel]]'s report), so
+    * the stage semantics can never drift between them.
+    */
+  final case class CurationStages(exactKept: DataFrame, nearKept: DataFrame,
+      clean: DataFrame, pruned: DataFrame)
+
+  def curationStages(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      nearDupThreshold: Double = 0.5, decontamK: Int = 5,
+      nTiles: Int = 10, keepTiles: Int = 7,
+      substrK: Option[Int] = None,
+      containment: Option[Double] = None)
+      : CurationStages = {
     val exactDeduped = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
     val exactKept = substrK match {
       case None => exactDeduped
@@ -134,8 +152,44 @@ object Curation {
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
     val scored = clean.select(col(idCol), col(sourceCol),
       TextOps.qualityScore(col(textCol)).as("score"))
-    hashSplit(Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles),
-      idCol, weights)
+    CurationStages(exactKept, nearKept, clean,
+      Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles))
+  }
+
+  /** Per-source curation funnel — the counts every pipeline's data card
+    * publishes: documents in, surviving exact dedup, surviving near-dup
+    * (and opt-in containment) dedup, surviving decontamination, and in
+    * the final quality-pruned corpus. Sources whose documents are all
+    * dropped at some stage still appear (zero counts): a source that
+    * VANISHES is precisely what the report exists to surface.
+    *
+    * Cost is the pipeline's own cost (the stage chain runs once — stage
+    * boundaries are checkpointed inside [[curationStages]]; the five
+    * per-source aggregates each reduce a checkpointed frame to
+    * source-cardinality rows). Output: (sourceCol, n_in, n_exact_kept,
+    * n_neardup_kept, n_decontam_kept, n_final).
+    */
+  def curationFunnel(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      nearDupThreshold: Double = 0.5, decontamK: Int = 5,
+      nTiles: Int = 10, keepTiles: Int = 7,
+      substrK: Option[Int] = None,
+      containment: Option[Double] = None)
+      : DataFrame = {
+    val st = curationStages(docs, bench, idCol, textCol, sourceCol,
+      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment)
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
+    counts(docs, "n_in")
+      .join(counts(st.exactKept, "n_exact_kept"), Seq(sourceCol), "left")
+      .join(counts(st.nearKept, "n_neardup_kept"), Seq(sourceCol), "left")
+      .join(counts(st.clean, "n_decontam_kept"), Seq(sourceCol), "left")
+      .join(counts(st.pruned, "n_final"), Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_in"),
+        coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
+        coalesce(col("n_neardup_kept"), lit(0L)).as("n_neardup_kept"),
+        coalesce(col("n_decontam_kept"), lit(0L)).as("n_decontam_kept"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
   }
 
   /** Deterministic seeded shuffle: a reproducible global random order for

@@ -174,6 +174,29 @@ class CurationSpec extends SparkSpec {
     assert(on == Set(1L, 3L), on.toString)
   }
 
+  test("curationFunnel: per-source stage counts, vanishing source reported with zeros") {
+    val common = "the project builds a fast engine for data and it scales well today"
+    val docs = Seq(
+      (1L, "s", common),
+      (2L, "gone", common),                       // exact dup of 1, loses min-id -> source vanishes at stage 1
+      (3L, "s", common + " extra"),               // near-dup of 1 -> dropped at stage 2
+      (4L, "s", "completely original text about algebra lectures and chalk dust everywhere"),
+      (5L, "s", "benchmark question one about prime numbers and their distribution patterns"),
+      (6L, "s", "unrelated survivor document with plenty of ordinary filler words inside it")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq(
+      (100L, "b", "benchmark question one about prime numbers and such")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.curationFunnel(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set("s", "gone"))
+    assert(got("gone") == ((1L, 0L, 0L, 0L, 0L))) // in the report, all zeros
+    // s: 5 in, exact keeps 1,3,4,5,6; near-dup drops 3; decontam drops 5; tiles keep all
+    assert(got("s") == ((5L, 5L, 4L, 3L, 3L)))
+  }
+
   test("writeShards: hive layout one dir per shard, manifest exact, roundtrip complete") {
     val docs = (1L to 200L).map(i => (i, s"source$i",
       (1 to (i % 7 + 3).toInt).map(j => s"w$j").mkString(" ")))
