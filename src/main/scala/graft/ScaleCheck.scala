@@ -96,6 +96,14 @@ object ScaleCheck {
     run("substring_spans",
       ops.Dedup.duplicatedSpans(docs1, "doc_id", "text", 25),
       ops.Dedup.duplicatedSpans(docsNd, "doc_id", "text", 25))
+    // The fully-enabled pipeline (substring-strip + containment stages
+    // on) uses the rotated blow-up for the same reason those stages'
+    // standalone entries do below.
+    run("curate_corpus_full",
+      ops.Curation.curateCorpus(train(docs1), bench(docs1), "doc_id", "text", "source",
+        substrK = Some(25), containment = Some(0.8)),
+      ops.Curation.curateCorpus(train(docsNd), bench(docsNd), "doc_id", "text", "source",
+        substrK = Some(25), containment = Some(0.8)))
     // Containment + source overlap reuse the rotated blow-up for the
     // same reason as substring spans: verbatim copies would make every
     // doc a cross-copy exact dup (candidate density 100% — degenerate,
