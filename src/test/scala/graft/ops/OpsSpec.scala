@@ -427,6 +427,79 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("overlapPairs matches brute-force set overlap on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab -> dense shingle sharing: every doc pairs with many
+    // others through common shingles, stressing the df gate and the
+    // candidate join much harder than real text
+    val vocab = Vector("ape", "bee", "cat", "dog", "elk")
+    val k = 2
+    val doc = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    var seed = Seed(23L)
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= k) toks.sliding(k).map(_.mkString("")).toSet
+      else Set(toks.mkString(""))
+    }
+    def refPairs(corpus: Seq[(Long, String)], thr: Double): Set[(Long, Long, Long, Long, Long, Double)] =
+      (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        ni = (sa & sb).size.toLong
+        ov = ni.toDouble / math.min(sa.size, sb.size)
+        if ov >= thr
+      } yield (ia, ib, ni, sa.size.toLong, sb.size.toLong, ov)).toSet
+    (1 to 5).foreach { round =>
+      val corpus = (1 to 25).map { i =>
+        val t = doc.pureApply(Gen.Parameters.default, seed); seed = seed.next
+        (i.toLong, t)
+      }
+      // dfCap above corpus size -> the recall contract is unconditional
+      val got = Dedup.overlapPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = k, threshold = 0.5, dfCap = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(got == refPairs(corpus, 0.5), s"round $round corpus: ${corpus.mkString("; ")}")
+    }
+  }
+
+  test("sourceOverlap matches brute-force per-source set jaccard on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("ape", "bee", "cat", "dog", "elk")
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    var seed = Seed(29L)
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 2) toks.sliding(2).map(_.mkString("")).toSet
+      else Set(toks.mkString(""))
+    }
+    (1 to 3).foreach { round =>
+      val corpus = (1 to 24).map { i =>
+        val t = doc.pureApply(Gen.Parameters.default, seed); seed = seed.next
+        (s"src${i % 4}", t)
+      }
+      val sets = corpus.groupBy(_._1).view
+        .mapValues(_.flatMap(d => shingleSet(d._2)).toSet).toMap
+      val srcs = sets.keys.toSeq.sorted
+      val ref = (for { a <- srcs; b <- srcs if a < b } yield {
+        val ni = (sets(a) & sets(b)).size.toLong
+        (a, b, ni, sets(a).size.toLong, sets(b).size.toLong,
+          ni.toDouble / (sets(a).size + sets(b).size - ni))
+      }).toSet
+      val got = Dedup.sourceOverlap(corpus.toDF("source", "text"),
+        "source", "text", shingleK = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(got == ref, s"round $round corpus: ${corpus.mkString("; ")}")
+    }
+  }
+
   test("bm25TopK matches a plain-JVM reference bit-for-bit on random corpora (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
