@@ -971,6 +971,20 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------- q110 (rows-only: custom rolling hash)
+  // Winnowed document fingerprints (MOSS): the tunable-density document
+  // sketch with the shared-substring guarantee. Rows-only (the Rabin-
+  // Karp polynomial has no DuckDB twin); the in-gate q110r referee
+  // recomputes every fingerprint set in plain JVM code and must match
+  // bit-for-bit.
+  val q110 = QuerySpec.rowsOnly("q110_winnow_fingerprints") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text"), k = 25, w = 8).as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q83
   // Per-doc top-3 TF-IDF keywords with the linear-idf scoring variant:
   // every arithmetic step (casts, one divide, one multiply) is
@@ -1120,5 +1134,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105, q106, q107)
+    q101, q102, q105, q106, q107, q110)
 }

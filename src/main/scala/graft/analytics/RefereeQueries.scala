@@ -259,6 +259,24 @@ object RefereeQueries {
     report(symDiff(native, referee))
   }
 
+  // ----------------------------------------------------- q110 referee
+  // Winnowed fingerprints recomputed in plain JVM code (direct
+  // per-window minima over the direct — non-rolling — polynomial): a
+  // drift in the rolling recurrence, the deque selection, or the
+  // dedup-in-window-order contract all surface as discrepancy rows.
+  val q110r = QuerySpec.refereeCheck("q110r_winnow_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val native = docs.select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text"), k = 25, w = 8).as("fps"))
+    val referee = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, graft.functions.Winnow.direct(t, 25, 8)) }
+      .toDF("doc_id", "fps")
+    report(symDiff(native, referee))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r)
+    q96r, q100r, q110r)
 }

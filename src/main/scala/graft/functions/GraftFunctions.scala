@@ -39,6 +39,8 @@ object GraftFunctions {
         "deflate_len", exprs => DeflateLen(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "rolling_hashes", exprs => RollingHashes(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")
     }
   }
 
@@ -105,4 +107,10 @@ object GraftFunctions {
     */
   def rolling_hashes(text: Column, k: Column): Column =
     call_function("rolling_hashes", text, k)
+
+  /** Winnowed document fingerprint (see [[Winnow]]). Requires
+    * `register(spark)` on the session.
+    */
+  def winnow(text: Column, k: Column, w: Column): Column =
+    call_function("winnow", text, k, w)
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `winnow(text, k, w)` -> array<bigint>: the winnowed document
+  * fingerprint of Schleimer, Wilkerson & Aiken (SIGMOD 2003, the MOSS
+  * algorithm): over the [[RollingHashes]] k-gram hash sequence, slide a
+  * window of `w` consecutive hashes and record each window's MINIMUM —
+  * output is the DISTINCT selected hash values in first-selection
+  * order. Winnowing guarantees any shared substring of length
+  * >= w + k - 1 contributes at least one shared fingerprint (every
+  * length-w window inside the match selects the same minimum on both
+  * sides), while storing only ~2/(w+1) of the k-gram hashes — the
+  * density/guarantee trade the paper proves optimal. Texts with fewer
+  * than `w` windows yield the single global minimum (one degenerate
+  * window); shorter than k, an empty array; null text, null.
+  *
+  * Why a native expression: the composable form evaluates
+  * `array_min(slice(h, j+1, w))` per window — O(m·w) interpreted lambda
+  * work with a w-element allocation per position. This is the classic
+  * O(m) monotonic-deque sliding minimum in one loop. The composable
+  * form survives as the spec-pinned referee
+  * ([[graft.ops.TextOps.winnowComposable]]): identical output by
+  * construction because both reduce to "per-window min values,
+  * deduplicated in window order" — tie positions never matter to the
+  * value sequence.
+  */
+case class Winnow(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        val k = second.eval(null).asInstanceOf[Int]
+        val w = third.eval(null).asInstanceOf[Int]
+        if (k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "winnow expects (string, foldable int, foldable int), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+            s"${third.dataType.simpleString})")
+    }
+
+  @transient private lazy val k: Int = second.eval(null).asInstanceOf[Int]
+  @transient private lazy val w: Int = third.eval(null).asInstanceOf[Int]
+  @transient private lazy val bPow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < k) { p *= RollingHashes.Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(text: Any, kAny: Any, wAny: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - k + 1
+    // k-gram hashes, same polynomial as rolling_hashes
+    val h = new Array[Long](m)
+    var acc = 0L
+    var i = 0
+    while (i < k) { acc = acc * RollingHashes.Base + s.charAt(i); i += 1 }
+    h(0) = acc
+    var j = 1
+    while (j < m) {
+      acc = (acc - s.charAt(j - 1) * bPow) * RollingHashes.Base + s.charAt(j + k - 1)
+      h(j) = acc
+      j += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    val seen = new java.util.HashSet[java.lang.Long]
+    if (m <= w) {
+      var mn = h(0)
+      var p = 1
+      while (p < m) { if (h(p) < mn) mn = h(p); p += 1 }
+      out += mn
+    } else {
+      // monotonic deque of indices; head = current window minimum
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      var p = 0
+      while (p < m) {
+        while (tail > head && h(dq(tail - 1)) >= h(p)) tail -= 1
+        dq(tail) = p
+        tail += 1
+        if (dq(head) <= p - w) head += 1
+        if (p >= w - 1) {
+          val v = h(dq(head))
+          if (seen.add(v)) out += v
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Winnow =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "winnow"
+}
+
+object Winnow {
+  /** Plain-JVM reference: per-window minima over [[RollingHashes.direct]]
+    * hashes, deduplicated in window order — no deque, no rolling
+    * recurrence, so a test pinning it equal to the expression exercises
+    * both the sliding-minimum structure and the hash recurrence.
+    */
+  def direct(s: String, k: Int, w: Int): Array[Long] = {
+    val h = RollingHashes.direct(s, k)
+    if (h.isEmpty) return Array.emptyLongArray
+    if (h.length <= w) return Array(h.min)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    val seen = new java.util.HashSet[java.lang.Long]
+    (0 to h.length - w).foreach { j =>
+      val v = h.slice(j, j + w).min
+      if (seen.add(v)) out += v
+    }
+    out.toArray
+  }
+}

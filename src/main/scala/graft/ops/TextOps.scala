@@ -110,6 +110,35 @@ object TextOps {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken 2003 — MOSS):
+    * distinct per-window k-gram-hash minima in window order, ~2/(w+1)
+    * the density of the full rolling-hash sequence with the guarantee
+    * that any shared substring of length >= w + k - 1 shares at least
+    * one fingerprint. Scan-side native expression
+    * ([[graft.functions.Winnow]]); [[winnowComposable]] is the pinned
+    * built-in-only referee. Docs sharing a fingerprint are candidate
+    * near-verbatim overlaps — a cheaper, tunable-density alternative to
+    * shipping every rolling hash into [[graft.ops.Dedup.duplicatedSpans]]'
+    * count gate when only document-level overlap candidates are needed.
+    */
+  def winnowFingerprints(text: Column, k: Int = 25, w: Int = 8): Column =
+    graft.functions.GraftFunctions.winnow(text, lit(k), lit(w))
+
+  /** Built-in-only referee for [[winnowFingerprints]]: per-window
+    * `array_min(slice(...))` over the composable rolling-hash referee
+    * path — O(m·w) interpreted, never the hot path. Output contract
+    * ("distinct window minima, window order") makes tie positions
+    * irrelevant, so the two forms are bit-identical by construction.
+    */
+  def winnowComposable(text: Column, k: Int = 25, w: Int = 8): Column = {
+    val h = graft.functions.GraftFunctions.rolling_hashes(text, lit(k))
+    val m = size(h)
+    when(m === 0, h)
+      .when(m <= w, array(array_min(h)))
+      .otherwise(array_distinct(transform(sequence(lit(0), m - w),
+        j => array_min(slice(h, j + 1, lit(w))))))
+  }
+
   /** Small-scan parallelization guard: a corpus whose scan yields far
     * fewer splits than the session has cores (one small parquet file =
     * one partition — row groups don't subdivide) would run the

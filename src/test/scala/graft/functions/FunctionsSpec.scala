@@ -74,4 +74,43 @@ class FunctionsSpec extends SparkSpec {
     assert(r(1L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
     assert(r(2L).isEmpty)
   }
+
+  test("winnow: deque selection matches the direct per-window reference and the composable form") {
+    GraftFunctions.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 3-letter alphabet -> dense hash ties, stressing the >= pop rule
+    val gen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    var seed = Seed(41L)
+    val texts = (1 to 60).map { _ =>
+      val t = gen.pureApply(Gen.Parameters.default, seed); seed = seed.next; t
+    } ++ Seq("", "ab", "aaaaaaaaaa", "x" * 200)
+    for (t <- texts; (k, w) <- Seq((4, 3), (4, 8), (2, 5))) {
+      val row = Seq(t).toDF("text")
+        .select(GraftFunctions.winnow(col("text"), lit(k), lit(w)),
+          graft.ops.TextOps.winnowComposable(col("text"), k, w))
+        .collect()(0)
+      val native = row.getSeq[Long](0).toArray
+      val composable = row.getSeq[Long](1).toArray
+      val direct = graft.functions.Winnow.direct(t, k, w)
+      assert(native.sameElements(direct), s"native vs direct, k=$k w=$w t=$t")
+      assert(composable.sameElements(direct), s"composable vs direct, k=$k w=$w t=$t")
+    }
+  }
+
+  test("winnow: shared substring of length >= w+k-1 guarantees a shared fingerprint") {
+    GraftFunctions.register(spark)
+    val (k, w) = (5, 4)
+    val shared = "zqxvbnmlkjwp" // length 12 >= w+k-1 = 8, rare chars
+    val a = "aaaa " + shared + " bbbb"
+    val b = "cccccc " + shared + " dd"
+    val fps = Seq(a, b).toDF("text")
+      .select(GraftFunctions.winnow(col("text"), lit(k), lit(w)))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert((fps(0) & fps(1)).nonEmpty, "winnowing guarantee violated")
+    // density: far fewer fingerprints than k-gram windows
+    val m = a.length - k + 1
+    assert(fps(0).size < m / 2)
+  }
 }
