@@ -905,8 +905,10 @@ object LlmQueries {
       |  FROM e GROUP BY dim)
       |SELECT dim, n,
       |  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
-      |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_q,
+      |  CASE WHEN n > 1 THEN
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |  ELSE 0.0 END AS var_q,
       |  CAST(n_sat AS DOUBLE) / CAST(n AS DOUBLE) AS saturation_rate
       |FROM m ORDER BY dim""".stripMargin) { (s, d) =>
     Similarity.quantCalibration(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -976,12 +978,18 @@ object LlmQueries {
   // sketch with the shared-substring guarantee. Rows-only (the Rabin-
   // Karp polynomial has no DuckDB twin); the in-gate q110r referee
   // recomputes every fingerprint set in plain JVM code and must match
-  // bit-for-bit.
+  // bit-for-bit. The gate row carries dump-friendly scalars only —
+  // n_fp plus an order-sensitive xxhash64 fold of the fingerprint
+  // array (the driver's pandas dump cannot sort raw array cells).
   val q110 = QuerySpec.rowsOnly("q110_winnow_fingerprints") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d).select(col("doc_id"),
-      TextOps.winnowFingerprints(col("text"), k = 25, w = 8).as("fingerprints"))
-      .withColumn("n_fp", size(col("fingerprints")))
+    val fp = TextOps.winnowFingerprints(col("text"), k = 25, w = 8)
+    Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fingerprints"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).as("n_fp"),
+        aggregate(col("fingerprints"), lit(0L),
+          (acc, x) => xxhash64(acc, x)).as("fp_hash"))
       .orderBy("doc_id")
   }
 

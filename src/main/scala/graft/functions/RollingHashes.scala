@@ -11,9 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash of EVERY k-character window of `text`, computed in one O(n) pass
   * (`hash[j] = sum over i of char(j+i) * B^(k-1-i)` wrapping mod 2^64,
   * B odd so multiplication stays a bijection and no entropy drains out
-  * of the low bits). Windows are CHARACTER-based, matching
-  * `substring(text, pos, k)` in Spark and DuckDB, so a hash at 0-based
-  * index j covers the 1-based substring position j+1.
+  * of the low bits). Windows are CODE-POINT-based, matching
+  * `substring(text, pos, k)` in Spark and DuckDB (both count code
+  * points, not UTF-16 units), so a hash at 0-based index j covers the
+  * 1-based substring position j+1 even for supplementary-plane text.
   *
   * This is the candidate-generation primitive for substring-level exact
   * dedup (Lee et al. 2022, arXiv:2107.06499 — the ExactSubstr variant,
@@ -61,19 +62,24 @@ case class RollingHashes(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(text: Any, kAny: Any): Any = {
-    // char-based windows: UTF-16 units via toString (one O(n) conversion;
-    // ASCII corpora stay on the fast single-byte path inside String)
-    val s = text.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // Code-POINT windows, not UTF-16 units: Spark's substring(text,pos,k)
+    // (UTF8String.substringSQL) and DuckDB's substring both count code
+    // points, so a surrogate pair (emoji — common in web corpora) is ONE
+    // position there but TWO chars in String.charAt. Expanding to code
+    // points first keeps hash index j aligned with 1-based substring
+    // position j+1 on ALL input, so the downstream verify re-slice and
+    // span stripping cut the ranges the hashes actually covered.
+    val cps = text.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - k + 1)
     var h = 0L
     var i = 0
-    while (i < k) { h = h * RollingHashes.Base + s.charAt(i); i += 1 }
+    while (i < k) { h = h * RollingHashes.Base + cps(i); i += 1 }
     out(0) = h
     var j = 1
     while (j <= n - k) {
-      h = (h - s.charAt(j - 1) * bPow) * RollingHashes.Base + s.charAt(j + k - 1)
+      h = (h - cps(j - 1) * bPow) * RollingHashes.Base + cps(j + k - 1)
       out(j) = h
       j += 1
     }
@@ -97,12 +103,13 @@ object RollingHashes {
     * proves the O(1) rolling recurrence preserves the polynomial value.
     */
   def direct(s: String, k: Int): Array[Long] = {
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < k) return Array.emptyLongArray
     Array.tabulate(n - k + 1) { j =>
       var h = 0L
       var i = 0
-      while (i < k) { h = h * Base + s.charAt(j + i); i += 1 }
+      while (i < k) { h = h * Base + cps(j + i); i += 1 }
       h
     }
   }

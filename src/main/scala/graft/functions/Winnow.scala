@@ -63,19 +63,21 @@ case class Winnow(first: Expression, second: Expression, third: Expression)
   }
 
   override def nullSafeEval(text: Any, kAny: Any, wAny: Any): Any = {
-    val s = text.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // code-point windows, same contract as [[RollingHashes]] (and its
+    // referee, which builds on RollingHashes.direct) — see there for why
+    val cps = text.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val m = n - k + 1
     // k-gram hashes, same polynomial as rolling_hashes
     val h = new Array[Long](m)
     var acc = 0L
     var i = 0
-    while (i < k) { acc = acc * RollingHashes.Base + s.charAt(i); i += 1 }
+    while (i < k) { acc = acc * RollingHashes.Base + cps(i); i += 1 }
     h(0) = acc
     var j = 1
     while (j < m) {
-      acc = (acc - s.charAt(j - 1) * bPow) * RollingHashes.Base + s.charAt(j + k - 1)
+      acc = (acc - cps(j - 1) * bPow) * RollingHashes.Base + cps(j + k - 1)
       h(j) = acc
       j += 1
     }

@@ -544,17 +544,21 @@ object Dedup {
     *     Rabin-Karp hash scan-side in one O(n) pass per doc; the
     *     position explode ships (id, pos, hash) = ~20 bytes/window —
     *     never window text (k× amplification).
-    *  2. The dup gate is a WINDOW COUNT over the hash, not an
-    *     aggregate + semi-join: `count(*) over (partition by hash) > 1`
-    *     moves the grams through ONE hash-keyed exchange and evaluates
-    *     the explode ONCE. (The agg+semi alternative exchanges ~1.8x
-    *     the bytes — its per-partition partial (hash, count) rows barely
-    *     shrink because window hashes are mostly unique, and the grams
-    *     must then shuffle AGAIN to meet the dup set whenever that set
-    *     outgrows a broadcast, which at corpus scale it always does —
-    *     and it evaluates the corpus scan+explode twice, once per
-    *     consumer.) Only CANDIDATE positions (true dups + rare
-    *     collisions) survive.
+    *  2. The dup gate is a PARTIAL-AGG df table + semi-join, NOT a
+    *     count window. A count window (`count(*) over (partition by
+    *     hash)`) moves grams through one exchange and evaluates the
+    *     explode once — measurably faster at fixture scale — but it
+    *     co-locates AND buffers every hash group in a single task, and
+    *     a corpus-wide boilerplate window (license header, nav chrome)
+    *     has df in the hundreds of millions at 100 TB: an unbounded
+    *     single-task straggler/OOM, the exact pattern [[overlapPairs]]
+    *     rejects for shingle df. Partial aggregation collapses a giant
+    *     group to one row per map partition BEFORE the exchange, and
+    *     the semi-join back is an equi-join AQE can skew-split across
+    *     tasks. Cost: the gram explode evaluates once per consumer
+    *     (two corpus scans) — linear scan-side CPU, the right trade
+    *     against an unbounded straggler. Only CANDIDATE positions
+    *     (true dups + rare collisions) survive.
     *  3. Candidates rejoin their docs to re-slice the actual k-char
     *     window, and the same window-count gate over the REAL
     *     substrings restores exactness: a hash collision can only add
@@ -565,7 +569,7 @@ object Dedup {
     *     positions.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, checkpointCandidates: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
@@ -573,17 +577,29 @@ object Dedup {
         graft.functions.GraftFunctions.rolling_hashes(col(textCol), lit(k))))
       .select(col(idCol), (col("pos") + 1).cast(IntegerType).as("pos"),
         col("col").as("__h"))
-    val cand = grams
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__h"))))
-      .filter(col("__n") > 1).select(col(idCol), col("pos"))
-    // verify: re-slice the true window text for candidates only
-    val withGram = cand
+    val dupHashes = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__h"))
+    val cand = grams.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    // verify: re-slice the true window text for candidates only.
+    // Candidate-checkpoint (same rationale as overlapPairs): the verify
+    // gate below consumes withGram twice (df table + semi-join), and the
+    // checkpoint pins the whole gram pipeline to ONE execution.
+    // checkpointCandidates=false keeps the plan fully lazy — for plan
+    // inspection (PlanSpec's text-free exchange sweep needs the
+    // pre-checkpoint stages visible) or callers composing further.
+    val withGramLazy = cand
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .select(col(idCol), col("pos"),
         col(textCol).substr(col("pos"), lit(k)).as("__g"))
-    val verified = withGram
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
-      .filter(col("__n") > 1).select(col(idCol), col("pos"))
+    val withGram =
+      if (checkpointCandidates) withGramLazy.localCheckpoint() else withGramLazy
+    // same skew-safe gate shape over the REAL window text: a boilerplate
+    // span's __g group is exactly as giant as its __h group was
+    val dupGrams = withGram.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("__g"))
+    val verified = withGram.join(dupGrams, Seq("__g"), "left_semi")
+      .select(col(idCol), col("pos"))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -643,6 +659,41 @@ object Dedup {
         (length(col(textCol)) - length(col("__clean"))).cast(IntegerType).as("n_cut") :+
         col("__clean").as(textCol): _*)
       .select(col(idCol) +: others :+ col(textCol) :+ col("n_cut"): _*)
+  }
+
+  /** Keep-one-copy span policy (the Lee et al. variant [[stripSpans]]'s
+    * scaladoc defers to callers): of all occurrences of the same
+    * duplicated span TEXT, the canonical copy — the lexicographically
+    * smallest (doc id, span_start) — keeps its text; every other
+    * occurrence is returned for stripping. `stripSpans(docs,
+    * nonCanonicalSpans(docs, spans, ...), ...)` then removes duplicates
+    * while provably retaining one copy of each distinct span string in
+    * the corpus (the remove-all policy would delete boilerplate
+    * everywhere, losing the content itself).
+    *
+    * Occurrences group by exact span text: two docs whose islands merged
+    * to different extents ("XYZ" vs "WXYZ") are different spans and each
+    * stays canonical — the policy is span-level, not gram-level, matching
+    * how the span table is the unit callers strip by.
+    *
+    * Scale shape: one doc-keyed join to re-slice span text (span-table-
+    * sized, not corpus-sized), then a PARTIAL-AGG min per span text — a
+    * boilerplate span repeated across millions of docs collapses map-side,
+    * never buffering its group in one task (the same skew rule as every
+    * gate in this file) — and an equi-join back. Output: the
+    * non-canonical subset of `spans`, same schema.
+    */
+  def nonCanonicalSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withTxt = spans.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"),
+        col(textCol).substr(col("span_start"), col("span_len")).as("__stxt"))
+    val canon = withTxt.groupBy(col("__stxt"))
+      .agg(min(struct(col(idCol), col("span_start"))).as("__c"))
+    withTxt.join(canon, Seq("__stxt"))
+      .filter(!(col(idCol) === col("__c").getField(idCol) &&
+        col("span_start") === col("__c").getField("span_start")))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
   }
 
   // ----------------------------------------------------------- simhash
@@ -789,6 +840,130 @@ object Dedup {
       .select(col("id_a"), col("id_b"), nInter.as("n_inter"), nA.as("n_a"), nB.as("n_b"),
         (nInter.cast(DoubleType) / least(nA, nB).cast(DoubleType)).as("overlap"))
       .filter(col("overlap") >= threshold)
+  }
+
+  /** Cross-corpus containment — "is any doc of the new crawl contained in
+    * the existing corpus": [[overlapPairs]]'s rare-shingle posting
+    * candidates joined ACROSS corpora (left × right per posting, never
+    * within a side), then the exact overlap-coefficient verify with each
+    * side shingling only its candidate docs. The question
+    * [[crossNearDups]] cannot answer: Jaccard dilutes to ~|A|/|B| when a
+    * small new doc sits verbatim inside a big historical one, while the
+    * overlap coefficient stays 1.0 at any size ratio.
+    *
+    * Scale/recall contract is [[overlapPairs]]'s, with df computed on the
+    * UNION of both corpora's postings (a shingle ubiquitous in the
+    * historical corpus is exactly as join-explosive as one ubiquitous
+    * overall, so the dfCap bound must see both sides); partial-agg df
+    * table, never a count window. Output (id_a from left, id_b from
+    * right — corpus-tagged by position, ids may collide across corpora):
+    * (id_a, id_b, n_inter, n_a, n_b, overlap), overlap >= threshold.
+    */
+  def crossOverlapPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, threshold: Double = 0.8,
+      dfCap: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    def posting(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleK)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val lPost = posting(left)
+    val rPost = posting(right)
+    // df over BOTH sides; >= 2 alone cannot prune (a cross pair needs one
+    // occurrence per side, and within-side dups don't pair), but the
+    // dfCap bound is what keeps per-key fan-out executor-sized
+    val keptHashes = lPost.union(rPost).groupBy("__h")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .select("__h")
+    val cand = lPost.join(keptHashes, Seq("__h"), "left_semi")
+      .select(col("__h"), col("__id").as("id_a"))
+      .join(rPost.join(keptHashes, Seq("__h"), "left_semi")
+        .select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint()
+    def sets(df: DataFrame, sideCol: String) = df
+      .join(cand.select(col(sideCol).as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val lSets = sets(left, "id_a")
+    val rSets = sets(right, "id_b")
+    val nInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nA = size(col("sh_a")).cast(LongType)
+    val nB = size(col("sh_b")).cast(LongType)
+    cand
+      .join(lSets.select(col("__id"), col("__sh").as("sh_a")), col("id_a") === col("__id")).drop("__id")
+      .join(rSets.select(col("__id"), col("__sh").as("sh_b")), col("id_b") === col("__id")).drop("__id")
+      .select(col("id_a"), col("id_b"), nInter.as("n_inter"), nA.as("n_a"), nB.as("n_b"),
+        (nInter.cast(DoubleType) / least(nA, nB).cast(DoubleType)).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
+  // ------------------------------------- winnow-fingerprint near-dups
+
+  /** Near-dup pairs from shared WINNOWED fingerprints — the actual MOSS
+    * use case (Schleimer/Wilkerson/Aiken 2003) and the third candidate
+    * channel beside MinHash banding ([[minHashNearDups]], set-similarity
+    * blind to position) and rare-shingle postings ([[overlapPairs]],
+    * containment): winnowing targets LOCAL verbatim matches with a hard
+    * guarantee — any common substring of length >= w + k - 1 code points
+    * selects at least one identical fingerprint on both sides.
+    *
+    * The pair predicate is therefore exact and engine-independent:
+    * "documents a < b share at least one character L-gram, L = w+k-1"
+    * (a common substring of length >= L exists iff some length-L window
+    * matches verbatim). Candidates come from the fingerprint postings —
+    * ~2/(w+1) of the k-gram hashes per doc, 8-byte keys; verify
+    * re-slices the true L-grams for candidate docs only and counts the
+    * distinct shared ones. Precision is exact (verify); recall is 1 BY
+    * THE WINNOWING THEOREM — not a corpus property — except for pairs
+    * whose every shared fingerprint has df > dfCap (corpus-wide
+    * boilerplate, [[duplicatedSpans]]'s job; same dial as
+    * [[overlapPairs]]).
+    *
+    * df is a partial-agg table, never a count window (a boilerplate
+    * fingerprint's giant posting group must not land in one task), and
+    * df >= 2 postings alone survive to the self-join, whose fan-out
+    * dfCap bounds. Output: (id_a, id_b, n_shared) — the count of
+    * distinct shared L-grams, always >= 1.
+    */
+  def winnowNearDups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 25, w: Int = 8, dfCap: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val L = w + k - 1
+    val fps = docs
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.GraftFunctions.winnow(
+          col(textCol), lit(k), lit(w))).as("__fp"))
+    val sharedFps = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .select("__fp")
+    val bounded = fps.join(sharedFps, Seq("__fp"), "left_semi")
+    val cand = bounded.select(col("__fp"), col("__id").as("id_a"))
+      .join(bounded.select(col("__fp"), col("__id").as("id_b")), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint()
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    // exact verify on candidate docs only: distinct character L-grams via
+    // the composable slice (candidate-sized — the O(n·L) copies are paid
+    // on the gated fraction of the corpus, not scan-side)
+    val lGrams = when(length(col(textCol)) >= L,
+      array_distinct(transform(
+        sequence(lit(1), length(col(textCol)) - lit(L) + 1),
+        i => col(textCol).substr(i, lit(L)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val sets = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), lGrams.as("__lg"))
+    cand
+      .join(sets.select(col("__id"), col("__lg").as("lg_a")), col("id_a") === col("__id")).drop("__id")
+      .join(sets.select(col("__id"), col("__lg").as("lg_b")), col("id_b") === col("__id")).drop("__id")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("lg_a"), col("lg_b"))).cast(LongType).as("n_shared"))
+      .filter(col("n_shared") >= 1)
   }
 
   // --------------------------------------------- source overlap matrix

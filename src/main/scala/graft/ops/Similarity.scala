@@ -204,7 +204,10 @@ object Similarity {
         sum(col("v") * col("v")).as("sxx"),
         sum(when(abs(col("v")) === 127, 1L).otherwise(0L)).as("n_sat"))
       .select(col("dim"), col("n"), (s / n).as("mean_q"),
-        ((n * sxx - s * s) / (n * (n - lit(1.0)))).as("var_q"),
+        // n == 1 would be 0/0 = NaN; define a single-code dimension's
+        // sample variance as 0 (mirrored as CASE WHEN in the q105 oracle)
+        when(col("n") > 1, (n * sxx - s * s) / (n * (n - lit(1.0))))
+          .otherwise(lit(0.0)).as("var_q"),
         (col("n_sat").cast(DoubleType) / n).as("saturation_rate"))
   }
 

@@ -234,7 +234,10 @@ object TextOps {
     * index every retrieval system persists); dl, df and the token total
     * all derive from it rather than re-scanning the corpus once per
     * statistic. The query term set is benchmark-sized and BROADCASTS
-    * onto the postings, so they never shuffle to meet the queries;
+    * onto the postings, so they never shuffle to meet the queries; df
+    * is semi-joined down to query terms BEFORE its broadcast (the full
+    * term-frequency table is corpus-vocabulary-sized — never broadcast
+    * that);
     * (N, avgdl) ride as a broadcast 1-row aggregate (allowlisted BNLJ,
     * the q83 pattern); the fold and the top-k window touch only docs
     * sharing a term with some query.
@@ -262,6 +265,13 @@ object TextOps {
         (col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("avgdl"))
     val qTerms = queries
       .select(col(qidCol), explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    // df restricted to QUERY terms before broadcasting: the full dfreq is
+    // corpus-vocabulary-sized (billions of distinct terms at 100 TB) and
+    // would OOM driver/executors as a broadcast; the semi-join keeps
+    // dfreq distributed (query-term set is the broadcast build side) and
+    // what remains is query-term-sized — safe to broadcast onto tf.
+    val qDfreq = dfreq.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
     val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
       (col("df").cast(DoubleType) + lit(0.5))
     val tfD = col("tf").cast(DoubleType)
@@ -269,7 +279,7 @@ object TextOps {
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / col("avgdl"))))
     val perTerm = tf
       .join(broadcast(qTerms), "term")
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(qDfreq), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col(qidCol), col(idCol), col("term"), (idf * tfNorm).as("sc"))

@@ -97,23 +97,28 @@ class ChangeLogScan(options: CaseInsensitiveStringMap)
     }.map { case ((_, path), _) => ChangeLogSegment(path, startSeq) }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ChangeLogReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    // ship the DRIVER's hadoop conf (spark.hadoop.* — object-store
+    // credentials, fs tuning) to executors; a fresh Configuration() there
+    // would silently drop session-configured settings on a real cluster
+    new ChangeLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 /** One partition = one rotated segment file, tailed from the bookmark. */
 final case class ChangeLogSegment(path: String, startSeq: Long) extends InputPartition
 
-class ChangeLogReaderFactory extends PartitionReaderFactory {
+class ChangeLogReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ChangeLogPartitionReader(partition.asInstanceOf[ChangeLogSegment])
+    new ChangeLogPartitionReader(partition.asInstanceOf[ChangeLogSegment], conf.value)
 }
 
-class ChangeLogPartitionReader(p: ChangeLogSegment) extends PartitionReader[InternalRow] {
-  // executor-side: default Hadoop conf resolves the same shared filesystem
-  // the path names (local FS here; fs.defaultFS / scheme on a cluster)
+class ChangeLogPartitionReader(p: ChangeLogSegment,
+    hconf: org.apache.hadoop.conf.Configuration) extends PartitionReader[InternalRow] {
   private val reader = {
     val path = new org.apache.hadoop.fs.Path(p.path)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(hconf)
     new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -191,8 +191,12 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.types.StringType
+    // checkpointCandidates=false: the candidate checkpoint would truncate
+    // the executed plan at the checkpoint leaf, hiding the corpus-sized
+    // gate exchanges this test exists to inspect
     val df = graft.ops.Dedup.duplicatedSpans(
-      graft.analytics.Tables.documents(spark, sf), "doc_id", "text", k = 25)
+      graft.analytics.Tables.documents(spark, sf), "doc_id", "text", k = 25,
+      checkpointCandidates = false)
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p

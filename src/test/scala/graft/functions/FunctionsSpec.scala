@@ -75,6 +75,37 @@ class FunctionsSpec extends SparkSpec {
     assert(r(2L).isEmpty)
   }
 
+  test("rolling_hashes: code-point windows align with Spark substring on supplementary-plane text") {
+    GraftFunctions.register(spark)
+    // each emoji is ONE code point but TWO UTF-16 chars — if the hash
+    // loop iterated charAt, positions would shift vs substring(text,pos,k)
+    val t = "ab😀cd😁ef😀cd😁gh"
+    val k = 4
+    val nCp = t.codePointCount(0, t.length)
+    val rows = Seq(t).toDF("text")
+      .select(GraftFunctions.rolling_hashes(col("text"), lit(k)).as("h"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(rows.length == nCp - k + 1, "window count must be code-point-based")
+    assert(rows.sameElements(graft.functions.RollingHashes.direct(t, k)))
+    // the duplicated 4-code-point substring "cd😁e"-style window: re-slice
+    // via Spark's substring at hash index j (1-based pos j+1) must hash to
+    // the same value the rolling pass recorded — the duplicatedSpans
+    // verify contract
+    val slices = (0 until rows.length).map { j =>
+      spark.sql(s"SELECT substring('${t.replace("'", "''")}', ${j + 1}, $k)")
+        .collect()(0).getString(0)
+    }
+    slices.zipWithIndex.foreach { case (s, j) =>
+      assert(graft.functions.RollingHashes.direct(s, k).head == rows(j),
+        s"substring re-slice at pos ${j + 1} disagrees with rolling hash")
+    }
+    // same contract for winnow (it inlines the same hash loop)
+    val wfp = Seq(t).toDF("text")
+      .select(GraftFunctions.winnow(col("text"), lit(k), lit(3)))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(wfp.sameElements(graft.functions.Winnow.direct(t, k, 3)))
+  }
+
   test("winnow: deque selection matches the direct per-window reference and the composable form") {
     GraftFunctions.register(spark)
     import org.scalacheck.Gen
