@@ -115,6 +115,14 @@ object ScaleCheck {
     run("source_overlap",
       ops.Dedup.sourceOverlap(docs1, "source", "text", 3),
       ops.Dedup.sourceOverlap(docsNd, "source", "text", 3))
+    // winnow channel: rotated blow-up (verbatim copies would make every
+    // cross-copy pair share all fingerprints — degenerate candidates)
+    run("winnow_near_dups",
+      ops.Dedup.winnowNearDups(docs1, "doc_id", "text", 25, 8, 1000),
+      ops.Dedup.winnowNearDups(docsNd, "doc_id", "text", 25, 8, 1000))
+    run("cross_overlap_pairs",
+      ops.Dedup.crossOverlapPairs(bench(docs1), train(docs1), "doc_id", "text", 3, 0.8, 1000),
+      ops.Dedup.crossOverlapPairs(bench(docsNd), train(docsNd), "doc_id", "text", 3, 0.8, 1000))
     // BM25: the realistic growth mode is corpus up, query set fixed
     run("bm25_topk",
       ops.TextOps.bm25TopK(train(docs1),

@@ -191,11 +191,16 @@ object CurationQueries {
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) {
+      // stream the range-partitioned sort partition-at-a-time
+      // (toLocalIterator preserves global order) instead of collecting
+      // the whole change set — driver memory stays one-partition-bounded
+      // at larger fixture SFs
+      import scala.jdk.CollectionConverters._
       val lines = deletes.unionByName(u1).unionByName(u2).unionByName(ins)
         .select(col("seq"), col("op"), to_json(col("r")).as("payload"))
-        .orderBy("seq").collect()
+        .orderBy("seq").toLocalIterator().asScala
       ChangeLog.writeSegments(
-        lines.iterator.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
+        lines.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
         dir, segmentSize = 2048)
       java.nio.file.Files.writeString(marker, "ok")
     }

@@ -541,9 +541,13 @@ object Extras {
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // maxStoreFiles small enough that compaction actually fires
+          // during the 5-batch run — the hash gate proves compaction
+          // leaves the admitted set untouched
           graft.streaming.NearDupFilter
             .processBatch(batch, storeDir, "doc_id", "text",
-              numHashes = 64, bands = 16, shingleK = 3, threshold = 0.8)
+              numHashes = 64, bands = 16, shingleK = 3, threshold = 0.8,
+              maxStoreFiles = 10)
             .select("doc_id")
             .write.mode("append").parquet(outDir)
         }

@@ -973,6 +973,102 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- q111
+  // Winnow-fingerprint near-dup pairs — the MOSS candidate channel. The
+  // pair predicate is exact and engine-independent: "share >= 1
+  // character 32-gram" (32 = w+k-1 — a common substring of length >= 32
+  // exists iff some 32-char window matches verbatim). Engine candidates
+  // come from shared winnowed fingerprints; recall is 1 BY THE WINNOWING
+  // THEOREM (any >= w+k-1 match selects a shared fingerprint), not a
+  // corpus property, and the exact L-gram verify makes precision 1 — so
+  // the quadratic all-pairs oracle matches the linear-ish engine exactly.
+  private val q111L = 32 // w + k - 1 = 8 + 25 - 1
+  val q111 = QuerySpec.sql(
+    "q111_winnow_neardups",
+    s"""WITH p0 AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text)-$q111L+1)) AS pos
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substring(text, pos, $q111L) AS gram FROM p0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.winnowNearDups(Tables.documents(s, d), "doc_id", "text",
+      k = 25, w = 8, dfCap = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------- q112
+  // Cross-corpus containment: odd-id half plays "new crawl", even-id
+  // half "existing corpus" (q89's split); overlap coefficient >= 0.8
+  // across sides only — "is this new doc already contained in the
+  // corpus", which cross-corpus Jaccard (q89) structurally misses for
+  // small-in-big inclusions. Recall argument is q107's (every true pair
+  // shares rare shingles on this corpus — max df is single-digit, far
+  // under dfCap); exact verify makes precision 1, so the all-pairs
+  // oracle matches.
+  val q112 = QuerySpec.sql(
+    "q112_cross_containment",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |s AS (SELECT doc_id, $duckShingles3 AS sh FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+      |  FROM (SELECT * FROM s WHERE doc_id % 2 = 1) a
+      |  JOIN (SELECT * FROM s WHERE doc_id % 2 = 0) b ON true)
+      |SELECT id_a, id_b, n_inter, n_a, n_b,
+      |  CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS overlap
+      |FROM p
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.crossOverlapPairs(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------- q113
+  // Keep-one-copy substring policy (Lee et al.'s alternative to
+  // remove-all-copies): over q101's span table, the canonical occurrence
+  // of each distinct span TEXT — min (doc_id, span_start) — keeps its
+  // copy; the rest are returned for stripping. The oracle replays q101's
+  // span CTEs verbatim, re-slices each span's text, and ranks
+  // occurrences per text.
+  val q113 = QuerySpec.sql(
+    "q113_noncanonical_spans",
+    s"""WITH p0 AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text)-$q101K+1)) AS pos
+      |  FROM documents),
+      |pos AS (SELECT doc_id, CAST(pos AS INT) AS pos, substring(text, pos, $q101K) AS gram FROM p0),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $q101K
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM m),
+      |g AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM b),
+      |spans AS (SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+      |    CAST(MAX(pos) + $q101K - 1 AS INT) AS span_end,
+      |    CAST(MAX(pos) + $q101K - MIN(pos) AS INT) AS span_len
+      |  FROM g GROUP BY doc_id, island),
+      |x AS (SELECT s.doc_id, s.span_start, s.span_end, s.span_len,
+      |        ROW_NUMBER() OVER (
+      |          PARTITION BY substring(d.text, s.span_start, s.span_len)
+      |          ORDER BY s.doc_id, s.span_start) AS rn
+      |      FROM spans s JOIN documents d USING (doc_id))
+      |SELECT doc_id, span_start, span_end, span_len FROM x WHERE rn > 1
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.nonCanonicalSpans(docs,
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = q101K),
+      "doc_id", "text")
+      .orderBy("doc_id", "span_start")
+  }
+
   // ------------------------------- q110 (rows-only: custom rolling hash)
   // Winnowed document fingerprints (MOSS): the tunable-density document
   // sketch with the shared-substring guarantee. Rows-only (the Rabin-
@@ -1142,5 +1238,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105, q106, q107, q110)
+    q101, q102, q105, q106, q107, q110, q111, q112, q113)
 }

@@ -51,14 +51,60 @@ object NearDupFilter {
       if (s.columns.isEmpty) None else Some(s)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Compact the seen-store when its file count exceeds `maxFiles`:
+    * rewrite into `maxFiles / 2` files and swap directories. Append-only
+    * stores grow one file SET per micro-batch, so after thousands of
+    * triggers every `readStore` pays an ever-growing listing + small-file
+    * scan; periodic compaction keeps per-trigger cost flat in file count
+    * (amortized O(1) rewrites per doc: each compaction halves-or-better
+    * the file count, so a doc is rewritten O(log batches) times and the
+    * rewrite work per trigger is bounded by store size / compaction
+    * period). Coalesce, not repartition — compaction merges files and
+    * must not pay a shuffle.
+    *
+    * Swap protocol (plain-filesystem minimal): write `<dir>.compact`,
+    * rename live -> `<dir>.old`, rename compact -> live, delete old. A
+    * crash between the renames leaves the full store in `.old`; the next
+    * call (or next trigger with compaction enabled) restores it before
+    * doing anything else. A production deployment on an object store
+    * (no atomic rename) would put the store in a transactional table
+    * format instead — this protocol is the seam where that plugs in.
+    *
+    * Returns true iff a compaction ran.
+    */
+  def compactStore(spark: SparkSession, storeDir: String, maxFiles: Int = 64): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(storeDir)
+    val old = new org.apache.hadoop.fs.Path(storeDir + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compact")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a previous swap that died between renames left the
+    // store in .old — restore it first
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    if (!fs.exists(live)) return false
+    val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= maxFiles) return false
+    fs.delete(tmp, true)
+    spark.read.parquet(storeDir)
+      .coalesce(math.max(1, maxFiles / 2))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+    true
+  }
+
   /** Process one micro-batch: returns the ADMITTED rows (id, text) —
     * materialized before the store append so the batch can never match
     * itself through the store — and appends every batch row (admitted or
-    * not) plus its signature to `storeDir`.
+    * not) plus its signature to `storeDir`. With `maxStoreFiles > 0`,
+    * [[compactStore]] runs after the append whenever the store's file
+    * count exceeds it (compaction rewrites files, never rows, so the
+    * admitted set is provably unchanged — StreamingSpec pins this).
     */
   def processBatch(batch: DataFrame, storeDir: String, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxStoreFiles: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = batch
@@ -110,6 +156,7 @@ object NearDupFilter {
       .select(col(idCol), col(textCol))
       .localCheckpoint() // eager: must evaluate before the store append below
     b.write.mode("append").parquet(storeDir)
+    if (maxStoreFiles > 0) compactStore(spark, storeDir, maxStoreFiles)
     admitted
   }
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Plan-shape regression tests: the physical plans the scale design
   * depends on (pushdown, pruning, broadcast) must not silently degrade.
@@ -220,18 +221,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q107 candidate stage: posting exchanges carry hashed 8-byte keys, text moves only at verify") {
-    // overlapPairs' corpus-sized exchanges are the df-window on
-    // xxhash64(shingle) and the posting self-join — (id, hash) rows
-    // only. Document text may ride an exchange only in the
-    // candidate-gated verify joins: assert no text-carrying exchange
-    // sits below a text-free one (same global property as q101).
+  // Shared gate-shape assertion for the candidate-generating pair ops:
+  // >= 2 text-free (id/hash-keyed) exchanges exist, and no text-carrying
+  // exchange sits below a text-free one — i.e. all corpus-sized shuffles
+  // precede any text movement; text rides only candidate-gated verify.
+  private def assertTextMovesOnlyAtVerify(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.types.StringType
-    val df = graft.ops.Dedup.overlapPairs(
-      graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
-      shingleK = 3, threshold = 0.8, dfCap = 1000)
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
@@ -248,6 +245,26 @@ class PlanSpec extends SparkSpec {
         .foreach(b => assert(b.output.forall(_.dataType != StringType),
           "a corpus-sized text exchange sits below the candidate gate"))
     }
+  }
+
+  test("q107 candidate stage: posting exchanges carry hashed 8-byte keys, text moves only at verify") {
+    assertTextMovesOnlyAtVerify(graft.ops.Dedup.overlapPairs(
+      graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 1000))
+  }
+
+  test("q111 candidate stage: fingerprint postings are 8-byte keyed, text moves only at verify") {
+    assertTextMovesOnlyAtVerify(graft.ops.Dedup.winnowNearDups(
+      graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
+      k = 25, w = 8, dfCap = 1000))
+  }
+
+  test("q112 candidate stage: cross-corpus postings are 8-byte keyed, text moves only at verify") {
+    val docs = graft.analytics.Tables.documents(spark, sf)
+    assertTextMovesOnlyAtVerify(graft.ops.Dedup.crossOverlapPairs(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000))
   }
 
   test("q102: query terms and term stats broadcast — corpus postings shuffle only by doc") {

@@ -218,6 +218,72 @@ class DedupSpec extends SparkSpec {
       shingleK = 3, threshold = 0.8, dfCap = 1).count() == 0)
   }
 
+  test("winnowNearDups: >= w+k-1 shared substring always found, shorter never emitted") {
+    import spark.implicits._
+    val b40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars >= 32
+    val b28 = "ALMOSTLONGENOUGHBUTNOTQUITE!"              // 28 in [25, 32)
+    assert(b40.length == 40 && b28.length == 28)
+    val corpus = Seq(
+      (1L, s"opening words here $b40 and a tail"),
+      (2L, s"other prefix $b40 different ending"),
+      (3L, s"first context $b28 more text here"),
+      (4L, s"second milieu $b28 other words go here"),
+      (5L, "wholly unrelated document sharing nothing with the rest")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowNearDups(corpus, "doc_id", "text", k = 25, w = 8, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): guaranteed by the winnowing theorem (40 >= w+k-1 = 32);
+    // (3,4): 28-char overlap has NO shared 32-gram, so verify always
+    // rejects it regardless of whether a fingerprint happened to match
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    // the common substring is " " + b40 + " " (flanking spaces shared,
+    // chars beyond differ): 42 chars -> 42 - 32 + 1 shared 32-grams
+    assert(got((1L, 2L)) == (42 - 32 + 1).toLong)
+    // dfCap is the recall dial, same contract as overlapPairs
+    assert(Dedup.winnowNearDups(corpus, "doc_id", "text", 25, 8, dfCap = 1).count() == 0)
+  }
+
+  test("crossOverlapPairs: containment across corpora only, never within a side") {
+    import spark.implicits._
+    val ws = (1 to 20).map(i => s"w$i")
+    val left = Seq(
+      (1L, ws.slice(6, 14).mkString(" ")), // contained in right#10, equal to right#11
+      (2L, "unrelated new crawl doc about streams")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, ws.mkString(" ")),
+      (11L, ws.slice(6, 14).mkString(" ")),
+      (12L, "another old corpus doc entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossOverlapPairs(left, right, "doc_id", "text",
+      shingleK = 3, threshold = 0.8, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // right#11 ⊂ right#10 exists but within-side pairs must not appear
+    assert(got.keySet == Set((1L, 10L), (1L, 11L)), s"got ${got.keySet}")
+    assert(got((1L, 10L)) == 1.0 && got((1L, 11L)) == 1.0)
+  }
+
+  test("nonCanonicalSpans: exactly one copy of each span text survives stripping") {
+    import spark.implicits._
+    // distinct chars at both span boundaries, so all three spans merge to
+    // the IDENTICAL text " <boiler> " and group as one canonical set
+    val boiler = "SHARED BOILERPLATE BLOCK 0123456789"
+    val corpus = Seq(
+      (1L, s"xxxx1 $boiler alpha"),
+      (2L, s"yyyy2 $boiler omega"),
+      (3L, s"zzzz3 $boiler gamma"),
+      (4L, "no duplicated content in this one at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 10)
+    assert(spans.count() == 3) // one span per boilerplate-carrying doc
+    val nonCanon = Dedup.nonCanonicalSpans(corpus, spans, "doc_id", "text")
+    // min (doc_id, span_start) — doc 1 — keeps its copy
+    assert(nonCanon.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    val kept = Dedup.stripSpans(corpus, nonCanon, "doc_id", "text")
+      .select("text").as[String].collect()
+    assert(kept.count(_.contains(boiler)) == 1, "exactly one copy must survive")
+  }
+
   test("sourceOverlap emits the complete matrix with exact set jaccard") {
     import spark.implicits._
     val docs = Seq(

@@ -142,6 +142,50 @@ class StreamingSpec extends SparkSpec {
     assert(runWith(Seq(docs.take(2), docs.drop(2))) == expected)
   }
 
+  test("NearDupFilter: compaction keeps the admitted set and bounds the store file count") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    // 30 single-doc batches: every 3rd doc is a near-dup of doc 1
+    val docs = (1L to 30L).map { i =>
+      if (i != 1L && i % 3 == 1) (i, base + s" variant") // dup of doc 1's family
+      else (i, s"unique document number $i about topic ${i * 7} and subject ${i * 13}")
+    }
+    def runWith(maxStoreFiles: Int): (Set[Long], Int) = {
+      val store = Files.createTempDirectory("ndf_store").toString
+      val admitted = docs.flatMap { d =>
+        NearDupFilter.processBatch(Seq(d).toDF("doc_id", "text"), store, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5,
+          maxStoreFiles = maxStoreFiles)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      val nFiles = new java.io.File(store).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      (admitted, nFiles)
+    }
+    val (noCompact, filesNo) = runWith(0)
+    val (compacted, filesYes) = runWith(6)
+    assert(compacted == noCompact, "compaction must not change admissions")
+    // store still holds every doc ever seen (rejected ones included)
+    assert(compacted.size < 30)
+    assert(filesYes <= 6 && filesNo > 6,
+      s"expected bounded files with compaction (got $filesYes) vs unbounded without ($filesNo)")
+  }
+
+  test("NearDupFilter: compactStore recovers a store stranded in .old by a crashed swap") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("ndf_store").toString
+    NearDupFilter.processBatch(
+      Seq((1L, "some document text to seed the store with")).toDF("doc_id", "text"),
+      store, "doc_id", "text", numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+    // simulate the crash window: live dir renamed away, swap never finished
+    val live = new java.io.File(store)
+    val old = new java.io.File(store + ".old")
+    assert(live.renameTo(old))
+    NearDupFilter.compactStore(spark, store, maxFiles = 64)
+    assert(live.exists && !old.exists, "store must be restored from .old")
+    assert(spark.read.parquet(store).count() == 1)
+  }
+
   test("NearDupFilter: out-of-order smaller-id straggler is never rejected by a larger id") {
     import spark.implicits._
     val a = (10L, "the quick brown fox jumps over the lazy dog near the river today")
