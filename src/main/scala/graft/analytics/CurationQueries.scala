@@ -523,10 +523,12 @@ object CurationQueries {
   private val duckToks95 = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private def duckShK95(k: Int): String = {
     val parts = (1 to k).map(j => s"toks[i+$j]").mkString(", ")
+    // COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    // concat_ws on an empty array is '' — matters for empty-text docs
     s"""CASE WHEN len(toks) >= $k
        | THEN list_distinct(list_transform(range(len(toks)-${k - 1}),
        |   i -> concat_ws(chr(1), $parts)))
-       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+       | ELSE [COALESCE(array_to_string(toks, chr(1)), '')] END""".stripMargin
   }
   private val duckStops95 =
     TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -618,6 +620,116 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q114
+  // Per-source funnel over the FULLY-ENABLED pipeline: opt-in stages 1b
+  // (substring-span strip, k=25) and 2b (containment drop at overlap
+  // 0.8) turned on, so both get an oracle-gated correctness surface in
+  // composition with the default chain (their ScalaTest specs cover
+  // them standalone). The oracle replays stage 1b with q101's span CTEs
+  // + a gaps-between-spans text reconstruction, and stage 2b with the
+  // q107 overlap predicate + the engine's contained-side choice (smaller
+  // shingle set; id_b on ties, keeping the min id).
+  //
+  // LSH recall in composition, checked empirically at the fixture (this
+  // is the q95 argument re-established on the STRIPPED corpus, where the
+  // Jaccard distribution could have shifted into banding's fuzzy zone):
+  // post-strip pairwise Jaccard at sf0.01 is bimodal — >= 0.95 or
+  // < 0.10, nothing in [0.10, 0.95) — so at threshold 0.5 the banding
+  // miss probability is (1 - 0.95^4)^16 ~ 2e-12 per pair.
+  private val q114StagesCtes =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |e AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM corpus) WHERE doc_id = keep),
+      |sp0 AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-25+1)) AS pos FROM e),
+      |spos AS (SELECT doc_id, CAST(pos AS INT) AS pos, substring(text, pos, 25) AS gram FROM sp0),
+      |sdup AS (SELECT gram FROM spos GROUP BY gram HAVING COUNT(*) > 1),
+      |sm AS (SELECT p.doc_id, p.pos FROM spos p JOIN sdup USING (gram)),
+      |sb AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 25
+      |             THEN 0 ELSE 1 END AS brk FROM sm),
+      |sg AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM sb),
+      |spans AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 24 AS se FROM sg GROUP BY doc_id, island),
+      |segs AS (SELECT doc_id, ss, se,
+      |        COALESCE(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) AS prev_e FROM spans),
+      |kept AS (SELECT s.doc_id,
+      |        string_agg(substring(d.text, s.prev_e + 1, s.ss - s.prev_e - 1), '' ORDER BY s.ss) AS head,
+      |        substring(d.text, MAX(s.se) + 1) AS tail
+      |      FROM segs s JOIN e d USING (doc_id) GROUP BY s.doc_id, d.text),
+      |e1b0 AS (SELECT e.doc_id, e.source,
+      |        CASE WHEN k.doc_id IS NULL THEN e.text ELSE k.head || k.tail END AS text
+      |      FROM e LEFT JOIN kept k USING (doc_id)),
+      |e1b AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM e1b0) WHERE doc_id = keep),
+      |t AS (SELECT doc_id, $duckToks95 AS toks FROM e1b),
+      |s AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM t),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e2.a, t2.r FROM edges e2 JOIN reach t2 ON e2.b = t2.id
+      |  ) SELECT * FROM reach),
+      |labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id),
+      |dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
+      |e2s AS (SELECT * FROM e1b WHERE doc_id NOT IN (SELECT id FROM dropped)),
+      |ct AS (SELECT doc_id, $duckToks95 AS toks FROM e2s),
+      |cs AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM ct),
+      |cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        len(a.sh) AS n_a, len(b.sh) AS n_b
+      |      FROM cs a JOIN cs b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / least(len(a.sh), len(b.sh)) >= 0.8),
+      |contained AS (SELECT DISTINCT CASE WHEN n_a < n_b THEN id_a ELSE id_b END AS doc_id FROM cp),
+      |e2c AS (SELECT * FROM e2s WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+      |t2c AS (SELECT doc_id, $duckToks95 AS toks FROM e2c),
+      |ts AS (SELECT doc_id, unnest(${duckShK95(5)}) AS sh FROM t2c),
+      |tb AS (SELECT doc_id, $duckToks95 AS toks FROM bench),
+      |bs AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb),
+      |cont AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sh)),
+      |e3s AS (SELECT * FROM e2c WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM e3s),
+      |m3 AS (SELECT doc_id, source, text, len(toks) AS n_toks,
+      |  CAST(len(list_filter(toks, x -> list_contains($duckStops95, x))) AS DOUBLE) AS n_stop FROM t3),
+      |r3 AS (SELECT doc_id, source,
+      |  round((least(n_toks / 64.0, 1.0) * 0.4
+      |    + (1.0 - abs((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) - 0.4)) * 0.4
+      |    + (1.0 - least((CASE WHEN length(text) > 0
+      |        THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
+      |        ELSE 0.0 END) * 4.0, 1.0)) * 0.2), 6) AS score
+      |  FROM m3),
+      |w3 AS (SELECT doc_id, source, score,
+      |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
+      |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+  val q114 = QuerySpec.sql(
+    "q114_curation_funnel_full",
+    s"""$q114StagesCtes,
+      |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
+      |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e1b GROUP BY source),
+      |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2c GROUP BY source),
+      |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
+      |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
+      |SELECT ic.source, ic.n_in,
+      |  COALESCE(ec.n, 0) AS n_exact_kept,
+      |  COALESCE(nc.n, 0) AS n_neardup_kept,
+      |  COALESCE(cc.n, 0) AS n_decontam_kept,
+      |  COALESCE(fc.n, 0) AS n_final
+      |FROM ic LEFT JOIN ec USING (source) LEFT JOIN nc USING (source)
+      |LEFT JOIN cc USING (source) LEFT JOIN fc USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curationFunnel(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      substrK = Some(25), containment = Some(0.8))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114)
 }

@@ -110,11 +110,13 @@ object LlmQueries {
   // DuckDB 3-word-shingle fragment mirroring Dedup.shingles (separator
   // chr(1) = Dedup.ShingleSep, distinct windows, join-all fallback for
   // docs shorter than k tokens).
+  // COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  // concat_ws on an empty array is '' — matters for empty-text docs
   private val duckShingles3 =
     s"""CASE WHEN len(toks) >= 3
        | THEN list_distinct(list_transform(range(len(toks)-2),
        |   i -> concat_ws(chr(1), toks[i+1], toks[i+2], toks[i+3])))
-       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+       | ELSE [COALESCE(array_to_string(toks, chr(1)), '')] END""".stripMargin
   val q33 = QuerySpec.sql(
     "q33_jaccard_pairs",
     s"""WITH t AS (

@@ -65,9 +65,13 @@ object Curation {
     *     every duplicated-across-the-corpus k-char span from surviving
     *     docs ([[Dedup.duplicatedSpans]] + [[Dedup.stripSpans]] — the
     *     Lee-et-al ExactSubstr stage, run after doc-level exact dedup
-    *     as in the paper). Off by default because it REWRITES text:
-    *     downstream near-dup/decontamination/quality stages then see
-    *     the stripped corpus.
+    *     as in the paper), then exact-dedup AGAIN on the stripped text
+    *     (stripping makes previously-distinct docs identical; see the
+    *     inline comment for why skipping this would be quadratic in the
+    *     all-boilerplate doc count). Off by default because it REWRITES
+    *     text: downstream near-dup/decontamination/quality stages then
+    *     see the stripped corpus. With substrK on, `n_exact_kept` in
+    *     [[curationFunnel]] counts the post-strip re-deduped corpus.
     *  2. near-dup dedup: MinHash+LSH candidate pairs, exact-Jaccard
     *     verify, exact connected components, min-id canonical survives
     *  2b. (opt-in via `containment = Some(threshold)`) containment
@@ -125,10 +129,20 @@ object Curation {
     val exactKept = substrK match {
       case None => exactDeduped
       case Some(k) =>
-        // stage-boundary corpus again: checkpointed for the same reason
-        Dedup.stripSpans(exactDeduped,
-          Dedup.duplicatedSpans(exactDeduped, idCol, textCol, k),
-          idCol, textCol).drop("n_cut").localCheckpoint()
+        // Strip, then exact-dedup AGAIN on the stripped text: removing
+        // corpus-wide boilerplate makes previously-distinct docs
+        // identical — most importantly, every all-boilerplate doc strips
+        // to the SAME empty string, and a million of those entering the
+        // LSH stage would share one bucket and emit C(n,2) candidate
+        // pairs. The re-dedup collapses each post-strip identity class
+        // to its min id for one extra hash-keyed exchange — the
+        // re-dedup-after-strip step of Lee et al. 2022.
+        // Stage-boundary corpus again: checkpointed for the same reason.
+        Dedup.exact(
+          Dedup.stripSpans(exactDeduped,
+            Dedup.duplicatedSpans(exactDeduped, idCol, textCol, k),
+            idCol, textCol).drop("n_cut"),
+          idCol, Seq(textCol)).localCheckpoint()
     }
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
