@@ -1071,6 +1071,108 @@ object LlmQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  // --------------------------------------------------------------- q115
+  // Gopher-style quality rule filter (Rae et al. 2021, Appendix A).
+  // Every signal is one IEEE division of exact integer counts computed
+  // identically on both engines (shared replace/trim/regex semantics),
+  // so the whole row — including the boolean gate — hash-matches. The
+  // gate uses the published thresholds except minStopHits=1: the
+  // fixture's synthetic vocabulary carries only "the" from the probe
+  // list, and the paper's >=2 presumes natural English prose.
+  private val duckLines =
+    """list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"""
+  private val duckStopProbe =
+    graft.ops.QualityRules.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  val q115 = QuerySpec.sql(
+    "q115_gopher_rules",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, $duckToks AS toks, $duckLines AS ls FROM documents
+      |), m AS (
+      |  SELECT doc_id, text, toks, ls, len(toks) AS n_toks, len(ls) AS n_ls,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (u,v) -> u + v) AS DOUBLE) AS tok_chars
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id,
+      |    CAST(n_toks AS INT) AS n_words,
+      |    CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_word_len,
+      |    CASE WHEN n_toks > 0 THEN
+      |      (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) / 1.0
+      |       + CAST(length(text) - length(replace(text, '…', '')) AS DOUBLE) / 1.0
+      |       + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+      |      / CAST(n_toks AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+      |    CASE WHEN n_ls > 0 THEN
+      |      CAST(len(list_filter(ls, x -> list_contains(['-', '*', '•'], substring(trim(x), 1, 1)))) AS DOUBLE)
+      |      / CAST(n_ls AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+      |    CASE WHEN n_ls > 0 THEN
+      |      CAST(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…'))) AS DOUBLE)
+      |      / CAST(n_ls AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+      |    CASE WHEN n_toks > 0 THEN
+      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / CAST(n_toks AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+      |    CAST(len(list_intersect(list_distinct(toks), $duckStopProbe)) AS INT) AS n_stop_hits
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+      |  ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+      |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |   AND n_stop_hits >= 1) AS pass_gopher
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.ops.QualityRules
+    Tables.documents(s, d)
+      .select(col("doc_id") +:
+        QualityRules.signals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("pass_gopher", QualityRules.passGate(
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"),
+        col("alpha_word_frac"), col("n_stop_hits"), minStopHits = 1))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q116
+  // Duplicated-character coverage per document (the Lee et al. 2022
+  // "fraction of chars removed" statistic) over q101's span table. The
+  // oracle replays q101's span CTEs verbatim, aggregates per doc, and
+  // left-joins the corpus so span-free docs report 0.0; dup_frac is one
+  // IEEE division of exact integers on both engines.
+  val q116 = QuerySpec.sql(
+    "q116_span_coverage",
+    s"""WITH p0 AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text)-$q101K+1)) AS pos
+      |  FROM documents),
+      |pos AS (SELECT doc_id, CAST(pos AS INT) AS pos, substring(text, pos, $q101K) AS gram FROM p0),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $q101K
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM m),
+      |g AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM b),
+      |spans AS (SELECT doc_id,
+      |    CAST(MAX(pos) + $q101K - MIN(pos) AS INT) AS span_len
+      |  FROM g GROUP BY doc_id, island),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(span_len) AS BIGINT) AS dup_chars
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+      |  CAST(length(d.text) AS INT) AS total_chars,
+      |  CASE WHEN length(d.text) > 0
+      |    THEN CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+      |    ELSE 0.0 END AS dup_frac
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.spanCoverage(docs,
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = q101K),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------- q110 (rows-only: custom rolling hash)
   // Winnowed document fingerprints (MOSS): the tunable-density document
   // sketch with the shared-substring guarantee. Rows-only (the Rabin-
@@ -1240,5 +1342,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105, q106, q107, q110, q111, q112, q113)
+    q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116)
 }

@@ -696,6 +696,39 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
   }
 
+  /** Per-document duplicated-character coverage — the "fraction of
+    * characters removed" statistic Lee et al. 2022 report for ExactSubstr
+    * dedup, and the per-doc repetition signal RefinedWeb-style stacks
+    * gate on before deciding to strip. Islands from [[duplicatedSpans]]
+    * are disjoint by construction (islands merge candidate positions
+    * closer than k, so consecutive spans are > k apart), so coverage is
+    * exactly `sum(span_len) / length(text)` — no re-merge needed.
+    *
+    * Scale shape: one span-table-sized aggregation (spans are tiny
+    * relative to the corpus) plus a doc-keyed left join to pick up
+    * span-free documents at 0.0 — nothing corpus-sized moves beyond the
+    * one doc-keyed exchange.
+    *
+    * Output: (idCol, n_spans, dup_chars, total_chars, dup_frac), one row
+    * per document including span-free ones.
+    */
+  def spanCoverage(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_len").cast(LongType)).as("dup_chars"))
+    docs.select(col(idCol), length(col(textCol)).cast(IntegerType).as("total_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        when(col("total_chars") > 0,
+          coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) /
+            col("total_chars").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per token, xxhash64 gives 64 bits; each bit votes

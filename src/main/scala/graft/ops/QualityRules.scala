@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", Appendix A
+  * — the rule set MassiveWeb was filtered with, reused by RefinedWeb,
+  * Dolma and most open curation stacks since).
+  *
+  * Every signal is a pure per-row expression over the document text — no
+  * UDFs, no shuffle, scan-side under whole-stage codegen — so the filter
+  * runs at parquet-scan speed regardless of corpus size: the 100 TB cost
+  * is one pass, and Catalyst prunes it to the `text` column.
+  *
+  * Signals (defaults are the published thresholds):
+  *   - word count within [50, 100000]
+  *   - mean word length within [3, 10]
+  *   - symbol-to-word ratio (`#` + ellipsis) <= 0.1
+  *   - fraction of lines starting with a bullet <= 0.9
+  *   - fraction of lines ending with an ellipsis <= 0.3
+  *   - fraction of words with >= 1 alphabetic char >= 0.8
+  *   - >= 2 distinct stopwords from the paper's 8-word probe list
+  *
+  * Tokenisation matches [[TextOps.tokens]] (whitespace split, empties
+  * dropped) so word counts agree with every other quality signal in the
+  * engine; "lines" are `\n`-separated segments that are non-empty after
+  * trimming. All ratios are one IEEE division of exact integer counts, so
+  * a SQL oracle reproduces them bit-for-bit.
+  */
+object QualityRules {
+
+  /** The paper's stopword probe list (Appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Non-empty (after trim) `\n`-separated lines. One-line documents —
+    * e.g. flat sentence streams — yield a single line.
+    */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= lit(""))
+
+  /** Occurrences of literal `sub` in `text` (leftmost, non-overlapping —
+    * the shared `replace` semantics of Spark and ANSI SQL), as a double.
+    */
+  private def occurrences(text: Column, sub: String): Column =
+    (length(text) - length(replace(text, lit(sub)))).cast(DoubleType) / lit(sub.length.toDouble)
+
+  /** Words per document ([[TextOps.tokens]] tokenisation). */
+  def nWords(text: Column): Column = TextOps.tokenCount(text)
+
+  /** `(# + ellipsis) / words`; 0.0 for word-free documents. Composite of
+    * the paper's two symbol probes (hash and ellipsis, both `…` and
+    * `...` spellings), one ratio instead of two for a single gate column.
+    */
+  def symbolRatio(text: Column): Column = {
+    val n = nWords(text)
+    val syms = occurrences(text, "#") + occurrences(text, "…") +
+      occurrences(text, "...")
+    when(n > 0, syms / n.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines whose first character is a bullet (`-`, `*`,
+    * `•`); 0.0 for line-free documents.
+    */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    val bullets = size(filter(ls, l =>
+      substring(trim(l), 1, 1).isin("-", "*", "•")))
+    when(size(ls) > 0, bullets.cast(DoubleType) / size(ls).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines ending in an ellipsis (`...` or `…`); 0.0 for
+    * line-free documents.
+    */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    val ell = size(filter(ls, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+    when(size(ls) > 0, ell.cast(DoubleType) / size(ls).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of words containing at least one ASCII alphabetic
+    * character; 0.0 for word-free documents. (ASCII on purpose: the rule
+    * is a machine-text tripwire, and `[A-Za-z]` has identical semantics
+    * in every regex engine an oracle might use.)
+    */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks)
+    when(n > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Distinct stopword-probe hits from [[GopherStopwords]]. */
+  def stopwordHits(text: Column): Column =
+    size(array_intersect(
+      TextOps.distinctTokens(text),
+      array(GopherStopwords.map(lit): _*))).cast(IntegerType)
+
+  /** The conjunction gate over precomputed signal columns. Thresholds
+    * default to the published Gopher values; callers tune per corpus
+    * (e.g. fixture-scale corpora lower `minStopHits` — the probe list
+    * presumes natural English prose).
+    */
+  def passGate(nWords: Column, meanWordLen: Column, symbolRatio: Column,
+      bulletFrac: Column, ellipsisFrac: Column, alphaFrac: Column,
+      stopHits: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column =
+    nWords.geq(minWords) && nWords.leq(maxWords) &&
+      meanWordLen.geq(minMeanWordLen) && meanWordLen.leq(maxMeanWordLen) &&
+      symbolRatio.leq(maxSymbolRatio) &&
+      bulletFrac.leq(maxBulletFrac) &&
+      ellipsisFrac.leq(maxEllipsisFrac) &&
+      alphaFrac.geq(minAlphaFrac) &&
+      stopHits.geq(minStopHits)
+
+  /** All signal columns, named as the q115 gate emits them. */
+  def signals(text: Column): Seq[(String, Column)] = Seq(
+    "n_words" -> nWords(text),
+    "mean_word_len" -> TextOps.avgTokenLen(text),
+    "symbol_ratio" -> symbolRatio(text),
+    "bullet_line_frac" -> bulletLineFrac(text),
+    "ellipsis_line_frac" -> ellipsisLineFrac(text),
+    "alpha_word_frac" -> alphaWordFrac(text),
+    "n_stop_hits" -> stopwordHits(text))
+}

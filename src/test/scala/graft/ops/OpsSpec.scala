@@ -458,6 +458,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(again, "doc_id", "text", k = 10).isEmpty)
   }
 
+  test("spanCoverage: per-doc duplicated-char fraction, span-free docs at 0.0") {
+    val shared = "qwertyuiopasdfghjklzxcvbnm1234" // 30 chars
+    val corpus = Seq(
+      (1L, "headerone!" + shared + "#tailone()"), // 50 chars, 30 dup
+      (2L, "headertwo?" + shared + "%tailtwo[]"),
+      (3L, "09876543210987654321END-UNIQUE"), // 30 chars, one 20-char span
+      (4L, "unique-document-alpha-beta"), // span-free
+      (5L, "") // empty: guard, 0.0 not NaN
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 10)
+    val got = Dedup.spanCoverage(corpus, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"),
+          r.getAs[Int]("total_chars"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((1L, 30L, 50, 0.6)))
+    assert(got(2L) == ((1L, 30L, 50, 0.6)))
+    assert(got(3L) == ((1L, 20L, 30, 20.0 / 30.0)))
+    assert(got(4L) == ((0L, 0L, 26, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0, 0.0)))
+    assert(got.size == 5) // one row per doc, span-free included
+  }
+
   test("duplicatedSpans matches a brute-force reference on dense random corpora (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

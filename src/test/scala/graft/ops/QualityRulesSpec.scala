@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher rule-filter signals (Rae et al. 2021 Appendix A) — hand-checked
+  * on synthetic docs exercising the cases the parquet fixture cannot
+  * (bullet lines, ellipsis lines, symbol soup, non-ASCII words): the q115
+  * gate only proves the corpus-visible signals, this spec proves the rest.
+  */
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(text: String): Map[String, Any] = {
+    val cols = QualityRules.signals(col("t")).map { case (n, c) => c.as(n) }
+    val row = Seq(text).toDF("t").select(cols: _*).collect()(0)
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("symbol ratio counts #, … and non-overlapping ... per word") {
+    // 4 words; one '#', one '…', and '....' = one non-overlapping '...'
+    val m = sig("alpha# beta… gamma.... delta")
+    assert(m("n_words") == 4)
+    assert(m("symbol_ratio") == 3.0 / 4.0)
+    // no symbols at all
+    assert(sig("plain words only")("symbol_ratio") == 0.0)
+    // empty text: word-free guard
+    assert(sig("")("symbol_ratio") == 0.0)
+  }
+
+  test("bullet and ellipsis line fractions over trimmed non-empty lines") {
+    val doc = Seq(
+      "Intro line",
+      "  - first bullet",
+      "* second bullet",
+      "• third bullet",
+      "trailing thought...",
+      "another one…",
+      "   ", // blank line: excluded from the denominator
+      "closing line").mkString("\n")
+    val m = sig(doc)
+    assert(m("bullet_line_frac") == 3.0 / 7.0)
+    assert(m("ellipsis_line_frac") == 2.0 / 7.0)
+    // single-line doc (the fixture shape): denominators of 1
+    val one = sig("- solitary bullet...")
+    assert(one("bullet_line_frac") == 1.0)
+    assert(one("ellipsis_line_frac") == 1.0)
+    assert(sig("")("bullet_line_frac") == 0.0)
+    assert(sig("")("ellipsis_line_frac") == 0.0)
+  }
+
+  test("alpha-word fraction is ASCII-alphabetic presence per word") {
+    // "123" and "!!!" lack [A-Za-z]; "a1" and "λx" (has 'x') count
+    val m = sig("word 123 a1 !!! λx")
+    assert(m("alpha_word_frac") == 3.0 / 5.0)
+    // fully non-ASCII words score 0
+    assert(sig("λλ ΩΩ 42")("alpha_word_frac") == 0.0)
+    assert(sig("")("alpha_word_frac") == 0.0)
+  }
+
+  test("stopword hits count DISTINCT probe words") {
+    val m = sig("the cat and the dog have fun with string to be")
+    // probe hits: the, and, have, with, to, be -> 6 distinct
+    assert(m("n_stop_hits") == 6)
+    assert(sig("no probe words here")("n_stop_hits") == 0)
+  }
+
+  test("pass gate applies the published thresholds conjunctively") {
+    // 60 natural words incl. >=2 probe stopwords: passes everything
+    val good = (Seq("the", "model", "learns", "with", "data") ++
+      (1 to 55).map(i => s"token$i")).mkString(" ")
+    // degenerate: word count below 50
+    val short = "the tiny doc with few words"
+    // bullet-only doc: bullet_line_frac = 1.0 > 0.9
+    val bullets = (1 to 60).map(i => s"- the item$i with text").mkString("\n")
+    val df = Seq((1L, good), (2L, short), (3L, bullets)).toDF("doc_id", "t")
+    val got = df.select(col("doc_id") +:
+        QualityRules.signals(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("pass", QualityRules.passGate(
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"),
+        col("alpha_word_frac"), col("n_stop_hits")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    assert(got(1L), "well-formed prose must pass")
+    assert(!got(2L), "under-length doc must fail")
+    assert(!got(3L), "all-bullet doc must fail")
+  }
+
+  test("signals stay scan-side: no exchange in the plan") {
+    val df = Seq((1L, "the text")).toDF("doc_id", "t")
+      .select(col("doc_id") +:
+        QualityRules.signals(col("t")).map { case (n, c) => c.as(n) }: _*)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"plan shuffles:\n$physical")
+  }
+}
