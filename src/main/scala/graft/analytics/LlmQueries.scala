@@ -1173,6 +1173,41 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q117
+  // Token rarity under the corpus's own unigram model — the rational
+  // surrogate of CCNet's perplexity filter (see TextOps.tokenRarity).
+  // Rarity N/c(tok) is one IEEE division of exact integers; the per-doc
+  // mean folds rarities in token-position order on BOTH engines
+  // (Spark: sort_array + sequential aggregate; DuckDB: list(... ORDER
+  // BY pos) + list_reduce), so the float sums are order-pinned and the
+  // whole row hash-matches.
+  val q117 = QuerySpec.sql(
+    "q117_token_rarity",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |e AS (SELECT doc_id, unnest(toks) AS tok,
+      |        CAST(generate_subscripts(toks, 1) AS INT) AS pos FROM t),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY tok),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      |r AS (SELECT e.doc_id, e.pos,
+      |        CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE) AS rar
+      |      FROM e JOIN c USING (tok) CROSS JOIN n),
+      |a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+      |        list(rar ORDER BY pos) AS lst, MAX(rar) AS max_rarity
+      |      FROM r GROUP BY doc_id),
+      |s AS (SELECT doc_id, n_tokens, max_rarity,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lst), (u,v) -> u + v)
+      |          / n_tokens AS mean_rarity
+      |      FROM a)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_tokens, 0) AS n_tokens,
+      |  COALESCE(s.mean_rarity, 0.0) AS mean_rarity,
+      |  COALESCE(s.max_rarity, 0.0) AS max_rarity
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.tokenRarity(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------- q110 (rows-only: custom rolling hash)
   // Winnowed document fingerprints (MOSS): the tunable-density document
   // sketch with the shared-substring guarantee. Rows-only (the Rabin-
@@ -1342,5 +1377,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116)
+    q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117)
 }

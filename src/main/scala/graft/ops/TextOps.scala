@@ -379,6 +379,66 @@ object TextOps {
     }
   }
 
+  // ------------------------------------------------ token-rarity signal
+
+  /** Per-document mean/max token rarity under the corpus's own unigram
+    * model — the self-trained analog of CCNet's LM-perplexity quality
+    * filter (Wenzek et al. 2020): documents whose tokens are improbable
+    * under the corpus distribution (lexical junk, encoding garbage,
+    * exhaustive ID lists) score high; formulaic common-token text scores
+    * low. Rarity is the RATIONAL surrogate `N / count(token)` (inverse
+    * unigram probability) rather than `-log p`: every step is an
+    * IEEE-exact division of exact integers, so an external referee
+    * reproduces it bit-for-bit (`ln` is correctly-rounded on no libm —
+    * the same trade [[tfIdfTopK]]'s linear idf makes), and the per-doc
+    * mean folds rarities in token-position order so the float sum is
+    * order-pinned on both engines.
+    *
+    * Shape at 100 TB: token counts collapse map-side to one vocab-sized
+    * exchange (the [[buildVocab]] path) and are MATERIALIZED once
+    * (localCheckpoint) for both the total and the join. Unlike
+    * [[bm25TopK]]'s df there is no query-term set to semi-join down to —
+    * every corpus token needs its own count — so the counts meet the
+    * tokens through a token-keyed shuffle join (short-string keys, both
+    * sides text-free beyond the token itself), NOT a broadcast of the
+    * corpus-vocabulary-sized frame; AQE downgrades it to broadcast on
+    * small inputs. The 1-row total rides as a broadcast cross join (the
+    * q83 pattern), and the per-doc fold moves only `(id, pos, rarity)` —
+    * 8-byte fields — through one doc-keyed exchange, each doc's sorted
+    * fold list doc-sized.
+    *
+    * Output: (idCol, n_tokens, mean_rarity, max_rarity), one row per
+    * document; token-free docs report 0.0.
+    */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = parallelized(docs)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "__t")))
+    // materialized: feeds both the count aggregate and the rarity join
+    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val rar = toks
+      .join(counts, Seq("__t"))
+      .join(broadcast(total))
+      .select(col(idCol), col("pos"),
+        (col("__n").cast(DoubleType) / col("__c").cast(DoubleType)).as("__r"))
+    val perDoc = rar.groupBy(col(idCol)).agg(
+      count(lit(1)).cast(IntegerType).as("n_tokens"),
+      sort_array(collect_list(struct(col("pos"), col("__r")))).as("__lst"),
+      max(col("__r")).as("max_rarity"))
+      .select(col(idCol), col("n_tokens"),
+        (aggregate(col("__lst"), lit(0.0), (acc, x) => acc + x.getField("__r"))
+          / col("n_tokens")).as("mean_rarity"),
+        col("max_rarity"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("mean_rarity"), lit(0.0)).as("mean_rarity"),
+        coalesce(col("max_rarity"), lit(0.0)).as("max_rarity"))
+  }
+
   // ---------------------------------------------- compression-ratio signal
 
   /** DEFLATE length of the text's UTF-8 bytes (native scan-side

@@ -137,8 +137,10 @@ class PlanSpec extends SparkSpec {
     //      collect of N)
     // q102: same pattern — (N, avgdl) as a 1-row broadcast into the
     //      BM25 per-term scores
+    // q117: same pattern — the corpus token total as a 1-row broadcast
+    //      riding into every token's rarity
     val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords",
-      "q102_bm25_topk")
+      "q102_bm25_topk", "q117_token_rarity")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

@@ -153,6 +153,51 @@ class TextOpsSpec extends SparkSpec {
       assert(got(s) == ((toks.length, toks.distinct.length, expectAvg)), s"for <$s>")
     }
   }
+
+  test("tokenRarity: corpus-relative rarity, rare tokens dominate, token-free docs zero") {
+    // counts: the=4, common=2, rare=1; N=7
+    val corpus = Seq(
+      (1L, "the the the rare"),
+      (2L, "the common common"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.tokenRarity(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("mean_rarity"),
+          r.getAs[Double]("max_rarity")))).toMap
+    assert(got(1L) == ((4, (((0.0 + 7.0 / 4) + 7.0 / 4) + 7.0 / 4 + 7.0) / 4, 7.0)))
+    assert(got(2L) == ((3, ((0.0 + 7.0 / 4) + 7.0 / 2 + 7.0 / 2) / 3, 7.0 / 2)))
+    assert(got(3L) == ((0, 0.0, 0.0)))
+    assert(got.size == 3)
+  }
+
+  test("tokenRarity matches a plain-JVM position-ordered fold bit-for-bit (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("ape", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    var seed = Seed(29L)
+    def next(): String = { val t = doc.pureApply(Gen.Parameters.default, seed); seed = seed.next; t }
+    def ref(corpus: Seq[(Long, String)]): Map[Long, (Int, Double, Double)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = counts.values.sum
+      toks.map { case (id, ts) =>
+        if (ts.isEmpty) id -> ((0, 0.0, 0.0))
+        else {
+          // position-ordered left fold from 0.0 — the operator's exact order
+          val rars = ts.map(t => n.toDouble / counts(t).toDouble)
+          id -> ((ts.size, rars.foldLeft(0.0)(_ + _) / ts.size, rars.max))
+        }
+      }.toMap
+    }
+    (1 to 5).foreach { round =>
+      val corpus = (1 to 30).map(i => (i.toLong, next()))
+      val got = TextOps.tokenRarity(corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got == ref(corpus), s"round $round")
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {
