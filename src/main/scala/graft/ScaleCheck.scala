@@ -96,14 +96,24 @@ object ScaleCheck {
     run("substring_spans",
       ops.Dedup.duplicatedSpans(docs1, "doc_id", "text", 25),
       ops.Dedup.duplicatedSpans(docsNd, "doc_id", "text", 25))
-    // The fully-enabled pipeline (substring-strip + containment stages
-    // on) uses the rotated blow-up for the same reason those stages'
-    // standalone entries do below.
+    // The fully-enabled pipeline (rule gate + substring-strip +
+    // containment stages on) uses the rotated blow-up for the same
+    // reason those stages' standalone entries do below. The rule gate is
+    // a scan-side filter (trivially linear); enabling it here checks the
+    // COMPOSITION — the gate must shrink, never inflate, every
+    // downstream stage's growth. minStopHits=0: the stopword probe is
+    // the ONE signal vowel rotation breaks ("the" -> "thi"), and a gate
+    // that drops only rotated copies would deflate the N-side corpus
+    // and hide superlinearity; every other signal is rotation-invariant
+    // (vowels map to vowels, word geometry and symbols unchanged), so
+    // each copy of a passing doc passes and the blow-up stays a true
+    // factor-x for every downstream stage.
+    val gateR = Some(ops.QualityRules.gate(col("text"), minStopHits = 0))
     run("curate_corpus_full",
       ops.Curation.curateCorpus(train(docs1), bench(docs1), "doc_id", "text", "source",
-        substrK = Some(25), containment = Some(0.8)),
+        substrK = Some(25), containment = Some(0.8), ruleGate = gateR),
       ops.Curation.curateCorpus(train(docsNd), bench(docsNd), "doc_id", "text", "source",
-        substrK = Some(25), containment = Some(0.8)))
+        substrK = Some(25), containment = Some(0.8), ruleGate = gateR))
     // Containment + source overlap reuse the rotated blow-up for the
     // same reason as substring spans: verbatim copies would make every
     // doc a cross-copy exact dup (candidate density 100% — degenerate,

@@ -533,14 +533,14 @@ object CurationQueries {
   private val duckStops95 =
     TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-  // CTE prefix replaying stages 1-4 (through k3) — shared verbatim by
-  // q95's row-level gate and q109's per-source funnel counts, exactly as
-  // the engine side shares Curation.curationStages.
-  private val q95StagesCtes =
-    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-      |e AS (SELECT doc_id, source, text FROM (
-      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM corpus) WHERE doc_id = keep),
+  // CTE chain replaying stages 1-4 (through k3) from relation `src` —
+  // shared verbatim by q95's row-level gate, q109's per-source funnel
+  // counts (src=corpus), and q118's rule-gated funnel (src=the
+  // rule-filtered corpus), exactly as the engine side shares
+  // Curation.curationStages.
+  private def q95ChainCtes(src: String): String =
+    s"""e AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM $src) WHERE doc_id = keep),
       |t AS (SELECT doc_id, $duckToks95 AS toks FROM e),
       |s AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM t),
       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -575,6 +575,10 @@ object CurationQueries {
       |w3 AS (SELECT doc_id, source, score,
       |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
       |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+  private val q95StagesCtes =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${q95ChainCtes("corpus")}""".stripMargin
   val q95 = QuerySpec.sql(
     "q95_curation_pipeline",
     s"""$q95StagesCtes
@@ -605,6 +609,7 @@ object CurationQueries {
       |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
       |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
       |SELECT ic.source, ic.n_in,
+      |  ic.n_in AS n_rules_kept,
       |  COALESCE(ec.n, 0) AS n_exact_kept,
       |  COALESCE(nc.n, 0) AS n_neardup_kept,
       |  COALESCE(cc.n, 0) AS n_decontam_kept,
@@ -714,6 +719,7 @@ object CurationQueries {
       |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
       |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
       |SELECT ic.source, ic.n_in,
+      |  ic.n_in AS n_rules_kept,
       |  COALESCE(ec.n, 0) AS n_exact_kept,
       |  COALESCE(nc.n, 0) AS n_neardup_kept,
       |  COALESCE(cc.n, 0) AS n_decontam_kept,
@@ -730,6 +736,48 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q118
+  // Per-source funnel with the opt-in quality-rule gate (stage 0) ON:
+  // the Gopher rule set drops documents BEFORE any dedup work (the
+  // published pipeline order — a scan-side predicate costs one corpus
+  // pass and shrinks every downstream shuffle), and the funnel's
+  // n_rules_kept column gates the stage in composition with the default
+  // chain. The oracle shares q115's signal CTEs (gt/gm/gs) and replays
+  // the q95 stage chain from the rule-filtered corpus; minStopHits=1 is
+  // the fixture convention (see q115).
+  val q118 = QuerySpec.sql(
+    "q118_curation_funnel_rules",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${LlmQueries.gopherSignalCtes("corpus", "g")},
+      |rk AS (SELECT c.* FROM corpus c JOIN gs USING (doc_id)
+      |  WHERE ${LlmQueries.gopherGateSql}),
+      |${q95ChainCtes("rk")},
+      |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
+      |rc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM rk GROUP BY source),
+      |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY source),
+      |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2s GROUP BY source),
+      |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
+      |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
+      |SELECT ic.source, ic.n_in,
+      |  COALESCE(rc.n, 0) AS n_rules_kept,
+      |  COALESCE(ec.n, 0) AS n_exact_kept,
+      |  COALESCE(nc.n, 0) AS n_neardup_kept,
+      |  COALESCE(cc.n, 0) AS n_decontam_kept,
+      |  COALESCE(fc.n, 0) AS n_final
+      |FROM ic LEFT JOIN rc USING (source) LEFT JOIN ec USING (source)
+      |LEFT JOIN nc USING (source) LEFT JOIN cc USING (source)
+      |LEFT JOIN fc USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curationFunnel(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118)
 }

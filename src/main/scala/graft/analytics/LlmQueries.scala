@@ -1083,15 +1083,21 @@ object LlmQueries {
     """list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"""
   private val duckStopProbe =
     graft.ops.QualityRules.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  val q115 = QuerySpec.sql(
-    "q115_gopher_rules",
-    s"""WITH t AS (
-      |  SELECT doc_id, text, $duckToks AS toks, $duckLines AS ls FROM documents
-      |), m AS (
+  /** Gopher-signal CTE chain over relation `src` (needs doc_id, text):
+    * emits `${p}t`, `${p}m`, `${p}s`, with `${p}s` carrying doc_id plus
+    * the seven signal columns. Shared by q115 and the rule-gated funnel
+    * oracle (q118 in CurationQueries), exactly as the engine side shares
+    * [[graft.ops.QualityRules]] between the q115 surface and
+    * Curation's opt-in stage 0.
+    */
+  private[analytics] def gopherSignalCtes(src: String, p: String = ""): String =
+    s"""${p}t AS (
+      |  SELECT doc_id, text, $duckToks AS toks, $duckLines AS ls FROM $src
+      |), ${p}m AS (
       |  SELECT doc_id, text, toks, ls, len(toks) AS n_toks, len(ls) AS n_ls,
       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (u,v) -> u + v) AS DOUBLE) AS tok_chars
-      |  FROM t
-      |), s AS (
+      |  FROM ${p}t
+      |), ${p}s AS (
       |  SELECT doc_id,
       |    CAST(n_toks AS INT) AS n_words,
       |    CASE WHEN n_toks > 0 THEN tok_chars / n_toks ELSE 0.0 END AS mean_word_len,
@@ -1110,14 +1116,22 @@ object LlmQueries {
       |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
       |      / CAST(n_toks AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
       |    CAST(len(list_intersect(list_distinct(toks), $duckStopProbe)) AS INT) AS n_stop_hits
-      |  FROM m)
-      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-      |  ellipsis_line_frac, alpha_word_frac, n_stop_hits,
-      |  (n_words >= 50 AND n_words <= 100000
+      |  FROM ${p}m)""".stripMargin
+  /** The conjunction gate over `${p}s`'s signal columns (fixture
+    * convention minStopHits=1, see the q115 comment).
+    */
+  private[analytics] val gopherGateSql: String =
+    """(n_words >= 50 AND n_words <= 100000
       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
       |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
       |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-      |   AND n_stop_hits >= 1) AS pass_gopher
+      |   AND n_stop_hits >= 1)""".stripMargin
+  val q115 = QuerySpec.sql(
+    "q115_gopher_rules",
+    s"""WITH ${gopherSignalCtes("documents")}
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+      |  ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+      |  $gopherGateSql AS pass_gopher
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.ops.QualityRules
     Tables.documents(s, d)

@@ -60,6 +60,12 @@ object Curation {
     * "a training-data user runs their whole pipeline on this engine"
     * surface:
     *
+    *  0. (opt-in via `ruleGate = Some(predicate)`) document quality
+    *     rules: drop documents failing the gate BEFORE any dedup work —
+    *     the published stacks (Gopher, RefinedWeb, Dolma) run rule
+    *     filters first because a scan-side per-row predicate costs one
+    *     corpus pass and shrinks every downstream shuffle. Callers pass
+    *     e.g. `QualityRules.gate(col(textCol), minStopHits = 1)`.
     *  1. exact dedup (keep min id per identical text — one keyed window)
     *  1b. (opt-in via `substrK = Some(k)`) substring-level dedup: strip
     *     every duplicated-across-the-corpus k-char span from surviving
@@ -105,27 +111,37 @@ object Curation {
       nTiles: Int = 10, keepTiles: Int = 7,
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       substrK: Option[Int] = None,
-      containment: Option[Double] = None)
+      containment: Option[Double] = None,
+      ruleGate: Option[Column] = None)
       : DataFrame =
     hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
-      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment).pruned,
+      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
+      ruleGate).pruned,
       idCol, weights)
 
   /** The stage-boundary frames of [[curateCorpus]] — one chain, two
     * consumers (the split pipeline and [[curationFunnel]]'s report), so
-    * the stage semantics can never drift between them.
+    * the stage semantics can never drift between them. `ruleKept` is
+    * `docs` itself when the rule gate is off (everything passes a
+    * disabled gate).
     */
-  final case class CurationStages(exactKept: DataFrame, nearKept: DataFrame,
-      clean: DataFrame, pruned: DataFrame)
+  final case class CurationStages(ruleKept: DataFrame, exactKept: DataFrame,
+      nearKept: DataFrame, clean: DataFrame, pruned: DataFrame)
 
   def curationStages(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       nearDupThreshold: Double = 0.5, decontamK: Int = 5,
       nTiles: Int = 10, keepTiles: Int = 7,
       substrK: Option[Int] = None,
-      containment: Option[Double] = None)
+      containment: Option[Double] = None,
+      ruleGate: Option[Column] = None)
       : CurationStages = {
-    val exactDeduped = Dedup.exact(docs, idCol, Seq(textCol)).localCheckpoint()
+    // Stage 0 is a pure scan-side filter: it fuses into the parquet scan
+    // of the exact-dedup stage, so it is NOT checkpointed — the only
+    // second consumer is the funnel's count, which re-runs one cheap
+    // codegen'd pass rather than paying an executor-storage write.
+    val admitted = ruleGate.map(docs.filter).getOrElse(docs)
+    val exactDeduped = Dedup.exact(admitted, idCol, Seq(textCol)).localCheckpoint()
     val exactKept = substrK match {
       case None => exactDeduped
       case Some(k) =>
@@ -166,40 +182,46 @@ object Curation {
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
     val scored = clean.select(col(idCol), col(sourceCol),
       TextOps.qualityScore(col(textCol)).as("score"))
-    CurationStages(exactKept, nearKept, clean,
+    CurationStages(admitted, exactKept, nearKept, clean,
       Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles))
   }
 
   /** Per-source curation funnel — the counts every pipeline's data card
-    * publishes: documents in, surviving exact dedup, surviving near-dup
-    * (and opt-in containment) dedup, surviving decontamination, and in
-    * the final quality-pruned corpus. Sources whose documents are all
+    * publishes: documents in, passing the (opt-in) quality-rule gate,
+    * surviving exact dedup, surviving near-dup (and opt-in containment)
+    * dedup, surviving decontamination, and in the final quality-pruned
+    * corpus. Sources whose documents are all
     * dropped at some stage still appear (zero counts): a source that
     * VANISHES is precisely what the report exists to surface.
     *
     * Cost is the pipeline's own cost (the stage chain runs once — stage
     * boundaries are checkpointed inside [[curationStages]]; the five
     * per-source aggregates each reduce a checkpointed frame to
-    * source-cardinality rows). Output: (sourceCol, n_in, n_exact_kept,
-    * n_neardup_kept, n_decontam_kept, n_final).
+    * source-cardinality rows). Output: (sourceCol, n_in, n_rules_kept,
+    * n_exact_kept, n_neardup_kept, n_decontam_kept, n_final);
+    * `n_rules_kept` equals `n_in` when the rule gate is off.
     */
   def curationFunnel(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       nearDupThreshold: Double = 0.5, decontamK: Int = 5,
       nTiles: Int = 10, keepTiles: Int = 7,
       substrK: Option[Int] = None,
-      containment: Option[Double] = None)
+      containment: Option[Double] = None,
+      ruleGate: Option[Column] = None)
       : DataFrame = {
     val st = curationStages(docs, bench, idCol, textCol, sourceCol,
-      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment)
+      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
+      ruleGate)
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
     counts(docs, "n_in")
+      .join(counts(st.ruleKept, "n_rules_kept"), Seq(sourceCol), "left")
       .join(counts(st.exactKept, "n_exact_kept"), Seq(sourceCol), "left")
       .join(counts(st.nearKept, "n_neardup_kept"), Seq(sourceCol), "left")
       .join(counts(st.clean, "n_decontam_kept"), Seq(sourceCol), "left")
       .join(counts(st.pruned, "n_final"), Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_in"),
+        coalesce(col("n_rules_kept"), lit(0L)).as("n_rules_kept"),
         coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
         coalesce(col("n_neardup_kept"), lit(0L)).as("n_neardup_kept"),
         coalesce(col("n_decontam_kept"), lit(0L)).as("n_decontam_kept"),

@@ -123,6 +123,26 @@ object QualityRules {
       alphaFrac.geq(minAlphaFrac) &&
       stopHits.geq(minStopHits)
 
+  /** The whole rule set as ONE text-level predicate — the form a
+    * pipeline stage consumes ([[Curation.curationStages]]'s opt-in
+    * stage 0): signals are recomputed inline in a single scan-side
+    * projection (Catalyst subexpression-eliminates the shared token
+    * array), so filtering costs one codegen'd corpus pass.
+    */
+  def gate(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val s = signals(text).toMap
+    passGate(s("n_words"), s("mean_word_len"), s("symbol_ratio"),
+      s("bullet_line_frac"), s("ellipsis_line_frac"), s("alpha_word_frac"),
+      s("n_stop_hits"), minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, maxBulletFrac, maxEllipsisFrac, minAlphaFrac,
+      minStopHits)
+  }
+
   /** All signal columns, named as the q115 gate emits them. */
   def signals(text: Column): Seq[(String, Column)] = Seq(
     "n_words" -> nWords(text),

@@ -190,11 +190,35 @@ class CurationSpec extends SparkSpec {
     val got = Curation.curationFunnel(docs, bench, "doc_id", "text", "source",
       nTiles = 2, keepTiles = 2)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
     assert(got.keySet == Set("s", "gone"))
-    assert(got("gone") == ((1L, 0L, 0L, 0L, 0L))) // in the report, all zeros
+    // rule gate off: n_rules_kept mirrors n_in (everything passes a
+    // disabled gate), then zeros from the stage that drops the source
+    assert(got("gone") == ((1L, 1L, 0L, 0L, 0L, 0L)))
     // s: 5 in, exact keeps 1,3,4,5,6; near-dup drops 3; decontam drops 5; tiles keep all
-    assert(got("s") == ((5L, 5L, 4L, 3L, 3L)))
+    assert(got("s") == ((5L, 5L, 5L, 4L, 3L, 3L)))
+  }
+
+  test("curateCorpus ruleGate: junk drops at stage 0, funnel reports the stage") {
+    val docs = Seq(
+      (1L, "s", "the quality engine keeps ordinary documents looking like natural prose with enough words"),
+      (2L, "s", "#### 1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 !!!!"), // no alphabetic words
+      (3L, "s", "tiny document"),                                               // below the word floor
+      (4L, "s", "another ordinary article that describes the data pipeline with plain simple words throughout")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq(
+      (100L, "b", "benchmark content sharing nothing with corpus rows at all honestly")
+    ).toDF("doc_id", "source", "text")
+    val gate = QualityRules.gate(col("text"), minWords = 10, minStopHits = 1)
+    val out = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, ruleGate = Some(gate))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 4L), out.toString)
+    val funnel = Curation.curationFunnel(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, ruleGate = Some(gate))
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(funnel("s") == Seq(4L, 2L, 2L, 2L, 2L, 2L), funnel.toString)
   }
 
   test("writeShards: hive layout one dir per shard, manifest exact, roundtrip complete") {
