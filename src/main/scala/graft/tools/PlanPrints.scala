@@ -16,6 +16,17 @@ import graft.GraftSession
   * Normalization strips run-variant tokens (expression ids, plan ids,
   * data paths, statistics) so the hash covers plan STRUCTURE: operators,
   * join strategies, pushed filters, read schemas.
+  *
+  * The SHA additionally hashes each line as a sorted token multiset
+  * rather than verbatim text: RewriteDistinctAggregates orders its
+  * Expand branches by expression-id-dependent map iteration, so merely
+  * REGISTERING a new query shifts the global exprId counter and can swap
+  * branch order (and every downstream Input/Keys/Results column order)
+  * in an unrelated multi-count-distinct plan — same operators, same
+  * columns, different text. Token-sorting makes the hash blind to
+  * within-line ordering while still catching real drift (operator,
+  * strategy, filter, or column-SET changes). PLANS_DUMP.txt keeps the
+  * readable, order-preserving form for human diffing.
   */
 object PlanPrints {
   def main(args: Array[String]): Unit = {
@@ -56,7 +67,10 @@ object PlanPrints {
             val id = seen.getOrElseUpdate(m.group(1) + "_" + m.group(2), seen.size)
             java.util.regex.Matcher.quoteReplacement(s"lambda ${m.group(1)}_$id")
           })
-          val h = sha.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val hashForm = norm.linesIterator
+            .map(_.split("[\\s,\\[\\]()]+").filter(_.nonEmpty).sorted.mkString(" "))
+            .mkString("\n")
+          val h = sha.digest(hashForm.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val nOps = "\\(\\d+\\) ".r.findAllIn(norm).size
           dump.append(s"\n======== ${q.name} ========\n").append(norm).append("\n")
           f"${q.name}%-34s ${h.take(16)} ops=$nOps"
