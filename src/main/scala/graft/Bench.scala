@@ -25,11 +25,10 @@ object Bench {
     try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_warm_ckpt").toString
       val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-      val q = spark.readStream.schema(schema)
+      val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet("/root/testdata/sf0.001")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val q = graft.analytics.Tables.tsInstant(raw)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id")
         .writeStream

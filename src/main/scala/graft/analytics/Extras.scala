@@ -126,12 +126,12 @@ object Extras {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val streamNtz = Tables.tsNtz(stream)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     withStreamingPartitions(s, 8) {
-      val q = stream.writeStream
+      val q = streamNtz.writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -312,9 +312,9 @@ object Extras {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+    val streamTs = Tables.tsInstant(stream)
     val deduped = graft.streaming.FileIngest.dedupByKey(
-      stream, Seq("user_id", "event_type"), "ts", "1 hour")
+      streamTs, Seq("user_id", "event_type"), "ts", "1 hour")
       .select("user_id", "event_type")
     withStreamingPartitions(s, 8) {
       val q = deduped.writeStream
@@ -358,11 +358,11 @@ object Extras {
       // watermarks require TIMESTAMP (not NTZ); the session is pinned UTC
       // so the instant equals the NTZ value — outputs cast back to NTZ at
       // the sink for oracle alignment
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val views = stream.filter(col("event_type") === "view")
+    val streamTs = Tables.tsInstant(stream)
+    val views = streamTs.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    val purchases = stream.filter(col("event_type") === "purchase")
+    val purchases = streamTs.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
     val joined = views.join(purchases,
@@ -430,12 +430,13 @@ object Extras {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamTs = Tables.tsInstant(stream)
+    val streamSel = streamTs
       .select(col("user_id"), col("ts"))
       .withWatermark("ts", "1 hour")
     implicit val enc = org.apache.spark.sql.Encoders.product[Sessionize.TimedEvent]
     val sessions = Sessionize.sessionizeEventTime(
-      stream.as[Sessionize.TimedEvent], q78GapMs)
+      streamSel.as[Sessionize.TimedEvent], q78GapMs)
     withStreamingPartitions(s, 8) {
       val q = sessions.writeStream
         .outputMode("append")

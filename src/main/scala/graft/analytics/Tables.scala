@@ -4,14 +4,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided TPC-H-ish parquet fixtures
-  * (/root/repo/TESTDATA.md). One quirk: `events.ts` is parquet
-  * TIMESTAMP(NANOS), which Spark does not read natively — we read it as a
-  * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and expose both
-  * the raw `ts_ns` long and a microsecond-truncated `timestamp_ntz` `ts`
+  * (/root/repo/TESTDATA.md). One quirk: `events.ts` has shipped in two
+  * physical layouts across fixture generations — parquet TIMESTAMP(NANOS)
+  * (read as a nanosecond long via `spark.sql.legacy.parquet.nanosAsLong`)
+  * and native timestamp[us]. [[events]]/[[tsNtz]]/[[tsInstant]] normalize
+  * both to the same logical shape: `ts` as microsecond `timestamp_ntz`
   * (identical to what DuckDB's `CAST(ts AS TIMESTAMP)` produces, so oracle
-  * comparisons line up).
+  * comparisons line up) plus the epoch-nanosecond long `ts_ns`.
   */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** Rewrite a raw events frame's `ts` to microsecond `timestamp_ntz`,
+    * whichever physical layout the fixture uses. Works on batch and
+    * streaming frames alike; scan-side, no shuffle.
+    */
+  def tsNtz(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    case TimestampNTZType => df
+    case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  /** Like [[tsNtz]] but lands on TIMESTAMP (an instant) — what watermarks
+    * require. The session is pinned UTC, so the instant's epoch equals the
+    * NTZ wall-clock value and `epoch_us`-style oracle arithmetic agrees.
+    */
+  def tsInstant(df: DataFrame): DataFrame =
+    tsNtz(df).withColumn("ts", col("ts").cast("timestamp"))
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -27,12 +47,24 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** events with `ts` as timestamp_ntz at microsecond precision and the
-    * original nanoseconds kept as `ts_ns`.
+    * epoch nanoseconds kept as `ts_ns` (column positions identical across
+    * both physical fixture layouts: ts_ns where the raw ts sat, ts
+    * appended last).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        val cols = raw.columns.map {
+          case "ts" =>
+            (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns")
+          case c => col(c)
+        }
+        raw.select(cols.toIndexedSeq :+ col("ts").cast("timestamp_ntz").as("ts"): _*)
+    }
   }
 }
