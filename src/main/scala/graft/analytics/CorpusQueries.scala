@@ -1,0 +1,278 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.{Dedup, QualityRules, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+
+/** Round-6 corpus-curation surfaces: paragraph-granularity dedup, DSIR
+  * importance weights, encoding audits, BPE merge-pair counting, the
+  * n-gram novelty profile, streaming CDC apply, and the Dolma-style
+  * per-document attribute table. Every oracle reproduces the engine's
+  * arithmetic exactly (integer counts, single IEEE divisions, ordered
+  * float folds), so each query is hash-checked.
+  */
+object CorpusQueries {
+
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  /** DuckDB word-k-shingle fragment over a `toks` list column (mirrors
+    * Dedup.shingles: distinct windows, chr(1) separator, join-all
+    * fallback below k tokens).
+    */
+  private def duckShingles(k: Int): String =
+    s"""CASE WHEN len(toks) >= $k
+       | THEN list_distinct(list_transform(range(len(toks)-${k - 1}),
+       |   i -> concat_ws(chr(1), ${(1 to k).map(j => s"toks[i+$j]").mkString(", ")})))
+       | ELSE [array_to_string(toks, chr(1))] END""".stripMargin
+
+  private def withStreamingPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // --------------------------------------------------------------- q119
+  // CCNet-style paragraph-level dedup (Dedup.paragraphDedup). The
+  // synthetic corpus is single-line, so the query paragraphizes
+  // deterministically first — 10-token chunks, rebuilt identically on
+  // both engines — then runs the real keep-first-occurrence paragraph
+  // dedup. Winners compare (doc_id, index) within each engine's own
+  // index base (0- vs 1-based), which orders occurrences identically.
+  val q119 = QuerySpec.sql(
+    "q119_paragraph_dedup",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |p AS (SELECT doc_id, list_transform(range((len(toks)+9)//10),
+      |        i -> array_to_string(toks[i*10+1:i*10+10], ' ')) AS paras FROM t),
+      |e AS (SELECT doc_id, unnest(paras) AS para,
+      |        unnest(generate_series(1, len(paras))) AS idx FROM p),
+      |n AS (SELECT doc_id, idx, para, lower(trim(para)) AS norm
+      |      FROM e WHERE length(trim(para)) > 0),
+      |k AS (SELECT doc_id, idx, para,
+      |        ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn FROM n),
+      |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |        CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |        coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE rn = 1),
+      |          chr(10)), '') AS kept_text
+      |      FROM k GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(g.n_paras, 0) AS n_paras,
+      |  coalesce(g.n_kept, 0) AS n_kept, coalesce(g.kept_text, '') AS kept_text
+      |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toksC = TextOps.tokens(col("text"))
+    val nChunks = ((size(toksC) + lit(9)) / lit(10)).cast(IntegerType)
+    val paras = when(size(toksC) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), nChunks - lit(1)),
+        i => concat_ws(" ", slice(toksC, i * lit(10) + lit(1), lit(10)))))
+    Dedup.paragraphDedup(
+      Tables.documents(s, d).withColumn("__paras", paras), "doc_id", "__paras")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q120
+  // DSIR importance weights (TextOps.dsirScores scaladoc for the two
+  // deliberate departures: explicit df-ranked vocab, first-order
+  // λ−1 score). Target distribution: the English slice. The per-doc
+  // float SUM folds in ascending-token order on BOTH engines.
+  val q120 = QuerySpec.sql(
+    "q120_dsir_weights",
+    s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, unnest($duckToks) AS t
+      |  FROM documents),
+      |counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cr,
+      |    CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+      |  FROM toks GROUP BY t),
+      |vocab AS (SELECT t, cr, ct FROM counts ORDER BY cr DESC, t ASC LIMIT 1000),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+      |w AS (SELECT t,
+      |    ((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+      |     / (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))) - 1.0 AS lam1
+      |  FROM vocab CROSS JOIN tot),
+      |per AS (SELECT toks.doc_id, toks.t, w.lam1 FROM toks JOIN w USING (t)),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_vocab_tokens,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lam1 ORDER BY t)),
+      |      (a, x) -> a + x) AS dsir_score
+      |  FROM per GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT base.doc_id, n_tokens,
+      |  coalesce(n_vocab_tokens, CAST(0 AS BIGINT)) AS n_vocab_tokens,
+      |  coalesce(dsir_score, 0.0) AS dsir_score
+      |FROM base LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.dsirScores(Tables.documents(s, d), "doc_id", "text",
+      isTarget = col("lang") === "en", vocabSize = 1000)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q121
+  // Encoding audit (TextOps.encodingAudit). The clean synthetic corpus
+  // gets deterministic damage injected from doc_id arithmetic (the q75
+  // PII pattern): mojibake markers on %3, a BEL control char on %4 —
+  // then the tripwire counts are computed scan-side and replayed
+  // exactly by the oracle (replace/regexp length arithmetic, integers
+  // only).
+  val q121 = QuerySpec.sql(
+    "q121_encoding_audit",
+    """WITH t AS (SELECT doc_id,
+      |  concat(text,
+      |    CASE WHEN doc_id % 3 = 0 THEN ' Ã© â€™ �' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(7) ELSE '' END) AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(s) - length(replace(s, '�', '')) AS BIGINT) AS n_replacement,
+      |  CAST((length(s) - length(replace(s, 'Ã', '')))
+      |    + (length(s) - length(replace(s, 'â€', ''))) // 2 AS BIGINT) AS n_mojibake,
+      |  CAST(length(regexp_replace(s, '[^\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_control,
+      |  CAST(length(regexp_replace(s, '[\x09\x0A\x0D\x20-\x7E]', '', 'g')) AS BIGINT) AS n_nonascii
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(" Ã© â€™ �")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("\u0007")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id") +:
+        TextOps.encodingAudit(injected).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q122
+  // BPE first-merge pair counts (TextOps.bpePairCounts scaladoc: pair
+  // explosion over the counted VOCABULARY, not the corpus). Top-50 by
+  // weighted count desc, pair asc — a total order, so LIMIT agrees.
+  val q122 = QuerySpec.sql(
+    "q122_bpe_pairs",
+    s"""WITH tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY t),
+      |p AS (SELECT unnest(list_transform(range(length(t) - 1),
+      |        i -> substring(t, i + 1, 2))) AS pair, c
+      |      FROM tc WHERE length(t) >= 2)
+      |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin) { (s, d) =>
+    TextOps.bpePairCounts(Tables.documents(s, d), "text", k = 50)
+  }
+
+  // --------------------------------------------------------------- q123
+  // n-gram novelty profile (Dedup.ngramNoveltyProfile): how much n-gram
+  // mass is cross-document shared, per window length.
+  private val q123Ns = Seq(2, 3, 5)
+  private def q123Block(n: Int): String =
+    s"""SELECT CAST($n AS INT) AS n,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs_total,
+       |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM s$n
+       |     JOIN d$n USING (sh) WHERE df >= 2) AS n_docs_shared,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d$n) AS n_grams_distinct,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d$n WHERE df >= 2) AS n_grams_shared""".stripMargin
+  val q123 = QuerySpec.sql(
+    "q123_ngram_novelty",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |${q123Ns.map(n =>
+        s"""s$n AS (SELECT doc_id, unnest(${duckShingles(n)}) AS sh FROM t),
+           |d$n AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM s$n GROUP BY sh)""".stripMargin)
+        .mkString(",\n")}
+      |${q123Ns.map(q123Block).mkString("\nUNION ALL\n")}
+      |ORDER BY n""".stripMargin) { (s, d) =>
+    Dedup.ngramNoveltyProfile(Tables.documents(s, d), "doc_id", "text", q123Ns)
+  }
+
+  // --------------------------------------------------------------- q124
+  // Streaming CDC apply: the q97 binlog fixture consumed as a REAL
+  // multi-batch stream (text file source over the rotated segments,
+  // maxFilesPerTrigger=1 → one micro-batch per segment), each batch
+  // folded into a hash-bucketed lake-resident state table with partial
+  // bucket rewrites (streaming/CdcApply — tombstones kept, so the final
+  // state is independent of batch boundaries and arrival order). The
+  // oracle is q97's closed form: the same final state a batch replay
+  // reaches.
+  val q124 = QuerySpec.sql(
+    "q124_stream_cdc_apply",
+    """SELECT * FROM (
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+      |       WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey * 10 + 3
+      |            WHEN o_orderkey % 7 = 0 THEN o_orderkey * 10 + 2
+      |            ELSE 0 END AS BIGINT) AS seq
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderkey * 10 + 4 AS BIGINT) AS seq
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.streaming.CdcApply
+    val dir = CurationQueries.changelogFixture(s, d)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_q124_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q124_ckpt").toString
+    CdcApply.initState(o, stateDir, Seq("o_orderkey"), "seq", nBuckets = 16)
+    val lines = s.readStream.option("maxFilesPerTrigger", "1").text(dir)
+    val parsed = lines
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast(LongType).as("seq"),
+        col("p").getItem(1).as("op"),
+        from_json(col("p").getItem(2), o.schema).as("__r"))
+      .select(col("seq") +: col("op") +: o.columns.map(f => col(s"__r.$f")): _*)
+    withStreamingPartitions(s, 8) {
+      val q = parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          CdcApply.processBatch(batch, stateDir, Seq("o_orderkey"),
+            versionCol = "seq", opCol = "op", nBuckets = 16)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    CdcApply.currentState(s, stateDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq")
+      .orderBy("o_orderkey")
+  }
+
+  // --------------------------------------------------------------- q125
+  // Dolma-style per-document attribute table (Soldaini et al. 2024:
+  // curation emits ATTRIBUTES per doc, the filter is a separate pass
+  // reading them): the seven Gopher signals, the exact-duplicate flag,
+  // the keep decision and its first-failing reason. The dup flag uses
+  // the q34 exchange shape (8-byte hash key, (hash, text) window so
+  // collisions stay separate).
+  val q125 = QuerySpec.sql(
+    "q125_doc_attributes",
+    s"""WITH ${LlmQueries.gopherSignalCtes("documents")},
+      |dup AS (SELECT doc_id,
+      |    (doc_id > MIN(doc_id) OVER (PARTITION BY text)) AS is_exact_dup
+      |  FROM documents)
+      |SELECT s.doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+      |  ellipsis_line_frac, alpha_word_frac, n_stop_hits, is_exact_dup,
+      |  CASE WHEN is_exact_dup THEN 'exact_dup'
+      |       WHEN NOT ${LlmQueries.gopherGateSql} THEN 'gopher'
+      |       ELSE 'ok' END AS reason,
+      |  (CASE WHEN is_exact_dup THEN 'exact_dup'
+      |        WHEN NOT ${LlmQueries.gopherGateSql} THEN 'gopher'
+      |        ELSE 'ok' END = 'ok') AS keep
+      |FROM s JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(col("__kh"), col("text")).orderBy(col("doc_id"))
+    val flagged = docs
+      .withColumn("__kh", xxhash64(col("text")))
+      .repartition(col("__kh"))
+      .withColumn("is_exact_dup", row_number().over(w) > 1)
+    val sig = flagged.select(
+      col("doc_id") +: col("is_exact_dup") +:
+        QualityRules.signals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val gate = QualityRules.passGate(
+      col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      col("bullet_line_frac"), col("ellipsis_line_frac"),
+      col("alpha_word_frac"), col("n_stop_hits"), minStopHits = 1)
+    sig
+      .withColumn("reason",
+        when(col("is_exact_dup"), "exact_dup")
+          .when(!gate, "gopher")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_hits", "is_exact_dup", "reason", "keep")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125)
+}

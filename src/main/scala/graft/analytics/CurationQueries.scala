@@ -164,33 +164,48 @@ object CurationQueries {
       |FROM orders WHERE o_orderkey % 13 = 0
       |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     import graft.sources.ChangeLog
-    import org.apache.spark.sql.types.LongType
     val o = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    def seqCol(opIdx: Int) = (col("o_orderkey") * 10 + opIdx).cast(LongType).as("seq")
-    val deletes = o.filter(col("o_orderkey") % 5 === 0)
-      .select(seqCol(1), lit("D").as("op"), struct(o.columns.map(col): _*).as("r"))
-    val u1 = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000)
-      .select(seqCol(2), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
-    val u2 = o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 5 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
-      .select(seqCol(3), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
-    val ins = o.filter(col("o_orderkey") % 13 === 0)
-      .select(seqCol(4), lit("I").as("op"),
-        struct((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice")).as("r"))
-    // fixture generation: collect the change records and write the log
-    // the way the database server would (ChangeLog.writeSegments
-    // scaladoc). The log is a pure function of the source dir, so it is
-    // generated once per sf dir and reused (bench reps re-run the query;
-    // regenerating an identical fixture each rep times the harness, not
-    // the engine). The marker commits the directory only after a
-    // complete write, so a crashed generation retries.
+    // the engine path under test (fixture written by changelogFixture)
+    val dir = changelogFixture(s, d)
+    ChangeLog.replay(s, dir, o, o.schema, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq")
+      .orderBy("o_orderkey")
+  }
+
+  /** The q97/q124 binlog fixture: the OLTP server's change log for the
+    * orders table (fixture/test infrastructure, stands in for the
+    * DATABASE — nothing here is an engine operator). Per key: %5 deleted
+    * (seq k*10+1), %7 +1000 (seq k*10+2), %11 doubled (seq k*10+3 — the
+    * %77 overlap proves latest-wins), %13 inserted fresh (+1e8, seq
+    * k*10+4). A pure function of the sf dir: generated once, committed
+    * via marker file, reused across queries and bench reps. Segment
+    * mtimes ascend so a FileStreamSource consumer picks segments up in
+    * log order.
+    */
+  private[analytics] def changelogFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.ChangeLog
+    import org.apache.spark.sql.types.LongType
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_changelog_q97_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      def seqCol(opIdx: Int) = (col("o_orderkey") * 10 + opIdx).cast(LongType).as("seq")
+      val deletes = o.filter(col("o_orderkey") % 5 === 0)
+        .select(seqCol(1), lit("D").as("op"), struct(o.columns.map(col): _*).as("r"))
+      val u1 = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .select(seqCol(2), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
+      val u2 = o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .select(seqCol(3), lit("U").as("op"), struct(o.columns.map(col): _*).as("r"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select(seqCol(4), lit("I").as("op"),
+          struct((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")).as("r"))
       // stream the range-partitioned sort partition-at-a-time
       // (toLocalIterator preserves global order) instead of collecting
       // the whole change set — driver memory stays one-partition-bounded
@@ -202,12 +217,17 @@ object CurationQueries {
       ChangeLog.writeSegments(
         lines.map(r => (r.getLong(0), r.getString(1), r.getString(2))),
         dir, segmentSize = 2048)
+      // ascending mtimes in segment (= seq) order for stream pickup
+      val segs = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+        .iterator().asScala.toSeq
+        .filter(p => ChangeLog.segmentFirstSeq(p.getFileName.toString).isDefined)
+        .sortBy(p => ChangeLog.segmentFirstSeq(p.getFileName.toString).get)
+      segs.zipWithIndex.foreach { case (p, i) =>
+        p.toFile.setLastModified(1000000000000L + i * 60000L)
+      }
       java.nio.file.Files.writeString(marker, "ok")
     }
-    // the engine path under test
-    ChangeLog.replay(s, dir, o, o.schema, Seq("o_orderkey"))
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq")
-      .orderBy("o_orderkey")
+    dir
   }
 
   // ---------------------------------------------------------------- q68

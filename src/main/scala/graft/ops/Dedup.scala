@@ -1048,4 +1048,109 @@ object Dedup {
         (col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
   }
+
+  // ------------------------------------------------- paragraph dedup
+
+  /** CCNet-style paragraph-level dedup (Wenzek et al. 2020: CommonCrawl
+    * curation dedups at paragraph granularity before anything
+    * document-level; reference behavior class: the engine's row-level
+    * dedup/cleanup stage, e.g. s3-rds-bq-airflow's staging dedup, applied
+    * at sub-document granularity).
+    *
+    * Input: one row per document with `parasCol: array<string>` — the
+    * document already split into paragraphs ([[paragraphDedupByNewline]]
+    * is the newline-split convenience). A paragraph occurrence is KEPT iff
+    * it is the globally first occurrence of its normalized form
+    * (`lower(trim(p))`), "first" = smallest (id, paragraph index); empty
+    * normalized paragraphs are dropped outright.
+    *
+    * Output: (id, n_paras, n_kept, kept_text) — kept paragraphs rejoined
+    * with `\n` in original order; documents whose paragraphs are all
+    * dropped keep a row with kept_text = ''.
+    *
+    * Scale shape: three bounded exchanges, none text-keyed.
+    *  1. winner table: groupBy(xxhash64(norm), norm) → min(struct(id,
+    *     idx)). PARTIAL aggregation (map-side combine) collapses each
+    *     mapper's duplicate paragraphs, so a corpus-wide boilerplate
+    *     paragraph contributes one row per map task — never a
+    *     single-task group buffer (the q101/overlapPairs skew rule).
+    *     Grouping on (hash, norm) keeps hash collisions in separate
+    *     groups — exactness does not rest on xxhash64 injectivity.
+    *  2. keep-flag join of the exploded paragraphs with the winner table
+    *     on (hash, norm) — 1:1 per occurrence, AQE-skew-splittable.
+    *  3. per-document regroup on the 8-byte id to rebuild kept_text.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, parasCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("__id"), posexplode(col(parasCol)).as(Seq("__idx", "__p")))
+      .withColumn("__norm", lower(trim(col("__p"))))
+      .filter(length(col("__norm")) > 0)
+      .withColumn("__h", xxhash64(col("__norm")))
+    val winners = exploded
+      .groupBy(col("__h"), col("__norm"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+    val flagged = exploded.join(winners, Seq("__h", "__norm"))
+      .withColumn("__keep",
+        col("__w.__id") === col("__id") && col("__w.__idx") === col("__idx"))
+    val perDoc = flagged.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__p"))))),
+          s => s.getField("__p")), "\n").as("kept_text"))
+    df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** [[paragraphDedup]] over `\n`-separated paragraphs of a text column. */
+  def paragraphDedupByNewline(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    paragraphDedup(
+      df.withColumn("__paras", split(col(textCol), "\n")), idCol, "__paras")
+
+  // ------------------------------------------------ n-gram novelty profile
+
+  /** Corpus novelty profile: for each window length n, how much n-gram
+    * mass is shared across documents — the curve memorization studies
+    * read (how long must a span be before it is unique?) and the signal
+    * that picks the span length for substring dedup ([[duplicatedSpans]]).
+    *
+    * Per n: (n, n_docs_total, n_docs_shared, n_grams_distinct,
+    * n_grams_shared) where "shared" means appearing in >= 2 distinct
+    * documents.
+    *
+    * Scale shape per n: distinct (doc, xxhash64(shingle)) pairs — 16-byte
+    * rows, text-free — one hash-keyed df aggregate (PARTIAL agg; a
+    * boilerplate gram is combined map-side, never buffered one-task), a
+    * semi-join of the pairs against the shared grams, and constant-size
+    * final aggregates. Counting on the 64-bit gram hash, not the gram:
+    * a collision undercounts distinct grams by ~n²/2⁶⁵ — smaller than
+    * any corpus — while keeping every exchange narrow (the q34 rule).
+    */
+  def ngramNoveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val total = docs.agg(count(lit(1)).as("n_docs_total"))
+    val perN = ns.map { n =>
+      val docSh = docs
+        .select(col(idCol).as("__id"), explode(shingles(col(textCol), n)).as("__s"))
+        .select(col("__id"), xxhash64(col("__s")).as("__h"))
+        .distinct()
+      val dfreq = docSh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      val gramStats = dfreq.agg(
+        count(lit(1)).as("n_grams_distinct"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_grams_shared"))
+      val docStats = docSh
+        .join(dfreq.filter(col("__df") >= 2).select("__h"), Seq("__h"), "left_semi")
+        .agg(count_distinct(col("__id")).as("n_docs_shared"))
+      gramStats.join(broadcast(docStats)).join(broadcast(total))
+        .select(lit(n).as("n"), col("n_docs_total"), col("n_docs_shared"),
+          col("n_grams_distinct"), col("n_grams_shared"))
+    }
+    perN.reduce(_ unionByName _).orderBy("n")
+  }
 }

@@ -459,4 +459,129 @@ object TextOps {
     when(octet_length(text) > 0,
       deflateLen(text).cast(DoubleType) / octet_length(text).cast(DoubleType))
       .otherwise(lit(0.0))
+
+  // ------------------------------------------------ DSIR importance weights
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    * score every raw document by how much more likely its unigram features
+    * are under a TARGET distribution than under the raw corpus — the
+    * standard "make web data look like Wikipedia" selection signal.
+    *
+    * Departures from the paper, both deliberate:
+    *  - features are an EXPLICIT top-`vocabSize` vocabulary by raw-corpus
+    *    token count (ties by token ascending) instead of hashed n-grams:
+    *    a hash bucketer has no cross-engine twin, a df-ranked vocab does.
+    *  - the score is the first-order form Σ c_t·(λ_t − 1) with
+    *    λ_t = p_target(t)/p_raw(t) (Laplace-smoothed over the vocab),
+    *    not Σ c_t·log λ_t: `log` is correctly-rounded on no libm, while
+    *    each λ_t − 1 is IEEE-exact (one divide, one subtract), so scores
+    *    hash-match external engines bit-for-bit. log λ ≈ λ − 1 near 1;
+    *    ranking behavior is preserved for the moderate ratios importance
+    *    resampling actually weighs.
+    *
+    * The per-document sum folds in ascending-token order on every engine
+    * (sort_array + aggregate here, list(ORDER BY) + list_reduce in a SQL
+    * oracle) — IEEE addition does not commute, fold order is part of the
+    * contract.
+    *
+    * Scale shape: one (doc, token)-count shuffle; the vocab weight table
+    * is vocabSize rows and BROADCASTS onto the counts (raw-corpus and
+    * target totals ride inside it); one doc-keyed regroup for the fold.
+    * Out-of-vocab tokens contribute nothing (the paper's hashing gives
+    * them a bucket; an explicit vocab drops them — documented policy).
+    *
+    * Output: (idCol, n_tokens, n_vocab_tokens, dsir_score), one row per
+    * raw document (target rows score too — selection usually keeps them).
+    */
+  def dsirScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, vocabSize: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = parallelized(docs)
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(tokens(col(textCol))).as("__t"))
+    // (token, raw count, target count) — one shuffle, partial-agg safe
+    val counts = toks.groupBy(col("__t")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+      .localCheckpoint()
+    // global top-V as TakeOrdered (distributed heap per partition, V rows
+    // to the driver) — NOT a row_number over an unpartitioned window,
+    // which would funnel the whole vocabulary through one task
+    val vocab = counts.orderBy(col("__cr").desc, col("__t").asc).limit(vocabSize)
+    // totals over the VOCAB (the smoothing denominator is the vocab mass,
+    // matching the explicit-feature model) — vocabSize-row aggregate
+    val tot = vocab.agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"),
+      count(lit(1)).as("__v"))
+    val weights = vocab.join(broadcast(tot))
+      .select(col("__t"),
+        (((col("__ct") + lit(1L)).cast(DoubleType) / (col("__nt") + col("__v")).cast(DoubleType)) /
+          ((col("__cr") + lit(1L)).cast(DoubleType) / (col("__nr") + col("__v")).cast(DoubleType))
+          - lit(1.0)).as("__lam1"))
+    val perTok = toks.join(broadcast(weights), Seq("__t"))
+      .select(col(idCol), col("__t"), col("__lam1"))
+    val perDoc = perTok.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_vocab_tokens"),
+      sort_array(collect_list(struct(col("__t"), col("__lam1")))).as("__lst"))
+      .select(col(idCol), col("n_vocab_tokens"),
+        aggregate(col("__lst"), lit(0.0), (acc, x) => acc + x.getField("__lam1"))
+          .as("dsir_score"))
+    docs.select(col(idCol), tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+
+  // ------------------------------------------------- BPE merge-pair counts
+
+  /** The first step of BPE tokenizer training: corpus-wide frequencies of
+    * adjacent character pairs inside tokens — the counts whose argmax is
+    * the first merge rule (Sennrich et al. 2016).
+    *
+    * Scale shape: tokens are counted FIRST (one shuffle, map-side
+    * combine, vocabulary-sized result), then each DISTINCT token explodes
+    * into its pairs weighted by its count — the pair explosion runs over
+    * the vocabulary, not the corpus, which is what makes repeated BPE
+    * iterations affordable at 100 TB. One final vocabulary-sized pair
+    * aggregate.
+    *
+    * Output: top-`k` (pair, n) by n desc, pair asc.
+    */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 50): org.apache.spark.sql.DataFrame = {
+    val tokCounts = parallelized(docs)
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val pairs = tokCounts
+      .filter(length(col("__t")) >= 2)
+      .select(col("__c"), explode(transform(
+        sequence(lit(1), length(col("__t")) - 1),
+        i => col("__t").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__c")).as("n"))
+    pairs.orderBy(col("n").desc, col("pair").asc).limit(k)
+  }
+
+  // ---------------------------------------------------- encoding audit
+
+  /** Mojibake / encoding-damage tripwires, all exact integer counts so a
+    * SQL oracle reproduces them with the same replace/regexp arithmetic:
+    *  - n_replacement: U+FFFD replacement characters (decode failures)
+    *  - n_mojibake: 'Ã' + 'â€' occurrences (the two highest-precision
+    *    UTF-8-read-as-Latin-1 markers: mangled Latin-1 letters mangle to
+    *    'Ã?', mangled punctuation to 'â€?')
+    *  - n_control: C0 control characters other than \t \n \r
+    *  - n_nonascii: characters outside printable ASCII + \t \n \r
+    * Pure scan-side expressions; no shuffle.
+    */
+  def encodingAudit(text: Column): Seq[(String, Column)] = {
+    def occ(sub: String): Column =
+      ((length(text) - length(replace(text, lit(sub)))) / lit(sub.length)).cast(LongType)
+    Seq(
+      "n_replacement" -> occ("�"),
+      "n_mojibake" -> (occ("Ã") + occ("â€")),
+      "n_control" ->
+        length(regexp_replace(text, "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")).cast(LongType),
+      "n_nonascii" ->
+        length(regexp_replace(text, "[\\x09\\x0A\\x0D\\x20-\\x7E]", "")).cast(LongType))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Streaming CDC apply: fold a change stream (op 'I'/'U'/'D' + a version
+  * column) into a lake-resident keyed state table, micro-batch by
+  * micro-batch — the streaming counterpart of [[graft.ops.Merge.applyCdc]]
+  * and the continuous form of the reference's LOG_BASED replication mode
+  * (its tap declares log-based extraction; see
+  * /root/reference SURVEY §2.1 S8 — the batch engine replays, this applies
+  * as the log arrives).
+  *
+  * State layout — built for partial rewrites at 100 TB:
+  *  - hash-bucketed by `pmod(xxhash64(keys), nBuckets)` as a parquet
+  *    PARTITION column: a micro-batch reads only the buckets its keys
+  *    touch (partition pruning at the scan) and rewrites only those
+  *    buckets (dynamic partition overwrite) — per-batch cost scales with
+  *    the CHANGED key range, not the table size.
+  *  - TOMBSTONES ARE KEPT: a delete stays as an `__op = 'D'` row carrying
+  *    its version. That makes the per-key fold max-(version, origin) —
+  *    associative and commutative — so the final state is independent of
+  *    how the log was cut into micro-batches AND of batch arrival order
+  *    (without tombstones, a delete followed by a lower-seq update in a
+  *    later batch would resurrect the row). [[currentState]] filters them.
+  *
+  * The per-batch fold is one keyed window (row_number over version desc,
+  * batch rows beating state rows on ties for idempotent re-delivery), the
+  * same single-shuffle shape as Merge.applyCdc. The folded result is
+  * materialized (localCheckpoint) before the overwrite — the write must
+  * not lazily re-read the directory it replaces.
+  */
+object CdcApply {
+
+  private def bucket(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast(IntegerType)
+
+  /** Seed the state from a base snapshot (version `baseVersion`, op 'I'). */
+  def initState(base: DataFrame, stateDir: String, keyCols: Seq[String],
+      versionCol: String, nBuckets: Int, baseVersion: Long = 0L): Unit =
+    base
+      .withColumn(versionCol, lit(baseVersion))
+      .withColumn("__op", lit("I"))
+      .withColumn("__bucket", bucket(keyCols, nBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(stateDir)
+
+  /** Apply one micro-batch of change records (`opCol` + `versionCol` +
+    * row image columns) to the state. Reads and rewrites ONLY the buckets
+    * the batch touches. The touched-bucket list is collected on the
+    * driver — bounded by `nBuckets`, never by data.
+    */
+  def processBatch(batch: DataFrame, stateDir: String, keyCols: Seq[String],
+      versionCol: String, opCol: String, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch
+      .withColumnRenamed(opCol, "__op")
+      .withColumn("__bucket", bucket(keyCols, nBuckets))
+    val touched = b.select("__bucket").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val state = spark.read.parquet(stateDir)
+      .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__origin").desc)
+    val folded = state.withColumn("__origin", lit(0))
+      .unionByName(b.withColumn("__origin", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__origin")
+      .localCheckpoint()
+    folded.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(stateDir)
+  }
+
+  /** The live rows: tombstones filtered, bookkeeping columns dropped. */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .filter(col("__op") =!= "D")
+      .drop("__op", "__bucket")
+}

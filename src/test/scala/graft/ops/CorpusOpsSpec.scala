@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paragraphDedup keeps global first occurrence, rebuilds text in order") {
+    val docs = Seq(
+      (1L, Seq("Alpha", "beta", "gamma")),
+      (2L, Seq("beta", "delta")),         // beta already seen in doc 1
+      (3L, Seq(" ALPHA ", "epsilon")),    // normalizes to doc 1's alpha
+      (4L, Seq("", "  ", "zeta"))         // empties dropped outright
+    ).toDF("id", "paras")
+    val got = Dedup.paragraphDedup(docs, "id", "paras")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "Alpha\nbeta\ngamma")))
+    assert(got(2L) == ((2L, 1L, "delta")))
+    assert(got(3L) == ((2L, 1L, "epsilon")))
+    assert(got(4L) == ((1L, 1L, "zeta"))) // empties not counted as paras
+  }
+
+  test("paragraphDedup: within-doc repeats keep only the first; all-dup doc keeps none") {
+    val docs = Seq(
+      (1L, Seq("x", "x", "y")),
+      (2L, Seq("x", "y"))
+    ).toDF("id", "paras")
+    val got = Dedup.paragraphDedup(docs, "id", "paras")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 2L, "x\ny")))
+    assert(got(2L) == ((2L, 0L, "")))
+  }
+
+  test("paragraphDedupByNewline splits on newline") {
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("id", "text")
+    val got = Dedup.paragraphDedupByNewline(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "a\nb", 2L -> "c"))
+  }
+}
+
+class NgramNoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramNoveltyProfile matches a plain-JVM set computation") {
+    val texts = Seq(
+      (1L, "a b c d e"),
+      (2L, "c d e f g"),
+      (3L, "x y z w v"),
+      (4L, "a b c d e")) // exact dup of 1
+    val docs = texts.toDF("doc_id", "text")
+    val ns = Seq(2, 3)
+    val got = Dedup.ngramNoveltyProfile(docs, "doc_id", "text", ns)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // JVM reference
+    def shingles(t: String, n: Int): Set[Seq[String]] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= n) toks.sliding(n).map(_.toSeq).toSet else Set(toks)
+    }
+    ns.foreach { n =>
+      val perDoc = texts.map { case (id, t) => id -> shingles(t, n) }
+      val df = perDoc.flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val shared = df.filter(_._2 >= 2).keySet
+      val expect = (
+        texts.size.toLong,
+        perDoc.count { case (_, s) => s.exists(shared) }.toLong,
+        df.size.toLong,
+        shared.size.toLong)
+      assert(got(n) == expect, s"n=$n")
+    }
+  }
+}
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsirScores: target-heavy tokens score positive, raw-only negative") {
+    val docs = Seq(
+      (1L, "wiki wiki words", true),
+      (2L, "wiki words spam", false),
+      (3L, "spam spam spam", false),
+      (4L, "", false)
+    ).toDF("id", "text", "tgt")
+    val got = TextOps.dsirScores(docs, "id", "text", col("tgt"), vocabSize = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vocab: spam cr=4 ct=0, wiki cr=3 ct=2, words cr=2 ct=1; nr=9 nt=3 v=3
+    def lam1(ct: Long, cr: Long): Double = ((ct + 1).toDouble / 6) / ((cr + 1).toDouble / 12) - 1.0
+    val (lSpam, lWiki, lWords) = (lam1(0, 4), lam1(2, 3), lam1(1, 2))
+    // ascending-token fold order: spam < wiki < words
+    assert(got(1L) == ((3L, 3L, ((0.0 + lWiki) + lWiki) + lWords)))
+    assert(got(2L) == ((3L, 3L, ((0.0 + lSpam) + lWiki) + lWords)))
+    assert(got(3L) == ((3L, 3L, ((0.0 + lSpam) + lSpam) + lSpam)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(1L)._3 > 0 && got(3L)._3 < 0)
+  }
+
+  test("dsirScores vocab cap keeps highest-count tokens, ties by token asc") {
+    val docs = Seq(
+      (1L, "aa bb cc", true),
+      (2L, "aa bb cc", false)
+    ).toDF("id", "text", "tgt")
+    // all counts equal (2): cap 2 keeps aa, bb by token order; cc out-of-vocab
+    val got = TextOps.dsirScores(docs, "id", "text", col("tgt"), vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 2L && got(2L) == 2L)
+  }
+}
+
+class BpePairSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpePairCounts weights pairs by token frequency") {
+    val docs = Seq((1L, "abc abc ab x"), (2L, "abc")).toDF("id", "text")
+    // tokens: abc×3 → pairs ab, bc each ×3; ab×1 → ab ×1; x dropped (len 1)
+    val got = TextOps.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 4L, "bc" -> 3L))
+  }
+}
+
+class EncodingAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encodingAudit counts replacement, mojibake, control, non-ascii") {
+    val df = Seq("ok text", "bad Ã© â€™ �", "ctl\u0007here", "naïve café")
+      .toDF("text")
+    val cols = TextOps.encodingAudit(col("text"))
+    val got = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((0L, 0L, 0L, 0L)))
+    // 'Ã©' has one Ã; 'â€™' contributes one â€ marker; trailing '�' one
+    // replacement; non-ascii chars: Ã © â € ™ � = 6
+    assert(got(1) == ((1L, 2L, 0L, 6L)))
+    // BEL is control (tab is exempt in n_control AND in n_nonascii)
+    assert(got(2) == ((0L, 0L, 1L, 1L)))
+    assert(got(3) == ((0L, 0L, 0L, 2L))) // ï and é
+  }
+}

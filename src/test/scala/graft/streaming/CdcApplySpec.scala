@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class CdcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+
+  // change log: delete 2 (seq 10); update 3 twice (seq 11 then 13 —
+  // latest wins); insert 5 (seq 12); delete-then-reinsert 4 (seq 14, 15)
+  private def changes: DataFrame = Seq(
+    (10L, "D", 2L, "b"),
+    (11L, "U", 3L, "c1"),
+    (12L, "I", 5L, "e"),
+    (13L, "U", 3L, "c2"),
+    (14L, "D", 4L, "d"),
+    (15L, "I", 4L, "d2")
+  ).toDF("seq", "op", "k", "v")
+
+  private val expected = Map(1L -> ("a", 0L), 3L -> ("c2", 13L),
+    4L -> ("d2", 15L), 5L -> ("e", 12L))
+
+  private def run(batches: Seq[DataFrame]): Map[Long, (String, Long)] = {
+    val dir = tmpDir("cdcapply")
+    CdcApply.initState(base, dir, Seq("k"), "seq", nBuckets = 4)
+    batches.foreach(b =>
+      CdcApply.processBatch(b, dir, Seq("k"), "seq", "op", nBuckets = 4))
+    CdcApply.currentState(spark, dir)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), r.getAs[Long]("seq")))).toMap
+  }
+
+  test("single batch reaches the batch-replay state") {
+    assert(run(Seq(changes)) == expected)
+  }
+
+  test("final state is independent of batch boundaries") {
+    val bySeq = (a: Long, b: Long) =>
+      changes.filter(col("seq") >= a && col("seq") <= b)
+    assert(run(Seq(bySeq(10, 11), bySeq(12, 13), bySeq(14, 15))) == expected)
+    assert(run(Seq(bySeq(10, 10), bySeq(11, 14), bySeq(15, 15))) == expected)
+  }
+
+  test("final state is independent of batch ORDER (tombstones retained)") {
+    val bySeq = (a: Long, b: Long) =>
+      changes.filter(col("seq") >= a && col("seq") <= b)
+    // the delete of 4 (seq 14) arrives AFTER its re-insert (seq 15):
+    // without tombstones the reinsert would be lost or the delete would
+    // resurrect nothing — with max-seq merge the state converges anyway
+    assert(run(Seq(bySeq(15, 15), bySeq(10, 14))) == expected)
+  }
+
+  test("only touched buckets are rewritten") {
+    val dir = tmpDir("cdcapply_part")
+    CdcApply.initState(base, dir, Seq("k"), "seq", nBuckets = 4)
+    val before = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100)
+    CdcApply.processBatch(Seq((10L, "U", 1L, "a9")).toDF("seq", "op", "k", "v"),
+      dir, Seq("k"), "seq", "op", nBuckets = 4)
+    val after = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val changedDirs = after.keySet.filter(k => !before.contains(k) ||
+      before(k) != after(k))
+    assert(changedDirs.size <= 1, s"rewrote $changedDirs")
+    val st = CdcApply.currentState(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(st == Map(1L -> "a9", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+}
