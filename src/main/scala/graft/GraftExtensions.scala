@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: the deployment-grade registration
+  * path for graft's native Catalyst expressions. A cluster wires the
+  * whole library into EVERY session with
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * after which `SELECT minhash_sigs(text, 64)` etc. work from plain SQL
+  * (JDBC gateways, notebooks, thrift server) with no driver-side
+  * `GraftFunctions.register` call — injected functions live in the
+  * session's base catalog, not the temp-function namespace, and survive
+  * `newSession()` clones.
+  *
+  * The in-process Column API keeps using [[functions.GraftFunctions]];
+  * both paths construct the same Expression nodes, so plans are
+  * identical whichever registration route created the session. No
+  * optimizer rules or strategies are injected — every graft operator
+  * composes built-in logical operators by design (ARCHITECTURE.md §
+  * "custom expressions, stock plans"): the scale-critical choices
+  * (hash-keyed exchanges, partial aggregation, broadcasts) are made at
+  * DataFrame-construction time where they are testable, rather than by
+  * rewriting other people's plans post-hoc.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("float_dot", "_FUNC_(a, b) - dot product of two float arrays") {
+      e => FloatDotProduct(e(0), e(1))
+    }
+    inject("lang_scores", "_FUNC_(tokens, profiles) - per-language profile scores") {
+      e => LangScores(e(0), e(1))
+    }
+    inject("char_ngrams", "_FUNC_(text, n) - lowercased character n-grams") {
+      e => CharNgrams(e(0), e(1))
+    }
+    inject("minhash_sigs", "_FUNC_(shingles, k) - minhash signature array") {
+      e => MinHashSigs(e(0), e(1))
+    }
+    inject("word_shingles", "_FUNC_(text, k, sep) - distinct word k-shingles") {
+      e => WordShingles(e(0), e(1), e(2))
+    }
+    inject("image_meta", "_FUNC_(bytes) - sniffed image metadata struct") {
+      e => ImageMeta(e(0))
+    }
+    inject("wav_meta", "_FUNC_(bytes) - sniffed WAV metadata struct") {
+      e => WavMeta(e(0))
+    }
+    inject("avi_meta", "_FUNC_(bytes) - sniffed AVI metadata struct") {
+      e => AviMeta(e(0))
+    }
+    inject("bloom_might_contain", "_FUNC_(bloom, key) - bloom filter membership probe") {
+      e => BloomMightContain(e(0), e(1))
+    }
+    inject("deflate_len", "_FUNC_(text) - DEFLATE length of the UTF-8 bytes") {
+      e => DeflateLen(e(0))
+    }
+    inject("rolling_hashes", "_FUNC_(text, k) - rolling hashes of every k-char window") {
+      e => RollingHashes(e(0), e(1))
+    }
+    inject("winnow", "_FUNC_(text, k, w) - winnowed (MOSS) fingerprint set") {
+      e => Winnow(e(0), e(1), e(2))
+    }
+  }
+}

@@ -141,6 +141,28 @@ object ScaleCheck {
       ops.TextOps.bm25TopK(train(docsNd),
         bench(docs1).withColumnRenamed("doc_id", "query_id"),
         "doc_id", "text", "query_id", "text", 5))
+    // Paragraph dedup: verbatim copies would make every paragraph a
+    // cross-copy duplicate (degenerate 100% candidate density) — the
+    // rotated blow-up keeps per-copy duplicate structure instead.
+    run("paragraph_dedup",
+      ops.Dedup.paragraphDedupByNewline(
+        docs1.withColumn("text", regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n")),
+        "doc_id", "text"),
+      ops.Dedup.paragraphDedupByNewline(
+        docsNd.withColumn("text", regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n")),
+        "doc_id", "text"))
+    // Novelty profile: the df aggregate + semi-join per n; rotation
+    // keeps shared-gram density per copy.
+    run("ngram_novelty",
+      ops.Dedup.ngramNoveltyProfile(docs1, "doc_id", "text", Seq(2, 3, 5)),
+      ops.Dedup.ngramNoveltyProfile(docsNd, "doc_id", "text", Seq(2, 3, 5)))
+    // DSIR: token-count shuffle + broadcast weight join + per-doc fold.
+    run("dsir_scores",
+      ops.TextOps.dsirScores(docs1, "doc_id", "text", col("lang") === "en", 1000),
+      ops.TextOps.dsirScores(docsN, "doc_id", "text", col("lang") === "en", 1000))
+    run("bpe_pairs",
+      ops.TextOps.bpePairCounts(docs1, "text", 50),
+      ops.TextOps.bpePairCounts(docsN, "text", 50))
     spark.stop()
   }
 }

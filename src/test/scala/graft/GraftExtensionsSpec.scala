@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions path must yield sessions where graft functions work
+  * from plain SQL with NO GraftFunctions.register call — the cluster
+  * deployment route (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions registers every native function for SQL") {
+    val orig = SparkSession.getDefaultSession
+    // force builder to CONSTRUCT a session (same SparkContext) so the
+    // extensions config is honored rather than an existing session reused
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      assert(s.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaa') AS n")
+        .head().getInt(0) > 0)
+      assert(s.sql("SELECT size(word_shingles('a b c d', 2, chr(1))) AS n")
+        .head().getInt(0) == 3)
+      assert(s.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .head().getDouble(0) == 11.0)
+      assert(s.sql("SELECT size(minhash_sigs(word_shingles('a b c d e', 3, chr(1)), 16)) AS n")
+        .head().getInt(0) == 16)
+      assert(s.sql("SELECT size(rolling_hashes('abcdefgh', 4)) AS n")
+        .head().getInt(0) == 5)
+      // injected functions survive newSession() (base catalog, not temp)
+      assert(s.newSession().sql("SELECT deflate_len('bbbb') AS n")
+        .head().getInt(0) > 0)
+    } finally {
+      orig.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+}

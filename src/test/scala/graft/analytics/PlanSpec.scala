@@ -139,8 +139,12 @@ class PlanSpec extends SparkSpec {
     //      BM25 per-term scores
     // q117: same pattern — the corpus token total as a 1-row broadcast
     //      riding into every token's rarity
+    // q120: same pattern — the vocab totals (nr, nt, V) as a 1-row
+    //      broadcast into every vocab row's λ weight
+    // q123: same pattern — constant-size aggregates (gram stats, doc
+    //      stats, corpus total) combined by 1-row broadcasts
     val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords",
-      "q102_bm25_topk", "q117_token_rarity")
+      "q102_bm25_topk", "q117_token_rarity", "q120_dsir_weights", "q123_ngram_novelty")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
@@ -287,5 +291,39 @@ class PlanSpec extends SparkSpec {
     // the final orderBy's range partitioning
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"sampling added a shuffle:\n${p.take(800)}")
+  }
+
+  test("q119: paragraph winner table is a PARTIAL aggregate (skew-safe on boilerplate paragraphs)") {
+    // a corpus-wide boilerplate paragraph must be combined map-side, not
+    // buffered in one reducer task — the winner agg needs partial_min
+    // before its exchange (the overlapPairs/q101 skew rule)
+    val p = plan("q119_paragraph_dedup")
+    assert(p.contains("partial_min"),
+      s"winner table lost map-side combine:\n${p.take(1200)}")
+    assert(!p.contains("Window ["),
+      "paragraph dedup must not use a window (single-task hash groups)")
+  }
+
+  test("q120: vocab top-V is TakeOrdered, weights broadcast, no global window") {
+    val p = plan("q120_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection should be a distributed top-V:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabSize-row weight table must broadcast onto the token stream")
+    assert(!p.contains("Window ["),
+      "no window (a global row_number would single-task the vocabulary)")
+  }
+
+  test("q122: BPE pair explosion runs over the counted vocabulary, not the corpus") {
+    // the plan must aggregate tokens FIRST (partial_count before an
+    // exchange) and only then explode pairs: a Generate above the token
+    // aggregate, never directly above the corpus scan
+    val p = plan("q122_bpe_pairs")
+    assert(p.contains("partial_count"), "token counting lost map-side combine")
+    // the pair explode (substr windows) must reference the aggregated
+    // count column — i.e. it consumes the vocabulary, not raw text
+    assert(p.contains("Generate"), "missing pair explode")
+    assert("substr".r.findFirstIn(p).isDefined, "pair explode not by substr windows")
+    assert(!p.contains("SortMergeJoin"))
   }
 }
