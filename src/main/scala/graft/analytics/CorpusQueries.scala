@@ -274,5 +274,103 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125)
+  // --------------------------------------------------------------- q126
+  // Near-dup cluster-size histogram: the shrinkage profile dedup
+  // planning reads (how many pairs vs big families?). Composes q71's
+  // exact connected components; singleton documents (no near-dup) are
+  // reported as the size-1 row so the histogram masses sum to the
+  // corpus. The oracle replays q71's recursive-CTE components.
+  val q126 = QuerySpec.sql(
+    "q126_cluster_size_histogram",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, ${duckShingles(3)} AS sh FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach
+      |), comp AS (
+      |  SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id
+      |), sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY cluster_id
+      |), hist AS (
+      |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |  FROM sizes GROUP BY cluster_size
+      |)
+      |SELECT cluster_size, n_clusters FROM hist
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+      |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM comp)
+      |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+    val hist = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = docs.agg(count(lit(1)).as("__n"))
+      .join(broadcast(comp.agg(count(lit(1)).as("__c"))))
+      .select(lit(1L).as("cluster_size"), (col("__n") - col("__c")).as("n_clusters"))
+    hist.unionByName(singletons).orderBy("cluster_size")
+  }
+
+  // --------------------------------------------------------------- q127
+  // DSIR selection report: apply the importance weights as a keep rule
+  // (score > 0 ⇔ the document is more target-like than raw under the
+  // first-order LLR) and report per-source keep counts — the
+  // corpus-level effect of q120's per-doc weights. Counts only: the
+  // selected SET is what matters, and integer counts hash-match without
+  // float-fold choreography beyond what q120 already pins.
+  val q127 = QuerySpec.sql(
+    "q127_dsir_selection",
+    s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, unnest($duckToks) AS t
+      |  FROM documents),
+      |counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cr,
+      |    CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+      |  FROM toks GROUP BY t),
+      |vocab AS (SELECT t, cr, ct FROM counts ORDER BY cr DESC, t ASC LIMIT 1000),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+      |w AS (SELECT t,
+      |    ((CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+      |     / (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))) - 1.0 AS lam1
+      |  FROM vocab CROSS JOIN tot),
+      |per AS (SELECT toks.doc_id, toks.t, w.lam1 FROM toks JOIN w USING (t)),
+      |agg AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lam1 ORDER BY t)),
+      |      (a, x) -> a + x) AS dsir_score
+      |  FROM per GROUP BY doc_id),
+      |scored AS (SELECT d.doc_id, d.source, coalesce(agg.dsir_score, 0.0) AS sc
+      |  FROM documents d LEFT JOIN agg USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE sc > 0.0) AS BIGINT) AS n_selected
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = TextOps.dsirScores(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", vocabSize = 1000)
+    docs.select(col("doc_id"), col("source"))
+      .join(scored.select(col("doc_id"), col("dsir_score")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dsir_score") > 0.0, 1L).otherwise(0L)).as("n_selected"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }
