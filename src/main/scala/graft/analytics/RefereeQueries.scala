@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, LangProfile, Similarity, TextOps}
+import graft.ops.{Dedup, LangProfile, Pq, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -277,6 +277,86 @@ object RefereeQueries {
     report(symDiff(native, referee))
   }
 
+  // ------------------------------------------------------ q128 referee
+  // PQ/ADC, two independent checks under ONE trained codebook set
+  // (training is deterministic within a session; its sampled averages
+  // are not cross-run-reproducible, which is why q128 is rows-only):
+  //  1. bit-exact scores: every ADC top-k row recomputed through the
+  //     composable path — codes re-derived by an explode+window argmax
+  //     (vs the native array-argmax expression), LUT entries via the
+  //     zip_with+aggregate dot (vs float_dot — bit-identical contract,
+  //     FloatDotProduct scaladoc), and the score re-folded in the same
+  //     j-ascending order. symDiff of the two top-k frames must be empty.
+  //  2. recall floor vs exact inner-product search: m=16/ksub=16
+  //     measures 0.47 recall of the exact-IP top-3 at sf0.01 (near-tie
+  //     inner products on the synthetic vectors put a real ceiling on
+  //     any quantizer); the 0.3 floor is a collapse detector (broken
+  //     codebooks or LUT indexing → recall ~0), not a quality bar.
+  val q128r = QuerySpec.refereeCheck("q128r_pq_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val m = 16; val ksub = 16; val dsub = 4; val k = 3
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = m, ksub = ksub)
+    val native = Pq.adcTopK(probes, emb, "vec_id", "embedding", cb, k = k)
+    // --- referee path ---------------------------------------------
+    val centroidRows = for (j <- 0 until m; c <- 0 until ksub)
+      yield (j, c, cb.centroids(j)(c).toSeq)
+    val cents = centroidRows.toDF("j", "c", "cent")
+      .select(col("j"), col("c"), col("cent").cast("array<float>").as("cent"))
+    def subSlices(df: DataFrame, idAs: String) = df.select(
+      col("vec_id").as(idAs),
+      explode(array((0 until m).map(j => struct(lit(j).as("j"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("sub"))): _*)).as("x"))
+      .select(col(idAs), col("x.j").as("j"), col("x.sub").as("sub"))
+    // referee codes: explode+window argmax (dot desc, c asc) — the
+    // independent form of Ivf.assignCell's array argmax
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neighbor_id"), col("j"))
+      .orderBy(col("__dot").desc, col("c").asc)
+    val refCodes = subSlices(emb, "neighbor_id").join(cents, Seq("j"))
+      .withColumn("__dot", Similarity.dot(col("sub"), col("cent")))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("neighbor_id"), col("j"), col("c"))
+    // referee LUT entries for the probe set
+    val contrib = subSlices(probes, "probe_id").join(cents, Seq("j"))
+      .select(col("probe_id"), col("j"), col("c"),
+        Similarity.dot(col("sub"), col("cent")).as("contrib"))
+    val refScores = refCodes.join(broadcast(contrib), Seq("j", "c"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("contrib")))).as("__lst"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(col("__lst"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("adc_score"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    val referee = refScores.withColumn("rank", row_number().over(wr).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_score")
+    // --- exact-IP recall floor ------------------------------------
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+      .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.float_dot(col("__pv"), col("__cv")).as("ip"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("ip").desc, col("neighbor_id"))).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id")
+    val hit = native.select("probe_id", "neighbor_id").intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    val recall = if (total == 0) 1.0 else hit / total
+    val floor = 0.3
+    val recallRow =
+      if (recall >= floor) Seq.empty[String] else Seq(f"recall=$recall%.3f<floor=$floor%.2f")
+    report(symDiff(native, referee)).unionAll(recallRow.toDF("status")).orderBy("status")
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r)
+    q96r, q100r, q110r, q128r)
 }

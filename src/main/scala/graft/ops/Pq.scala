@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.float_dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization for similarity search (Jégou, Douze & Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search"): the embedding
+  * dimension is split into `m` contiguous subspaces; each subspace gets
+  * its own `ksub`-centroid codebook (the same deterministic sampled
+  * k-means as [[Ivf.trainCentroids]], run per slice); a vector is stored
+  * as `m` small codes. Asymmetric distance computation (ADC) scores a
+  * query against a CODE, not the vector: per probe, a lookup table of
+  * query-subvector·centroid dots (m×ksub doubles) is computed once, and
+  * each corpus code scores as the j-ascending fold of its table entries —
+  * an approximate INNER PRODUCT (the MIPS flavor; cosine callers
+  * normalize upstream).
+  *
+  * Scale shape — what PQ buys at 100 TB:
+  *  - codebooks are m×ksub×dsub floats on the driver (a few KB),
+  *    broadcast as literals; training touches only [[Ivf]]'s capped
+  *    sample per subspace.
+  *  - encoding is a scan-side argmax per subspace — no shuffle, and the
+  *    stored corpus shrinks from dim floats to m codes per row (64-dim
+  *    float → 8 bytes at m=8: 32× smaller scan for search).
+  *  - search never moves a corpus vector: probes (with their LUTs)
+  *    broadcast; the corpus side reads codes only. No shuffle at all
+  *    until the per-probe top-k window on scored candidates.
+  * Complements [[Ivf]] (which prunes WHICH rows are scanned) — IVF-PQ
+  * composes the two: assign cells with IVF, score the probed cells' rows
+  * from their codes.
+  */
+object Pq {
+
+  /** `centroids(j)(c)` = centroid `c` of subspace `j` (each dsub floats). */
+  final case class Codebooks(m: Int, dsub: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    def ksub: Int = centroids(0).length
+  }
+
+  /** Per-subspace deterministic k-means over the corpus slices. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int = 16, iters: Int = 2, sampleMod: Int = 1): Codebooks = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
+      Ivf.trainCentroids(sub, idCol, vecCol, ksub, iters, sampleMod)
+    }.toArray
+    Codebooks(m, dsub, books)
+  }
+
+  /** Scan-side PQ encoding: argmax (by squared distance via the dot trick
+    * [[Ivf.assignCell]] uses — max dot of the residual-free slice) per
+    * subspace, as an `array<int>` of m codes.
+    */
+  def encode(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map(j =>
+      Ivf.assignCell(slice(vec, j * cb.dsub + 1, cb.dsub), cb.centroids(j))): _*)
+
+  /** The probe-side ADC lookup table: `__lut(j)(c) = dot(q_j, centroid(j,c))`. */
+  private def lutCol(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map(j =>
+      array((0 until cb.ksub).map(c =>
+        float_dot(slice(vec, j * cb.dsub + 1, cb.dsub),
+          typedlit(cb.centroids(j)(c)))): _*)): _*)
+
+  /** The j-ascending ADC score fold — IEEE addition order is part of the
+    * operator contract (the referee reproduces it bit-for-bit).
+    */
+  private[ops] def adcScore(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))
+
+  /** Encoded corpus: (neighbor_id, __codes). Persist/reuse this — it is
+    * the PQ index.
+    */
+  def encodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"), encode(col(vecCol), cb).as("__codes"))
+  }
+
+  /** ADC top-k: probes broadcast with their LUTs; the corpus side is
+    * codes-only. Output (probe_id, rank, neighbor_id, adc_score).
+    */
+  def adcTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val codes = encodeCorpus(corpus, idCol, vecCol, cb)
+    val p = probes.select(col(idCol).as("probe_id"), lutCol(col(vecCol), cb).as("__lut"))
+    val scored = codes.join(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        adcScore(col("__lut"), col("__codes"), cb.m).as("adc_score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_score")
+  }
+}

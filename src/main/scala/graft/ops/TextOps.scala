@@ -316,15 +316,19 @@ object TextOps {
     require(maxVocab > 0, "maxVocab must be positive")
     val counts = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // total over the FULL vocabulary as a 1-row broadcast; top-V via
+    // TakeOrdered. The rank/cum-sum windows then run over maxVocab rows —
+    // bounded by the parameter — never over the corpus vocabulary (an
+    // unpartitioned window on the unfiltered counts funnels the whole
+    // vocabulary through one task: the bm25-broadcast class of hazard).
+    val total = counts.agg(sum(col("cnt")).as("total_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab)
     val byFreq = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts
+    top
       .withColumn("token_id", row_number().over(byFreq))
       .withColumn("cum_cnt",
         sum(col("cnt")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total_cnt", sum(col("cnt")).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("token_id") <= maxVocab)
+      .join(broadcast(total))
       .withColumn("cum_frac",
         col("cum_cnt").cast(DoubleType) / col("total_cnt").cast(DoubleType))
       .select(col("token_id"), col("token"), col("cnt"), col("cum_frac"))

@@ -143,8 +143,14 @@ class PlanSpec extends SparkSpec {
     //      broadcast into every vocab row's λ weight
     // q123: same pattern — constant-size aggregates (gram stats, doc
     //      stats, corpus total) combined by 1-row broadcasts
+    // q86: the vocabulary total as a 1-row broadcast into the top-V frame
+    // q126: two 1-row aggregates combined for the singleton-count row
+    // q128: broadcast probes-with-LUTs × corpus codes — the PQ search IS
+    //       a deliberate broadcast cross (codes-only corpus side, q37's class)
     val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords",
-      "q102_bm25_topk", "q117_token_rarity", "q120_dsir_weights", "q123_ngram_novelty")
+      "q102_bm25_topk", "q117_token_rarity", "q120_dsir_weights", "q123_ngram_novelty",
+      "q86_vocab_coverage", "q126_cluster_size_histogram", "q128_pq_adc_topk",
+      "q127_dsir_selection") // q127 inherits q120's 1-row vocab-totals broadcast
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

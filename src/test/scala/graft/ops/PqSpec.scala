@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim vectors, m=2 subspaces of dsub=2; hand-built codebooks
+  private val cb = Pq.Codebooks(m = 2, dsub = 2, centroids = Array(
+    Array(Array(1f, 0f), Array(0f, 1f)),   // subspace 0: e1, e2
+    Array(Array(2f, 0f), Array(0f, 2f)))) // subspace 1: 2*e1, 2*e2
+
+  test("encode picks the max-dot centroid per subspace, first wins ties") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(5f, 1f, 1f, 9f)),  // sub0 → e1 (dot 5 vs 1); sub1 → 2*e2 (2 vs 18)
+      (2L, Seq(0f, 0f, 3f, 3f))   // sub0 tie (0,0) → first (code 0); sub1 tie (6,6) → code 0
+    ).toDF("id", "v")
+    val got = df.select(col("id"), Pq.encode(col("v"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 1))
+    assert(got(2L) == Seq(0, 0))
+  }
+
+  test("ADC score equals the exact inner product when vectors sit ON centroids") {
+    graft.functions.GraftFunctions.register(spark)
+    // corpus vector = (e1 | 2*e2) exactly; probe arbitrary → ADC is exact
+    val corpus = Seq((10L, Seq(1f, 0f, 0f, 2f))).toDF("vec_id", "embedding")
+    val probes = Seq((1L, Seq(3f, 4f, 5f, 6f))).toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(probes, corpus, "vec_id", "embedding", cb, k = 1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("neighbor_id") == 10L && r.getAs[Int]("rank") == 1)
+    // exact IP = 3*1 + 4*0 + 5*0 + 6*2 = 15
+    assert(r.getAs[Double]("adc_score") == 15.0)
+  }
+
+  test("trained PQ ranks an exact-match corpus vector first") {
+    graft.functions.GraftFunctions.register(spark)
+    // 16-dim corpus with exact cluster structure (4 distinct patterns);
+    // probe equals doc 7 — its whole cluster ties at the max IP and
+    // ranks first by neighbor_id
+    val vecs = (0L until 40L).map { i =>
+      i -> Seq.tabulate(16)(d => if (d % 4 == i % 4) 1f else 0f)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val probe = Seq(60L -> vecs(7)._2).toDF("vec_id", "embedding")
+    val cb16 = Pq.train(corpus, "vec_id", "embedding", dim = 16, m = 4, ksub = 4)
+    val top = Pq.adcTopK(probe, corpus, "vec_id", "embedding", cb16, k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    // the probe's own cluster (i % 4 == 3: docs 3,7,11,...) should dominate
+    val clusterHits = top.count(id => id % 4 == 3)
+    assert(clusterHits >= 3, s"PQ lost the cluster structure: ${top.mkString(",")}")
+  }
+}
