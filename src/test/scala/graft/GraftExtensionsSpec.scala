@@ -9,16 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions=graft.GraftExtensions registers every native function for SQL") {
+  test("GraftExtensions-built sessions expose every native function to plain SQL") {
+    // `spark.sql.extensions=graft.GraftExtensions` is a STATIC conf —
+    // applied when the SparkContext is first created, which a shared
+    // test JVM has already done — so the spec drives the same injection
+    // through the builder's official withExtensions hook (what the
+    // static conf calls at app start).
     val orig = SparkSession.getDefaultSession
-    // force builder to CONSTRUCT a session (same SparkContext) so the
-    // extensions config is honored rather than an existing session reused
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
