@@ -163,6 +163,17 @@ object ScaleCheck {
     run("bpe_pairs",
       ops.TextOps.bpePairCounts(docs1, "text", 50),
       ops.TextOps.bpePairCounts(docsN, "text", 50))
+    // PQ/ADC: corpus up, probe set fixed (the realistic growth mode);
+    // scoring is a broadcast cross over codes-only rows, so growth
+    // tracks the encode+score scan linearly
+    locally {
+      val probes1 = emb1.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val cb1 = ops.Pq.train(emb1, "vec_id", "embedding", 64, 16, 16)
+      val cbN = ops.Pq.train(embN, "vec_id", "embedding", 64, 16, 16)
+      run("pq_adc_topk",
+        ops.Pq.adcTopK(probes1, emb1, "vec_id", "embedding", cb1, 3),
+        ops.Pq.adcTopK(probes1, embN, "vec_id", "embedding", cbN, 3))
+    }
     spark.stop()
   }
 }

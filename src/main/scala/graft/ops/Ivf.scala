@@ -25,7 +25,7 @@ object Ivf {
     * seeding quality saturates quickly; the cap keeps the driver pull
     * O(thousands × dim) floats no matter the corpus size.
     */
-  private val MaxSeedSample = 2048
+  private[ops] val MaxSeedSample = 2048
 
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0

@@ -40,17 +40,53 @@ object Pq {
     def ksub: Int = centroids(0).length
   }
 
-  /** Per-subspace deterministic k-means over the corpus slices. */
+  /** Per-subspace deterministic k-means over the corpus slices — all m
+    * subspaces batched into ONE Spark job per Lloyd iteration (a
+    * per-subspace [[Ivf.trainCentroids]] loop computes the identical
+    * codebooks but pays m× the driver round trips: seeds come from the
+    * same id-ordered capped sample, assignments use the same max-dot
+    * rule, and the per-(subspace, cell, dim) means are the same
+    * aggregate — batching only changes the job count).
+    */
   def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, ksub: Int = 16, iters: Int = 2, sampleMod: Int = 1): Codebooks = {
     require(m > 0 && dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    GraftFunctions.register(corpus.sparkSession)
     val dsub = dim / m
-    val books = (0 until m).map { j =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
-      Ivf.trainCentroids(sub, idCol, vecCol, ksub, iters, sampleMod)
-    }.toArray
-    Codebooks(m, dsub, books)
+    val sample = (if (sampleMod > 1)
+      corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0) else corpus)
+      .select(col(idCol), col(vecCol).as("__v"))
+    val seedPool = sample.orderBy(col(idCol)).limit(Ivf.MaxSeedSample)
+      .select("__v").collect().map(_.getSeq[Float](0).toArray)
+    var cb = Codebooks(m, dsub, (0 until m).map { j =>
+      Ivf.kppSeeds(seedPool.map(_.slice(j * dsub, (j + 1) * dsub)), ksub)
+    }.toArray)
+    var it = 0
+    while (it < iters) {
+      // one exploded frame: (subspace, assigned cell, sub-vector) for all
+      // m subspaces, one aggregate for every (subspace, cell, dim) mean
+      val perSub = sample.select(explode(array((0 until cb.m).map { j =>
+        val sub = slice(col("__v"), j * dsub + 1, dsub)
+        struct(lit(j).as("__j"), Ivf.assignCell(sub, cb.centroids(j)).as("__c"),
+          sub.as("__s"))
+      }: _*)).as("x"))
+        .select(col("x.__j").as("__j"), col("x.__c").as("__c"),
+          posexplode(col("x.__s")).as(Seq("__d", "__x")))
+      val means = perSub.groupBy(col("__j"), col("__c"), col("__d"))
+        .agg(avg(col("__x")).as("__m")).collect()
+      val byJc = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Codebooks(m, dsub, (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          byJc.get((j, c)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toArray
+            case None => cb.centroids(j)(c) // empty cell keeps its centroid
+          }
+        }.toArray
+      }.toArray)
+      it += 1
+    }
+    cb
   }
 
   /** Scan-side PQ encoding: argmax (by squared distance via the dot trick
