@@ -398,6 +398,19 @@ object CorpusQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // --------------------------------------------------------------- q129
+  // IVF-PQ composed index search (ops.Pq.ivfPqTopK): cell pruning ×
+  // code-based scoring — the billion-scale index shape. Rows-only like
+  // q128 (trained centroids + codebooks are run-local); q129r pins
+  // bit-exact ADC scores per emitted row and a compounded recall floor.
+  val q129 = QuerySpec.rowsOnly("q129_ivfpq_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    Pq.ivfPqTopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
+      "vec_id", "embedding", cb, k = 3, nlist = 8, nprobe = 3)
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128)
+    q127, q128, q129)
 }

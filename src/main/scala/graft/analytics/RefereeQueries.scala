@@ -292,15 +292,17 @@ object RefereeQueries {
   //     inner products on the synthetic vectors put a real ceiling on
   //     any quantizer); the 0.3 floor is a collapse detector (broken
   //     codebooks or LUT indexing → recall ~0), not a quality bar.
-  val q128r = QuerySpec.refereeCheck("q128r_pq_referee") { (s, d) =>
-    implicit val ss: SparkSession = s
+  /** The composable PQ re-scorer shared by q128r/q129r: codes re-derived
+    * by an explode+window argmax (vs the native array-argmax expression),
+    * LUT entries via the zip_with+aggregate dot (vs float_dot —
+    * bit-identical contract, FloatDotProduct scaladoc), score re-folded
+    * in the same j-ascending order. Returns the FULL (probe_id,
+    * neighbor_id, adc_score) frame.
+    */
+  private def pqRefScores(emb: DataFrame, probes: DataFrame,
+      cb: graft.ops.Pq.Codebooks)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val probes = emb.filter(col("vec_id") % 50 === 0)
-    val m = 16; val ksub = 16; val dsub = 4; val k = 3
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = m, ksub = ksub)
-    val native = Pq.adcTopK(probes, emb, "vec_id", "embedding", cb, k = k)
-    // --- referee path ---------------------------------------------
+    val m = cb.m; val ksub = cb.ksub; val dsub = cb.dsub
     val centroidRows = for (j <- 0 until m; c <- 0 until ksub)
       yield (j, c, cb.centroids(j)(c).toSeq)
     val cents = centroidRows.toDF("j", "c", "cent")
@@ -310,8 +312,6 @@ object RefereeQueries {
       explode(array((0 until m).map(j => struct(lit(j).as("j"),
         slice(col("embedding"), j * dsub + 1, dsub).as("sub"))): _*)).as("x"))
       .select(col(idAs), col("x.j").as("j"), col("x.sub").as("sub"))
-    // referee codes: explode+window argmax (dot desc, c asc) — the
-    // independent form of Ivf.assignCell's array argmax
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("neighbor_id"), col("j"))
       .orderBy(col("__dot").desc, col("c").asc)
@@ -319,26 +319,22 @@ object RefereeQueries {
       .withColumn("__dot", Similarity.dot(col("sub"), col("cent")))
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("neighbor_id"), col("j"), col("c"))
-    // referee LUT entries for the probe set
     val contrib = subSlices(probes, "probe_id").join(cents, Seq("j"))
       .select(col("probe_id"), col("j"), col("c"),
         Similarity.dot(col("sub"), col("cent")).as("contrib"))
-    val refScores = refCodes.join(broadcast(contrib), Seq("j", "c"))
+    refCodes.join(broadcast(contrib), Seq("j", "c"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(sort_array(collect_list(struct(col("j"), col("contrib")))).as("__lst"))
       .select(col("probe_id"), col("neighbor_id"),
         aggregate(col("__lst"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")).as("adc_score"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("adc_score").desc, col("neighbor_id"))
-    val referee = refScores.withColumn("rank", row_number().over(wr).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "adc_score")
-    // --- exact-IP recall floor ------------------------------------
+  }
+
+  /** Exact inner-product top-k of the probe set (recall denominator). */
+  private def exactIpTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
-    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
       .crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -348,15 +344,61 @@ object RefereeQueries {
           .orderBy(col("ip").desc, col("neighbor_id"))).cast(IntegerType))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id")
-    val hit = native.select("probe_id", "neighbor_id").intersect(exact).count().toDouble
+  }
+
+  private def recallRow(ann: DataFrame, exact: DataFrame, floor: Double): Seq[String] = {
+    val hit = ann.select("probe_id", "neighbor_id").intersect(exact).count().toDouble
     val total = exact.count().toDouble
     val recall = if (total == 0) 1.0 else hit / total
-    val floor = 0.3
-    val recallRow =
-      if (recall >= floor) Seq.empty[String] else Seq(f"recall=$recall%.3f<floor=$floor%.2f")
-    report(symDiff(native, referee)).unionAll(recallRow.toDF("status")).orderBy("status")
+    if (recall >= floor) Seq.empty[String] else Seq(f"recall=$recall%.3f<floor=$floor%.2f")
+  }
+
+  val q128r = QuerySpec.refereeCheck("q128r_pq_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val k = 3
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val native = Pq.adcTopK(probes, emb, "vec_id", "embedding", cb, k = k)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    val referee = pqRefScores(emb, probes, cb)
+      .withColumn("rank", row_number().over(wr).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_score")
+    report(symDiff(native, referee))
+      .unionAll(recallRow(native, exactIpTopK(emb, probes, k), 0.3).toDF("status"))
+      .orderBy("status")
+  }
+
+  // ------------------------------------------------------ q129 referee
+  // IVF-PQ: every emitted row's ADC score must bit-match the composable
+  // re-scorer for that (probe, neighbor) pair (the cell-pruned scored
+  // SET is Ivf territory, pinned by q47r's recall discipline), plus a
+  // compounded recall floor — cell pruning × quantization both cost
+  // recall, so the floor sits below q128r's (collapse detector, not a
+  // quality bar).
+  val q129r = QuerySpec.refereeCheck("q129r_ivfpq_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val k = 3
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val native = Pq.ivfPqTopK(probes, emb, "vec_id", "embedding", cb, k = k,
+      nlist = 8, nprobe = 3)
+    val scoreBad = native.join(
+      pqRefScores(emb, probes, cb).withColumnRenamed("adc_score", "__ref"),
+      Seq("probe_id", "neighbor_id"), "left")
+      .filter(col("__ref").isNull || col("adc_score") =!= col("__ref"))
+      .select(col("probe_id"), col("neighbor_id"), col("adc_score"), col("__ref"))
+    report(Seq(scoreBad))
+      .unionAll(recallRow(native, exactIpTopK(emb, probes, k), 0.15).toDF("status"))
+      .orderBy("status")
   }
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r)
+    q96r, q100r, q110r, q128r, q129r)
 }

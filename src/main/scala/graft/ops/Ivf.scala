@@ -129,7 +129,7 @@ object Ivf {
   }
 
   /** Per-probe nprobe nearest cells (exploded). */
-  private def probeCells(probes: DataFrame, idCol: String, vecCol: String,
+  private[ops] def probeCells(probes: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scores = array(centroids.map(c => float_dot(col(vecCol), typedlit(c))): _*)

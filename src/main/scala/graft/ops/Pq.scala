@@ -139,4 +139,38 @@ object Pq {
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "adc_score")
   }
+
+  /** IVF-PQ: [[Ivf]] cell pruning composed with ADC scoring — the
+    * standard billion-scale index shape (FAISS's IVFxx,PQyy). The corpus
+    * carries (cell, codes) — both scan-side projections; a probe joins
+    * only its nprobe cells (the corpus's one exchange is by 4-byte cell
+    * id) and scores those rows from its LUT. vs [[adcTopK]]: the scored
+    * row count drops to ~nprobe/nlist of the corpus; vs [[Ivf.ivfTopK]]:
+    * scoring needs no corpus vectors, so the searched index is
+    * (int, m codes) per row. Recall compounds both approximations (cell
+    * pruning × quantization) — the in-gate referee floors it.
+    *
+    * Output (probe_id, rank, neighbor_id, adc_score).
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      ivfIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, ivfIters)
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.assignCell(col(vecCol), centroids).as("__c"),
+      encode(col(vecCol), cb).as("__codes"))
+    val p = Ivf.probeCells(probes, idCol, vecCol, centroids, nprobe)
+      .select(col("probe_id"), col("__c"), lutCol(col("__pv"), cb).as("__lut"))
+    val scored = cells.join(broadcast(p), Seq("__c"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        adcScore(col("__lut"), col("__codes"), cb.m).as("adc_score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_score")
+  }
 }
