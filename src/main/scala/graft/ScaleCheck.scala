@@ -59,6 +59,12 @@ object ScaleCheck {
     run("embedding_near_dups",
       ops.Similarity.embeddingNearDups(emb1, "vec_id", "embedding", 0.4, 4, 6),
       ops.Similarity.embeddingNearDups(embN, "vec_id", "embedding", 0.4, 4, 6))
+    // SemDeDup manifest: near-dup pairs + components + one cluster_id
+    // exchange; growth tracks the pair channel (id-shifted copies keep
+    // per-copy cluster structure, never cross-copy merges).
+    run("semantic_dedup",
+      ops.Similarity.semanticDedup(emb1, "vec_id", "embedding", 0.4, 4, 6),
+      ops.Similarity.semanticDedup(embN, "vec_id", "embedding", 0.4, 4, 6))
     run("column_profile",
       ops.Profile.columns(docs1, docs1.columns.toSeq),
       ops.Profile.columns(docsN, docsN.columns.toSeq))

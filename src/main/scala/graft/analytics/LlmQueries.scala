@@ -747,6 +747,51 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q130
+  // SemDeDup manifest (Abbas et al. 2023): q72's semantic clusters
+  // collapsed to the keep-one-canonical-per-cluster dedup manifest —
+  // cluster_id is the kept representative (component minimum), singleton
+  // docs (no near-dup pair) keep themselves with cluster_size=1. The
+  // oracle extends q72's recursive-CTE closure with the left-join
+  // singleton fill-in and the per-cluster rollup; all counts are exact
+  // integers, so the row set hash-matches.
+  val q130 = QuerySpec.sql(
+    "q130_semantic_dedup",
+    s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("embedding", b)} AS b$b").mkString(",\n    ")}
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CASE WHEN a.nm * b.nm > 0
+      |      THEN ${duckDot("a.e", "b.e")} / (a.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    AND (${(0 until q56Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE sim >= 0.4
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach
+      |), comp AS (
+      |  SELECT id AS vec_id, LEAST(id, MIN(r)) AS cluster_id
+      |  FROM rec GROUP BY id
+      |), cl AS (
+      |  SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+      |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id)
+      |SELECT cluster_id, COUNT(*) AS cluster_size, COUNT(*) - 1 AS n_dropped
+      |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, bands = q56Bands, planesPerBand = q56Planes)
+      .orderBy("cluster_id")
+  }
+
   // ---------------------------------------------------------------- q98
   // The O(log n)-round large-star/small-star components path end-to-end
   // on a graph where the default min-label propagation CANNOT work: 512
@@ -1391,5 +1436,6 @@ object LlmQueries {
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
-    q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117)
+    q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
+    q130)
 }

@@ -279,4 +279,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), pairSim.as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — collapse each embedding-space near-duplicate cluster
+    * to one canonical representative. Cluster graph = [[embeddingNearDups]]
+    * (LSH-blocked candidate pairs, exact cosine re-rank at `threshold`);
+    * clusters = exact min-label connected components, so the canonical kept
+    * id IS `cluster_id` (the component minimum — the deterministic analog
+    * of the paper's keep-lowest-similarity-to-centroid choice). Returns the
+    * dedup manifest `(cluster_id, cluster_size, n_dropped)`; the kept
+    * corpus is `df` semi-joined on `idCol == cluster_id`.
+    *
+    * Scale shape: pair generation moves sign-bucket ids only (vectors stay
+    * scan-side), components are O(diameter) id-keyed rounds on the pair
+    * set (near-dup-proportional, not corpus-proportional), the singleton
+    * fill-in is a left join on the 8-byte id, and the manifest is ONE
+    * exchange keyed by cluster_id.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, threshold, bands, planesPerBand)
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumn("n_dropped", col("cluster_size") - lit(1L))
+  }
+
+  /** The kept (canonical) rows under [[semanticDedup]]'s policy. */
+  def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val manifest = semanticDedup(df, idCol, vecCol, threshold, bands, planesPerBand)
+    df.join(manifest.select(col("cluster_id").as(s"__keep_$idCol")),
+      col(idCol) === col(s"__keep_$idCol"), "left_semi")
+  }
 }

@@ -724,6 +724,23 @@ class SimilaritySpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("semanticDedup manifest: 1~2 collapse to cluster 1; 3 and 4 are singletons") {
+    val manifest = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, bands = 4, planesPerBand = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_dropped")))).toMap
+    assert(manifest == Map(1L -> ((2L, 1L)), 3L -> ((1L, 0L)), 4L -> ((1L, 0L))))
+    // kept rows = one per cluster, ids = the cluster_ids
+    val kept = Similarity.semanticDedupKeep(vecs, "vec_id", "embedding",
+      threshold = 0.9, bands = 4, planesPerBand = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // invariant: sum(cluster_size) == corpus size; dropped = size - clusters
+    assert(manifest.values.map(_._1).sum == 4L)
+    assert(manifest.values.map(_._2).sum == 4L - manifest.size)
+  }
+
   test("quantizeInt8: round-trip cosine stays close; q bounded by 127; zero vector safe") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
