@@ -558,7 +558,11 @@ object CurationQueries {
   // counts (src=corpus), and q118's rule-gated funnel (src=the
   // rule-filtered corpus), exactly as the engine side shares
   // Curation.curationStages.
-  private def q95ChainCtes(src: String): String =
+  // Stages 1-2 (exact + MinHash-near-dup dedup) from relation `src`,
+  // ending at survivor set `e2s`. Split from the tail so q131 can insert
+  // the opt-in semantic-dedup stage between them, exactly where the
+  // engine's stage 2c sits.
+  private def q95DedupCtes(src: String): String =
     s"""e AS (SELECT doc_id, source, text FROM (
       |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM $src) WHERE doc_id = keep),
       |t AS (SELECT doc_id, $duckToks95 AS toks FROM e),
@@ -575,13 +579,17 @@ object CurationQueries {
       |  ) SELECT * FROM reach),
       |labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id),
       |dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
-      |e2s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM dropped)),
-      |t2s AS (SELECT doc_id, $duckToks95 AS toks FROM e2s),
+      |e2s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM dropped))""".stripMargin
+
+  // Stages 3-4 (decontamination + quality pruning) from survivor
+  // relation `src2`, ending at the pruned set `k3`.
+  private def q95TailCtes(src2: String): String =
+    s"""t2s AS (SELECT doc_id, $duckToks95 AS toks FROM $src2),
       |ts AS (SELECT doc_id, unnest(${duckShK95(5)}) AS sh FROM t2s),
       |tb AS (SELECT doc_id, $duckToks95 AS toks FROM bench),
       |bs AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb),
       |cont AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sh)),
-      |e3s AS (SELECT * FROM e2s WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |e3s AS (SELECT * FROM $src2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
       |t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM e3s),
       |m3 AS (SELECT doc_id, source, text, len(toks) AS n_toks,
       |  CAST(len(list_filter(toks, x -> list_contains($duckStops95, x))) AS DOUBLE) AS n_stop FROM t3),
@@ -595,6 +603,12 @@ object CurationQueries {
       |w3 AS (SELECT doc_id, source, score,
       |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
       |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+
+  // The default chain (no opt-in stages): dedup prefix + tail, stitched
+  // exactly as before the q131 split.
+  private def q95ChainCtes(src: String): String =
+    s"""${q95DedupCtes(src)},
+      |${q95TailCtes("e2s")}""".stripMargin
   private val q95StagesCtes =
     s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
       |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
@@ -798,6 +812,64 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q131
+  // The pipeline with the opt-in SemDeDup stage 2c on: embedding-space
+  // near-dup clusters over the lexical-dedup survivors collapsed to
+  // their min-id canonical before decontamination. The oracle reuses the
+  // shared dedup prefix and tail verbatim and inserts the q72-family
+  // blocking + recursive closure (restricted to e2s survivors — the
+  // blocking is per-row deterministic, so restriction commutes with it)
+  // between them, exactly where the engine's stage sits. threshold 0.4
+  // matches q72/q130, so the stage is exercised at fixture scale.
+  private val q131SemanticCtes: String = {
+    import LlmQueries.{duckBucket, duckDot, q56Bands}
+    s"""sn AS (
+      |  SELECT em.vec_id AS sid, em.embedding AS ev,
+      |    sqrt(${duckDot("em.embedding", "em.embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("em.embedding", b)} AS b$b").mkString(",\n    ")}
+      |  FROM embeddings em JOIN e2s ON em.vec_id = e2s.doc_id),
+      |sp AS (
+      |  SELECT a.sid AS id_a, b.sid AS id_b,
+      |    CASE WHEN a.nm * b.nm > 0
+      |      THEN ${duckDot("a.ev", "b.ev")} / (a.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM sn a JOIN sn b ON a.sid < b.sid
+      |    AND (${(0 until q56Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})),
+      |spr AS (SELECT id_a, id_b FROM sp WHERE sim >= 0.4),
+      |sedges AS (SELECT id_a AS a, id_b AS b FROM spr UNION SELECT id_b, id_a FROM spr),
+      |srec AS (
+      |  WITH RECURSIVE sreach(id, r) AS (
+      |    SELECT a, b FROM sedges
+      |    UNION
+      |    SELECT e4.a, t4.r FROM sedges e4 JOIN sreach t4 ON e4.b = t4.id
+      |  ) SELECT * FROM sreach),
+      |sdrop AS (SELECT id FROM srec GROUP BY id HAVING MIN(r) < id),
+      |e2t AS (SELECT * FROM e2s WHERE doc_id NOT IN (SELECT id FROM sdrop))""".stripMargin
+  }
+  val q131 = QuerySpec.sql(
+    "q131_curation_semantic",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${q95DedupCtes("corpus")},
+      |$q131SemanticCtes,
+      |${q95TailCtes("e2t")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curateCorpus(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      semantic = Some((Tables.embeddings(s, d)
+        .withColumnRenamed("vec_id", "doc_id"), "embedding", 0.4)))
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
-    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118)
+    q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
+    q131)
 }

@@ -21,7 +21,7 @@ object LlmQueries {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val duckDToks = s"list_distinct($duckToks)"
   // DuckDB sequential-fold dot product mirroring Similarity.dot.
-  private def duckDot(a: String, b: String) =
+  private[analytics] def duckDot(a: String, b: String) =
     s"list_reduce(list_transform($a, (x,i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (u,v) -> u + v)"
 
   // ---------------------------------------------------------------- q30
@@ -588,15 +588,15 @@ object LlmQueries {
   // Similarity.planeSigns), so DuckDB reproduces every bucket id
   // bit-for-bit and the candidate set is identical by construction.
   // Assumes the fixture embedding dim (64, all SFs).
-  private val q56Bands = 4
-  private val q56Planes = 6
+  private[analytics] val q56Bands = 4
+  private[analytics] val q56Planes = 6
   private val q56Dim = 64
   private def duckPlaneDot(e: String, band: Int, plane: Int): String = {
     val lst = Similarity.planeSigns(band, plane, q56Dim)
       .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     s"list_reduce(list_transform($e, (x,i) -> CAST(x AS DOUBLE) * ($lst)[i]), (u,v) -> u + v)"
   }
-  private def duckBucket(e: String, band: Int): String =
+  private[analytics] def duckBucket(e: String, band: Int): String =
     (0 until q56Planes).map(j =>
       s"(CASE WHEN ${duckPlaneDot(e, band, j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")")

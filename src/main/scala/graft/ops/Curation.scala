@@ -87,6 +87,13 @@ object Curation {
     *     structurally misses), drop the CONTAINED doc (smaller shingle
     *     set; min id wins ties) — the superset doc carries all of its
     *     content plus more, so dropping the subset loses nothing
+    *  2c. (opt-in via `semantic = Some((embeddings, vecCol, threshold))`)
+    *     SemDeDup (Abbas et al. 2023): embedding-space near-dup clusters
+    *     ([[Similarity.embeddingNearDups]] over the survivors' vectors,
+    *     exact components) collapsed to the min-id canonical — catches
+    *     paraphrases and translations that share no lexical shingles;
+    *     `embeddings` must be keyed by `idCol`, docs without a vector
+    *     keep themselves
     *  3. benchmark decontamination: drop docs sharing any `decontamK`-gram
     *     with the eval set (long shingles — short ones flag everything;
     *     [[Dedup.bloomDecontaminate]] is the sketch variant of this stage)
@@ -112,11 +119,12 @@ object Curation {
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
-      ruleGate: Option[Column] = None)
+      ruleGate: Option[Column] = None,
+      semantic: Option[(DataFrame, String, Double)] = None)
       : DataFrame =
     hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate).pruned,
+      ruleGate, semantic).pruned,
       idCol, weights)
 
   /** The stage-boundary frames of [[curateCorpus]] — one chain, two
@@ -134,7 +142,8 @@ object Curation {
       nTiles: Int = 10, keepTiles: Int = 7,
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
-      ruleGate: Option[Column] = None)
+      ruleGate: Option[Column] = None,
+      semantic: Option[(DataFrame, String, Double)] = None)
       : CurationStages = {
     // Stage 0 is a pure scan-side filter: it fuses into the parquet scan
     // of the exact-dedup stage, so it is NOT checkpointed — the only
@@ -163,7 +172,7 @@ object Curation {
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
     val jaccardKept = Dedup.dropNearDups(exactKept, pairs, idCol)
-    val nearKept = (containment match {
+    val afterContainment = containment match {
       case None => jaccardKept
       case Some(t) =>
         // stage-boundary corpus: overlapPairs consumes it twice
@@ -176,6 +185,23 @@ object Curation {
           .select(when(col("n_a") < col("n_b"), col("id_a"))
             .otherwise(col("id_b")).as(idCol)).distinct()
         jk.join(contained, Seq(idCol), "left_anti")
+    }
+    val nearKept = (semantic match {
+      case None => afterContainment
+      case Some((emb, vecCol, t)) =>
+        // Stage 2c (opt-in): SemDeDup — drop non-canonical members of
+        // embedding-space near-dup clusters (min id survives, the same
+        // policy as stage 2's lexical clusters; Abbas et al. 2023).
+        // `emb` must be keyed by idCol; survivors with no embedding row
+        // keep themselves (the semi-join simply excludes them from the
+        // cluster graph). Vectors stay scan-side: the pair channel moves
+        // sign-bucket ids, the anti-join moves 8-byte losers.
+        val base = afterContainment.localCheckpoint()
+        val vecs = emb.select(col(idCol), col(vecCol))
+          .join(base.select(col(idCol)), Seq(idCol), "left_semi")
+        val semPairs = Similarity.embeddingNearDups(vecs, idCol, vecCol, t,
+          bands = 4, planesPerBand = 6)
+        Dedup.dropNearDups(base, semPairs, idCol)
     }).localCheckpoint()
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
       shingleK = decontamK).select(col(idCol))
@@ -207,11 +233,12 @@ object Curation {
       nTiles: Int = 10, keepTiles: Int = 7,
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
-      ruleGate: Option[Column] = None)
+      ruleGate: Option[Column] = None,
+      semantic: Option[(DataFrame, String, Double)] = None)
       : DataFrame = {
     val st = curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate)
+      ruleGate, semantic)
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
     counts(docs, "n_in")

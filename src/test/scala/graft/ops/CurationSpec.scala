@@ -174,6 +174,31 @@ class CurationSpec extends SparkSpec {
     assert(on == Set(1L, 3L), on.toString)
   }
 
+  test("curateCorpus semantic: embedding near-dup collapses to min id; no-vector docs keep themselves") {
+    val docs = Seq(
+      (1L, "s", "first document with entirely distinct words alpha beta gamma"),
+      (2L, "s", "second document sharing no tokens delta epsilon zeta eta theta"),
+      (3L, "s", "third document also lexically unique iota kappa lambda mu nu")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((100L, "b", "benchmark text unrelated to the corpus documents wholly"))
+      .toDF("doc_id", "source", "text")
+    // docs 1 and 2 are near-identical in embedding space; doc 3 has NO vector
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    // semantic OFF: no lexical overlap, everything survives
+    val off = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(off == Set(1L, 2L, 3L), off.toString)
+    // semantic ON: doc 2 collapses into doc 1's cluster; doc 3 (vectorless) kept
+    val on = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, semantic = Some((emb, "embedding", 0.95)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(on == Set(1L, 3L), on.toString)
+  }
+
   test("curationFunnel: per-source stage counts, vanishing source reported with zeros") {
     val common = "the project builds a fast engine for data and it scales well today"
     val docs = Seq(
