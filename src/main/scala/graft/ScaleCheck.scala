@@ -180,6 +180,32 @@ object ScaleCheck {
         ops.Pq.adcTopK(probes1, emb1, "vec_id", "embedding", cb1, 3),
         ops.Pq.adcTopK(probes1, embN, "vec_id", "embedding", cbN, 3))
     }
+    // BPE: training cost is (one corpus word-count pass) + (vocab-sized
+    // iterations), so the corpus-proportional part is the encode — merge
+    // table trained once on the small side (like the PQ codebooks),
+    // word counts rebuilt per side, encode timed. The id-shifted blow-up
+    // keeps the vocabulary identical (counts x factor), which is exactly
+    // the 100 TB shape: corpus grows, vocabulary saturates.
+    locally {
+      val merges1 = ops.Bpe.train(docs1, "text", 10)
+      val counts1 = ops.Bpe.wordCounts(docs1, "text").localCheckpoint()
+      val countsN = ops.Bpe.wordCounts(docsN, "text").localCheckpoint()
+      run("bpe_encode",
+        ops.Bpe.encodeCorpus(docs1, "doc_id", "text", merges1, counts1),
+        ops.Bpe.encodeCorpus(docsN, "doc_id", "text", merges1, countsN))
+    }
+    // Embedding decontamination: corpus up, benchmark fixed (the
+    // realistic growth mode, like bm25/pq above); candidates are
+    // cross-side bucket joins only.
+    locally {
+      def benchE(df: DataFrame) = df.filter(pmod(col("vec_id"), lit(37)) === 0)
+      def corpusE(df: DataFrame) = df.filter(pmod(col("vec_id"), lit(37)) =!= 0)
+      run("cross_embedding",
+        ops.Similarity.crossEmbeddingMatches(corpusE(emb1), benchE(emb1),
+          "vec_id", "embedding", 0.3, 4, 6),
+        ops.Similarity.crossEmbeddingMatches(corpusE(embN), benchE(emb1),
+          "vec_id", "embedding", 0.3, 4, 6))
+    }
     spark.stop()
   }
 }

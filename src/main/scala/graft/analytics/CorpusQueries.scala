@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, Pq, QualityRules, TextOps}
+import graft.ops.{Bpe, Dedup, Pq, QualityRules, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
@@ -411,6 +411,83 @@ object CorpusQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // --------------------------------------------------------------- q132
+  // Full BPE merge-table training (ops.Bpe): q122 computes the FIRST
+  // iteration's pair counts; this runs the whole Sennrich et al. loop —
+  // 40 merges, each a vocabulary-sized aggregate + one-row argmax
+  // collect. Rows-only in the gate: the merge table is data-dependent
+  // and DuckDB has no affordable iterative-argmax form; q132r retrains
+  // it in plain JVM from the same word counts and must agree
+  // bit-for-bit (and BpeSpec property-tests the fold semantics).
+  private[analytics] val bpeNMerges = 40
+  val q132 = QuerySpec.rowsOnly("q132_bpe_merges") { (s, d) =>
+    val merges = Bpe.train(Tables.documents(s, d), "text", nMerges = bpeNMerges)
+    s.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
+      .orderBy("rank")
+  }
+
+  // --------------------------------------------------------------- q133
+  // Corpus encoded under the q132 merge table: per-document word and
+  // subword counts (Bpe.encodeCorpus — the TF exchange shape joined to
+  // vocab-folded subword lengths). Rows-only for the same reason as
+  // q132; q132r re-encodes a vocabulary slice in plain JVM against the
+  // same table.
+  val q133 = QuerySpec.rowsOnly("q133_bpe_encode") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = Bpe.wordCounts(docs, "text").localCheckpoint()
+    val merges = Bpe.trainFromCounts(counts, nMerges = bpeNMerges)
+    Bpe.encodeCorpus(docs, "doc_id", "text", merges, counts)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q135
+  // Corpus data card: the per-(source, lang) rollup a training run's
+  // data statement reports — volumes, exact-duplicate mass, and quality-
+  // gate failures (Gebru et al. "Datasheets for Datasets"; the
+  // corpus-level companion to q125's per-document Dolma attribute
+  // table, sharing its dup-flag exchange shape and QualityRules gate).
+  // Every cell is an exact integer, so the rollup hash-matches.
+  val q135 = QuerySpec.sql(
+    "q135_data_card",
+    s"""WITH ${LlmQueries.gopherSignalCtes("documents")},
+      |dup AS (SELECT doc_id,
+      |    (doc_id > MIN(doc_id) OVER (PARTITION BY text)) AS is_dup
+      |  FROM documents),
+      |base AS (SELECT doc_id, source, lang,
+      |    CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+      |SELECT b.source, b.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(s.n_words) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(*) FILTER (WHERE d.is_dup) AS BIGINT) AS n_exact_dup,
+      |  CAST(COUNT(*) FILTER (WHERE NOT ${LlmQueries.gopherGateSql}) AS BIGINT)
+      |    AS n_gopher_fail
+      |FROM s JOIN dup d USING (doc_id) JOIN base b USING (doc_id)
+      |GROUP BY b.source, b.lang ORDER BY b.source, b.lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(col("__kh"), col("text")).orderBy(col("doc_id"))
+    val flagged = docs.withColumn("__kh", xxhash64(col("text")))
+      .repartition(col("__kh"))
+      .withColumn("__dup", row_number().over(w) > 1)
+    val sig = flagged.select(
+      Seq(col("source"), col("lang"), col("__dup"),
+        length(col("text")).cast(LongType).as("__chars")) ++
+        QualityRules.signals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val gate = QualityRules.passGate(
+      col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      col("bullet_line_frac"), col("ellipsis_line_frac"),
+      col("alpha_word_frac"), col("n_stop_hits"), minStopHits = 1)
+    sig.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(!gate, 1L).otherwise(0L)).as("n_gopher_fail"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129)
+    q127, q128, q129, q132, q133, q135)
 }

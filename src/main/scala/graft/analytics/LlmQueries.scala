@@ -792,6 +792,45 @@ object LlmQueries {
       .orderBy("cluster_id")
   }
 
+  // --------------------------------------------------------------- q134
+  // Embedding-space decontamination (Similarity.crossEmbeddingMatches):
+  // the SEMANTIC member of the decontamination family — q76 catches
+  // exact n-gram overlap, q84 the Bloom-sketched form; this catches
+  // paraphrased benchmark leakage by cosine in embedding space, the
+  // check modern data cards report alongside n-gram decontamination.
+  // Benchmark side: vec_id % 37 == 0; corpus side: the rest. The bucket
+  // join runs strictly across sides, so the oracle mirrors q56's
+  // replayable banding with the same cross-sided split; per-corpus-id
+  // verdict rows (hit count + max exact cosine) hash-match.
+  val q134 = QuerySpec.sql(
+    "q134_embedding_decontaminate",
+    s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("embedding", b)} AS b$b").mkString(",\n    ")}
+      |  FROM embeddings
+      |), l AS (SELECT * FROM n WHERE vec_id % 37 <> 0
+      |), r AS (SELECT * FROM n WHERE vec_id % 37 = 0
+      |), p AS (
+      |  SELECT l.vec_id AS corpus_id, r.vec_id AS bench_id,
+      |    CASE WHEN l.nm * r.nm > 0
+      |      THEN ${duckDot("l.e", "r.e")} / (l.nm * r.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM l JOIN r ON (${(0 until q56Bands).map(b => s"l.b$b = r.b$b").mkString(" OR ")}))
+      |SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(sim) AS max_sim
+      |FROM p WHERE sim >= 0.3
+      |GROUP BY corpus_id ORDER BY corpus_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val bench = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(37)) =!= 0)
+    Similarity.crossEmbeddingMatches(corpus, bench, "vec_id", "embedding",
+      threshold = 0.3, bands = q56Bands, planesPerBand = q56Planes)
+      .groupBy(col("id_l"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+      .select(col("id_l").as("corpus_id"), col("n_hits"), col("max_sim"))
+      .orderBy("corpus_id")
+  }
+
   // ---------------------------------------------------------------- q98
   // The O(log n)-round large-star/small-star components path end-to-end
   // on a graph where the default min-label propagation CANNOT work: 512
@@ -1437,5 +1476,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130)
+    q130, q134)
 }

@@ -399,6 +399,39 @@ object RefereeQueries {
       .orderBy("status")
   }
 
+  // ------------------------------------------------------ q132 referee
+  // Full BPE training retrained in plain JVM from the same word counts
+  // (Bpe.referenceTrain — fixture-scale vocabulary in one JVM, gate
+  // infrastructure): the distributed loop's merge table must agree
+  // bit-for-bit, rule by rule. Then the ENCODE path: the top-50 vocab
+  // words folded through the trained table by the Spark `aggregate`
+  // expression (Bpe.encodeVocab) vs the plain-JVM greedy fold
+  // (Bpe.referenceEncode) — symbol sequences joined to one string so
+  // the diff frames stay flat. Covers q132 and q133's shared machinery.
+  val q132r = QuerySpec.refereeCheck("q132r_bpe_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val nMerges = CorpusQueries.bpeNMerges
+    val counts = graft.ops.Bpe.wordCounts(Tables.documents(s, d), "text")
+      .localCheckpoint()
+    val native = s.createDataFrame(
+      graft.ops.Bpe.trainFromCounts(counts, nMerges))
+      .select("rank", "left", "right", "merged", "n")
+    val collected = counts.collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("c"))).toSeq
+    val refMerges = graft.ops.Bpe.referenceTrain(collected, nMerges)
+    val referee = s.createDataFrame(refMerges)
+      .select("rank", "left", "right", "merged", "n")
+    val sample = counts.orderBy(col("c").desc, col("word").asc).limit(50)
+      .localCheckpoint()
+    val encNative = graft.ops.Bpe.encodeVocab(sample, refMerges)
+      .select(col("word"), concat_ws("\u0001", col("syms")).as("enc"))
+    val encReferee = sample.select(col("word")).as[String].collect().toSeq
+      .map(w => (w, graft.ops.Bpe.referenceEncode(w, refMerges).mkString("\u0001")))
+      .toDF("word", "enc")
+    report(symDiff(native, referee) ++ symDiff(encNative, encReferee))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r)
+    q96r, q100r, q110r, q128r, q129r, q132r)
 }

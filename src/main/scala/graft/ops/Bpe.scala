@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units" —
+  * the algorithm behind GPT-2/LLaMA-style subword vocabularies),
+  * re-expressed for Spark. [[TextOps.bpePairCounts]] computes the FIRST
+  * iteration's pair statistics; this module runs the whole merge loop and
+  * applies the learned table back to a corpus.
+  *
+  * Scale shape — the property that makes BPE trainable at 100 TB:
+  *  - The corpus is touched ONCE ([[wordCounts]]: one shuffle with
+  *    map-side combine, vocabulary-sized result).
+  *  - Every merge iteration runs over the VOCABULARY (distinct words
+  *    weighted by count), never the corpus: one vocab-sized pair
+  *    aggregate, a single-row `limit(1).collect()` argmax (driver traffic
+  *    is one row per iteration — the [[Ivf]] k-centroids precedent), and
+  *    one scan-side fold applying the merge. State is `localCheckpoint`ed
+  *    each iteration so lineage stays flat across hundreds of merges.
+  *  - Encoding a corpus under a trained table ([[encodeCorpus]]) again
+  *    folds merges over the vocabulary and joins per-(doc, word) counts —
+  *    the TF-IDF exchange shape, not a per-occurrence re-derivation.
+  *
+  * Determinism: the argmax tie-break is total (count desc, then (left,
+  * right) lexicographic asc), so the merge table is a pure function of the
+  * word counts — which is what lets the plain-JVM referee
+  * ([[referenceTrain]]) reproduce it bit-for-bit and the gate check it.
+  */
+object Bpe {
+
+  /** Terminal symbol appended to every word, per the paper — merges that
+    * absorb it produce whole-word / suffix tokens.
+    */
+  val EndOfWord = "</w>"
+
+  final case class Merge(rank: Int, left: String, right: String, merged: String, n: Long)
+
+  /** The one corpus-wide pass: whitespace-word frequencies.
+    * Output: (word, c). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    TextOps.parallelized(docs)
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  /** A word split into its initial symbol sequence: one symbol per
+    * character plus the [[EndOfWord]] terminal.
+    */
+  private[ops] def initialSyms(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** Greedy left-to-right, non-overlapping application of ONE merge rule
+    * to a symbol sequence (the paper's semantics: "aaa" under (a,a) →
+    * ["aa","a"]). A single scan-side `aggregate` fold — accumulator is
+    * (emitted prefix, pending symbol); a pending `left` followed by
+    * `right` emits the merged symbol and clears the pending slot so the
+    * merged symbol can never chain into the next match.
+    */
+  private[ops] def mergeStep(syms: Column, left: String, right: String): Column = {
+    val emptyOut = array().cast(ArrayType(StringType))
+    val noPrev = lit(null).cast(StringType)
+    aggregate(
+      syms,
+      struct(emptyOut.as("out"), noPrev.as("prev")),
+      (acc, s) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === lit(left) && s === lit(right),
+          struct(concat(out, array(lit(left + right))).as("out"), noPrev.as("prev")))
+          .otherwise(struct(
+            when(prev.isNull, out).otherwise(concat(out, array(prev))).as("out"),
+            s.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+  }
+
+  /** Adjacent-pair statistics of a (syms, c) vocabulary state: each
+    * position i contributes the word's count to (syms[i], syms[i+1]) —
+    * the paper's `get_stats`. Vocab-sized explode + one aggregate.
+    */
+  private[ops] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(get(col("syms"), i).as("a"), get(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p").getField("a").as("left"), col("p").getField("b").as("right"))
+      .agg(sum(col("c")).as("n"))
+
+  /** Train `nMerges` merge rules from a (word, c) frequency table.
+    * Stops early when no pair reaches `minCount`. The merge table is
+    * driver-sized by construction (one row per rule).
+    */
+  def trainFromCounts(counts: DataFrame, nMerges: Int, minCount: Long = 2): Seq[Merge] = {
+    require(nMerges >= 0 && minCount >= 1)
+    var vocab = counts
+      .select(initialSyms(col("word")).as("syms"), col("c").cast(LongType).as("c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = nMerges == 0
+    while (!done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minCount) done = true
+      else {
+        val left = top(0).getAs[String]("left")
+        val right = top(0).getAs[String]("right")
+        merges += Merge(r, left, right, left + right, top(0).getAs[Long]("n"))
+        vocab = vocab
+          .withColumn("syms", mergeStep(col("syms"), left, right))
+          .localCheckpoint()
+        if (r == nMerges) done = true
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** [[wordCounts]] + [[trainFromCounts]]. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int, minCount: Long = 2): Seq[Merge] =
+    trainFromCounts(wordCounts(docs, textCol), nMerges, minCount)
+
+  /** Apply a trained merge table to a (word, c) vocabulary: final symbol
+    * sequences in merge-rank order. Folds are applied in checkpointed
+    * groups of 8 so the expression tree (and lineage) stays shallow even
+    * for large merge tables.
+    */
+  def encodeVocab(counts: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = counts.select(col("word"), col("c").cast(LongType).as("c"),
+      initialSyms(col("word")).as("syms"))
+    merges.grouped(8).foldLeft(init) { (df, group) =>
+      group.foldLeft(df)((d, m) =>
+        d.withColumn("syms", mergeStep(col("syms"), m.left, m.right)))
+        .localCheckpoint()
+    }
+  }
+
+  /** Per-document subword statistics under a trained merge table:
+    * (idCol, n_words, n_subwords). Exchange shape: per-(doc, word) counts
+    * (one corpus shuffle, map-side combine) joined to the encoded
+    * vocabulary's subword lengths — words absent from the training vocab
+    * fall back to their initial char+terminal length, so the numbers stay
+    * exact for unseen text.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], trainedVocab: DataFrame): DataFrame = {
+    val lens = encodeVocab(trainedVocab, merges)
+      .select(col("word"), size(col("syms")).cast(LongType).as("__len"))
+    val tf = TextOps.parallelized(docs)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    tf.join(lens, Seq("word"), "left")
+      .withColumn("__len",
+        coalesce(col("__len"), (length(col("word")) + lit(1)).cast(LongType)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_words"),
+        sum(col("__tf") * col("__len")).as("n_subwords"))
+  }
+
+  // ------------------------------------------------- plain-JVM referee
+
+  /** Bit-for-bit plain-JVM reimplementation of [[trainFromCounts]] for the
+    * in-gate referee and property tests: same initial split, same
+    * per-position pair statistics, same (count desc, pair asc) argmax,
+    * same greedy non-overlapping merge application. Fixture-scale only
+    * (it holds the vocabulary in one JVM) — gate infrastructure, not an
+    * operator.
+    */
+  def referenceTrain(counts: Seq[(String, Long)], nMerges: Int,
+      minCount: Long = 2): Seq[Merge] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      counts.map { case (w, c) => (w.map(_.toString).toVector :+ EndOfWord, c) }
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = nMerges == 0
+    while (!done) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        stats((syms(i), syms(i + 1))) = stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val best = stats.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }
+        .headOption.filter(_._2 >= minCount)
+      best match {
+        case None => done = true
+        case Some(((a, b), n)) =>
+          merges += Merge(r, a, b, a + b, n)
+          vocab = vocab.map { case (syms, c) => (referenceMergeStep(syms, a, b), c) }
+          if (r == nMerges) done = true
+          r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Plain-JVM twin of [[mergeStep]]. */
+  def referenceMergeStep(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Plain-JVM twin of [[encodeVocab]] for one word. */
+  def referenceEncode(word: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector :+ EndOfWord)((syms, m) =>
+      referenceMergeStep(syms, m.left, m.right))
+}

@@ -280,6 +280,56 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Cross-set embedding matches — semantic DECONTAMINATION's engine:
+    * for each `left` row (the training corpus), every `right` row (the
+    * benchmark suite) whose exact cosine clears `threshold`, with
+    * candidates restricted to shared banded-LSH buckets and the bucket
+    * join running strictly ACROSS sides (never left x left or
+    * right x right — the [[graft.ops.Dedup.crossNearDups]] discipline in
+    * embedding space). Output: (id_l, id_r, sim).
+    *
+    * Scale shape mirrors [[embeddingNearDups]]: the corpus-wide exchange
+    * moves (band, bucket, id) scalars only; vectors re-join on the
+    * candidate ids at the verify stage, and the benchmark side is
+    * benchmark-sized throughout.
+    */
+  /** The cross-side banded bucket join alone (pre-checkpoint), exposed so
+    * plan guards can assert the corpus-sized exchange is vector-free —
+    * the [[embeddingCandidatePairs]] discipline.
+    */
+  def crossEmbeddingCandidatePairs(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, bands: Int, planesPerBand: Int): DataFrame = {
+    GraftFunctions.register(left.sparkSession)
+    def buckets(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(bandedBuckets(col(vecCol), bands, planesPerBand))
+        .as(Seq("band", "bucket")))
+    buckets(left, "id_l")
+      .join(buckets(right, "id_r"), Seq("band", "bucket"))
+      .select("id_l", "id_r").distinct()
+  }
+
+  def crossEmbeddingMatches(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    GraftFunctions.register(left.sparkSession)
+    val pairs = crossEmbeddingCandidatePairs(left, right, idCol, vecCol,
+      bands, planesPerBand)
+      .localCheckpoint()
+    def vecs(df: DataFrame, side: String) = withNorm(
+      df.join(pairs.select(col(side).as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", "__n")
+    pairs
+      .join(vecs(left, "id_l")
+        .select(col("__id"), col("__v").as("__pv"), col("__n").as("__pn")),
+        col("id_l") === col("__id")).drop("__id")
+      .join(vecs(right, "id_r")
+        .select(col("__id"), col("__v").as("__cv"), col("__n").as("__cn")),
+        col("id_r") === col("__id")).drop("__id")
+      .select(col("id_l"), col("id_r"), pairSim.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — collapse each embedding-space near-duplicate cluster
     * to one canonical representative. Cluster graph = [[embeddingNearDups]]

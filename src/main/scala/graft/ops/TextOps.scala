@@ -148,7 +148,7 @@ object TextOps {
     * exceeds the core count and this is the identity — the check reads
     * the plan's partitioning, it launches no job.
     */
-  private def parallelized(df: org.apache.spark.sql.DataFrame)
+  private[ops] def parallelized(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 4)) df.repartition(target)

@@ -125,6 +125,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q134 candidate stage: cross-side bucket exchange is vector-free") {
+    // crossEmbeddingMatches must follow the embeddingCandidatePairs
+    // discipline: the banded bucket join moves (band, bucket, id) only;
+    // vectors re-join on candidate ids at verify.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = graft.analytics.Tables.embeddings(spark, sf)
+    val df = graft.ops.Similarity.crossEmbeddingCandidatePairs(
+      emb.filter(pmod(col("vec_id"), lit(37)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(37)) === 0),
+      "vec_id", "embedding", bands = 4, planesPerBand = 6)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "expected at least the banded-join exchange")
+    shuffles.foreach { s =>
+      val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"exchange carries array columns ${arrays.map(_.name).mkString(",")}: $s")
+    }
+  }
+
   test("plan lint: no cartesian product in ANY query; nested-loop joins only where intended") {
     // sweep every declared operator query (referee checks excluded — they
     // intentionally embed brute-force baselines): a cartesian scan

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def symsOf(df: org.apache.spark.sql.DataFrame): Map[String, Vector[String]] =
+    df.collect().map(r =>
+      r.getAs[String]("word") -> r.getAs[Seq[String]]("syms").toVector).toMap
+
+  test("mergeStep is the greedy left-to-right non-overlapping fold") {
+    val df = Seq(
+      Seq("a", "a", "a", "</w>"),
+      Seq("a", "b", "a", "b", "</w>"),
+      Seq("b", "a", "a", "b", "</w>"),
+      Seq.empty[String]
+    ).toDF("syms").withColumn("syms", Bpe.mergeStep(col("syms"), "a", "a"))
+    val out = df.collect().map(_.getAs[Seq[String]]("syms").toVector)
+    assert(out(0) == Vector("aa", "a", "</w>")) // overlap resolved leftmost
+    assert(out(1) == Vector("a", "b", "a", "b", "</w>"))
+    assert(out(2) == Vector("b", "aa", "b", "</w>"))
+    assert(out(3) == Vector.empty)
+  }
+
+  test("mergeStep agrees with the plain-JVM fold on random symbol runs") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "aa", "</w>")
+    val cases = Vector.fill(200)(
+      Vector.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))))
+    val engine = cases.toDF("syms")
+      .withColumn("syms", Bpe.mergeStep(col("syms"), "a", "b"))
+      .collect().map(_.getAs[Seq[String]]("syms").toVector)
+    val ref = cases.map(Bpe.referenceMergeStep(_, "a", "b"))
+    assert(engine.toVector == ref)
+  }
+
+  test("trainFromCounts reproduces the hand-worked merge table") {
+    val counts = Seq(("aaab", 2L), ("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(counts, nMerges = 10, minCount = 1)
+    // pair stats round 1: (a,a)=4, (a,b)=5, (b,</w>)=5 → tie broken to (a,b)
+    assert(merges.map(m => (m.left, m.right, m.n)) == Seq(
+      ("a", "b", 5L), ("ab", "</w>", 5L), ("a", "a", 2L), ("aa", "ab</w>", 2L)))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4))
+  }
+
+  test("minCount stops the loop; nMerges bounds it") {
+    val counts = Seq(("aaab", 2L), ("ab", 3L)).toDF("word", "c")
+    assert(Bpe.trainFromCounts(counts, nMerges = 10, minCount = 3).size == 2)
+    assert(Bpe.trainFromCounts(counts, nMerges = 1, minCount = 1).size == 1)
+    assert(Bpe.trainFromCounts(counts, nMerges = 0, minCount = 1).isEmpty)
+  }
+
+  test("distributed training matches the plain-JVM reference on fixture text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
+      .localCheckpoint()
+    val counts = Bpe.wordCounts(docs, "text").localCheckpoint()
+    val collected = counts.collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("c"))).toSeq
+    val engine = Bpe.trainFromCounts(counts, nMerges = 25)
+    val ref = Bpe.referenceTrain(collected, nMerges = 25)
+    assert(engine == ref)
+  }
+
+  test("encodeVocab matches referenceEncode under a trained table") {
+    val counts = Seq(("aaab", 2L), ("ab", 3L), ("ba", 1L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(counts, nMerges = 4, minCount = 1)
+    val enc = symsOf(Bpe.encodeVocab(counts, merges))
+    for (w <- Seq("aaab", "ab", "ba"))
+      assert(enc(w) == Bpe.referenceEncode(w, merges), s"word $w")
+    // unseen word still folds deterministically
+    val unseen = symsOf(Bpe.encodeVocab(Seq(("abab", 1L)).toDF("word", "c"), merges))
+    assert(unseen("abab") == Bpe.referenceEncode("abab", merges))
+  }
+
+  test("encodeCorpus sums per-word encoded lengths; unseen words fall back") {
+    val docs = Seq((1L, "ab ab aaab"), (2L, ""), (3L, "zq ab")).toDF("doc_id", "text")
+    val vocab = Seq(("ab", 5L), ("aaab", 2L)).toDF("word", "c") // zq not in vocab
+    val merges = Bpe.trainFromCounts(vocab, nMerges = 4, minCount = 1)
+    val lenOf = Map(
+      "ab" -> Bpe.referenceEncode("ab", merges).size.toLong,
+      "aaab" -> Bpe.referenceEncode("aaab", merges).size.toLong,
+      "zq" -> ("zq".length + 1).toLong) // fallback: chars + terminal
+    val out = Bpe.encodeCorpus(docs, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"))).toMap
+    assert(out(1L) == (3L, 2 * lenOf("ab") + lenOf("aaab")))
+    assert(!out.contains(2L)) // empty doc has no tokens → no row (TF shape)
+    assert(out(3L) == (2L, lenOf("zq") + lenOf("ab")))
+  }
+}
