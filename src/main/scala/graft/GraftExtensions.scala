@@ -73,5 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow", "_FUNC_(text, k, w) - winnowed (MOSS) fingerprint set") {
       e => Winnow(e(0), e(1), e(2))
     }
+    inject("image_ahash", "_FUNC_(bytes) - 8x8 average-hash perceptual image fingerprint") {
+      e => ImageAHash(e(0))
+    }
   }
 }

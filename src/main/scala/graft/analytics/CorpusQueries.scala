@@ -4,7 +4,7 @@ import graft.QuerySpec
 import graft.ops.{Bpe, Dedup, Pq, QualityRules, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
 
 /** Round-6 corpus-curation surfaces: paragraph-granularity dedup, DSIR
   * importance weights, encoding audits, BPE merge-pair counting, the
@@ -488,6 +488,296 @@ object CorpusQueries {
       .orderBy("source", "lang")
   }
 
+  // --------------------------------------------------------------- q136
+  // Link-graph centrality as a curation quality prior: exact-integer
+  // fixed-point PageRank (ops.Graph) over a deterministic synthetic web
+  // graph derived from doc_id arithmetic — the q41/q75/q97 fixture
+  // pattern. Every doc links to 3 modular targets; docs with
+  // doc_id % 97 == 0 publish nothing (dangling — exercises the
+  // redistribution path); self-loops are dropped. Because every
+  // iteration is integer floor arithmetic (order-independent sums,
+  // `div`//`//` floors), the 10-iteration rank vector hash-matches the
+  // DuckDB replay bit-for-bit — including the final rank double, an
+  // exact power-of-two division.
+  // MATERIALIZED on every iteration CTE is load-bearing: d_i and s_i each
+  // reference r_{i-1}, so inlining doubles the expression tree per
+  // iteration (2^10 copies of the base scan by r10 — unrunnable); CAST
+  // around SUM pins DuckDB's HUGEINT sum back to the BIGINT domain the
+  // engine computes in.
+  private val prIters = 10
+  private def prIterSql(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+       |  FROM $p LEFT JOIN outd ON $p.id = outd.src WHERE outd.src IS NULL),
+       |s$i AS MATERIALIZED (SELECT e.dst AS id, CAST(SUM(rr.r // o.od) AS BIGINT) AS sv
+       |  FROM edges e JOIN $p rr ON e.src = rr.id JOIN outd o ON e.src = o.src
+       |  GROUP BY e.dst),
+       |r$i AS MATERIALIZED (SELECT nd.id,
+       |    (15 * ${graft.ops.Graph.Scale}) // (100 * nn.n)
+       |  + (85 * COALESCE(s.sv, CAST(0 AS BIGINT))) // 100
+       |  + (85 * d.dm) // (100 * nn.n) AS r
+       |  FROM nd CROSS JOIN nn CROSS JOIN d$i d LEFT JOIN s$i s USING (id))""".stripMargin
+  }
+  val q136 = QuerySpec.sql(
+    "q136_pagerank",
+    s"""WITH nd AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+      |edges AS MATERIALIZED (
+      |  SELECT id AS src, (id * 17 + j * 31) % nn.n AS dst
+      |  FROM nd CROSS JOIN nn
+      |    CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j)
+      |  WHERE id % 97 <> 0 AND (id * 17 + j * 31) % nn.n <> id),
+      |outd AS MATERIALIZED (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (
+      |  SELECT id, ${graft.ops.Graph.Scale} // nn.n AS r FROM nd CROSS JOIN nn),
+      |${(1 to prIters).map(prIterSql).mkString(",\n")}
+      |SELECT id, r AS rank_fp,
+      |  CAST(r AS DOUBLE) / CAST(${graft.ops.Graph.Scale} AS DOUBLE) AS rank
+      |FROM r$prIters ORDER BY id""".stripMargin) { (s, d) =>
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val n = nodes.count()
+    val edges = nodes.filter(col("id") % 97 =!= 0)
+      .select(col("id").as("src"), explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("src"), ((col("src") * 17 + col("j") * 31) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    graft.ops.Graph.pageRankExact(nodes, edges, iters = prIters).orderBy("id")
+  }
+
+  // --------------------------------------------------------------- q137
+  // Perceptual image dedup: real 8x8 PGM payloads are synthesized in
+  // pure Column code (header + 64 raw bytes via hex->unhex, pixel value
+  // from doc_id arithmetic: a shared per-group base pattern plus one
+  // perturbed pixel per doc), decoded by the native ImagePixels parser,
+  // average-hashed scan-side, and banded into Hamming<=3 pairs. The
+  // oracle never sees the bytes — it recomputes each pixel from the same
+  // arithmetic, replays the aHash bit recipe (63 low bits; DuckDB's
+  // checked shift rejects 1<<63), and brute-forces ALL pairs; the
+  // pigeonhole recall guarantee (dist<=3 => one of four 16-bit bands
+  // equal) is what makes banding invisible to the result and the query a
+  // full hash match. A codec bug, banding recall gap, or bit-assembly
+  // drift all hash-fail.
+  val q137 = QuerySpec.sql(
+    "q137_image_neardups",
+    """WITH px AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST((doc_id % 25 * 37 + i * 11) % 199 + 10
+      |      + CASE WHEN i = doc_id % 64 THEN 40 ELSE 0 END AS BIGINT) AS p
+      |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+      |s AS (SELECT doc_id, SUM(p) AS sp FROM px GROUP BY doc_id),
+      |h AS (SELECT px.doc_id,
+      |    bit_or(CASE WHEN i < 63 AND 64 * p > sp
+      |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS sig
+      |  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val pix = transform(sequence(lit(0), lit(63)), i =>
+      pmod(pmod(col("doc_id"), lit(25)) * 37 + i * 11, lit(199)) + 10 +
+        when(i === pmod(col("doc_id"), lit(64)), 40).otherwise(0))
+    // spread the one-row-group scan across cores BEFORE the payload
+    // exists: the repartition exchange carries doc_id alone, and synth +
+    // decode both run post-exchange where the bytes are born
+    val media = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id").as("asset_id"),
+        concat(lit("P5\n8 8\n255\n").cast(BinaryType),
+          unhex(concat_ws("", transform(pix,
+            p => lpad(hex(p.cast(LongType)), 2, "0"))))).as("payload"))
+    graft.ops.Multimodal.imageNearDups(media, "asset_id", "payload", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType).as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- q138-q140
+  // URL-canonicalization fixture: every doc gets a URL from doc_id
+  // arithmetic where the SURVIVING parts (scheme, host letters, real
+  // port, path, real query params) depend only on k = doc_id % 50 and
+  // the parts normalization must erase (host case, default port,
+  // tracking params, param order, fragment, trailing slash) depend on
+  // doc_id — so ~10 docs per k collapse to one canonical URL iff every
+  // rule fires correctly. Both engines assemble the string with the
+  // same concat/CASE arithmetic.
+  private def urlFixtureSql: String =
+    """CASE WHEN doc_id % 50 % 2 = 0 THEN 'http' ELSE 'https' END || '://' ||
+      |(CASE WHEN doc_id % 2 = 0
+      |  THEN upper('w' || doc_id % 50 % 3 || '.ex' || doc_id % 50 % 7 ||
+      |    CASE WHEN doc_id % 50 % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+      |  ELSE 'w' || doc_id % 50 % 3 || '.ex' || doc_id % 50 % 7 ||
+      |    CASE WHEN doc_id % 50 % 3 = 0 THEN '.co.uk' ELSE '.com' END END) ||
+      |(CASE WHEN doc_id % 50 % 5 = 4 THEN ':8080'
+      |  WHEN doc_id % 5 = 0 THEN
+      |    CASE WHEN doc_id % 50 % 2 = 0 THEN ':80' ELSE ':443' END
+      |  ELSE '' END) ||
+      |'/p' || doc_id % 50 % 11 || '/item' ||
+      |(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |'?' ||
+      |(CASE WHEN doc_id % 50 % 4 > 0 THEN
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'a=' || doc_id % 50 % 9 || '&b=' || doc_id % 50 % 4
+      |      ELSE 'b=' || doc_id % 50 % 4 || '&a=' || doc_id % 50 % 9 END
+      |  ELSE 'a=' || doc_id % 50 % 9 END) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN '&utm_source=t' || doc_id ELSE '' END) ||
+      |(CASE WHEN doc_id % 7 = 0 THEN '&fbclid=f' || doc_id ELSE '' END) ||
+      |(CASE WHEN doc_id % 6 = 0 THEN '#s' || doc_id ELSE '' END)""".stripMargin
+
+  private def urlFixtureCol: org.apache.spark.sql.Column = {
+    val k = col("doc_id") % 50
+    def s(c: org.apache.spark.sql.Column) = c.cast(StringType)
+    val host = concat(lit("w"), s(k % 3), lit(".ex"), s(k % 7),
+      when(k % 3 === 0, ".co.uk").otherwise(".com"))
+    concat(
+      when(k % 2 === 0, "http").otherwise("https"), lit("://"),
+      when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+      when(k % 5 === 4, ":8080")
+        .when(col("doc_id") % 5 === 0, when(k % 2 === 0, ":80").otherwise(":443"))
+        .otherwise(""),
+      lit("/p"), s(k % 11), lit("/item"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      lit("?"),
+      when(k % 4 > 0,
+        when(col("doc_id") % 2 === 0,
+          concat(lit("a="), s(k % 9), lit("&b="), s(k % 4)))
+          .otherwise(concat(lit("b="), s(k % 4), lit("&a="), s(k % 9))))
+        .otherwise(concat(lit("a="), s(k % 9))),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("&utm_source=t"), s(col("doc_id")))).otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("&fbclid=f"), s(col("doc_id")))).otherwise(""),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("#s"), s(col("doc_id")))).otherwise(""))
+  }
+
+  // The q138 oracle replays UrlOps.normalizeUrl step-by-step (RE2-safe:
+  // no lookahead; anchored regexes match at most once, so DuckDB's
+  // first-match regexp_replace equals Spark's replace-all). q139's
+  // n_urls shortcut: within this fixture k = doc_id % 50 bijects with
+  // url_norm (k%9 rides the 'a' param and k%11 the path, so k mod 99 —
+  // hence k — is recoverable from the URL), so COUNT(DISTINCT k) ==
+  // COUNT(DISTINCT url_norm) per domain.
+  val q138 = QuerySpec.sql(
+    "q138_url_dedup",
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+      |u2 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u FROM raw),
+      |u3 AS (SELECT doc_id,
+      |    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) ||
+      |    regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS u FROM u2),
+      |u4 AS (SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(u, '^(http://[^/?:]*):80([/?].*)?$$', '\\1\\2'),
+      |      '^(https://[^/?:]*):443([/?].*)?$$', '\\1\\2') AS u FROM u3),
+      |u5 AS (SELECT doc_id, u,
+      |    regexp_replace(u, '\\?.*$$', '') AS base,
+      |    regexp_extract(u, '^[^?]*\\?(.*)$$', 1) AS q FROM u4),
+      |u6 AS (SELECT doc_id,
+      |    list_sort(list_filter(string_split(q, '&'),
+      |      p -> NOT (regexp_matches(p,
+      |        '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)(=|$$)')
+      |        OR p = ''))) AS kept, base, q FROM u5),
+      |u7 AS (SELECT doc_id,
+      |    CASE WHEN length(q) = 0 OR len(kept) = 0 THEN base
+      |      ELSE base || '?' || array_to_string(kept, '&') END AS u FROM u6),
+      |norm AS (SELECT doc_id,
+      |    regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\\?.*)?$$', '\\1\\2') AS url_norm
+      |  FROM u7)
+      |SELECT url_norm, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dups
+      |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin) { (s, d) =>
+    // URL-level exact dedup plus group size: winners via UrlOps.urlDedup's
+    // hash-keyed shape, sizes from one partial-agg count on the same key.
+    val docs = Tables.documents(s, d).select(col("doc_id"), urlFixtureCol.as("url"))
+    val winners = graft.ops.UrlOps.urlDedup(docs, "doc_id", "url")
+      .select(col("url_norm"), col("doc_id"))
+    val sizes = docs
+      .select(graft.ops.UrlOps.normalizeUrl(col("url")).as("url_norm"))
+      .groupBy("url_norm").agg(count(lit(1)).as("n_dups"))
+    winners.join(sizes, Seq("url_norm")).orderBy("url_norm")
+  }
+
+  val q139 = QuerySpec.sql(
+    "q139_domain_stats",
+    s"""WITH raw AS (SELECT doc_id, text, $urlFixtureSql AS url FROM documents),
+      |h AS (SELECT doc_id, text,
+      |    regexp_extract(lower(url),
+      |      '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, text, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id, text,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain,
+      |    host FROM dom)
+      |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id % 50) AS BIGINT) AS n_urls,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM d2 GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), urlFixtureCol.as("url"))
+    graft.ops.UrlOps.domainStats(docs, "doc_id", "url", "text").orderBy("domain")
+  }
+
+  val q140 = QuerySpec.sql(
+    "q140_blocklist_filter",
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+      |h AS (SELECT doc_id,
+      |    regexp_extract(lower(url),
+      |      '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom)
+      |SELECT doc_id, domain FROM d2
+      |WHERE domain NOT IN ('ex1.com', 'ex0.co.uk')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), urlFixtureCol.as("url"))
+    val blocked = Seq("ex1.com", "ex0.co.uk").toDF("domain")
+    graft.ops.UrlOps.blocklistFilter(docs, "url", blocked)
+      .select(col("doc_id"),
+        graft.ops.UrlOps.registeredDomain(
+          graft.ops.UrlOps.hostOf(
+            graft.ops.UrlOps.normalizeUrl(col("url")))).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q141
+  // Morton/Z-order clustering key (Layout.zValue): 10 bits of
+  // (o_custkey, order-date day index), interleaved. The oracle unrolls
+  // the same bit arithmetic — exact integers, so the full 20-term
+  // interleave hash-matches; LayoutSpec separately proves the write path
+  // produces tight per-file bounding boxes on BOTH dims.
+  private val zBits = 10
+  private def zOracleExpr: String =
+    (0 until zBits).flatMap { b =>
+      Seq(s"((d0 // ${1L << b}) % 2) * ${1L << (2 * b)}",
+        s"((d1 // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+    }.mkString(" + ")
+  val q141 = QuerySpec.sql(
+    "q141_zorder_key",
+    s"""WITH dims AS (SELECT o_orderkey,
+      |    CAST(o_custkey % 1024 AS BIGINT) AS d0,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024
+      |      AS BIGINT) AS d1
+      |  FROM orders)
+      |SELECT o_orderkey, CAST($zOracleExpr AS BIGINT) AS zval
+      |FROM dims ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dims = Tables.orders(s, d).select(col("o_orderkey"),
+      pmod(col("o_custkey"), lit(1024)).cast(LongType).as("d0"),
+      pmod(datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01"))),
+        lit(1024)).cast(LongType).as("d1"))
+    dims.select(col("o_orderkey"),
+      graft.connect.Layout.zValue(Seq(col("d0"), col("d1")), bits = zBits)
+        .as("zval"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q132, q133, q135)
+    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -53,4 +53,67 @@ object Layout {
       case f: FileSourceScanExec =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size.toLong
     }.sum
+
+  // ------------------------------------------------------------- Z-order
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of each
+    * dimension column — bit `b` of dimension `i` lands at position
+    * `b * dims + i`. Queries that range-filter on ANY subset of the
+    * dimensions touch files whose z-range overlaps the query box, so ONE
+    * physical order serves several filter columns at once — the
+    * multi-dimensional generalization of plain cluster-key sorting
+    * (single-column sort keeps min/max tight for that column only; Z
+    * keeps them tight for all dims simultaneously, the Delta/Iceberg
+    * `OPTIMIZE ZORDER` idea re-expressed as a pure Column expression).
+    *
+    * Callers pass dimension columns ALREADY ranked into `[0, 2^bits)`
+    * (modular bucketing or quantile ranks both work; what matters is
+    * monotonicity within each dim). Pure integer bit arithmetic —
+    * deterministic everywhere, SQL-replayable, and codegen'd scan-side.
+    */
+  def zValue(dims: Seq[org.apache.spark.sql.Column], bits: Int = 16)
+      : org.apache.spark.sql.Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"z-value needs dims*bits <= 63, got ${dims.size} * $bits")
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    val d = dims.size
+    (0 until bits).flatMap { b =>
+      dims.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(1L), b * d + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-clustered on `dims`: range-partition by the z-value
+    * into ~`targetFiles` files, sort within each partition by it, drop
+    * the helper column. Every dimension's parquet min/max stats come out
+    * tight in every file, so range predicates on any dim skip row groups
+    * — without one shuffle more than a plain sorted write costs.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      dims: Seq[org.apache.spark.sql.Column], bits: Int = 16,
+      targetFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val n = if (targetFiles > 0) targetFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.withColumn("__z", zValue(dims, bits))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Per-file bounding box of each named column in a written dataset —
+    * the receipt that a clustered layout actually clusters (tight boxes)
+    * and the input a file-skipping planner consults. One scan, one
+    * file-keyed partial aggregate.
+    */
+  def fileBoxes(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

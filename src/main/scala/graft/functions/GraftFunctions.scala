@@ -41,6 +41,8 @@ object GraftFunctions {
         "rolling_hashes", exprs => RollingHashes(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "image_ahash", exprs => ImageAHash(exprs(0)), "scala_udf")
     }
   }
 
@@ -113,4 +115,10 @@ object GraftFunctions {
     */
   def winnow(text: Column, k: Column, w: Column): Column =
     call_function("winnow", text, k, w)
+
+  /** Average-hash perceptual image fingerprint (see [[ImageAHash]]).
+    * Requires `register(spark)` on the session.
+    */
+  def image_ahash(payload: Column): Column =
+    call_function("image_ahash", payload)
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** `image_ahash(payload)` -> bigint: the average-hash perceptual
+  * fingerprint of an image payload (PNG or binary PPM/PGM, decoded by the
+  * pure-JVM [[ImagePixels]] codecs — reference pipelines treat media as
+  * opaque blobs; perceptual dedup is a net-new capability here).
+  *
+  * The classic aHash recipe (as popularized for image near-dup detection,
+  * e.g. the pHash family used to deduplicate LAION-scale image corpora):
+  *
+  *  1. grayscale via integer ITU-R 601 luma `(299 r + 587 g + 114 b) / 1000`
+  *     (alpha ignored; 1/2-channel images use the gray sample directly),
+  *  2. downsample to 8x8 by BLOCK MEAN — cell (i, j) averages the pixel
+  *     rectangle `[floor(j w / 8), floor((j+1) w / 8)) x [floor(i h / 8),
+  *     floor((i+1) h / 8))` with integer floor division, so the result is
+  *     deterministic on every platform (no float resampler involved),
+  *  3. bit `k = 8 i + j` is set iff `64 * cell_k > sum(cells)` — the
+  *     strict "above average" vote, expressed as an exact integer
+  *     comparison instead of a rounded mean.
+  *
+  * Only bits 0..62 are emitted; cell 63 still votes into the mean but its
+  * bit stays clear, keeping the signature a NON-NEGATIVE int64 — engines
+  * with checked shifts (DuckDB rejects `1::BIGINT << 63`) can then replay
+  * the hash bit-for-bit for the oracle, and one bit of a 64-cell grid is
+  * noise for Hamming ranking. Similar images (small local edits, noise,
+  * re-encodes) land within a few Hamming bits; [[graft.ops.Multimodal
+  * .imageNearDups]] bands the signature 16 bits at a time so distance <= 3
+  * pairs are found without an n^2 scan.
+  *
+  * Null for null/undecodable payloads. Scan-side (CodegenFallback is fine:
+  * the inflate/unfilter work inside dwarfs the virtual call), so image
+  * bytes never reach an exchange — only the 8-byte signature shuffles.
+  */
+case class ImageAHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"image_ahash expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(payload: Any): Any =
+    ImageAHash.compute(payload.asInstanceOf[Array[Byte]]) match {
+      case Some(sig) => sig
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageAHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_ahash"
+}
+
+object ImageAHash {
+
+  /** Integer luma of pixel (x, y), matching step 1 above. */
+  private def gray(px: ImagePixels.Pixels, x: Int, y: Int): Long = {
+    val c = px.channels
+    val base = (y * px.width + x) * c
+    c match {
+      case 1 | 2 => px.data(base) & 0xffL
+      case _ =>
+        (299L * (px.data(base) & 0xffL) + 587L * (px.data(base + 1) & 0xffL) +
+          114L * (px.data(base + 2) & 0xffL)) / 1000L
+    }
+  }
+
+  /** Plain-JVM aHash used by both the expression and tests. */
+  def compute(payload: Array[Byte]): Option[Long] =
+    ImagePixels.decode(payload).map { px =>
+      val cells = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 8) {
+        val y0 = i * px.height / 8
+        val y1 = math.max(y0 + 1, (i + 1) * px.height / 8)
+        var j = 0
+        while (j < 8) {
+          val x0 = j * px.width / 8
+          val x1 = math.max(x0 + 1, (j + 1) * px.width / 8)
+          var acc = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { acc += gray(px, x, y); x += 1 }
+            y += 1
+          }
+          val cell = acc / ((y1 - y0).toLong * (x1 - x0))
+          cells(i * 8 + j) = cell
+          sum += cell
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 63) {
+        if (64L * cells(k) > sum) sig |= 1L << k
+        k += 1
+      }
+      sig
+    }
+}

@@ -294,4 +294,66 @@ object Multimodal {
       (((x >>> 16) % 100000L).toFloat / 100000f) - 0.5f
     }
   }
+
+  // ------------------------------------------------ perceptual image dedup
+
+  /** Average-hash signature of an image payload column — see
+    * [[graft.functions.ImageAHash]]. Scan-side; only 8 bytes per asset
+    * survive past the scan.
+    */
+  def aHash(payload: Column): Column =
+    graft.functions.GraftFunctions.image_ahash(payload)
+
+  /** Perceptual near-duplicate image pairs: decode -> aHash -> 16-bit-band
+    * blocking -> exact Hamming verify — the image-side analog of
+    * [[Dedup.simHashNearDups]], and the standard recipe for deduplicating
+    * web-scale image corpora (LAION-style pHash dedup) where byte-level
+    * exact dedup misses re-encodes, recompressions and small crops.
+    *
+    * Recall is EXACT for `maxDist <= 3`: 4 disjoint 16-bit bands mean any
+    * pair within Hamming distance 3 agrees on at least one whole band
+    * (pigeonhole), so banding loses nothing and the result equals the
+    * all-pairs scan — which is what makes the query gate on this operator
+    * a full hash-match against a brute-force oracle rather than a
+    * rows-only check. For looser thresholds recall is best-effort (same
+    * contract as SimHash banding).
+    *
+    * Scale shape: payload bytes never shuffle — the scan projects
+    * (id, sig) and everything after moves 16 bytes per row. The band
+    * exchange is keyed by (band, band_val); a pile of IDENTICAL images
+    * shares all 4 band values, but those pairs are the operator's output
+    * (every one is a true near-dup), so that fan-out is output-sized, not
+    * wasted work — run [[Dedup.exact]] on the payload hash first if exact
+    * copies should collapse before perceptual comparison. Candidates are
+    * deduped on (id_a, id_b) before the distance filter so multi-band
+    * agreement doesn't double-count.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist <= maxDist.
+    */
+  def imageNearDups(imgs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(imgs.sparkSession)
+    // No repartition here: decode must run where the payload already
+    // lives, so image bytes NEVER ride an exchange (PlanSpec-pinned). An
+    // under-partitioned input (one-row-group parquet) should be spread by
+    // the caller BEFORE payloads exist in the frame — see q137, which
+    // repartitions the id-only scan ahead of payload synthesis.
+    val sigs = imgs
+      .select(col(idCol).as("id"), aHash(col(payloadCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

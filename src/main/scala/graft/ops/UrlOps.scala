@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** URL canonicalization and domain-level corpus operations — stage 0 of a
+  * web-corpus pipeline. CCNet/RefinedWeb/FineWeb-class curation dedups by
+  * NORMALIZED URL before any content-level pass (it is the cheapest dedup
+  * key there is: re-crawls, tracking-tagged share links and http/https
+  * mirrors collapse without touching document text), then applies
+  * domain-level policy (blocklists, per-domain caps, per-domain quality
+  * stats).
+  *
+  * The canonicalization rule set is deliberately small, deterministic and
+  * expressed in engine-portable primitives (anchored regexes with plain
+  * character classes, split/filter/sort/join on the query string) so a SQL
+  * twin replays it byte-for-byte — the q138 gate depends on that:
+  *
+  *   1. trim whitespace;
+  *   2. drop the `#fragment` (never reaches the server);
+  *   3. lowercase the scheme and authority (host names are
+  *      case-insensitive per RFC 3986 §3.2.2; path stays case-sensitive);
+  *   4. drop default ports `:80` (http) and `:443` (https);
+  *   5. remove tracking query parameters (`utm_*`, `fbclid`, `gclid`,
+  *      `msclkid`, `ref`, `ref_src`) — they alter no content;
+  *   6. SORT the surviving query parameters byte-wise (param order is
+  *      almost always non-semantic; sorting makes `?a=1&b=2` and
+  *      `?b=2&a=1` one key) and drop an empty `?`;
+  *   7. drop exactly one trailing `/` from a non-root path (`/a/` == `/a`
+  *      for the dominant static-content case; the root `/` stays).
+  *
+  * Every step is scan-side Column code — no UDF, no shuffle. All scale
+  * cost lives in the callers' exchanges, which are keyed by
+  * `xxhash64(normalized)` 8-byte hashes, never by URL strings
+  * ([[Dedup.exact]]'s rule).
+  */
+object UrlOps {
+
+  private val TrackingParams = Seq("utm_[a-z0-9_]*", "fbclid", "gclid",
+    "msclkid", "ref", "ref_src")
+
+  /** Regex alternation matching a tracking parameter NAME (anchored by the
+    * callers). Kept to character classes + alternation so Java and RE2
+    * agree byte-for-byte.
+    */
+  val TrackingParamRe: String = TrackingParams.mkString("(", "|", ")")
+
+  /** Canonical form of a URL column, per the scaladoc rule list. */
+  def normalizeUrl(url: Column): Column = {
+    val trimmed = trim(url)
+    val noFrag = regexp_replace(trimmed, "#.*$", "")
+    // lowercase scheme://host[:port] (group 1), keep the rest (group 2)
+    val authLower = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""))
+    // no lookahead anywhere in this file: the oracle replays these
+    // patterns under RE2 (DuckDB), which rejects (?=...) — group-capture
+    // rewrites are equivalent (unmatched optional groups substitute "")
+    val noPort = regexp_replace(
+      regexp_replace(authLower, "^(http://[^/?:]*):80([/?].*)?$", "$1$2"),
+      "^(https://[^/?:]*):443([/?].*)?$", "$1$2")
+    // query handling: split off, filter tracking params, sort, rejoin
+    val base = regexp_replace(noPort, "\\?.*$", "")
+    val query = regexp_extract(noPort, "^[^?]*\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => !(p.rlike(s"^$TrackingParamRe(=|$$)") || p === "")))
+    val withQuery = when(length(query) === 0 || size(kept) === 0, base)
+      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+    // one trailing slash off a non-root path (root "scheme://host/" stays);
+    // a slash directly before '?' also folds away
+    regexp_replace(withQuery, "(://[^/?]+/[^?]*[^/?])/(\\?.*)?$", "$1$2")
+  }
+
+  /** Host (authority minus port/userinfo) of an ALREADY-normalized URL. */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)", 1)
+
+  /** Registrable domain of a host: the last two labels, or three when the
+    * second-to-last is a well-known second-level public suffix (`co.uk`,
+    * `com.au`, ... — a deliberately small deterministic subset of the
+    * public-suffix list; a production deployment swaps in the full PSL as
+    * a broadcast set with identical plan shape).
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = array_join(slice(labels, -2, 2), ".")
+    val lastThree = array_join(slice(labels, -3, 3), ".")
+    when(n <= 2, host)
+      .when(lastTwo.rlike("^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$"),
+        lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** URL-level exact dedup: one winner (min id) per normalized URL.
+    * Output: input columns + `url_norm`; exchange keyed by the 8-byte
+    * `xxhash64(url_norm)` with the window partitioned by (hash, url) so
+    * collisions stay separate — [[Dedup.exact]]'s exact shape.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNorm = docs.withColumn("url_norm", normalizeUrl(col(urlCol)))
+    val w = Window.partitionBy(col("__kh"), col("url_norm")).orderBy(col(idCol))
+    withNorm.withColumn("__kh", xxhash64(col("url_norm")))
+      .repartition(col("__kh"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__kh")
+  }
+
+  /** Drop documents whose registered domain is on the blocklist — an
+    * anti-join against a broadcast frame (blocklists are KBs-to-MBs; they
+    * never justify a shuffle of the corpus).
+    */
+  def blocklistFilter(docs: DataFrame, urlCol: String,
+      blockedDomains: DataFrame): DataFrame = {
+    val blocked = broadcast(blockedDomains
+      .select(lower(col(blockedDomains.columns.head)).as("__bd")).distinct())
+    docs.join(blocked,
+        registeredDomain(hostOf(normalizeUrl(col(urlCol)))) === col("__bd"),
+        "left_anti")
+  }
+
+  /** Per-registered-domain corpus stats: doc volume, distinct normalized
+    * URLs, and total characters — the table per-domain caps and manual
+    * blocklist review read. One partial-aggregated exchange keyed by the
+    * domain string (bounded cardinality: domains, not documents).
+    */
+  def domainStats(docs: DataFrame, idCol: String, urlCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+        registeredDomain(hostOf(normalizeUrl(col(urlCol)))).as("domain"),
+        xxhash64(normalizeUrl(col(urlCol))).as("__uh"),
+        length(col(textCol)).cast(LongType).as("__chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__uh")).as("n_urls"),
+        sum(col("__chars")).as("n_chars"))
+}

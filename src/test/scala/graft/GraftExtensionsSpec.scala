@@ -37,6 +37,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(s.sql("SELECT size(rolling_hashes('abcdefgh', 4)) AS n")
         .head().getInt(0) == 5)
       // injected functions survive newSession() (base catalog, not temp)
+      // 8x8 PGM, half dark half bright (both < 0x80 so the UTF-8 cast is
+      // byte-identity): a non-zero, non-negative signature
+      val ahash = s.sql(
+        "SELECT image_ahash(CAST(concat('P5\n8 8\n255\n', repeat(chr(10), 32), " +
+          "repeat(chr(100), 32)) AS BINARY)) AS sig").head().getLong(0)
+      assert(ahash > 0L)
       assert(s.newSession().sql("SELECT deflate_len('bbbb') AS n")
         .head().getInt(0) > 0)
     } finally {

@@ -345,6 +345,85 @@ class PlanSpec extends SparkSpec {
       "no window (a global row_number would single-task the vocabulary)")
   }
 
+  test("q136: a pagerank iteration moves only 8-byte longs; dangling mass broadcasts") {
+    // The per-round plan runs hundreds of times at scale — no exchange in
+    // it may carry anything but (id, rank/degree) longs, and the 1-row
+    // dangling aggregate must come back as a broadcast, never a shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val nodes = (0L until 64L).toDF("id").localCheckpoint()
+    val edges = (0L until 64L).map(i => (i, (i * 7 + 1) % 64)).toDF("src", "dst")
+    val outd = edges.groupBy("src").agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("od")).localCheckpoint()
+    val eo = edges.join(outd, "src").localCheckpoint()
+    val ranks = nodes.select(col("id"), lit(1L << 30).as("r"))
+    val step = graft.ops.Graph.iterate(nodes, eo, outd, ranks, 64L, 85L, 100L)
+    val plan = step.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "expected the src-keyed rank exchange")
+    shuffles.foreach { s =>
+      assert(s.output.forall(_.dataType == LongType),
+        s"iteration exchange carries non-long columns: " +
+          s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+    }
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      "dangling mass must broadcast")
+  }
+
+  test("q137: image payload bytes never reach an exchange — only 8-byte signatures") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.BinaryType
+    val df = graft.SparkEntry.specs.find(_.name == "q137_image_neardups").get
+      .fn(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(s.output.forall(_.dataType != BinaryType),
+        s"payload bytes on an exchange: " +
+          s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+    }
+  }
+
+  test("q138/q140: url dedup shuffles on the 8-byte hash; blocklist is a broadcast anti-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.concat(
+        lit("https://w"), (col("doc_id") % 5).cast("string"),
+        lit(".ex.com/p?a=1")).as("url"))
+    val dd = graft.ops.UrlOps.urlDedup(docs, "doc_id", "url")
+    val ddPlan = dd.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = ddPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"urlDedup must be ONE exchange, got ${shuffles.size}")
+    assert(shuffles.head.outputPartitioning.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      .expressions.forall(_.dataType == LongType),
+      "dedup exchange must partition on the 8-byte hash, not URL strings")
+
+    val bl = graft.ops.UrlOps.blocklistFilter(docs, "url",
+      Seq("ex.com").toDF("domain"))
+    val blPlan = bl.queryExecution.executedPlan.toString
+    assert(blPlan.contains("BroadcastHashJoin") &&
+      blPlan.contains("LeftAnti"), s"blocklist must broadcast anti-join:\n$blPlan")
+    assert(!blPlan.contains("SortMergeJoin"))
+  }
+
   test("q122: BPE pair explosion runs over the counted vocabulary, not the corpus") {
     // the plan must aggregate tokens FIRST (partial_count before an
     // exchange) and only then explode pairs: a Generate above the token

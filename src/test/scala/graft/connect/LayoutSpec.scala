@@ -56,4 +56,47 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.selectedPartitionCount(all) ==
       docs.select("lang").distinct().count())
   }
+
+  test("zValue: interleaving is exact and monotone per dim slice") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
+      .toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), bits = 10).as("z"))
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    assert(df.as[Long].collect().toSeq ==
+      Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
+        .map((ref _).tupled))
+    // interleave bounds: fits in 2*bits bits, non-negative
+    assert(ref(1023, 1023) == (1L << 20) - 1)
+  }
+
+  test("z-ordered write: per-file boxes are tight on BOTH dims vs a single-column sort") {
+    import spark.implicits._
+    // 64x64 grid, one row per cell — worst case for any 1-D layout
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val zdir = tmpDir("graft_zorder")
+    Layout.writeZOrdered(grid, zdir, Seq(col("x"), col("y")), bits = 6,
+      targetFiles = 16)
+    val boxes = Layout.fileBoxes(spark, zdir, Seq("x", "y"))
+      .select("x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(boxes.length == 16)
+    // each file covers 256 cells; a perfect z-layout gives 16x16 boxes
+    // (area 256); allow slack for range-boundary straddle but demand
+    // every box stay FAR below the 1-D-sort worst case (x-sorted files
+    // span the full y axis: area 64*4 strips -> y extent 64)
+    boxes.foreach { case (x0, x1, y0, y1) =>
+      val area = (x1 - x0 + 1) * (y1 - y0 + 1)
+      assert(area <= 1024, s"loose box: ($x0-$x1, $y0-$y1) area $area")
+      assert(y1 - y0 + 1 <= 32, s"y extent not clustered: $y0-$y1")
+      assert(x1 - x0 + 1 <= 32, s"x extent not clustered: $x0-$x1")
+    }
+    // roundtrip row count intact and helper column dropped
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == 4096 && back.columns.toSet == Set("x", "y"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Perceptual average-hash: bit-level checks on hand-built images, PNG vs
+  * PPM encode-invariance (the property that makes aHash catch
+  * re-encodes), and banding-vs-brute-force equivalence for dist <= 3.
+  */
+class ImageAHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gray8x8(pix: Array[Int]): ImagePixels.Pixels = {
+    require(pix.length == 64)
+    ImagePixels.Pixels(8, 8, 1, pix.map(_.toByte))
+  }
+
+  test("8x8 gray: bit k set iff 64*p_k > sum, bit 63 always clear") {
+    // half dark (10), half bright (200) => bright cells above mean
+    val pix = Array.tabulate(64)(i => if (i < 32) 10 else 200)
+    val sig = ImageAHash.compute(ImagePixels.encodePpm(gray8x8(pix))).get
+    val sum = pix.map(_.toLong).sum
+    for (k <- 0 until 63)
+      assert(((sig >> k) & 1L) == (if (64L * pix(k) > sum) 1L else 0L), s"bit $k")
+    assert(sig >= 0L, "bit 63 must stay clear")
+    // flat image: nothing strictly above the mean
+    assert(ImageAHash.compute(
+      ImagePixels.encodePpm(gray8x8(Array.fill(64)(77)))).get == 0L)
+  }
+
+  test("PNG and PPM encodes of the same pixels hash identically; RGB luma applies") {
+    val rgb = ImagePixels.Pixels(8, 8, 3,
+      Array.tabulate(64 * 3)(i => ((i * 37 + 11) % 251).toByte))
+    val png = ImageAHash.compute(ImagePixels.encodePng(rgb, rowFilter = 2))
+    val ppm = ImageAHash.compute(ImagePixels.encodePpm(rgb))
+    assert(png.isDefined && png == ppm)
+  }
+
+  test("block-mean downsample: 16x16 constant blocks hash like their 8x8 reduction") {
+    val small = Array.tabulate(64)(i => (i * 53 + 7) % 200)
+    val big = ImagePixels.Pixels(16, 16, 1, Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      small((y / 2) * 8 + (x / 2)).toByte
+    })
+    assert(ImageAHash.compute(ImagePixels.encodePpm(big)) ==
+      ImageAHash.compute(ImagePixels.encodePpm(gray8x8(small))))
+  }
+
+  test("undecodable payload evaluates to null, not an error") {
+    val df = Seq(Array[Byte](1, 2, 3)).toDF("payload")
+      .select(Multimodal.aHash(col("payload")).as("sig"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("imageNearDups banding equals brute force for maxDist <= 3") {
+    // 30 images in 5 base-pattern families with one perturbed pixel each
+    val imgs = (0 until 30).map { id =>
+      val pix = Array.tabulate(64)(i => (id % 5 * 41 + i * 13) % 211 + 5)
+      pix(id % 64 % 64) = math.min(255, pix(id % 64) + 45)
+      (id.toLong, ImagePixels.encodePpm(gray8x8(pix)))
+    }
+    val df = imgs.toDF("id", "payload")
+    val got = Multimodal.imageNearDups(df, "id", "payload", maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val sigs = imgs.map { case (id, p) => id -> ImageAHash.compute(p).get }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture should produce at least one near-dup pair")
+  }
+}

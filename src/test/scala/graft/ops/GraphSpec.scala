@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact-integer PageRank: pinned against a plain-JVM replay of the same
+  * fixed-point recurrence (any divergence means the distributed plan
+  * changed the arithmetic), plus closed-form structural checks.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-JVM reference of the identical integer recurrence. */
+  private def prRef(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val outd = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = (15L * Graph.Scale) / (100L * n)
+    var r = (0L until n).map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = r.collect { case (v, m) if !outd.contains(v) => m }.sum
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / outd(s) }.sum
+      }
+      r = (0L until n).map { v =>
+        v -> (teleport + (85L * sums.getOrElse(v, 0L)) / 100L +
+          (85L * dangling) / (100L * n))
+      }.toMap
+    }
+    r
+  }
+
+  private def run(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (0L until n).toDF("id")
+    val e = edges.toDF("src", "dst")
+    Graph.pageRankExact(nodes, e, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRankExact matches the plain-JVM integer recurrence (with dangling nodes)") {
+    // 8 nodes: a cycle with chords, node 5 dangling, node 7 isolated
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0), (4, 0), (4, 2), (6, 5))
+    val got = run(8, edges, iters = 7)
+    assert(got == prRef(8, edges, 7))
+  }
+
+  test("symmetric cycle yields equal ranks; mass stays within floor loss") {
+    val n = 6
+    val edges = (0L until n).map(i => i -> ((i + 1) % n))
+    val got = run(n, edges, iters = 10)
+    assert(got.values.toSet.size == 1, "cycle symmetry broken")
+    val mass = got.values.sum
+    // floor losses reach a tiny equilibrium deficit; 10k units of 2^-40
+    // is a generous ceiling for 6 nodes / 10 iterations
+    assert(mass <= Graph.Scale && mass > Graph.Scale - 10000L)
+  }
+
+  test("rank concentrates on a sink hub") {
+    // star: everyone links to 0; 0 links back to 1 (keeps 0 non-dangling).
+    // 30 iterations: the 0<->1 mass oscillation damps by alpha^2 per
+    // round-trip, leaving the fixed point (r0 ~ 0.47 > r1 ~ 0.43) visible.
+    val edges = (1L until 6L).map(_ -> 0L) :+ (0L -> 1L)
+    val got = run(6, edges, iters = 30)
+    assert(got(0L) == got.values.max)
+    assert(got(0L) > 3L * got(5L))
+  }
+}

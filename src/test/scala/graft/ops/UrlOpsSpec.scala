@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization rules, one by one on literal cases, plus the
+  * dedup/blocklist operator semantics.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.normalizeUrl(col("url")).as("n"))
+      .as[String].collect().toSeq
+
+  test("normalizeUrl: each rule fires and non-targets survive") {
+    assert(norm(
+      "  https://example.com/a  ",                    // trim
+      "https://example.com/a#frag",                   // fragment
+      "HTTPS://WWW.Example.COM/Path",                 // case: auth only
+      "http://example.com:80/a",                      // default port http
+      "https://example.com:443/a",                    // default port https
+      "http://example.com:8080/a",                    // real port kept
+      "https://example.com/a?utm_source=x&b=2&a=1",   // tracking + sort
+      "https://example.com/a?fbclid=1",               // all-tracking query
+      "https://example.com/a/",                       // trailing slash
+      "https://example.com/",                         // root slash stays
+      "https://example.com/a/?b=2"                    // slash before query
+    ) == Seq(
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://www.example.com/Path",
+      "http://example.com/a",
+      "https://example.com/a",
+      "http://example.com:8080/a",
+      "https://example.com/a?a=1&b=2",
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://example.com/",
+      "https://example.com/a?b=2"))
+    // idempotence: normalizing a normalized URL is identity
+    val once = norm("HTTP://A.B:80/x/y/?utm_campaign=z&c=1&b=2#f")
+    assert(norm(once.head) == once)
+  }
+
+  test("hostOf and registeredDomain") {
+    val got = Seq("https://w1.ex3.co.uk:8080/a?x=1", "http://ex5.com/b",
+      "https://deep.sub.ex2.com/c", "http://localhost/d")
+      .toDF("url")
+      .select(UrlOps.registeredDomain(
+        UrlOps.hostOf(UrlOps.normalizeUrl(col("url")))).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("ex3.co.uk", "ex5.com", "ex2.com", "localhost"))
+  }
+
+  test("urlDedup keeps the min-id doc per normalized URL, with url_norm attached") {
+    val docs = Seq(
+      (3L, "https://a.com/x?utm_source=s"),
+      (1L, "HTTPS://A.COM/x"),
+      (2L, "https://a.com/x/"),
+      (9L, "https://b.com/y")).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(docs, "doc_id", "url")
+      .select("doc_id", "url_norm").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "https://a.com/x"), (9L, "https://b.com/y")))
+  }
+
+  test("blocklistFilter drops blocked registered domains only") {
+    val docs = Seq(
+      (1L, "https://w.bad.com/a"), (2L, "https://GOOD.com/b"),
+      (3L, "http://sub.bad.com:80/c"), (4L, "https://bad.co.uk/d"))
+      .toDF("doc_id", "url")
+    val blocked = Seq("BAD.com").toDF("domain")
+    val got = UrlOps.blocklistFilter(docs, "url", blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L))
+  }
+
+  test("domainStats: volumes, distinct urls, chars") {
+    val docs = Seq(
+      (1L, "https://a.com/x", "aaaa"), (2L, "https://a.com/x/", "bb"),
+      (3L, "https://a.com/y", "c"), (4L, "https://b.com/z", "dd"))
+      .toDF("doc_id", "url", "text")
+    val got = UrlOps.domainStats(docs, "doc_id", "url", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a.com", 3L, 2L, 7L), ("b.com", 1L, 1L, 2L)))
+  }
+}
