@@ -206,6 +206,68 @@ object ScaleCheck {
         ops.Similarity.crossEmbeddingMatches(corpusE(embN), benchE(emb1),
           "vec_id", "embedding", 0.3, 4, 6))
     }
+    // Perceptual image dedup: synthesize 8x8 PGMs (the q137 pixel
+    // formula) with a per-id-copy pattern STRIDE (not a constant value
+    // shift — aHash thresholds against the image's own mean, so adding a
+    // constant to every pixel leaves the signature unchanged and verbatim
+    // cross-copy clusters would make the pair set output-explode);
+    // varying the index stride changes relative structure, keeping
+    // per-copy near-dup groups with copies mutually distinct.
+    locally {
+      def media(df: DataFrame) = {
+        val copy = expr("doc_id div 1000000")
+        val base = pmod(col("doc_id"), lit(1000000L))
+        val pix = transform(sequence(lit(0), lit(63)), i =>
+          pmod(pmod(base, lit(25)) * 37 + i * (lit(11) + copy * 2), lit(199)) + 10 +
+            when(i === pmod(base, lit(64)), 40).otherwise(0))
+        df.select(col("doc_id").as("asset_id"),
+          concat(lit("P5\n8 8\n255\n").cast(org.apache.spark.sql.types.BinaryType),
+            unhex(concat_ws("", transform(pix,
+              p => lpad(hex(p.cast(org.apache.spark.sql.types.LongType)), 2, "0")))))
+            .as("payload"))
+      }
+      run("image_neardups",
+        ops.Multimodal.imageNearDups(media(docs1), "asset_id", "payload", 3),
+        ops.Multimodal.imageNearDups(media(docsN), "asset_id", "payload", 3))
+    }
+    // PageRank: fixed 10 iterations, id-shifted copies each with their
+    // own modular 3-out-degree graph (disjoint components) — per-round
+    // cost is the data-proportional part, rounds fixed, so linear.
+    locally {
+      def graph(df: DataFrame) = {
+        val nodes = df.select(col("doc_id").as("id"))
+        val base = pmod(col("src"), lit(1000000L))
+        val copy = expr("src div 1000000") * 1000000L
+        val edges = nodes.filter(col("id") % 97 =!= 0)
+          .select(col("id").as("src"), explode(sequence(lit(1), lit(3))).as("j"))
+          .select(col("src"), (copy + (base * 17 + col("j") * 31) % 500).as("dst"))
+          .filter(col("dst") =!= col("src"))
+        (nodes, edges)
+      }
+      val (n1, e1) = graph(docs1); val (nN, eN) = graph(docsN)
+      run("pagerank",
+        ops.Graph.pageRankExact(n1, e1, iters = 10),
+        ops.Graph.pageRankExact(nN, eN, iters = 10))
+    }
+    // URL dedup + NB quality model: scan-side canonicalization /
+    // vocab-broadcast scoring; both must track the corpus linearly.
+    locally {
+      def urls(df: DataFrame) = df.select(col("doc_id"),
+        concat(lit("https://w"), (pmod(col("doc_id"), lit(7))).cast("string"),
+          lit(".ex"), (pmod(col("doc_id"), lit(50))).cast("string"),
+          lit(".com/p"), (pmod(col("doc_id"), lit(11))).cast("string"),
+          lit("/item?b=2&a=1&utm_source=t"), col("doc_id").cast("string")).as("url"))
+      run("url_dedup",
+        ops.UrlOps.urlDedup(urls(docs1), "doc_id", "url"),
+        ops.UrlOps.urlDedup(urls(docsN), "doc_id", "url"))
+    }
+    locally {
+      val gate = ops.QualityRules.gate(col("text"), minStopHits = 1)
+      def nb(df: DataFrame) = ops.QualityModel.scoreNb(df,
+        ops.QualityModel.trainNb(df, "doc_id", "text", gate, 256),
+        "doc_id", "text")
+      run("quality_nb", nb(docs1), nb(docsN))
+    }
     spark.stop()
   }
 }

@@ -778,6 +778,216 @@ object CorpusQueries {
       .orderBy("o_orderkey")
   }
 
+  // --------------------------------------------------------------- q142
+  // Model-based quality scoring (ops.QualityModel): a rational
+  // (transcendental-free) multinomial NB trained on the corpus's own
+  // Gopher-gate labels, applied corpus-wide. The oracle replays
+  // training end-to-end — vocab top-V (count desc, term asc), class
+  // counts, the a/(a+b) smoothed-posterior vote — and folds each doc's
+  // votes in token-position order, so every score hash-matches
+  // bit-for-bit.
+  private val nbVocab = 256
+  val q142 = QuerySpec.sql(
+    "q142_quality_classifier",
+    s"""WITH ${LlmQueries.gopherSignalCtes("documents")},
+      |lab AS (SELECT doc_id, ${LlmQueries.gopherGateSql} AS lab FROM s),
+      |tk AS (SELECT doc_id, unnest(toks) AS term,
+      |    CAST(generate_subscripts(toks, 1) AS INT) AS pos FROM t),
+      |vocab AS (SELECT term FROM (
+      |    SELECT term, COUNT(*) AS c FROM tk GROUP BY term
+      |    ORDER BY c DESC, term ASC LIMIT $nbVocab)),
+      |cnt AS (SELECT term,
+      |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      |  FROM tk JOIN lab USING (doc_id) JOIN vocab USING (term) GROUP BY term),
+      |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+      |tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+      |    CAST(SUM(c_neg) AS BIGINT) AS t_neg FROM cnt),
+      |model AS (SELECT term,
+      |    CAST(c_pos + 1 AS DOUBLE) * CAST(t_neg + v AS DOUBLE) /
+      |    (CAST(c_pos + 1 AS DOUBLE) * CAST(t_neg + v AS DOUBLE) +
+      |     CAST(c_neg + 1 AS DOUBLE) * CAST(t_pos + v AS DOUBLE)) AS vote
+      |  FROM cnt CROSS JOIN vv CROSS JOIN tot),
+      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(vote ORDER BY pos)),
+      |      (a, x) -> a + x) AS vsum
+      |  FROM tk JOIN model USING (term) GROUP BY doc_id)
+      |SELECT l.doc_id, l.lab AS label,
+      |  COALESCE(sc.n_scored, 0) AS n_scored,
+      |  CASE WHEN sc.n_scored IS NULL THEN 0.5
+      |    ELSE sc.vsum / CAST(sc.n_scored AS DOUBLE) END AS score,
+      |  CASE WHEN sc.n_scored IS NULL THEN FALSE
+      |    ELSE sc.vsum / CAST(sc.n_scored AS DOUBLE) > 0.5 END AS pred
+      |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
+      |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val label = QualityRules.gate(col("text"), minStopHits = 1)
+    val model = graft.ops.QualityModel.trainNb(docs, "doc_id", "text",
+      label, vocabSize = nbVocab)
+    val scored = graft.ops.QualityModel.scoreNb(docs, model, "doc_id", "text")
+    docs.select(col("doc_id"), label.as("label"))
+      .join(scored, Seq("doc_id"))
+      .select("doc_id", "label", "n_scored", "score", "pred")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q143
+  // JSONL corpus roundtrip with corrupt-line quarantine: documents are
+  // exported as JSONL (nested metadata struct — the published-corpus
+  // shape), three malformed lines are injected into the delivery, and
+  // the engine path under test is the PERMISSIVE declared-schema read +
+  // corruptAudit split + rollup. The oracle aggregates the same parquet
+  // rows directly and pins the quarantine count — any parse drift,
+  // schema-inference dependence, or dropped/duplicated row breaks the
+  // hash match.
+  val q143 = QuerySpec.sql(
+    "q143_jsonl_roundtrip",
+    """SELECT source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(3 AS BIGINT) AS n_corrupt
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, d) =>
+    val dir = jsonlFixture(s, d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", StringType),
+      org.apache.spark.sql.types.StructField("meta",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source", StringType),
+          org.apache.spark.sql.types.StructField("lang", StringType))))))
+    // ONE grouped pass over the parse: corrupt rows (null meta) land in
+    // their own __bad group, so clean stats and the quarantine count come
+    // out of a single scan — no cache, no corrupt-column-only scan
+    // (which Spark rejects), no second read
+    val parsed = graft.sources.Jsonl.read(s, dir, schema)
+    val agg = parsed.groupBy(
+        col("meta.source").as("source"), col("meta.lang").as("lang"),
+        col(graft.sources.Jsonl.CorruptCol).isNotNull.as("__bad"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast(LongType)).as("n_chars"))
+      .localCheckpoint() // tiny (groups+1 rows); consumed twice below
+    val nCorrupt = agg.filter(col("__bad"))
+      .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+    agg.filter(!col("__bad"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        lit(nCorrupt).as("n_corrupt"))
+      .orderBy("source", "lang")
+  }
+
+  /** q143 fixture: the corpus as a JSONL delivery (nested meta struct)
+    * plus one shard of three malformed lines — generated once per sf dir,
+    * marker-committed, reused across bench reps.
+    */
+  private[analytics] def jsonlFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_q143_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          struct(col("source"), col("lang")).as("meta"))
+      graft.sources.Jsonl.write(docs, dir)
+      java.nio.file.Files.write(java.nio.file.Path.of(dir, "part-corrupt.json"),
+        java.util.List.of(
+          """{"doc_id": 900000001, "text": "truncated""",
+          """not json at all""",
+          """{"doc_id": "also-broken" "text": }"""))
+      java.nio.file.Files.createFile(marker)
+    }
+    dir
+  }
+
+  // --------------------------------------------------------------- q146
+  // Identifier pseudonymization (ops.Privacy): salted SHA-256 replaces
+  // user_id scan-side, and the release-side rollup groups on the
+  // pseudonym — raw ids never reach an exchange. DuckDB's sha256()
+  // produces the identical lowercase-hex digest, so the whole rollup
+  // (counts + DECIMAL-cast value sums, the engine's exact-sum pattern)
+  // hash-matches.
+  val q146 = QuerySpec.sql(
+    "q146_pseudonymize",
+    """SELECT sha256('pepper-2026' || CAST(user_id AS VARCHAR)) AS pseudonym,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY pseudonym""".stripMargin) { (s, d) =>
+    val ev = graft.ops.Privacy.pseudonymize(
+      Tables.events(s, d).select(col("user_id"), col("value")),
+      Seq("user_id"), salt = "pepper-2026")
+    ev.groupBy(col("user_id").as("pseudonym"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("pseudonym")
+  }
+
+  // --------------------------------------------------------------- q147
+  // k-anonymity audit (ops.Privacy.kAnonymityViolations): quasi-id
+  // combinations (event_type, day, hour-of-day) shared by fewer than
+  // k=5 events — exactly the rows a release process must suppress
+  // (~2.9k violations at sf0.01, so the gate checks real content; day
+  // as a yyyy-MM-dd STRING — parquet DATE round-trips inconsistently
+  // through the driver's dump, see the verify notes).
+  val q147 = QuerySpec.sql(
+    "q147_k_anonymity",
+    """SELECT event_type,
+      |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+      |ORDER BY event_type, day, hod""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast(IntegerType).as("hod"))
+    graft.ops.Privacy.kAnonymityViolations(ev, Seq("event_type", "day", "hod"),
+      k = 5)
+      .orderBy("event_type", "day", "hod")
+  }
+
+  // --------------------------------------------------------------- q148
+  // Parquet schema evolution: epoch-1 files lack the `lang` column,
+  // epoch-2 files carry it; the mergeSchema read reconciles both (old
+  // rows surface lang = NULL) — the corpus-maintenance reality that
+  // column additions must not force a rewrite of petabytes of history.
+  // The oracle recomputes the union arithmetic from the parquet source.
+  val q148 = QuerySpec.sql(
+    "q148_schema_evolution",
+    """SELECT COALESCE(lang2, '<epoch1>') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM (
+      |  SELECT doc_id, text, NULL AS lang2 FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang AS lang2 FROM documents WHERE doc_id % 2 = 1)
+      |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    val dir = evolutionFixture(s, d)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("lang"), lit("<epoch1>")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast(LongType)).as("n_chars"))
+      .orderBy("lang")
+  }
+
+  /** q148 fixture: two parquet "epochs" with evolved schemas — epoch 1
+    * (doc_id, text), epoch 2 adds `lang`. Marker-committed per sf dir.
+    */
+  private[analytics] def evolutionFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evo_q148_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/epoch=1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/epoch=2")
+      java.nio.file.Files.createFile(marker)
+    }
+    dir
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141)
+    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
+    q142, q143, q146, q147, q148)
 }

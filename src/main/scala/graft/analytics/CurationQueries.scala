@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.QuerySpec
 import graft.ops.{Curation, Merge, Profile, Sampling, TextOps}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Curation-pipeline query surfaces: deterministic sampling and mixing,
@@ -869,7 +870,102 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- q144/q145
+  // Incremental corpus admission (Curation.admitDelta): today's crawl
+  // delivery (doc_id % 3 = 0) curated AGAINST the existing corpus (the
+  // other two thirds) without re-curating the corpus — Gopher gate,
+  // intra+cross exact dedup, intra near-dup clusters, cross-corpus
+  // near-dups, cross containment, benchmark decontamination. The oracle
+  // replays every stage with true set arithmetic (brute-force Jaccard
+  // both intra and cross, recursive-CTE components, overlap coefficient
+  // with the smaller-side drop rule); the engine's hash/LSH candidate
+  // channels are invisible to the result by the verify-stage argument.
+  // q144 gates the admitted ROWS; q145 gates the funnel COUNTS off the
+  // same CTE chain (engine side: the same DeltaStages instance shape).
+  private def deltaCtes: String =
+    s"""bat AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+      |cor AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |ben AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |${LlmQueries.gopherSignalCtes("bat", "g")},
+      |b0 AS (SELECT bat.doc_id, bat.source, bat.text FROM bat
+      |  JOIN gs USING (doc_id) WHERE ${LlmQueries.gopherGateSql}),
+      |e AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM b0)
+      |  WHERE doc_id = keep),
+      |x AS (SELECT * FROM e WHERE text NOT IN (SELECT text FROM cor)),
+      |tx AS (SELECT doc_id, $duckToks95 AS toks FROM x),
+      |sx AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM tx),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sx a JOIN sx b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e2.a, t2.r FROM edges e2 JOIN reach t2 ON e2.b = t2.id
+      |  ) SELECT * FROM reach),
+      |labels AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id),
+      |n1 AS (SELECT * FROM x WHERE doc_id NOT IN
+      |  (SELECT id FROM labels WHERE id <> cluster_id)),
+      |tc AS (SELECT doc_id, $duckToks95 AS toks FROM cor),
+      |sc AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM tc),
+      |xdup AS (SELECT DISTINCT a.doc_id FROM sx a
+      |  JOIN n1 ON a.doc_id = n1.doc_id CROSS JOIN sc c
+      |  WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+      |n2 AS (SELECT * FROM n1 WHERE doc_id NOT IN (SELECT doc_id FROM xdup)),
+      |cont2 AS (SELECT DISTINCT a.doc_id FROM sx a
+      |  JOIN n2 ON a.doc_id = n2.doc_id CROSS JOIN sc c
+      |  WHERE len(a.sh) <= len(c.sh)
+      |    AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
+      |      / least(len(a.sh), len(c.sh)) >= 0.8),
+      |n3 AS (SELECT * FROM n2 WHERE doc_id NOT IN (SELECT doc_id FROM cont2)),
+      |t5 AS (SELECT doc_id, $duckToks95 AS toks FROM n3),
+      |s5 AS (SELECT doc_id, unnest(${duckShK95(5)}) AS sh FROM t5),
+      |tb5 AS (SELECT doc_id, $duckToks95 AS toks FROM ben),
+      |b5 AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb5),
+      |adm AS (SELECT * FROM n3 WHERE doc_id NOT IN
+      |  (SELECT DISTINCT s5.doc_id FROM s5 JOIN b5 USING (sh)))""".stripMargin
+
+  private def admitStages(s: SparkSession, d: String): Curation.DeltaStages = {
+    val docs = Tables.documents(s, d)
+    Curation.admitDelta(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+      decontamK = 5,
+      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)))
+  }
+
+  val q144 = QuerySpec.sql(
+    "q144_delta_admission",
+    s"""WITH $deltaCtes
+      |SELECT doc_id, source FROM adm ORDER BY doc_id""".stripMargin) { (s, d) =>
+    admitStages(s, d).admitted.select("doc_id", "source").orderBy("doc_id")
+  }
+
+  val q145 = QuerySpec.sql(
+    "q145_delta_funnel",
+    s"""WITH $deltaCtes
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM bat) AS BIGINT) AS n_batch,
+      |  CAST((SELECT COUNT(*) FROM b0) AS BIGINT) AS n_gate,
+      |  CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_exact,
+      |  CAST((SELECT COUNT(*) FROM n3) AS BIGINT) AS n_near,
+      |  CAST((SELECT COUNT(*) FROM adm) AS BIGINT) AS n_admitted""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val st = admitStages(s, d)
+    Seq((docs.filter(pmod(col("doc_id"), lit(3)) === 0).count(),
+      st.gateKept.count(), st.exactKept.count(), st.nearKept.count(),
+      st.admitted.count()))
+      .toDF("n_batch", "n_gate", "n_exact", "n_near", "n_admitted")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131)
+    q131, q144, q145)
 }

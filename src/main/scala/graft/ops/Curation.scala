@@ -406,4 +406,92 @@ object Curation {
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     shardManifest(sharded, textCol).orderBy("shard_id")
   }
+
+  // ------------------------------------------- incremental admission
+
+  /** Stage-boundary frames of [[admitDelta]]: after the rule gate, after
+    * exact dedup (intra-batch AND vs the corpus), after near-dup dedup
+    * (intra-batch clusters, cross-corpus pairs, opt-in cross
+    * containment), and the final decontaminated admissions.
+    */
+  final case class DeltaStages(gateKept: DataFrame, exactKept: DataFrame,
+      nearKept: DataFrame, admitted: DataFrame)
+
+  /** Incremental corpus admission — curate a NEW batch against an
+    * EXISTING curated corpus without re-curating the corpus. This is the
+    * operational shape of corpus maintenance at 100 TB: crawls arrive
+    * daily; [[curateCorpus]] answers "build the corpus", this answers
+    * "what of today's delivery deserves to join it" (the batch analog of
+    * the streaming admission gate in [[graft.streaming.NearDupFilter]],
+    * with the full stage stack batch mode affords). Stages, each an
+    * existing operator so semantics can't drift from the full pipeline:
+    *
+    *  0. optional rule gate — scan-side filter;
+    *  1. intra-batch exact dedup ([[Dedup.exact]], min-id winner), then
+    *     CROSS exact dedup: a batch doc whose text already exists in the
+    *     corpus is dropped. The cross check follows the text-moves-only-
+    *     at-verify discipline: an 8-byte `xxhash64(text)` semi-join
+    *     nominates candidates, and only candidate rows compare actual
+    *     text (collisions cost a candidate-sized verify, never
+    *     correctness);
+    *  2. intra-batch near-dup clusters ([[Dedup.minHashNearDups]] +
+    *     exact components, min-id canonical) and cross-corpus near-dups
+    *     ([[Dedup.crossNearDups]] — banding across sides only); opt-in
+    *     cross containment ([[Dedup.crossOverlapPairs]]) drops a batch
+    *     doc whose shingle set is the smaller side of an
+    *     overlap >= threshold pair (a quote-inclusion of existing corpus
+    *     content is not new data; a batch doc that strictly EXTENDS a
+    *     corpus doc survives as the larger side);
+    *  3. benchmark decontamination ([[Dedup.contaminationOverlap]]).
+    *
+    * The corpus is consumed as-is (hashes/signatures recomputed per run;
+    * pair with a persisted signature store as in the streaming gate to
+    * amortize across runs). Batch-sized frames are checkpointed at stage
+    * boundaries; corpus-sized data moves only through the 8-byte
+    * candidate channels of the cross operators.
+    */
+  def admitDelta(batch: DataFrame, corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, nearDupThreshold: Double = 0.5,
+      containment: Option[Double] = None, decontamK: Int = 5,
+      ruleGate: Option[Column] = None): DeltaStages = {
+    val gateKept = ruleGate.map(batch.filter).getOrElse(batch)
+    val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
+    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__kh")).distinct()
+    val candIds = intraExact
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"))
+      .join(corpusHashes, Seq("__kh"), "left_semi")
+      .select(col(idCol))
+    val candRows = intraExact.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"),
+        col(textCol).as("__bt"))
+    val confirmed = candRows
+      .join(corpus.select(xxhash64(col(textCol)).as("__kh"),
+        col(textCol).as("__ct")), Seq("__kh"))
+      .filter(col("__bt") === col("__ct"))
+      .select(col(idCol)).distinct()
+    val exactKept = intraExact.join(confirmed, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val intraPairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
+      numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
+    val intraNear = Dedup.dropNearDups(exactKept, intraPairs, idCol)
+      .localCheckpoint()
+    val crossDup = Dedup.crossNearDups(intraNear, corpus, idCol, textCol,
+      numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val afterCross = intraNear.join(crossDup, Seq(idCol), "left_anti")
+    val nearKept = (containment match {
+      case None => afterCross
+      case Some(t) =>
+        val base = afterCross.localCheckpoint()
+        val contained = Dedup.crossOverlapPairs(base, corpus, idCol, textCol,
+          shingleK = 3, threshold = t)
+          .filter(col("n_a") <= col("n_b"))
+          .select(col("id_a").as(idCol)).distinct()
+        base.join(contained, Seq(idCol), "left_anti")
+    }).localCheckpoint()
+    val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol,
+      textCol, shingleK = decontamK).select(col(idCol))
+    DeltaStages(gateKept, exactKept, nearKept,
+      nearKept.join(contaminated, Seq(idCol), "left_anti"))
+  }
 }

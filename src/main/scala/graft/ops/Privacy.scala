@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy operations for shareable training data: identifier
+  * pseudonymization and the k-anonymity audit that decides whether a
+  * column combination is safe to release.
+  *
+  * Training corpora and their interaction logs cannot ship raw user
+  * identifiers; the standard treatment is KEYED pseudonymization — a
+  * salted cryptographic hash replaces the identifier, so
+  *
+  *  - the same (salt, id) maps to the same pseudonym everywhere: joins,
+  *    group-bys and cross-dataset linkage still work,
+  *  - without the salt the mapping is preimage-resistant (SHA-256), and
+  *  - rotating the salt unlinks every release from the previous one.
+  *
+  * Scan-side Column code (Spark's codegen'd `sha2`) — no UDF, no
+  * shuffle; the pseudonym is computed where the row is read, so raw
+  * identifiers never enter an exchange in any downstream plan that
+  * groups or joins on the pseudonym. [[TextOps.redact]] is the free-text
+  * counterpart (emails/phones/IPs inside document bodies); this module
+  * handles STRUCTURED identifier columns.
+  */
+object Privacy {
+
+  /** Salted SHA-256 pseudonym of a column (lowercase hex, engine-portable
+    * — DuckDB's `sha256()` produces the identical digest, which is what
+    * makes the q146 gate a bit-exact hash match). Null ids stay null.
+    */
+  def pseudonym(idCol: Column, salt: String): Column =
+    sha2(concat(lit(salt), idCol.cast("string")), 256)
+
+  /** Replace each named column with its salted pseudonym in place. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, pseudonym(col(c), salt)))
+
+  /** k-anonymity audit over quasi-identifier columns: the combinations
+    * shared by FEWER than k rows — each is a re-identification risk the
+    * release process must suppress or generalize. One partial-aggregated
+    * exchange keyed by the quasi-identifier tuple; output is
+    * violation-sized (ideally empty). Returns (quasiCols..., n_rows).
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL (one JSON document per line) corpus source/sink — the lingua
+  * franca of published LLM corpora (The Pile, C4, Dolma, RedPajama all
+  * ship as gzipped JSONL shards). Two properties matter at 100 TB:
+  *
+  *  - **Quarantine, don't crash.** A multi-terabyte crawl delivery WILL
+  *    contain malformed lines (truncated shards, encoding damage,
+  *    concatenated objects); one bad byte must not kill a 1000-executor
+  *    job. Reads run PERMISSIVE with an explicit corrupt-record column:
+  *    well-formed rows parse, broken lines surface as
+  *    `(_corrupt != null)` rows the caller counts/quarantines —
+  *    [[corruptAudit]] splits the two streams in one scan.
+  *  - **Schema is declared, never inferred.** Schema inference is a full
+  *    extra pass over every byte (Spark reads the whole dataset to merge
+  *    types) and makes the parsed schema depend on the data; both are
+  *    unacceptable at scale. Readers take the expected [[StructType]].
+  *
+  * Line-splittable text means JSONL parallelizes like CSV (per-line
+  * records, arbitrary split points), so the scan shape is identical to
+  * every other file source here: schema-pruned columns, partition-sized
+  * tasks, no exchange.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt"
+
+  /** Write a frame as JSONL part files (field order follows the schema,
+    * so output is deterministic given deterministic partitioning).
+    */
+  def write(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** PERMISSIVE JSONL read against a declared schema; malformed lines
+    * land in [[CorruptCol]] with every data column null.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Split a permissive read into (clean rows without the corrupt column,
+    * quarantine rows — full width, raw line in [[CorruptCol]]). The
+    * quarantine side deliberately keeps every column: Spark refuses scans
+    * whose REQUIRED schema is the corrupt column alone
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so a count/projection that
+    * prunes everything else must go through an aggregate that also
+    * touches a data column — see q143, which rolls clean stats and the
+    * corrupt count out of ONE grouped pass instead of two scans.
+    */
+  def corruptAudit(parsed: DataFrame): (DataFrame, DataFrame) = (
+    parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+    parsed.filter(col(CorruptCol).isNotNull))
+}

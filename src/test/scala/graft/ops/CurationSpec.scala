@@ -291,4 +291,33 @@ class CurationSpec extends SparkSpec {
     assert(packed(3L) == ((2L, 7L, 1L)))
     assert(packed(10L) == ((5L, 0L, 0L)))
   }
+
+  test("admitDelta: each stage drops exactly its targets") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "the quick brown fox jumps over lazy dogs daily")
+    ).toDF("doc_id", "text")
+    val bench = Seq((200L, "secret eval question answer tokens")).toDF("doc_id", "text")
+    val batch = Seq(
+      // 1: exact copy of a corpus doc -> cross-exact drop
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // 2 and 3: intra-batch exact dups -> 2 survives, 3 dropped
+      (2L, "fresh new content entirely unseen here today"),
+      (3L, "fresh new content entirely unseen here today"),
+      // 4: near-dup of corpus doc 101 (last word changed: 6 of 8 word
+      // 3-shingles shared -> jaccard 0.75) -> cross-near drop
+      (4L, "the quick brown fox jumps over lazy dogs tonight"),
+      // 5: contained in corpus doc 101 (strict substring) -> containment drop
+      (5L, "quick brown fox jumps over"),
+      // 6: contains a benchmark 5-gram -> decontamination drop
+      (6L, "leaked secret eval question answer tokens appear within this document"),
+      // 7: genuinely novel -> admitted
+      (7L, "completely different material about oceanography and tides")
+    ).toDF("doc_id", "text")
+    val st = Curation.admitDelta(batch, corpus, bench, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5)
+    assert(st.exactKept.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 4L, 5L, 6L, 7L))
+    assert(st.admitted.select("doc_id").as[Long].collect().toSet == Set(2L, 7L))
+  }
 }

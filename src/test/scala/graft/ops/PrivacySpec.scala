@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pseudonym: stable under the same salt, unlinked across salts, preimage-shaped") {
+    val df = Seq(7L, 7L, 8L).toDF("uid")
+    val a = df.select(Privacy.pseudonym(col("uid"), "s1").as("p")).as[String].collect()
+    assert(a(0) == a(1) && a(0) != a(2), "same (salt,id) must collide, ids must not")
+    assert(a(0).length == 64 && a(0).matches("[0-9a-f]+"), "lowercase hex sha-256")
+    val b = df.select(Privacy.pseudonym(col("uid"), "s2").as("p")).as[String].collect()
+    assert(a(0) != b(0), "salt rotation must unlink releases")
+    // matches the JVM reference digest
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val ref = md.digest("s17".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a(0) == ref)
+  }
+
+  test("pseudonymize replaces columns in place; joins on pseudonyms still link") {
+    val left = Seq((1L, "x"), (2L, "y")).toDF("uid", "l")
+    val right = Seq((1L, "z")).toDF("uid", "r")
+    val lp = Privacy.pseudonymize(left, Seq("uid"), "k")
+    val rp = Privacy.pseudonymize(right, Seq("uid"), "k")
+    assert(lp.join(rp, "uid").count() == 1)
+  }
+
+  test("kAnonymityViolations flags exactly the under-k groups") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 3))
+      .toDF("t", "h")
+    val v = Privacy.kAnonymityViolations(df, Seq("t", "h"), k = 3)
+      .as[(String, Int, Long)].collect().toSet
+    assert(v == Set(("b", 2, 1L), ("b", 3, 1L)))
+  }
+}

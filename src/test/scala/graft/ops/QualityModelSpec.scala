@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "good clean prose text here", true),
+    (2L, "good solid prose lines here", true),
+    (3L, "spam spam junk junk spam", false),
+    (4L, "junk noise spam noise junk", false),
+    (5L, "zzz yyy xxx", true)).toDF("doc_id", "text", "lab")
+
+  test("trainNb: class-exclusive tokens vote on the right side of 1/2") {
+    val m = QualityModel.trainNb(docs, "doc_id", "text", col("lab"), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("prose") > 0.5 && m("good") > 0.5)
+    assert(m("spam") < 0.5 && m("junk") < 0.5)
+    // hand-check one vote: a/(a+b) with Laplace smoothing
+    val rows = QualityModel.trainNb(docs, "doc_id", "text", col("lab"), 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v = rows.size.toLong
+    val tPos = rows.values.map(_._1).sum
+    val tNeg = rows.values.map(_._2).sum
+    val (cp, cn) = (rows("spam")._1, rows("spam")._2)
+    val a = (cp + 1).toDouble * (tNeg + v).toDouble
+    val b = (cn + 1).toDouble * (tPos + v).toDouble
+    assert(m("spam") == a / (a + b))
+  }
+
+  test("scoreNb: prediction agrees with labels on separable data; OOV doc is neutral") {
+    val m = QualityModel.trainNb(docs, "doc_id", "text", col("lab"), 64)
+    val s = QualityModel.scoreNb(docs, m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(s(1L)._2 && s(2L)._2 && !s(3L)._2 && !s(4L)._2)
+    val oov = QualityModel.scoreNb(
+      Seq((9L, "unseen wholly novel")).toDF("doc_id", "text"), m, "doc_id", "text")
+      .collect().head
+    assert(oov.getLong(1) == 0L && oov.getDouble(2) == 0.5 && !oov.getBoolean(3))
+  }
+
+  test("scoring plan: the vote table broadcasts — no sort-merge join on the corpus") {
+    val m = QualityModel.trainNb(docs, "doc_id", "text", col("lab"), 64)
+    val p = QualityModel.scoreNb(docs, m, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("roundtrip preserves escapes, unicode and newlines byte-for-byte") {
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "quote \" backslash \\ tab\t"),
+      (3L, "newline\ninside"),
+      (4L, "unicode é中😀"),
+      (5L, ""))
+    val dir = tmpDir("graft_jsonl_rt")
+    Jsonl.write(rows.toDF("id", "text"), dir)
+    val (clean, corrupt) = Jsonl.corruptAudit(Jsonl.read(spark, dir, schema))
+    assert(clean.as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    // select a data column alongside: Spark rejects corrupt-column-only scans
+    assert(corrupt.select(col("id"), col(Jsonl.CorruptCol)).collect().isEmpty)
+  }
+
+  test("malformed lines quarantine with the raw line intact; clean rows unaffected") {
+    val dir = tmpDir("graft_jsonl_bad")
+    Jsonl.write(Seq((1L, "ok"), (2L, "fine")).toDF("id", "text"), dir)
+    java.nio.file.Files.write(java.nio.file.Path.of(dir, "part-bad.json"),
+      java.util.List.of("""{"id": 3, "text": "trunc""", """garbage"""))
+    val (clean, corrupt) = Jsonl.corruptAudit(Jsonl.read(spark, dir, schema))
+    // count via data columns (a bare count() would prune to _corrupt only)
+    assert(clean.select("id", "text").collect().length == 2)
+    val raws = corrupt.select(col("id"), col(Jsonl.CorruptCol))
+      .collect().map(_.getString(1)).toSet
+    assert(raws == Set("""{"id": 3, "text": "trunc""", "garbage"))
+  }
+}
