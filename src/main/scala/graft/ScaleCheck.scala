@@ -268,6 +268,25 @@ object ScaleCheck {
         "doc_id", "text")
       run("quality_nb", nb(docs1), nb(docsN))
     }
+    // Persisted-index search: the index is built once per side OUTSIDE
+    // the timer (the amortized production shape — build cost is its own
+    // linear pipeline, already trend-checked via pq_adc_topk's train);
+    // the timed part is search over the stored codes table, probe set
+    // fixed.
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("graft_scale_ivfpq")
+      val dir1 = s"$base/s1"; val dirN = s"$base/sN"
+      ops.IndexStore.writeIvfPq(emb1, "vec_id", "embedding", dir1,
+        dim = 64, m = 16, ksub = 16, nlist = 8)
+      ops.IndexStore.writeIvfPq(embN, "vec_id", "embedding", dirN,
+        dim = 64, m = 16, ksub = 16, nlist = 8)
+      val probes1 = emb1.filter(pmod(col("vec_id"), lit(50)) === 0)
+      run("ivfpq_store_search",
+        ops.IndexStore.searchIvfPq(spark, dir1, probes1, "vec_id", "embedding",
+          k = 3, nprobe = 3),
+        ops.IndexStore.searchIvfPq(spark, dirN, probes1, "vec_id", "embedding",
+          k = 3, nprobe = 3))
+    }
     spark.stop()
   }
 }

@@ -987,7 +987,41 @@ object CorpusQueries {
     dir
   }
 
+  // --------------------------------------------------------------- q149
+  // Search over a PERSISTED IVF-PQ index (ops.IndexStore): the index is
+  // built and written once per sf dir (marker-cached, like the q97/q143
+  // fixtures), and the query path loads KB-sized metadata plus the
+  // codes-only table — no original vectors. Rows-only here; q149r pins
+  // bit-identity against the inline Pq.ivfPqTopK in the gate.
+  val q149 = QuerySpec.rowsOnly("q149_index_store_search") { (s, d) =>
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    graft.ops.IndexStore.searchIvfPq(s, ivfPqIndexFixture(s, d), probes,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q149/q149r index fixture: IVF-PQ index persisted once per sf dir.
+    * TWO gate queries consume it and Verify runs queries concurrently,
+    * so creation is serialized on a JVM lock (double-checked marker) —
+    * without it both consumers race the build and one dies on the
+    * marker create.
+    */
+  private val ivfPqFixtureLock = new Object
+  private[analytics] def ivfPqIndexFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q149_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) ivfPqFixtureLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.ops.IndexStore.writeIvfPq(Tables.embeddings(s, d), "vec_id",
+          "embedding", dir, dim = 64, m = 16, ksub = 16, nlist = 8)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q146, q147, q148)
+    q142, q143, q146, q147, q148, q149)
 }

@@ -432,6 +432,26 @@ object RefereeQueries {
     report(symDiff(native, referee) ++ symDiff(encNative, encReferee))
   }
 
+  // ------------------------------------------------------ q149 referee
+  // Persisted-index equivalence: a search over the SAVED-then-LOADED
+  // IVF-PQ index (IndexStore — codebooks/centroids/codes through a
+  // parquet round trip) must be BIT-IDENTICAL to the inline
+  // Pq.ivfPqTopK with the same build parameters. Floats round-trip
+  // parquet exactly and training is deterministic, so any diff row
+  // means the store serialized or reassembled something wrong.
+  val q149r = QuerySpec.refereeCheck("q149r_index_store_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val inline = Pq.ivfPqTopK(probes, emb, "vec_id", "embedding", cb, k = 3,
+      nlist = 8, nprobe = 3)
+    val loaded = graft.ops.IndexStore.searchIvfPq(
+      s, CorpusQueries.ivfPqIndexFixture(s, d), probes, "vec_id", "embedding",
+      k = 3, nprobe = 3)
+    report(symDiff(inline, loaded))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r)
 }

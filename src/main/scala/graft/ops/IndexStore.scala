@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Persisted ANN index: build ONCE, search MANY — the operational shape
+  * of similarity search at 100 TB. [[Pq.ivfPqTopK]] trains centroids and
+  * codebooks inline, which is right for a one-shot query and wrong for a
+  * serving/recurring-batch workload where the same billion-vector index
+  * answers queries for months. This module writes the three index parts
+  * as a parquet layout and searches FROM the store, with no access to
+  * the original vectors:
+  *
+  *   path/meta/        1 row: (dim, m, dsub, nlist)
+  *   path/centroids/   nlist rows: (cell, centroid float[])   — KBs
+  *   path/codebooks/   m*ksub rows: (j, c, cent float[])      — KBs
+  *   path/codes/       1 row/vector: (neighbor_id, cell, codes byte-ish)
+  *                     hive-free parquet, repartitioned BY CELL so a
+  *                     search's nprobe cell-join prunes row groups
+  *
+  * Scale split: metadata (centroids + codebooks) is a few KB by
+  * construction — it collects to the driver at load and broadcasts with
+  * each probe's LUT, exactly like the inline path. The codes table is
+  * the big part and never moves: search joins it by 4-byte cell id
+  * against broadcast probes. Floats round-trip parquet bit-exactly, and
+  * training is deterministic, so a loaded-index search is BIT-IDENTICAL
+  * to an inline [[Pq.ivfPqTopK]] with the same parameters — q149r pins
+  * that equivalence in the gate.
+  */
+object IndexStore {
+
+  final case class IvfPqMeta(dim: Int, m: Int, dsub: Int, nlist: Int)
+
+  /** Train and persist an IVF-PQ index for `corpus`. */
+  def writeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, m: Int, ksub: Int = 16, nlist: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = Pq.train(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    Seq((dim, m, cb.dsub, nlist)).toDF("dim", "m", "dsub", "nlist")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .select(col("cell").cast(IntegerType), col("centroid").cast("array<float>"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (j, c, cb.centroids(j)(c).toSeq)).toDF("j", "c", "cent")
+      .select(col("j").cast(IntegerType), col("c").cast(IntegerType),
+        col("cent").cast("array<float>"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    corpus.select(col(idCol).as("neighbor_id"),
+        Ivf.assignCell(col(vecCol), centroids).as("cell"),
+        Pq.encode(col(vecCol), cb).as("codes"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+  }
+
+  def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    IvfPqMeta(r.getAs[Int]("dim"), r.getAs[Int]("m"),
+      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"))
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .sortBy(_.getAs[Int]("cell"))
+      .map(_.getSeq[Float](1).toArray)
+
+  def loadCodebooks(spark: SparkSession, path: String): Pq.Codebooks = {
+    val meta = loadMeta(spark, path)
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"), r.getSeq[Float](2).toArray))
+    val ksub = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Float]](meta.m, ksub)
+    rows.foreach { case (j, c, v) => cents(j)(c) = v }
+    Pq.Codebooks(meta.m, meta.dsub, cents)
+  }
+
+  /** Search the stored index: load KB-sized metadata driver-side, join
+    * broadcast probe LUTs against the codes table by cell id. Same
+    * output contract as [[Pq.ivfPqTopK]]: (probe_id, rank, neighbor_id,
+    * adc_score) — and bit-identical results given identical build
+    * parameters.
+    */
+  def searchIvfPq(spark: SparkSession, path: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val cb = loadCodebooks(spark, path)
+    val centroids = loadCentroids(spark, path)
+    val cells = spark.read.parquet(s"$path/codes")
+    val p = Ivf.probeCells(probes, idCol, vecCol, centroids, nprobe)
+      .select(col("probe_id"), col("__c").as("cell"),
+        Pq.lutCol(col("__pv"), cb).as("__lut"))
+    val scored = cells.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Pq.adcScore(col("__lut"), col("codes"), cb.m).as("adc_score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_score")
+  }
+}

@@ -98,7 +98,7 @@ object Pq {
       Ivf.assignCell(slice(vec, j * cb.dsub + 1, cb.dsub), cb.centroids(j))): _*)
 
   /** The probe-side ADC lookup table: `__lut(j)(c) = dot(q_j, centroid(j,c))`. */
-  private def lutCol(vec: Column, cb: Codebooks): Column =
+  private[ops] def lutCol(vec: Column, cb: Codebooks): Column =
     array((0 until cb.m).map(j =>
       array((0 until cb.ksub).map(c =>
         float_dot(slice(vec, j * cb.dsub + 1, cb.dsub),

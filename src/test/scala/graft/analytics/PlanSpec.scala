@@ -424,6 +424,71 @@ class PlanSpec extends SparkSpec {
     assert(!blPlan.contains("SortMergeJoin"))
   }
 
+  test("q144: cross-exact dedup nominates by 8-byte hash; text joins only at confirm") {
+    // admitDelta's cross-exact stage must follow the text-moves-only-at-
+    // verify discipline: the corpus-sized semi-join exchanges carry the
+    // xxhash64 key, and string columns appear only on the candidate-sized
+    // confirm join below it.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.StringType
+    val docs = graft.analytics.Tables.documents(spark, sf)
+    val st = graft.ops.Curation.admitDelta(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    // admitted's plan starts at the nearKept checkpoint; the cross-exact
+    // shape is inside exactKept's build, which checkpointed eagerly — so
+    // rebuild the stage shape directly for the pin
+    // checkpointed exactly as admitDelta checkpoints intraExact — the
+    // dedup's own full-row exchange is stage-internal, not part of the
+    // cross-exact candidate channel under pin here
+    val intra = graft.ops.Dedup.exact(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", Seq("text")).localCheckpoint()
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+    val corpusHashes = corpus
+      .select(org.apache.spark.sql.functions.xxhash64(col("text")).as("__kh"))
+      .distinct()
+    val cand = intra
+      .select(col("doc_id"), org.apache.spark.sql.functions.xxhash64(col("text")).as("__kh"))
+      .join(corpusHashes, Seq("__kh"), "left_semi")
+    val plan = cand.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val semiShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.toString.contains("__kh"))
+    assert(semiShuffles.nonEmpty, "expected hash-keyed semi-join exchanges")
+    semiShuffles.foreach { s =>
+      assert(s.output.forall(_.dataType != StringType),
+        "cross-exact candidate exchange carries text: " +
+          s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+    }
+    assert(st.admitted.columns.contains("doc_id"))
+  }
+
+  test("q146: pseudonym rollup exchanges carry the digest, never the raw identifier") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ev = graft.analytics.Tables.events(spark, sf).select("user_id", "value")
+    val rolled = graft.ops.Privacy.pseudonymize(ev, Seq("user_id"), "pepper")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val plan = rolled.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    // the raw identifier is a LongType column; after scan-side hashing the
+    // exchange rows are (digest string, partial count) only
+    shuffles.foreach { s =>
+      assert(!s.output.exists(a => a.name == "user_id" &&
+        a.dataType == org.apache.spark.sql.types.LongType),
+        "raw user_id reached an exchange")
+    }
+  }
+
   test("q122: BPE pair explosion runs over the counted vocabulary, not the corpus") {
     // the plan must aggregate tokens FIRST (partial_count before an
     // exchange) and only then explode pairs: a Generate above the token

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = {
+    // 40 deterministic 8-dim vectors
+    (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint()
+  }
+
+  test("codebooks and centroids survive the parquet round trip bit-for-bit") {
+    val dir = tmpDir("graft_idx_rt")
+    IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 8, m = 4, ksub = 4)
+    val loaded = IndexStore.loadCodebooks(spark, dir)
+    assert(loaded.m == cb.m && loaded.dsub == cb.dsub)
+    for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      assert(java.util.Arrays.equals(loaded.centroids(j)(c), cb.centroids(j)(c)),
+        s"codebook ($j,$c) drifted")
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", 4, 2)
+    val lc = IndexStore.loadCentroids(spark, dir)
+    assert(lc.length == cents.length)
+    cents.indices.foreach(i =>
+      assert(java.util.Arrays.equals(lc(i), cents(i)), s"centroid $i drifted"))
+  }
+
+  test("loaded-index search is bit-identical to the inline IVF-PQ search") {
+    val dir = tmpDir("graft_idx_search")
+    IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 8, m = 4, ksub = 4)
+    val inline = Pq.ivfPqTopK(probes, emb, "vec_id", "embedding", cb, k = 3,
+      nlist = 4, nprobe = 2).collect().toSet
+    val loaded = IndexStore.searchIvfPq(spark, dir, probes, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().toSet
+    assert(loaded == inline)
+    assert(loaded.nonEmpty)
+  }
+}
