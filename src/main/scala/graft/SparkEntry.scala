@@ -16,7 +16,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     analytics.Relational.all ++ analytics.LlmQueries.all ++ analytics.Extras.all ++
       analytics.CurationQueries.all ++ analytics.CorpusQueries.all ++
-      analytics.RefereeQueries.all
+      analytics.LakeQueries.all ++ analytics.RefereeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A multi-join revenue rollup — exercises scan, broadcast joins,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType,
   */
 object CorpusQueries {
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private[analytics] val duckToks =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   /** DuckDB word-k-shingle fragment over a `toks` list column (mirrors
     * Dedup.shingles: distinct windows, chr(1) separator, join-all
     * fallback below k tokens).

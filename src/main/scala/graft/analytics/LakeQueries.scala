@@ -1,0 +1,188 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.connect.SnapshotStore
+import graft.ops.Incremental
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Snapshot-lake surfaces: the versioned-table layer ([[SnapshotStore]])
+  * exercised end-to-end against DuckDB replays of the same set algebra.
+  * The fixture builds one four-version table per sf dir from
+  * deterministic `documents` slices:
+  *
+  *   v0 create   even doc_ids (hash-partitioned into 8 files)
+  *   v1 append   odd doc_ids (no rewrite of v0's files)
+  *   v2 delete   doc_id % 10 == 0 (copy-on-write, touched files only)
+  *   v3 compact  range-clustered on doc_id (content-neutral)
+  *
+  * so every version's content — and every inter-version change set — is
+  * a pure predicate over `documents` that the oracle states directly.
+  */
+object LakeQueries {
+
+  private val lakeLock = new Object
+  private[analytics] def lakeFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q150_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) lakeLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        SnapshotStore.commit(s, dir,
+          docs.filter(col("doc_id") % 2 === 0).repartition(8, col("doc_id")),
+          statsCols = Seq("doc_id"))
+        SnapshotStore.append(s, dir,
+          docs.filter(col("doc_id") % 2 === 1).repartition(8, col("doc_id")))
+        SnapshotStore.deleteWhere(s, dir, col("doc_id") % 10 === 0)
+        SnapshotStore.compact(s, dir, smallBytes = Long.MaxValue,
+          clusterCol = Some("doc_id"), targetFiles = 8)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  private def versionAgg(s: SparkSession, table: String, v: Int) =
+    SnapshotStore.read(s, table, v)
+      .agg(count(lit(1L)).as("n_rows"), sum("doc_id").as("sum_doc_id"),
+        sum("n_chars").as("sum_chars"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_doc_id"),
+        col("sum_chars"))
+
+  // --------------------------------------------------------------- q150
+  // Time travel: each committed version's full content, as one aggregate
+  // row per version. v3's row equaling v2's is the receipt that
+  // compaction is content-neutral; v0/v1 staying readable after the
+  // delete and compaction is the snapshot-isolation receipt.
+  val q150 = QuerySpec.sql(
+    "q150_snapshot_lake",
+    """SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(doc_id) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(doc_id) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 10 <> 0
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(doc_id) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 10 <> 0
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    (0 to 3).map(versionAgg(s, table, _)).reduce(_.unionByName(_))
+      .orderBy("version")
+  }
+
+  // --------------------------------------------------------------- q151
+  // Change-data-feed between versions, file-level-pruned: unchanged
+  // files are never read (an append diffs by scanning only the new
+  // files), and diff across the compaction must come out EMPTY — rows
+  // that merely moved files cancel in the two-sided exceptAll.
+  val q151 = QuerySpec.sql(
+    "q151_snapshot_diff",
+    """SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+      |  'insert' AS change, doc_id
+      |FROM documents WHERE doc_id % 2 = 1
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'delete', doc_id
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY from_v, change, doc_id""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    Seq((0, 1), (1, 2), (2, 3)).map { case (a, b) =>
+      SnapshotStore.diff(s, table, a, b)
+        .select(lit(a.toLong).as("from_v"), lit(b.toLong).as("to_v"),
+          col("change"), col("doc_id"))
+    }.reduce(_.unionByName(_)).orderBy("from_v", "change", "doc_id")
+  }
+
+  // --------------------------------------------------------------- q152
+  // Manifest-stats pruned read over the range-clustered v3: only files
+  // whose per-file doc_id box overlaps [10, 99] are planned (the
+  // files-skipped receipt is asserted in SnapshotStoreSpec — the gate
+  // checks the DATA is exactly the predicate's rows).
+  val q152 = QuerySpec.sql(
+    "q152_snapshot_prune",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 10 AND 99 AND doc_id % 10 <> 0""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    val (df, _, _) = SnapshotStore.prunedRead(s, table, "doc_id", 10.0, 99.0)
+    df.agg(count(lit(1L)).as("n_rows"), sum("doc_id").as("sum_doc_id"),
+      sum("n_chars").as("sum_chars"))
+  }
+
+  // --------------------------------------------------------------- q153
+  // Incremental per-delivery profiling (Incremental.partialProfile /
+  // mergeProfiles): the corpus arrives as three deliveries (doc_id % 3),
+  // each profiled independently; the MERGED partials must equal the
+  // direct whole-corpus aggregation the oracle computes. Exact integer
+  // partials only in the gate row — the HLL sketch rides along and is
+  // pinned by q154/q154r.
+  val q153 = QuerySpec.sql(
+    "q153_incremental_profile",
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(${CorpusQueries.duckToks})) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST(length(text) AS BIGINT) * CAST(length(text) AS BIGINT))
+      |    AS BIGINT) AS sumsq_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val partials = (0 to 2).map(i =>
+        Incremental.partialProfile(docs.filter(col("doc_id") % 3 === i),
+          Seq("source"), "doc_id", "text"))
+      .reduce(_.unionByName(_))
+    Incremental.mergeProfiles(partials, Seq("source"))
+      .select("source", "n_docs", "n_tokens", "sum_chars", "sumsq_chars",
+        "min_id", "max_id")
+      .orderBy("source")
+  }
+
+  // --------------------------------------------------------------- q154
+  // Distinct-token cardinality per source from the MERGED per-delivery
+  // HLL sketches. DataSketches estimates have no DuckDB twin (rows-only
+  // here); q154r pins merge-identity (union-of-sketches == sketch-of-
+  // union, bit-equal estimates) and a ±5% envelope vs the exact count.
+  val q154 = QuerySpec.rowsOnly("q154_sketch_distinct") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val partials = (0 to 2).map(i =>
+        Incremental.partialProfile(docs.filter(col("doc_id") % 3 === i),
+          Seq("source"), "doc_id", "text"))
+      .reduce(_.unionByName(_))
+    Incremental.withDistinctEstimate(
+        Incremental.mergeProfiles(partials, Seq("source")))
+      .select(col("source"), col("n_docs"), col("distinct_tokens_est"))
+      .orderBy("source")
+  }
+
+  // --------------------------------------------------------------- q155
+  // Incremental view maintenance over the lake's change feed: the
+  // per-source (count, sum_chars) view maintained from diff(v1→v2) —
+  // reading ONLY changed files — must equal re-aggregating v2 from
+  // scratch, which is what the oracle does.
+  val q155 = QuerySpec.sql(
+    "q155_incremental_agg",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_val
+      |FROM documents WHERE doc_id % 10 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    val base = SnapshotStore.read(s, table, 1).groupBy("source")
+      .agg(count(lit(1L)).as("n_rows"), sum("n_chars").as("sum_val"))
+    val delta = SnapshotStore.diff(s, table, 1, 2)
+    Incremental.maintainAgg(base, delta, Seq("source"), "change", "n_chars")
+      .orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155)
+}

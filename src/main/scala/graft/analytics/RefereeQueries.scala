@@ -452,6 +452,37 @@ object RefereeQueries {
     report(symDiff(inline, loaded))
   }
 
+  // ------------------------------------------------------ q154 referee
+  // HLL distinct-token estimates (q154) pinned two ways: (1) MERGE
+  // IDENTITY — the estimate from union-ing three per-delivery sketches
+  // must BIT-EQUAL the estimate from one whole-corpus sketch (HLL union
+  // is register-wise max, so sketch-of-union == union-of-sketches; any
+  // difference means the merge path corrupts sketch state); (2) ACCURACY
+  // — every estimate must sit within ±5% of the exact distinct count
+  // (lgK=12 → ~1.6% relative standard error; 5% is a hard fence, not a
+  // tolerance the estimator should ever approach).
+  val q154r = QuerySpec.refereeCheck("q154r_sketch_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val docs = Tables.documents(s, d)
+    def estimates(partials: org.apache.spark.sql.DataFrame) =
+      graft.ops.Incremental.withDistinctEstimate(
+          graft.ops.Incremental.mergeProfiles(partials, Seq("source")))
+        .select(col("source"), col("distinct_tokens_est"))
+    val merged = estimates((0 to 2).map(i =>
+        graft.ops.Incremental.partialProfile(
+          docs.filter(col("doc_id") % 3 === i), Seq("source"), "doc_id", "text"))
+      .reduce(_.unionByName(_)))
+    val direct = estimates(
+      graft.ops.Incremental.partialProfile(docs, Seq("source"), "doc_id", "text"))
+    val exact = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source").agg(count_distinct(col("tok")).as("exact_distinct"))
+    val outOfEnvelope = merged.join(exact, "source")
+      .filter(abs(col("distinct_tokens_est") - col("exact_distinct")) >
+        col("exact_distinct") * 0.05)
+    report(symDiff(merged, direct) :+ outOfEnvelope)
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r, q149r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r)
 }

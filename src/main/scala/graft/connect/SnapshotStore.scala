@@ -1,0 +1,433 @@
+package graft.connect
+
+import java.nio.charset.StandardCharsets
+import java.util.{Base64, UUID}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Snapshot-versioned parquet table — the minimal transactional-lake
+  * layer (the Delta/Iceberg commit-protocol idea re-expressed on plain
+  * Hadoop `FileSystem` primitives) that the long-running pipeline pieces
+  * need: the streaming gate's seen-store, the curation corpus between
+  * deliveries, and any table that is appended/deleted/compacted while
+  * readers are in flight.
+  *
+  * Layout under a table directory:
+  * {{{
+  *   data/c-<uuid>/part-*.parquet      immutable data files, one dir per commit
+  *   manifests/m-<uuid>/               parquet manifest: one row per live file
+  *                                     (path, file, rows, bytes, stat_min, stat_max)
+  *   snapshots/v000000012              committed version pointer (tiny text file)
+  * }}}
+  *
+  * The COMMIT is the atomic rename of a staged pointer file to
+  * `snapshots/v%09d`. Readers resolve the highest committed pointer and
+  * trust only files its manifest lists, so a writer crash at any earlier
+  * step leaves garbage data/manifest dirs (cleaned by [[vacuum]]) but
+  * never a torn table. Two writers racing for the same version: the
+  * rename-onto-existing loses (checked-then-renamed; on HDFS the rename
+  * itself refuses), which is optimistic concurrency at the version level
+  * — the loser must re-resolve and retry on the new parent. On
+  * rename-less object stores the pointer write needs a conditional-put
+  * (S3 If-None-Match) — same protocol, different primitive.
+  *
+  * Scale notes (the 100 TB shape):
+  *  - Manifests are FILE-level metadata (a few hundred bytes per data
+  *    file), stored as parquet so they are readable/filterable as a
+  *    DataFrame without parsing on the driver; only the matching file
+  *    PATHS are ever collected (bounded by file count, not rows — the
+  *    same class as any planner's file listing).
+  *  - Per-file min/max of declared numeric stats columns make
+  *    [[prunedRead]] skip non-overlapping files at MANIFEST level —
+  *    file skipping before the scan even plans, on top of parquet's own
+  *    row-group stats.
+  *  - [[deleteWhere]] is copy-on-write and rewrites ONLY files that
+  *    contain matching rows (manifest-stats prune, then a per-file
+  *    match count); untouched files are carried by reference.
+  *  - [[compact]] merges small files under snapshot isolation: old
+  *    versions keep reading the old files; [[diff]] across a compaction
+  *    is provably empty because row content is unchanged.
+  *  - [[diff]] is file-level first: files present in both manifests are
+  *    skipped unread; only added/removed files are scanned, then the
+  *    row-level `exceptAll` in both directions cancels rewritten-but-
+  *    equal rows. An append-only commit diffs by reading just the new
+  *    files.
+  */
+object SnapshotStore {
+
+  final case class Snapshot(
+      version: Int,
+      manifestDir: String,
+      parent: Int,
+      operation: String,
+      schema: StructType,
+      statsCols: Seq[String])
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapshotsDir(table: String) = s"$table/snapshots"
+  private def pointerPath(table: String, v: Int) =
+    new Path(snapshotsDir(table), f"v$v%09d")
+
+  // ------------------------------------------------------------ pointers
+
+  /** Highest committed version, or -1 for an empty/nonexistent table. */
+  def latestVersion(spark: SparkSession, table: String): Int = {
+    val fs = fsOf(spark, table)
+    val dir = new Path(snapshotsDir(table))
+    if (!fs.exists(dir)) return -1
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{9}")).map(_.drop(1).toInt)
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  def snapshot(spark: SparkSession, table: String, version: Int): Snapshot = {
+    val fs = fsOf(spark, table)
+    val p = pointerPath(table, version)
+    require(fs.exists(p), s"no committed snapshot v$version at $table")
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val kv = new String(bytes, StandardCharsets.UTF_8).linesIterator
+      .filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+    Snapshot(
+      version = kv("version").toInt,
+      manifestDir = s"$table/manifests/${kv("manifest")}",
+      parent = kv("parent").toInt,
+      operation = kv("operation"),
+      schema = DataType.fromJson(new String(
+        Base64.getDecoder.decode(kv("schema")), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType],
+      statsCols = kv.getOrElse("stats", "") match {
+        case "" => Seq.empty
+        case s => s.split(',').toSeq
+      })
+  }
+
+  /** Stage-then-rename pointer commit. Returns false if `version` was
+    * already taken (optimistic-concurrency loss — caller re-resolves the
+    * new latest and retries).
+    */
+  private[connect] def commitPointer(spark: SparkSession, table: String, version: Int,
+      manifestName: String, parent: Int, operation: String,
+      schema: StructType, statsCols: Seq[String]): Boolean = {
+    val fs = fsOf(spark, table)
+    val dst = pointerPath(table, version)
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) return false
+    val tmp = new Path(snapshotsDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try {
+      val body =
+        s"""version=$version
+           |manifest=$manifestName
+           |parent=$parent
+           |operation=$operation
+           |schema=${Base64.getEncoder.encodeToString(
+                schema.json.getBytes(StandardCharsets.UTF_8))}
+           |stats=${statsCols.mkString(",")}
+           |""".stripMargin
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, dst)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  // ------------------------------------------------------- data + stats
+
+  /** Write `df` as a new immutable commit dir and return its manifest
+    * rows: (path, file, rows, bytes, stat_min, stat_max). One file-keyed
+    * partial aggregate over the just-written files computes rows and the
+    * per-file min/max of each (numeric) stats column; bytes join in from
+    * the file listing (driver-side FILE metadata, not data).
+    */
+  private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String]): DataFrame = {
+    val dataDir = s"$table/data/c-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(dataDir)
+    manifestRowsFor(spark, dataDir, statsCols)
+  }
+
+  private def manifestRowsFor(spark: SparkSession, dataDir: String,
+      statsCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dataDir)
+    val listed = fs.listStatus(new Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getPath.getName, s.getLen)).toSeq
+    val bytesDf = listed.toDF("path", "file", "bytes")
+    val data = spark.read.parquet(dataDir)
+    val aggs = count(lit(1L)).as("rows") +: statsCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"))
+    }
+    val statKeys = array(statsCols.map(lit): _*)
+    val perFile = data
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("file"), col("rows"),
+        (if (statsCols.isEmpty) typedLit(Map.empty[String, Double])
+         else map_from_arrays(statKeys,
+           array(statsCols.map(c => col(s"__min_$c")): _*))).as("stat_min"),
+        (if (statsCols.isEmpty) typedLit(Map.empty[String, Double])
+         else map_from_arrays(statKeys,
+           array(statsCols.map(c => col(s"__max_$c")): _*))).as("stat_max"))
+    // file names are globally unique (Spark part files embed a task UUID),
+    // so joining listing to aggregate on the name sidesteps URI-scheme
+    // normalization between input_file_name() and FileStatus paths.
+    bytesDf.join(perFile, Seq("file"), "inner")
+      .select("path", "file", "rows", "bytes", "stat_min", "stat_max")
+  }
+
+  private def writeManifest(spark: SparkSession, table: String,
+      rows: DataFrame): String = {
+    val name = s"m-${UUID.randomUUID().toString.take(8)}"
+    rows.coalesce(1).write.parquet(s"$table/manifests/$name")
+    name
+  }
+
+  def manifest(spark: SparkSession, table: String, version: Int): DataFrame =
+    spark.read.parquet(snapshot(spark, table, version).manifestDir)
+
+  // ------------------------------------------------------------ commits
+
+  /** Create v0 (or fully replace table content with a new snapshot —
+    * old versions stay readable). Returns the committed version.
+    */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val rows = writeDataFiles(spark, table, df, statsCols)
+    val mName = writeManifest(spark, table, rows)
+    val parent = latestVersion(spark, table)
+    val v = parent + 1
+    require(commitPointer(spark, table, v, mName, parent,
+      if (parent < 0) "create" else "overwrite", df.schema, statsCols),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
+  /** Append-only commit: new manifest = parent's file rows + the new
+    * files. No existing data is read or rewritten.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame): Int = {
+    val parent = latestVersion(spark, table)
+    require(parent >= 0, s"append to nonexistent table $table")
+    val snap = snapshot(spark, table, parent)
+    val rows = writeDataFiles(spark, table, df, snap.statsCols)
+    val mName = writeManifest(spark, table,
+      spark.read.parquet(snap.manifestDir).unionByName(rows))
+    val v = parent + 1
+    require(commitPointer(spark, table, v, mName, parent, "append",
+      snap.schema, snap.statsCols),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
+  // -------------------------------------------------------------- reads
+
+  private def filePaths(spark: SparkSession, m: DataFrame): Seq[String] =
+    m.select("path").collect().map(_.getString(0)).toSeq // file-level metadata
+
+  /** Read a committed version (default: latest). Reads exactly the
+    * manifest's file list — a reader holding version N is unaffected by
+    * any later commit, delete, or compaction.
+    */
+  def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(spark, table)
+    val snap = snapshot(spark, table, v)
+    val paths = filePaths(spark, spark.read.parquet(snap.manifestDir))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(paths: _*)
+  }
+
+  /** Manifest rows whose [lo, hi] box on `statCol` overlaps the query
+    * range (files with missing/NaN stats are conservatively kept).
+    */
+  def overlappingFiles(m: DataFrame, statCol: String, lo: Double, hi: Double): DataFrame =
+    m.filter(
+      coalesce(element_at(col("stat_min"), statCol) <= lit(hi), lit(true)) &&
+      coalesce(element_at(col("stat_max"), statCol) >= lit(lo), lit(true)))
+
+  /** Manifest-level file-skipping read: only files whose stats box
+    * overlaps [lo, hi] are planned at all. Returns the frame plus
+    * (filesRead, filesTotal) as the skipping receipt.
+    */
+  def prunedRead(spark: SparkSession, table: String, statCol: String,
+      lo: Double, hi: Double, version: Int = -1): (DataFrame, Int, Int) = {
+    val v = if (version >= 0) version else latestVersion(spark, table)
+    val snap = snapshot(spark, table, v)
+    require(snap.statsCols.contains(statCol),
+      s"$statCol is not a stats column of $table (has ${snap.statsCols})")
+    val m = spark.read.parquet(snap.manifestDir)
+    val total = m.count().toInt
+    val paths = filePaths(spark, overlappingFiles(m, statCol, lo, hi))
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else spark.read.schema(snap.schema).parquet(paths: _*)
+    (df.filter(col(statCol).cast("double").between(lo, hi)), paths.size, total)
+  }
+
+  // ------------------------------------------------------------- delete
+
+  /** Copy-on-write delete. Candidate files come from the manifest-stats
+    * prune (when `pruneOn` names a stats column + range implied by the
+    * predicate); a per-file match count then narrows to files that
+    * actually CONTAIN matching rows, and only those are rewritten with
+    * the predicate filtered out. Every other file is carried into the
+    * new manifest by reference — zero read, zero write.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      pruneOn: Option[(String, Double, Double)] = None): Int = {
+    val parent = latestVersion(spark, table)
+    require(parent >= 0, s"delete on nonexistent table $table")
+    val snap = snapshot(spark, table, parent)
+    val m = spark.read.parquet(snap.manifestDir)
+    val candM = pruneOn match {
+      case Some((c, lo, hi)) => overlappingFiles(m, c, lo, hi)
+      case None => m
+    }
+    val candPaths = filePaths(spark, candM)
+    val touched: Seq[String] =
+      if (candPaths.isEmpty) Seq.empty
+      else spark.read.schema(snap.schema).parquet(candPaths: _*)
+        .filter(coalesce(predicate, lit(false)))
+        .select(element_at(split(input_file_name(), "/"), -1).as("file"))
+        .distinct().collect().map(_.getString(0)).toSeq // file-level metadata
+    val v = parent + 1
+    if (touched.isEmpty) {
+      // no-op delete still commits a (shared-manifest) snapshot so the
+      // caller's version arithmetic stays monotonic.
+      require(commitPointer(spark, table, v, snap.manifestDir.split('/').last,
+        parent, "delete", snap.schema, snap.statsCols), "concurrent commit")
+      return v
+    }
+    val touchedSet = touched.toSet
+    val touchedPaths = filePaths(spark, m.filter(col("file").isInCollection(touchedSet)))
+    val rewritten = writeDataFiles(spark, table,
+      spark.read.schema(snap.schema).parquet(touchedPaths: _*)
+        .filter(!coalesce(predicate, lit(false))),
+      snap.statsCols)
+    val mName = writeManifest(spark, table,
+      m.filter(!col("file").isInCollection(touchedSet)).unionByName(rewritten))
+    require(commitPointer(spark, table, v, mName, parent, "delete",
+      snap.schema, snap.statsCols),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
+  // ------------------------------------------------------------ compact
+
+  /** Merge files smaller than `smallBytes` into ~`targetBytes` files,
+    * optionally range-clustering on `clusterCol` (repartitionByRange +
+    * sortWithinPartitions — after which per-file stat boxes on that
+    * column are non-overlapping and [[prunedRead]] skips hard). Old
+    * snapshots still read the old files; [[diff]] across the compaction
+    * is empty because content is unchanged.
+    */
+  def compact(spark: SparkSession, table: String,
+      smallBytes: Long = 64L << 20, targetBytes: Long = 128L << 20,
+      clusterCol: Option[String] = None, targetFiles: Int = 0): Int = {
+    val parent = latestVersion(spark, table)
+    require(parent >= 0, s"compact on nonexistent table $table")
+    val snap = snapshot(spark, table, parent)
+    val m = spark.read.parquet(snap.manifestDir)
+    val small = m.filter(col("bytes") < smallBytes)
+    val smallPaths = filePaths(spark, small)
+    if (smallPaths.size <= 1) return parent // nothing to merge
+    val smallBytesTotal = small.agg(sum("bytes")).collect()(0).getLong(0)
+    val nOut = if (targetFiles > 0) targetFiles
+      else math.max(1, math.ceil(smallBytesTotal.toDouble / targetBytes).toInt)
+    val data = spark.read.schema(snap.schema).parquet(smallPaths: _*)
+    val shaped = clusterCol match {
+      case Some(c) => data.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => data.coalesce(nOut)
+    }
+    val rewritten = writeDataFiles(spark, table, shaped, snap.statsCols)
+    val smallSet = smallPaths.map(_.split('/').last).toSet
+    val mName = writeManifest(spark, table,
+      m.filter(!col("file").isInCollection(smallSet)).unionByName(rewritten))
+    val v = parent + 1
+    require(commitPointer(spark, table, v, mName, parent, "compact",
+      snap.schema, snap.statsCols),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
+  // --------------------------------------------------------------- diff
+
+  /** Row-level change set between two committed versions, computed
+    * file-level first: files listed in BOTH manifests are identical by
+    * construction (data files are immutable) and are never read; only
+    * files added or removed between the versions are scanned, and the
+    * two-sided `exceptAll` cancels rows that merely moved files
+    * (compaction, delete-rewrite survivors). Returns the changed rows
+    * with a `change` column ('insert' rows exist in `vTo` only,
+    * 'delete' rows in `vFrom` only), duplicate-multiplicity preserved.
+    */
+  def diff(spark: SparkSession, table: String, vFrom: Int, vTo: Int): DataFrame = {
+    val from = snapshot(spark, table, vFrom)
+    val to = snapshot(spark, table, vTo)
+    val mFrom = spark.read.parquet(from.manifestDir).select("path", "file")
+    val mTo = spark.read.parquet(to.manifestDir).select("path", "file")
+    val removed = filePaths(spark, mFrom.join(mTo, Seq("file"), "left_anti"))
+    val added = filePaths(spark, mTo.join(mFrom, Seq("file"), "left_anti"))
+    def readOr(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+      else spark.read.schema(to.schema).parquet(paths: _*)
+    val oldRows = readOr(removed)
+    val newRows = readOr(added)
+    newRows.exceptAll(oldRows).withColumn("change", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("delete")))
+  }
+
+  // ------------------------------------------------------------- vacuum
+
+  /** Delete data files and manifests unreferenced by any version >=
+    * `keepFrom` (and drop the older pointers). Time travel keeps working
+    * for every retained version. Returns the number of data files
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
+    val fs = fsOf(spark, table)
+    val latest = latestVersion(spark, table)
+    require(keepFrom >= 0 && keepFrom <= latest, s"keepFrom out of range 0..$latest")
+    val kept = (keepFrom to latest).map(snapshot(spark, table, _))
+    val referenced = kept.flatMap(s =>
+        filePaths(spark, spark.read.parquet(s.manifestDir))).toSet
+    val keptManifests = kept.map(_.manifestDir.split('/').last).toSet
+    var deleted = 0
+    val dataRoot = new Path(s"$table/data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { commitDir =>
+      fs.listStatus(commitDir.getPath).foreach { f =>
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(f.getPath.toString)) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+      // drop the commit dir once no referenced parquet remains (markers
+      // like _SUCCESS don't keep it alive)
+      val left = fs.listStatus(commitDir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (left.isEmpty) fs.delete(commitDir.getPath, true)
+    }
+    val manifestRoot = new Path(s"$table/manifests")
+    if (fs.exists(manifestRoot)) fs.listStatus(manifestRoot).foreach { mDir =>
+      if (!keptManifests.contains(mDir.getPath.getName)) fs.delete(mDir.getPath, true)
+    }
+    (0 until keepFrom).foreach { v =>
+      val p = pointerPath(table, v)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    deleted
+  }
+}

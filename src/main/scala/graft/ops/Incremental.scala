@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus-statistics maintenance: per-delivery PARTIAL
+  * profiles that merge into exact corpus-wide statistics without ever
+  * rescanning old deliveries — the aggregate analog of the incremental
+  * admission pipeline. Counts/sums/min/max/sum-of-squares are exact
+  * integer partials (merge = sum/min/max); distinct-token cardinality is
+  * a DataSketches HLL sketch (Spark's `hll_sketch_agg`), whose union is
+  * register-wise max — so sketch-of-union == union-of-sketches exactly,
+  * making the merged estimate REPRODUCIBLE, not just approximately
+  * right (pinned by the q154r referee).
+  *
+  * At 100 TB: each delivery is profiled once, at ingest, in one pass;
+  * the stored partial table is KB per (group, delivery); corpus-wide
+  * stats after N deliveries cost a merge over N×groups tiny rows. The
+  * alternative — re-aggregating the whole corpus per delivery — is a
+  * full scan each time.
+  */
+object Incremental {
+
+  /** One delivery's per-group partial profile. Two aggregations share
+    * the scan lineage: doc-grain stats (map-side combined), and the
+    * token-grain HLL (explode is evaluated once, partial sketches
+    * combine map-side). Left join keeps groups whose texts are all
+    * empty (null sketch — merge treats it as the empty sketch).
+    */
+  def partialProfile(df: DataFrame, groupCols: Seq[String], idCol: String,
+      textCol: String, lgK: Int = 12): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    val docStats = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1L)).as("n_docs"),
+      sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"),
+      sum(len).as("sum_chars"),
+      sum(len * len).as("sumsq_chars"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
+    val tokenHll = df
+      .select(groupCols.map(col) :+
+        explode(TextOps.tokens(col(textCol))).as("__tok"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col("__tok"), lit(lgK)).as("token_hll"))
+    docStats.join(tokenHll, groupCols, "left")
+  }
+
+  /** Merge partial profiles (any number of deliveries) into the exact
+    * corpus-wide per-group profile. Operates on aggregated-size data —
+    * groups × deliveries rows, never documents.
+    */
+  def mergeProfiles(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(col): _*).agg(
+      sum("n_docs").as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("sum_chars").as("sum_chars"),
+      sum("sumsq_chars").as("sumsq_chars"),
+      min("min_id").as("min_id"),
+      max("max_id").as("max_id"),
+      hll_union_agg(col("token_hll"), lit(false)).as("token_hll"))
+
+  /** Readable estimate column from the binary sketch. */
+  def withDistinctEstimate(profile: DataFrame): DataFrame =
+    profile.withColumn("distinct_tokens_est",
+      hll_sketch_estimate(col("token_hll")))
+
+  /** Incrementally maintain a per-group (count, sum) aggregate view from
+    * a row-level change feed: `delta` rows carry `changeCol` ∈
+    * {'insert','delete'}. The maintained view equals re-aggregating the
+    * new corpus state, but only the CHANGED rows are read — the base
+    * view is aggregated-size. Groups whose count reaches zero drop out
+    * (as a direct re-aggregation would).
+    */
+  def maintainAgg(base: DataFrame, delta: DataFrame, groupCols: Seq[String],
+      changeCol: String, sumCol: String): DataFrame = {
+    val w = when(col(changeCol) === "insert", lit(1L)).otherwise(lit(-1L))
+    val deltaAgg = delta.select(
+      groupCols.map(col) :+ w.as("__w") :+
+        (w * col(sumCol).cast("long")).as("__s"): _*)
+    base.select(groupCols.map(col) :+ col("n_rows").as("__w") :+
+        col("sum_val").as("__s"): _*)
+      .unionByName(deltaAgg)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("__w").as("n_rows"), sum("__s").as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
+}

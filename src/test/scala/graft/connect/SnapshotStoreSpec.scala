@@ -1,0 +1,143 @@
+package graft.connect
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): String = tmpDir(prefix)
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, s"doc $i text", (i % 7).toLong))
+      .toDF("id", "text", "grp")
+
+  test("commit/append/read: versions are immutable and time-travelable") {
+    val t = mkTable("snap-basic")
+    val v0 = SnapshotStore.commit(spark, t, docs(100).filter($"id" % 2 === 0)
+      .repartition(4, $"id"), statsCols = Seq("id"))
+    assert(v0 == 0)
+    val v1 = SnapshotStore.append(spark, t, docs(100).filter($"id" % 2 === 1))
+    assert(v1 == 1)
+    assert(SnapshotStore.latestVersion(spark, t) == 1)
+    assert(SnapshotStore.read(spark, t, 0).count() == 50)
+    assert(SnapshotStore.read(spark, t, 1).count() == 100)
+    assert(SnapshotStore.read(spark, t).agg(sum("id")).head().getLong(0) == 4950)
+    // append carried v0's files by reference — no rewrite
+    val m0 = SnapshotStore.manifest(spark, t, 0).select("file").as[String].collect().toSet
+    val m1 = SnapshotStore.manifest(spark, t, 1).select("file").as[String].collect().toSet
+    assert(m0.subsetOf(m1) && m1.size > m0.size)
+  }
+
+  test("a staged-but-unrenamed pointer is invisible to readers") {
+    val t = mkTable("snap-crash")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    // simulate a writer crash after staging: orphan tmp file in snapshots/
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$t/snapshots/.tmp-dead"), true)
+    out.write("version=99\n".getBytes); out.close()
+    assert(SnapshotStore.latestVersion(spark, t) == 0)
+    assert(SnapshotStore.read(spark, t).count() == 10)
+  }
+
+  test("deleteWhere rewrites only files containing matching rows") {
+    val t = mkTable("snap-del")
+    SnapshotStore.commit(spark, t,
+      docs(100).repartition(8, $"grp"), statsCols = Seq("id"))
+    val before = SnapshotStore.manifest(spark, t, 0)
+      .select("file").as[String].collect().toSet
+    val v1 = SnapshotStore.deleteWhere(spark, t, $"grp" === 3)
+    val after = SnapshotStore.manifest(spark, t, v1)
+      .select("file").as[String].collect().toSet
+    // grp is the partition key, so exactly the file(s) holding grp=3
+    // were touched; every other file is carried by reference
+    assert((before intersect after).nonEmpty, "untouched files must be carried over")
+    assert(SnapshotStore.read(spark, t).filter($"grp" === 3).count() == 0)
+    assert(SnapshotStore.read(spark, t).count() == 100 - docs(100).filter($"grp" === 3).count())
+    // old version still has the rows (snapshot isolation)
+    assert(SnapshotStore.read(spark, t, 0).filter($"grp" === 3).count() > 0)
+  }
+
+  test("no-op delete commits a new version sharing the parent manifest") {
+    val t = mkTable("snap-noop")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    val v1 = SnapshotStore.deleteWhere(spark, t, $"id" > 1000)
+    assert(v1 == 1)
+    assert(SnapshotStore.read(spark, t, 1).count() == 10)
+  }
+
+  test("compact merges files, preserves content, and empties the diff") {
+    val t = mkTable("snap-compact")
+    SnapshotStore.commit(spark, t, docs(200).repartition(8, $"id"),
+      statsCols = Seq("id"))
+    val filesBefore = SnapshotStore.manifest(spark, t, 0).count()
+    val v1 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue,
+      clusterCol = Some("id"), targetFiles = 2)
+    val filesAfter = SnapshotStore.manifest(spark, t, v1).count()
+    assert(filesBefore == 8 && filesAfter == 2)
+    assert(SnapshotStore.read(spark, t, v1).agg(sum("id")).head().getLong(0) ==
+      SnapshotStore.read(spark, t, 0).agg(sum("id")).head().getLong(0))
+    assert(SnapshotStore.diff(spark, t, 0, v1).count() == 0)
+  }
+
+  test("manifest-stats pruning skips non-overlapping files after clustering") {
+    val t = mkTable("snap-prune")
+    SnapshotStore.commit(spark, t, docs(1000).repartition(8, $"id"),
+      statsCols = Seq("id"))
+    // hash-partitioned: every file spans ~the full id range → no skipping
+    val (_, readHash, totalHash) = SnapshotStore.prunedRead(spark, t, "id", 100, 199)
+    assert(totalHash == 8 && readHash == 8)
+    val v1 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue,
+      clusterCol = Some("id"), targetFiles = 8)
+    val (df, readClustered, totalClustered) =
+      SnapshotStore.prunedRead(spark, t, "id", 100, 199, v1)
+    assert(totalClustered == 8 && readClustered <= 2,
+      s"range-clustered layout must skip files (read $readClustered of $totalClustered)")
+    assert(df.count() == 100)
+    assert(df.agg(sum("id")).head().getLong(0) == (100L to 199L).sum)
+  }
+
+  test("diff reads only changed files and tags inserts/deletes") {
+    val t = mkTable("snap-diff")
+    SnapshotStore.commit(spark, t, docs(100).filter($"id" < 50).repartition(4, $"id"),
+      statsCols = Seq("id"))
+    SnapshotStore.append(spark, t, docs(100).filter($"id" >= 50))
+    val d01 = SnapshotStore.diff(spark, t, 0, 1)
+    assert(d01.filter($"change" === "insert").count() == 50)
+    assert(d01.filter($"change" === "delete").count() == 0)
+    SnapshotStore.deleteWhere(spark, t, $"id" % 10 === 0)
+    val d12 = SnapshotStore.diff(spark, t, 1, 2)
+    assert(d12.filter($"change" === "delete").as[(Long, String, Long, String)]
+      .collect().map(_._1).sorted.toSeq == (0L until 100L by 10).toSeq)
+    assert(d12.filter($"change" === "insert").count() == 0)
+  }
+
+  test("vacuum drops unreferenced files but keeps retained versions readable") {
+    val t = mkTable("snap-vacuum")
+    SnapshotStore.commit(spark, t, docs(100).repartition(4, $"id"),
+      statsCols = Seq("id"))
+    SnapshotStore.deleteWhere(spark, t, $"id" % 2 === 0)
+    val v2 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue,
+      clusterCol = Some("id"), targetFiles = 1)
+    val removed = SnapshotStore.vacuum(spark, t, keepFrom = v2)
+    assert(removed > 0)
+    assert(SnapshotStore.read(spark, t, v2).count() == 50)
+    // pre-vacuum versions are gone by contract
+    intercept[IllegalArgumentException] {
+      SnapshotStore.snapshot(spark, t, 0)
+    }
+  }
+
+  test("concurrent commit on the same version: second writer loses") {
+    val t = mkTable("snap-race")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    val snap = SnapshotStore.snapshot(spark, t, 0)
+    // a second writer racing for the already-taken v0 must lose (and a
+    // writer that staged for v0 but finds it committed must back off)
+    assert(!SnapshotStore.commitPointer(spark, t, 0,
+      snap.manifestDir.split('/').last, -1, "create", snap.schema, snap.statsCols))
+    assert(SnapshotStore.latestVersion(spark, t) == 0)
+    assert(SnapshotStore.read(spark, t).count() == 10)
+  }
+}

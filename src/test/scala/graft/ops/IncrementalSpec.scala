@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma", "a"), (2L, "beta beta delta", "a"),
+    (3L, "epsilon", "b"), (4L, "", "b"), (5L, "zeta eta theta iota", "a"),
+    (6L, "alpha", "c"))
+    .toDF("id", "text", "src")
+
+  test("merged per-delivery partials equal the direct whole-corpus profile") {
+    val partials = (0 to 1).map(i =>
+        Incremental.partialProfile(docs.filter($"id" % 2 === i),
+          Seq("src"), "id", "text"))
+      .reduce(_.unionByName(_))
+    val merged = Incremental.mergeProfiles(partials, Seq("src"))
+      .drop("token_hll")
+    val direct = Incremental.partialProfile(docs, Seq("src"), "id", "text")
+      .drop("token_hll")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    val a = merged.filter($"src" === "a").head()
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_tokens") == 10)
+  }
+
+  test("HLL union-of-sketches estimate equals sketch-of-union estimate") {
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Incremental.withDistinctEstimate(df)
+        .select("src", "distinct_tokens_est")
+    val merged = est(Incremental.mergeProfiles(
+      (0 to 1).map(i => Incremental.partialProfile(docs.filter($"id" % 2 === i),
+        Seq("src"), "id", "text")).reduce(_.unionByName(_)), Seq("src")))
+    val direct = est(Incremental.partialProfile(docs, Seq("src"), "id", "text"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // tiny cardinalities are exact in sketch LIST mode:
+    // {alpha beta gamma delta zeta eta theta iota} = 8
+    assert(merged.filter($"src" === "a").head().getAs[Long]("distinct_tokens_est") == 8)
+  }
+
+  test("maintainAgg over a change feed equals re-aggregation, dropping emptied groups") {
+    val base = docs.groupBy("src")
+      .agg(count(lit(1L)).as("n_rows"), sum(length($"text")).as("sum_val"))
+    val delta = Seq(
+      ("insert", "a", 10L), ("insert", "d", 7L),
+      ("delete", "b", 7L), ("delete", "b", 0L), ("delete", "c", 5L))
+      .toDF("change", "src", "chars")
+    val maintained = Incremental.maintainAgg(base, delta, Seq("src"), "change", "chars")
+    val rows = maintained.orderBy("src").as[(String, Long, Long)].collect().toSeq
+    // a: 3 docs + 1 insert; b: 2 docs - 2 deletes -> gone; c: 1 - 1 -> gone; d: new
+    assert(rows == Seq(
+      ("a", 4L, 16L + 15L + 19L + 10L),
+      ("d", 1L, 7L)))
+  }
+}
