@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object LakeQueries {
 
+  private def wipe(dir: String): Unit = {
+    val root = java.nio.file.Path.of(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private val lakeLock = new Object
   private[analytics] def lakeFixture(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q150_" +
@@ -28,6 +37,7 @@ object LakeQueries {
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) lakeLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
+        wipe(dir) // a crashed earlier build would otherwise shift versions
         val docs = Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source", "n_chars")
         SnapshotStore.commit(s, dir,
@@ -115,7 +125,8 @@ object LakeQueries {
       |FROM documents
       |WHERE doc_id BETWEEN 10 AND 99 AND doc_id % 10 <> 0""".stripMargin) { (s, d) =>
     val table = lakeFixture(s, d)
-    val (df, _, _) = SnapshotStore.prunedRead(s, table, "doc_id", 10.0, 99.0)
+    val (df, _, _) = SnapshotStore.prunedRead(s, table, "doc_id", 10.0, 99.0,
+      version = 3)
     df.agg(count(lit(1L)).as("n_rows"), sum("doc_id").as("sum_doc_id"),
       sum("n_chars").as("sum_chars"))
   }
@@ -184,5 +195,62 @@ object LakeQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155)
+  // --------------------------------------------------------------- q156
+  // Keyed MERGE (upsert) on its own two-version table: v0 = the full
+  // corpus, v1 = merge of a revision batch (every doc_id % 7 == 0 doc
+  // re-delivered with amended text) plus a brand-new slice (doc_id
+  // % 50 == 0, re-keyed +100000). The final state is a pure SQL replay:
+  // unmatched base rows + updated rows + inserted rows.
+  private val mergeLock = new Object
+  private[analytics] def mergeFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q156_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) mergeLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipe(dir) // a crashed earlier build would otherwise shift versions
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        SnapshotStore.commit(s, dir, docs.repartition(8, col("doc_id")),
+          statsCols = Seq("doc_id"))
+        val revised = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        val fresh = docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(lit("new doc "), (col("doc_id") - 100000).cast("string")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        SnapshotStore.merge(s, dir, revised.unionByName(fresh), Seq("doc_id"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  val q156 = QuerySpec.sql(
+    "q156_snapshot_merge",
+    """WITH upd AS (
+      |  SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+      |    n_chars + 7 AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ins AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    'new doc ' || CAST(doc_id AS VARCHAR) AS text, lang, source,
+      |    CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |final AS (
+      |  SELECT * FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+      |  CAST(n_chars AS BIGINT) AS n_chars, source
+      |FROM final ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val table = mergeFixture(s, d)
+    SnapshotStore.read(s, table, 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155, q156)
 }

@@ -64,7 +64,8 @@ object SnapshotStore {
       parent: Int,
       operation: String,
       schema: StructType,
-      statsCols: Seq[String])
+      statsCols: Seq[String],
+      txn: Option[(String, Long)] = None)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,6 +107,9 @@ object SnapshotStore {
       statsCols = kv.getOrElse("stats", "") match {
         case "" => Seq.empty
         case s => s.split(',').toSeq
+      },
+      txn = kv.get("txn").map { t =>
+        val i = t.lastIndexOf(':'); (t.take(i), t.drop(i + 1).toLong)
       })
   }
 
@@ -115,7 +119,8 @@ object SnapshotStore {
     */
   private[connect] def commitPointer(spark: SparkSession, table: String, version: Int,
       manifestName: String, parent: Int, operation: String,
-      schema: StructType, statsCols: Seq[String]): Boolean = {
+      schema: StructType, statsCols: Seq[String],
+      txn: Option[(String, Long)] = None): Boolean = {
     val fs = fsOf(spark, table)
     val dst = pointerPath(table, version)
     fs.mkdirs(dst.getParent)
@@ -131,7 +136,7 @@ object SnapshotStore {
            |schema=${Base64.getEncoder.encodeToString(
                 schema.json.getBytes(StandardCharsets.UTF_8))}
            |stats=${statsCols.mkString(",")}
-           |""".stripMargin
+           |${txn.map { case (a, b) => s"txn=$a:$b\n" }.getOrElse("")}""".stripMargin
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
@@ -161,6 +166,9 @@ object SnapshotStore {
     val listed = fs.listStatus(new Path(dataDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getPath.getName, s.getLen)).toSeq
+    if (listed.isEmpty) // empty batch: a commit with no new files
+      return Seq.empty[(String, String, Long, Long, Map[String, Double], Map[String, Double])]
+        .toDF("path", "file", "rows", "bytes", "stat_min", "stat_max")
     val bytesDf = listed.toDF("path", "file", "bytes")
     val data = spark.read.parquet(dataDir)
     val aggs = count(lit(1L)).as("rows") +: statsCols.flatMap { c =>
@@ -215,7 +223,10 @@ object SnapshotStore {
   /** Append-only commit: new manifest = parent's file rows + the new
     * files. No existing data is read or rewritten.
     */
-  def append(spark: SparkSession, table: String, df: DataFrame): Int = {
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      txn: Option[(String, Long)] = None): Int = {
+    txn.foreach { case (a, _) =>
+      require(!a.contains(":") && !a.contains("\n"), s"bad txn app id '$a'") }
     val parent = latestVersion(spark, table)
     require(parent >= 0, s"append to nonexistent table $table")
     val snap = snapshot(spark, table, parent)
@@ -224,9 +235,33 @@ object SnapshotStore {
       spark.read.parquet(snap.manifestDir).unionByName(rows))
     val v = parent + 1
     require(commitPointer(spark, table, v, mName, parent, "append",
-      snap.schema, snap.statsCols),
+      snap.schema, snap.statsCols, txn),
       s"concurrent commit won v$v at $table — re-resolve and retry")
     v
+  }
+
+  /** Highest batch id committed for `appId`, scanning pointers newest →
+    * oldest (tiny driver-side files; a long-lived writer app's latest
+    * txn is almost always the latest few versions — a production
+    * deployment would additionally memoize per-app high-water marks).
+    */
+  def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val latest = latestVersion(spark, table)
+    (latest to 0 by -1).iterator
+      .map(v => snapshot(spark, table, v).txn)
+      .collectFirst { case Some((a, b)) if a == appId => b }
+  }
+
+  /** Exactly-once streaming append — the idempotent-foreachBatch
+    * contract: the (appId, batchId) txn is committed ATOMICALLY with the
+    * data (same pointer rename), so a micro-batch the checkpoint replays
+    * after a crash is recognized and skipped. Returns true iff this call
+    * committed.
+    */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Boolean = {
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
+    else { append(spark, table, df, txn = Some((appId, batchId))); true }
   }
 
   // -------------------------------------------------------------- reads
@@ -319,6 +354,65 @@ object SnapshotStore {
     val mName = writeManifest(spark, table,
       m.filter(!col("file").isInCollection(touchedSet)).unionByName(rewritten))
     require(commitPointer(spark, table, v, mName, parent, "delete",
+      snap.schema, snap.statsCols),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
+  // -------------------------------------------------------------- merge
+
+  /** Keyed upsert (MERGE): rows of `updates` replace same-key rows and
+    * insert otherwise. Copy-on-write like [[deleteWhere]]: when the
+    * (single) key is a stats column, the updates' own key range prunes
+    * candidate files at manifest level; a per-file key semi-join then
+    * narrows to files actually holding matched keys; only those are
+    * rewritten (their unmatched rows survive via anti-join — delta-sized
+    * `updates` broadcasts, so survivors never shuffle). Untouched files
+    * carry by reference; `updates` appends as new files.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val parent = latestVersion(spark, table)
+    require(parent >= 0, s"merge into nonexistent table $table")
+    val snap = snapshot(spark, table, parent)
+    require(updates.columns.sorted.sameElements(snap.schema.fieldNames.sorted),
+      s"updates schema ${updates.columns.mkString(",")} != table schema")
+    val aligned = updates.select(snap.schema.fieldNames.map(col): _*)
+    val m = spark.read.parquet(snap.manifestDir)
+    val candM = keyCols match {
+      case Seq(k) if snap.statsCols.contains(k) =>
+        val r = aligned.agg(min(col(k).cast("double")), max(col(k).cast("double"))).head()
+        if (r.isNullAt(0)) m.limit(0) else overlappingFiles(m, k, r.getDouble(0), r.getDouble(1))
+      case _ => m
+    }
+    val candPaths = filePaths(spark, candM)
+    val keys = broadcast(aligned.select(keyCols.map(col): _*).distinct())
+    val touched: Seq[String] =
+      if (candPaths.isEmpty) Seq.empty
+      else spark.read.schema(snap.schema).parquet(candPaths: _*)
+        // project the file name DIRECTLY over the scan: once the keys
+        // frame joins in (it may read parquet itself, e.g. a revision
+        // batch derived from another table), input_file_name() would be
+        // ambiguous between the two sources
+        .select(keyCols.map(col) :+
+          element_at(split(input_file_name(), "/"), -1).as("__file"): _*)
+        .join(keys, keyCols, "left_semi")
+        .select(col("__file"))
+        .distinct().collect().map(_.getString(0)).toSeq // file-level metadata
+    val touchedSet = touched.toSet
+    val survivors =
+      if (touched.isEmpty) aligned
+      else spark.read.schema(snap.schema)
+        .parquet(filePaths(spark, m.filter(col("file").isInCollection(touchedSet))): _*)
+        .join(keys, keyCols, "left_anti")
+        .unionByName(aligned)
+    val rewritten = writeDataFiles(spark, table, survivors, snap.statsCols)
+    val mName = writeManifest(spark, table,
+      (if (touched.isEmpty) m else m.filter(!col("file").isInCollection(touchedSet)))
+        .unionByName(rewritten))
+    val v = parent + 1
+    require(commitPointer(spark, table, v, mName, parent, "merge",
       snap.schema, snap.statsCols),
       s"concurrent commit won v$v at $table — re-resolve and retry")
     v

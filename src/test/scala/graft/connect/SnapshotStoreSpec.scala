@@ -113,6 +113,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(d12.filter($"change" === "insert").count() == 0)
   }
 
+  test("merge upserts by key, rewriting only files holding matched keys") {
+    val t = mkTable("snap-merge")
+    SnapshotStore.commit(spark, t, docs(100).repartition(8, $"id"),
+      statsCols = Seq("id"))
+    val updates = Seq((5L, "revised 5", 99L), (200L, "brand new", 99L))
+      .toDF("id", "text", "grp")
+    val v1 = SnapshotStore.merge(spark, t, updates, Seq("id"))
+    val after = SnapshotStore.read(spark, t, v1)
+    assert(after.count() == 101)
+    assert(after.filter($"id" === 5).head().getString(1) == "revised 5")
+    assert(after.filter($"id" === 200).count() == 1)
+    assert(after.filter($"id" === 6).head().getString(1) == "doc 6 text")
+    // untouched files carried by reference
+    val m0 = SnapshotStore.manifest(spark, t, 0).select("file").as[String].collect().toSet
+    val m1 = SnapshotStore.manifest(spark, t, v1).select("file").as[String].collect().toSet
+    assert((m0 intersect m1).nonEmpty)
+    // old version unchanged (snapshot isolation)
+    assert(SnapshotStore.read(spark, t, 0).filter($"id" === 5)
+      .head().getString(1) == "doc 5 text")
+    assert(SnapshotStore.read(spark, t, 0).count() == 100)
+    // schema mismatch refused
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, t, Seq((1L, "x")).toDF("id", "text"), Seq("id"))
+    }
+  }
+
   test("vacuum drops unreferenced files but keeps retained versions readable") {
     val t = mkTable("snap-vacuum")
     SnapshotStore.commit(spark, t, docs(100).repartition(4, $"id"),
@@ -127,6 +153,46 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotStore.snapshot(spark, t, 0)
     }
+  }
+
+  test("idempotent txn appends: replayed micro-batches are skipped") {
+    val t = mkTable("snap-txn")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    assert(SnapshotStore.appendIdempotent(spark, t, docs(100).filter($"id" >= 10 && $"id" < 20), "app1", 0L))
+    assert(SnapshotStore.appendIdempotent(spark, t, docs(100).filter($"id" >= 20 && $"id" < 30), "app1", 1L))
+    // crash-replay of batch 1: recognized via the txn in the pointer, skipped
+    assert(!SnapshotStore.appendIdempotent(spark, t, docs(100).filter($"id" >= 20 && $"id" < 30), "app1", 1L))
+    assert(SnapshotStore.read(spark, t).count() == 30)
+    // a different writer app has its own txn line
+    assert(SnapshotStore.appendIdempotent(spark, t, docs(100).filter($"id" >= 30 && $"id" < 31), "app2", 0L))
+    assert(SnapshotStore.lastCommittedBatch(spark, t, "app1").contains(1L))
+    assert(SnapshotStore.lastCommittedBatch(spark, t, "app2").contains(0L))
+    assert(SnapshotStore.read(spark, t).count() == 31)
+  }
+
+  test("streaming file ingest lands in the lake exactly once across restarts") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val src = tmpDir("lake_stream_src")
+    val arch = tmpDir("lake_stream_arch")
+    val ckpt = tmpDir("lake_stream_ckpt")
+    val t = mkTable("snap-stream")
+    Files.write(Paths.get(src, "a.csv"), "id,v\n1,a\n2,b\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType)))
+    val cfg = graft.streaming.FileIngest.Config(src, arch, ckpt, schema)
+    SnapshotStore.commit(spark, t,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    graft.streaming.FileIngest.runOnce(spark, cfg) { (b, id) =>
+      SnapshotStore.appendIdempotent(spark, t, b, "ingest", id)
+    }
+    assert(SnapshotStore.read(spark, t).count() == 2)
+    // second drain with one new file: checkpoint + txn give exactly-once
+    Files.write(Paths.get(src, "b.csv"), "id,v\n3,c\n".getBytes)
+    graft.streaming.FileIngest.runOnce(spark, cfg) { (b, id) =>
+      SnapshotStore.appendIdempotent(spark, t, b, "ingest", id)
+    }
+    assert(SnapshotStore.read(spark, t).count() == 3)
   }
 
   test("concurrent commit on the same version: second writer loses") {
