@@ -252,5 +252,47 @@ object LakeQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155, q156)
+  // --------------------------------------------------------------- q157
+  // Table history from manifest accounting alone (no data scan): each
+  // version's operation and row count per the manifest must equal the
+  // row counts the version predicates imply.
+  val q157 = QuerySpec.sql(
+    "q157_snapshot_history",
+    """SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_rows
+      |UNION ALL SELECT CAST(1 AS BIGINT), 'append',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'delete',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 10 <> 0)
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'compact',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 10 <> 0)
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    SnapshotStore.history(s, table)
+      .select("version", "operation", "n_rows")
+      .orderBy("version")
+  }
+
+  // --------------------------------------------------------------- q158
+  // Catalyst-native manifest-indexed scan (connect.ManifestFileIndex):
+  // a plain df.filter over the snapshot relation — file skipping happens
+  // at PLANNING time against manifest stats, inside the stock parquet
+  // path (pushed filters, row-group stats, codegen all compose). Same
+  // logical result as q152; the files-skipped receipt is spec-asserted.
+  val q158 = QuerySpec.sql(
+    "q158_indexed_scan",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 10 AND 99 AND doc_id % 10 <> 0""".stripMargin) { (s, d) =>
+    val table = lakeFixture(s, d)
+    graft.connect.ManifestFileIndex.read(s, table, version = 3)
+      .filter(col("doc_id").between(10, 99))
+      .agg(count(lit(1L)).as("n_rows"), sum("doc_id").as("sum_doc_id"),
+        sum("n_chars").as("sum_chars"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155, q156, q157,
+    q158)
 }

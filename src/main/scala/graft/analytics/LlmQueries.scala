@@ -747,6 +747,55 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q159
+  // Leakage-safe split: q61's hash split with the near-dup CLUSTER as
+  // the assignment unit — members of a cluster always share a split, so
+  // no train/test pair can be near-duplicates (the eval-contamination
+  // failure a per-doc split permits). The oracle replays q71's
+  // recursive-CTE clustering, fills singletons with their own id (the
+  // min-id component label), and applies the same md5 CASE thresholds
+  // (Curation.thresholds emits the hex literals on both sides).
+  private val q159Case: String = {
+    val cuts = graft.ops.Curation.thresholds(q61Weights)
+    val h = "substring(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)"
+    cuts.init.map { case (n, c) => s"WHEN $h < '$c' THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${q61Weights.last._1}' END")
+  }
+  val q159 = QuerySpec.sql(
+    "q159_leakage_safe_split",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3 AS sh FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach
+      |), cl AS (
+      |  SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      |  FROM rec GROUP BY id)
+      |SELECT d.doc_id, $q159Case AS split
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+    graft.ops.Curation.leakageSafeSplit(
+      Tables.documents(s, d).select("doc_id"), "doc_id",
+      Dedup.connectedComponents(pairs), q61Weights)
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q130
   // SemDeDup manifest (Abbas et al. 2023): q72's semantic clusters
   // collapsed to the keep-one-canonical-per-cluster dedup manifest —
@@ -1476,5 +1525,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134)
+    q130, q134, q159)
 }

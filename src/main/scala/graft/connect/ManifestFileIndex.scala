@@ -1,0 +1,141 @@
+package graft.connect
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Catalyst-native read path for [[SnapshotStore]] tables: a
+  * [[FileIndex]] backed by the committed manifest instead of a directory
+  * listing. Plugging the manifest in at the FileIndex seam (the same
+  * seam the transactional lake formats use) means
+  *
+  *  - readers NEVER list the data directory — the manifest IS the
+  *    listing, so uncommitted/garbage files are invisible and listing
+  *    cost is zero at any file count;
+  *  - ordinary `df.filter(...)` predicates prune FILES at planning time
+  *    against the manifest's per-file min/max stats — no special
+  *    `prunedRead` API, and the pruning composes with everything the
+  *    native parquet path already does (pushed filters, row-group
+  *    skipping, column pruning, whole-stage codegen);
+  *  - `FileSourceScanExec.listFiles` reports the post-prune selection,
+  *    so plan guards can assert the skipping (SnapshotStoreSpec).
+  *
+  * Pruning is CONSERVATIVE: only conjuncts of the shape
+  * `col (=|<|<=|>|>=) literal` over declared stats columns exclude
+  * files; anything else (disjunctions, expressions, non-stats columns,
+  * missing stats) keeps the file and leaves correctness to the scan.
+  */
+final class ManifestFileIndex(
+    table: Path,
+    entries: Seq[ManifestFileIndex.Entry],
+    statsCols: Set[String]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(table)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ManifestFileIndex.extractBounds(dataFilters, statsCols)
+    val kept = entries.filter { e =>
+      bounds.forall { case (c, (lo, hi)) =>
+        (e.statMin.get(c), e.statMax.get(c)) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true // unknown stats: must read
+        }
+      }
+    }
+    val statuses = kept.map(e =>
+      new FileStatus(e.bytes, false, 1, 128L << 20, 0L, new Path(e.path))).toArray
+    Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty, statuses))
+  }
+}
+
+object ManifestFileIndex {
+
+  final case class Entry(path: String, bytes: Long,
+      statMin: Map[String, Double], statMax: Map[String, Double])
+
+  /** Per-column [lo, hi] from the supported conjuncts of `filters`. */
+  private[connect] def extractBounds(filters: Seq[Expression],
+      statsCols: Set[String]): Map[String, (Double, Double)] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute if statsCols.contains(a.name) => Some(a.name)
+      case Cast(child, _, _, _) => attrName(child)
+      case _ => None
+    }
+    def num(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => v match {
+        case n: java.lang.Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
+    val constraints = filters.flatMap(split).flatMap {
+      case EqualTo(a, l) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, num(l).get))
+      case EqualTo(l, a) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, num(l).get))
+      case GreaterThan(a, l) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, Double.PositiveInfinity))
+      case GreaterThanOrEqual(a, l) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, Double.PositiveInfinity))
+      case LessThan(a, l) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, Double.NegativeInfinity, num(l).get))
+      case LessThanOrEqual(a, l) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, Double.NegativeInfinity, num(l).get))
+      // literal-on-the-left comparisons, mirrored
+      case GreaterThan(l, a) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, Double.NegativeInfinity, num(l).get))
+      case GreaterThanOrEqual(l, a) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, Double.NegativeInfinity, num(l).get))
+      case LessThan(l, a) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, Double.PositiveInfinity))
+      case LessThanOrEqual(l, a) if attrName(a).isDefined && num(l).isDefined =>
+        Seq((attrName(a).get, num(l).get, Double.PositiveInfinity))
+      case _ => Seq.empty
+    }
+    constraints.groupBy(_._1).map { case (c, cs) =>
+      c -> (cs.map(_._2).max, cs.map(_._3).min) // intersect the ranges
+    }
+  }
+
+  /** Build the Catalyst-native DataFrame over a committed snapshot. One
+    * driver-side manifest read (file-level metadata) builds the index;
+    * everything downstream is the stock parquet scan path.
+    */
+  def read(spark: SparkSession, tableDir: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else SnapshotStore.latestVersion(spark, tableDir)
+    val snap = SnapshotStore.snapshot(spark, tableDir, v)
+    val entries = spark.read.parquet(snap.manifestDir)
+      .select("path", "bytes", "stat_min", "stat_max")
+      .collect() // file-level metadata, same class as a directory listing
+      .map { r =>
+        def m(i: Int): Map[String, Double] =
+          if (r.isNullAt(i)) Map.empty
+          else r.getMap[String, java.lang.Double](i).toMap
+            .collect { case (k, v) if v != null => k -> v.doubleValue() }
+        Entry(r.getString(0), r.getLong(1), m(2), m(3))
+      }.toSeq
+    val index = new ManifestFileIndex(new Path(tableDir), entries, snap.statsCols.toSet)
+    val rel = HadoopFsRelation(index, new StructType(), snap.schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+}

@@ -484,6 +484,24 @@ object SnapshotStore {
       .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("delete")))
   }
 
+  // ------------------------------------------------------------ history
+
+  /** Table history — one row per committed version with its operation
+    * and manifest-level accounting (file/row/byte counts come from the
+    * manifest, not a data scan). Driver-side loop over metadata.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(spark, table)
+    (0 to latest).map { v =>
+      val s = snapshot(spark, table, v)
+      val m = spark.read.parquet(s.manifestDir)
+        .agg(count(lit(1L)), coalesce(sum("rows"), lit(0L)),
+          coalesce(sum("bytes"), lit(0L))).head()
+      (v.toLong, s.operation, s.parent.toLong, m.getLong(0), m.getLong(1), m.getLong(2))
+    }.toDF("version", "operation", "parent", "n_files", "n_rows", "n_bytes")
+  }
+
   // ------------------------------------------------------------- vacuum
 
   /** Delete data files and manifests unreferenced by any version >=

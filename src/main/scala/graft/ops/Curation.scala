@@ -30,6 +30,30 @@ object Curation {
     df.withColumn("split", splitCol)
   }
 
+  /** Near-dup-leakage-safe split: the assignment unit is the near-dup
+    * CLUSTER, not the document, so two near-duplicate documents can
+    * never land in different splits (the train/test contamination a
+    * plain per-doc hash split permits). `clusters` is (id, cluster_id)
+    * as produced by `Dedup.connectedComponents`; docs absent from it
+    * are singletons and hash on their own id — which IS their component
+    * label under the min-id convention, so assignment is consistent
+    * whether or not singletons are materialized in the cluster table.
+    * One id-keyed (8-byte) join against the cluster-output-sized table;
+    * the split itself stays a pure projection.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val c = clusters.select(col("id").as(idCol), col("cluster_id").as("__cluster"))
+    val unit = coalesce(col("__cluster"), col(idCol))
+    val h = substring(md5(unit.cast(StringType)), 1, 8)
+    df.join(c, Seq(idCol), "left")
+      .withColumn("split", splitExpr(h, weights))
+      .drop("__cluster")
+  }
+
   /** The CASE chain over cumulative hex thresholds (exposed for oracle
     * construction: `thresholds` yields the same hex literals).
     */

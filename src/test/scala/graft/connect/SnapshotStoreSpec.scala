@@ -195,6 +195,51 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, t).count() == 3)
   }
 
+  test("manifest-indexed Catalyst scan prunes files from plain filters") {
+    val t = mkTable("snap-index")
+    SnapshotStore.commit(spark, t, docs(1000).repartition(8, $"id"),
+      statsCols = Seq("id"))
+    val v1 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue,
+      clusterCol = Some("id"), targetFiles = 8)
+    val df = ManifestFileIndex.read(spark, t, v1)
+    // unfiltered: all rows, via the manifest (no directory listing)
+    assert(df.count() == 1000)
+    // a plain .filter prunes files at planning time against the stats
+    def filesScanned(d: org.apache.spark.sql.DataFrame): Long =
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size.toLong).sum
+      }.sum
+    val q = df.filter($"id".between(100L, 199L))
+    assert(q.count() == 100)
+    assert(q.agg(sum("id")).head().getLong(0) == (100L to 199L).sum)
+    val filesRead = filesScanned(q)
+    assert(filesRead <= 2, s"manifest stats must skip files (read $filesRead of 8)")
+    // conservative fallback: a filter on a non-stats column reads everything
+    val q2 = df.filter($"text".contains("doc 7 "))
+    assert(filesScanned(q2) == 8)
+    assert(q2.count() == 1)
+    // uncommitted garbage in data/ is invisible to the manifest reader
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val garbageDir = s"$t/data/c-garbage"
+    docs(50).write.parquet(garbageDir)
+    assert(ManifestFileIndex.read(spark, t, v1).count() == 1000)
+  }
+
+  test("history reports per-version operations from manifest accounting") {
+    val t = mkTable("snap-hist")
+    SnapshotStore.commit(spark, t, docs(100), statsCols = Seq("id"))
+    SnapshotStore.append(spark, t, docs(150).filter($"id" >= 100))
+    SnapshotStore.deleteWhere(spark, t, $"id" % 3 === 0)
+    val h = SnapshotStore.history(spark, t).orderBy("version")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(h.map(r => (r._1, r._2, r._5)) == Seq(
+      (0L, "create", 100L), (1L, "append", 150L),
+      (2L, "delete", 150L - docs(150).filter($"id" % 3 === 0).count())))
+  }
+
   test("concurrent commit on the same version: second writer loses") {
     val t = mkTable("snap-race")
     SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageSafeSplit keeps whole clusters in one split; singletons match hashSplit") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val ids = (1L to 500L).toDF("id")
+    // clusters: {1..10} -> 1, {11,12} -> 11; everything else singleton
+    val clusters = ((1L to 10L).map(i => (i, 1L)) ++ Seq((11L, 11L), (12L, 11L)))
+      .toDF("id", "cluster_id")
+    val s = Curation.leakageSafeSplit(ids, "id", clusters)
+    // every cluster lands whole
+    assert(s.join(clusters, "id").groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).isEmpty)
+    // singletons are assigned exactly as the plain per-doc hash split
+    val plain = Curation.hashSplit(ids.filter(col("id") > 12), "id")
+    assert(s.filter(col("id") > 12).exceptAll(plain).isEmpty)
+    // a materialized self-cluster equals the absent-singleton assignment
+    // (min-id labeling makes the unit the same id either way)
+    val selfCluster = Seq((20L, 20L)).toDF("id", "cluster_id")
+    val withSelf = Curation.leakageSafeSplit(ids, "id", clusters.union(selfCluster))
+    assert(withSelf.filter(col("id") === 20).exceptAll(s.filter(col("id") === 20)).isEmpty)
+  }
+
   test("hashSplit is deterministic, id-only, and roughly proportional") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Curation.hashSplit(ids, "id").collect()
