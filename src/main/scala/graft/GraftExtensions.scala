@@ -76,5 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("image_ahash", "_FUNC_(bytes) - 8x8 average-hash perceptual image fingerprint") {
       e => ImageAHash(e(0))
     }
+    inject("nfc_normalize", "_FUNC_(text) - Unicode NFC canonical composition") {
+      e => NfcNormalize(e(0))
+    }
   }
 }

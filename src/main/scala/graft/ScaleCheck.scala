@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * the growth ratio; ratios near `factor` (vs `factor`^2) are the pass
   * signal. A dev-side diagnostic, not part of the driver contract.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [factor]
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleCheck [factor] [onlySubstr]
+  * (second arg: run only ops whose name contains the substring)
   */
 object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val only = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -42,9 +44,11 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
     def run(name: String, small: => DataFrame, big: => DataFrame): Unit = {
-      val t1 = time(small); val tN = time(big)
-      val ratio = tN / t1
-      println(f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}""")
+      if (only.forall(name.contains)) {
+        val t1 = time(small); val tN = time(big)
+        val ratio = tN / t1
+        println(f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}""")
+      }
     }
 
     run("exact_dedup",
@@ -267,6 +271,16 @@ object ScaleCheck {
         ops.QualityModel.trainNb(df, "doc_id", "text", gate, 256),
         "doc_id", "text")
       run("quality_nb", nb(docs1), nb(docsN))
+    }
+    // Stupid Backoff LM: train + score per side. The id-shifted blow-up
+    // keeps the n-gram vocabulary identical (counts x factor — the
+    // saturating-vocabulary 100 TB shape), so the count tables stay
+    // fixed-size while the position frame and its five key-partitioned
+    // joins grow with the corpus: linear is the pass signal.
+    locally {
+      def lm(df: DataFrame) = ops.NgramLm.score(df, "doc_id", "text",
+        ops.NgramLm.train(df.filter(col("doc_id") % 3 =!= 0), "text"))
+      run("backoff_lm", lm(docs1), lm(docsN))
     }
     // Persisted-index search: the index is built once per side OUTSIDE
     // the timer (the amortized production shape — build cost is its own

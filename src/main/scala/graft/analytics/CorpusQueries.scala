@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Bpe, Dedup, Pq, QualityRules, TextOps}
+import graft.ops.{Bpe, Dedup, Pq, QualityRules, Similarity, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
@@ -1022,7 +1022,190 @@ object CorpusQueries {
     dir
   }
 
+  // --------------------------------------------------------------- q160
+  // Stupid Backoff trigram LM scores (ops.NgramLm — Brants et al. 2007):
+  // the model trains on the doc_id % 3 <> 0 slice and scores EVERY
+  // document, so held-out docs exercise all three backoff branches
+  // (self-trained docs always hit the trigram branch). Count ratios are
+  // BIGINT/BIGINT single divisions, the backoff penalty is the literal
+  // 0.4 on both engines, and the per-doc sum folds in position order —
+  // the whole scorer hash-matches the DuckDB replay.
+  val q160 = QuerySpec.sql(
+    "q160_backoff_lm",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      |train AS (SELECT toks FROM t WHERE doc_id % 3 <> 0),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w),
+      |nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+      |bi AS (SELECT w1, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w
+      |  FROM train, unnest(generate_series(1, len(toks)-1)) AS u(i)) GROUP BY w1, w),
+      |tri AS (SELECT w2, w1, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+      |  SELECT toks[i] AS w2, toks[i+1] AS w1, toks[i+2] AS w
+      |  FROM train, unnest(generate_series(1, len(toks)-2)) AS u(i)) GROUP BY w2, w1, w),
+      |pos AS (SELECT doc_id, p, toks[p-2] AS w2, toks[p-1] AS w1, toks[p] AS w
+      |  FROM t, unnest(generate_series(3, len(toks))) AS u(p)),
+      |sc AS (SELECT pos.doc_id, pos.p,
+      |  CASE WHEN tri.c3 IS NOT NULL AND bc.c2 IS NOT NULL
+      |    THEN CAST(tri.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+      |  WHEN bi.c2 IS NOT NULL AND uc.c1 IS NOT NULL
+      |    THEN 0.4 * (CAST(bi.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))
+      |  ELSE 0.4 * 0.4 *
+      |    (CAST(COALESCE(uni.c1, 0) AS DOUBLE) / CAST(nn.n AS DOUBLE)) END AS s
+      |  FROM pos
+      |  LEFT JOIN tri ON tri.w2 = pos.w2 AND tri.w1 = pos.w1 AND tri.w = pos.w
+      |  LEFT JOIN bi bc ON bc.w1 = pos.w2 AND bc.w = pos.w1
+      |  LEFT JOIN bi ON bi.w1 = pos.w1 AND bi.w = pos.w
+      |  LEFT JOIN uni uc ON uc.w = pos.w1
+      |  LEFT JOIN uni ON uni.w = pos.w
+      |  CROSS JOIN nn),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY p)),
+      |    (a, x) -> a + x) AS lm_score
+      |  FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.n_scored, 0) AS n_scored,
+      |  coalesce(agg.lm_score, 0.0) AS lm_score
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin) {
+    (s, d) =>
+    import graft.ops.NgramLm
+    val docs = Tables.documents(s, d)
+    val model = NgramLm.train(docs.filter(col("doc_id") % 3 =!= 0), "text")
+    NgramLm.score(docs, "doc_id", "text", model).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q161
+  // Normalization-aware exact dedup (TextOps.normKey + Dedup.dupGroups):
+  // crawled corpora mix composed/decomposed Unicode forms, casing and
+  // whitespace of byte-distinct but identical documents. The fixture has
+  // no such noise, so the query injects it deterministically — three
+  // variants per doc_id % 7 = 0 document (NFC-composed suffix, the same
+  // suffix NFD-decomposed, and a whitespace/padding variant) — and the
+  // dup groups must recover exactly those triples. The oracle replays
+  // the key through DuckDB's utf8proc `nfc_normalize` against the
+  // engine's JDK-Normalizer native expression: a genuine
+  // two-implementation UAX #15 conformance check, hash-matched.
+  val q161 = QuerySpec.sql(
+    "q161_unicode_dedup",
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |variants AS (
+      |  SELECT doc_id*10 + 1000001 AS doc_id, text || ' caf' || chr(233) AS text FROM base
+      |  UNION ALL
+      |  SELECT doc_id*10 + 1000002, text || ' cafe' || chr(769) FROM base
+      |  UNION ALL
+      |  SELECT doc_id*10 + 1000003, '  ' || text || '  caf' || chr(233) || '  ' FROM base),
+      |allx AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM variants),
+      |keys AS (SELECT doc_id,
+      |  trim(lower(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))) AS k
+      |  FROM allx),
+      |g AS (SELECT k, MIN(doc_id) AS canonical_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+      |  FROM keys GROUP BY k)
+      |SELECT canonical_id, n_docs, members FROM g
+      |WHERE n_docs > 1 ORDER BY canonical_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 7 === 0)
+    def variant(tag: Int, text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      base.select((col("doc_id") * 10 + lit(1000000 + tag)).as("doc_id"),
+        text.as("text"))
+    val allDocs = docs
+      .unionByName(variant(1, concat(col("text"), lit(" caf\u00e9"))))
+      .unionByName(variant(2, concat(col("text"), lit(" cafe\u0301"))))
+      .unionByName(variant(3, concat(lit("  "), col("text"), lit("  caf\u00e9  "))))
+    Dedup.dupGroups(allDocs, "doc_id", TextOps.normKey(col("text")))
+      .orderBy("canonical_id")
+  }
+
+  // --------------------------------------------------------------- q162
+  // MinHash-LSH banding design grid (Dedup.lshPlanGrid): the S-curve
+  // P(candidate | s) = 1 - (1-s^r)^b for every factorization of a
+  // 128-hash signature, at a fixed similarity grid — what an engineer
+  // reads before committing a (bands, rows) choice to a corpus-wide
+  // near-dup pass. Both powers are index-ordered repeated
+  // multiplications (no pow — not bit-portable), and the similarity
+  // grid is one Scala literal list rendered into BOTH programs, so the
+  // whole table hash-matches.
+  private val simGrid = Seq(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4,
+    0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+  val q162 = QuerySpec.sql(
+    "q162_lsh_plan_grid",
+    s"""WITH g AS (
+      |  SELECT 128 AS n_sigs, b.b AS bands,
+      |    CAST(128 / b.b AS INTEGER) AS rows_per_band, s.s AS s
+      |  FROM unnest([1,2,4,8,16,32,64,128]) AS b(b),
+      |       unnest([${simGrid.mkString(",")}]) AS s(s)),
+      |e AS (
+      |  SELECT n_sigs, bands, rows_per_band, s,
+      |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |      list_transform(range(rows_per_band), i -> s)),
+      |      (a, c) -> a * c) AS sr
+      |  FROM g)
+      |SELECT n_sigs, bands, rows_per_band, s,
+      |  1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |    list_transform(range(bands), i -> 1.0 - sr)),
+      |    (a, c) -> a * c) AS p_candidate
+      |FROM e ORDER BY bands, s""".stripMargin) { (s, d) =>
+    Dedup.lshPlanGrid(s, 128, simGrid).orderBy("bands", "s")
+  }
+
+  // --------------------------------------------------------------- q163
+  // Random-projection dimensionality reduction recall
+  // (Similarity.randomProject + projectionRecall): exact top-10 in the
+  // 16-dim JL-projected space vs exact top-10 in the original 64-dim
+  // space, per probe — the evaluation that precedes re-indexing a corpus
+  // in a reduced space (4x fewer bytes/FLOPs for banding, IVF and
+  // quantization downstream). Projected components are index-ordered ±x
+  // double folds rounded once to float; the oracle replays them from
+  // Similarity.projectionSigns rendered as literal sign rows, and both
+  // rankings share the (sim DESC, neighbor_id) tie-break — hash-matched
+  // end to end.
+  private def duckProj(e: String, outDim: Int, dim: Int): String =
+    Similarity.projectionSigns(outDim, dim).map { signs =>
+      val lst = signs.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CAST(list_reduce(list_transform($e, (x,i) -> CAST(x AS DOUBLE) * ($lst)[i]), (u,v) -> u + v) AS FLOAT)"
+    }.mkString("[", ",\n      ", "]")
+  val q163 = QuerySpec.sql(
+    "q163_projection_recall",
+    s"""WITH c0 AS (
+      |  SELECT vec_id, embedding, ${duckProj("embedding", 16, 64)} AS rp
+      |  FROM embeddings),
+      |p0 AS (SELECT vec_id, embedding, rp FROM c0 WHERE vec_id % 50 = 0),
+      |red AS (
+      |  SELECT p0.vec_id AS probe_id, c0.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(${LlmQueries.duckDot("p0.rp", "p0.rp")}) * sqrt(${LlmQueries.duckDot("c0.rp", "c0.rp")}) > 0
+      |      THEN ${LlmQueries.duckDot("p0.rp", "c0.rp")} /
+      |        (sqrt(${LlmQueries.duckDot("p0.rp", "p0.rp")}) * sqrt(${LlmQueries.duckDot("c0.rp", "c0.rp")}))
+      |      ELSE 0.0 END AS sim
+      |  FROM c0, p0 WHERE p0.vec_id <> c0.vec_id),
+      |redk AS (SELECT probe_id, neighbor_id FROM (
+      |  SELECT probe_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM red) WHERE rk <= 10),
+      |org AS (
+      |  SELECT p0.vec_id AS probe_id, c0.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(${LlmQueries.duckDot("p0.embedding", "p0.embedding")}) * sqrt(${LlmQueries.duckDot("c0.embedding", "c0.embedding")}) > 0
+      |      THEN ${LlmQueries.duckDot("p0.embedding", "c0.embedding")} /
+      |        (sqrt(${LlmQueries.duckDot("p0.embedding", "p0.embedding")}) * sqrt(${LlmQueries.duckDot("c0.embedding", "c0.embedding")}))
+      |      ELSE 0.0 END AS sim
+      |  FROM c0, p0 WHERE p0.vec_id <> c0.vec_id),
+      |orgk AS (SELECT probe_id, neighbor_id FROM (
+      |  SELECT probe_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM org) WHERE rk <= 10),
+      |hits AS (SELECT redk.probe_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM redk JOIN orgk USING (probe_id, neighbor_id) GROUP BY redk.probe_id)
+      |SELECT p0.vec_id AS probe_id, COALESCE(n, 0) AS n_overlap,
+      |  CAST(COALESCE(n, 0) AS DOUBLE) / 10.0 AS recall
+      |FROM p0 LEFT JOIN hits ON p0.vec_id = hits.probe_id
+      |ORDER BY probe_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.projectionRecall(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", outDim = 16, k = 10)
+      .orderBy("probe_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q146, q147, q148, q149)
+    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163)
 }

@@ -43,6 +43,8 @@ object GraftFunctions {
         "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "image_ahash", exprs => ImageAHash(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
     }
   }
 
@@ -121,4 +123,10 @@ object GraftFunctions {
     */
   def image_ahash(payload: Column): Column =
     call_function("image_ahash", payload)
+
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). Requires
+    * `register(spark)` on the session.
+    */
+  def nfc_normalize(text: Column): Column =
+    call_function("nfc_normalize", text)
 }

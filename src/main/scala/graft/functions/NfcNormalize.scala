@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC (canonical composition) of a string — the normalization
+  * pass every web corpus needs before dedup keying: crawled text mixes
+  * composed (U+00E9) and decomposed (U+0065 U+0301) forms of the same
+  * visible text, and a byte-level dedup key treats them as distinct
+  * documents. NFC is the W3C-recommended interchange form.
+  *
+  * UAX #15 normalization is fully specified by the Unicode standard, so
+  * independent implementations agree byte-for-byte — the q161 gate
+  * replays the key through DuckDB's utf8proc-based `nfc_normalize`
+  * against this JDK `java.text.Normalizer` implementation, a genuine
+  * cross-library conformance check rather than a self-referee.
+  *
+  * Scan-side, one pass per row, with an ASCII fast path (ASCII is
+  * always NFC; the quick-check avoids allocating for the overwhelmingly
+  * common case — `UTF8String.isFullAscii` inspects bytes without
+  * decoding). Non-ASCII rows pay `Normalizer.isNormalized` (quick
+  * check, no allocation when already composed) before normalizing.
+  */
+object NfcStats {
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
+/** `nfc_normalize(string)` → string: Unicode canonical composition (NFC).
+  * Null in, null out.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcStats.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.NfcStats.nfc(${childGen.value});
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}

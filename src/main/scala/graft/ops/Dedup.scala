@@ -50,6 +50,33 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "__kh")
   }
 
+  /** Duplicate groups under an arbitrary (usually derived) key column —
+    * the audit face of [[exact]]: per group of ≥2 rows sharing `key`,
+    * the canonical (min-id) member, the group size, and the sorted member
+    * id list as a comma-joined string (scalars only — array cells don't
+    * survive generic result dumps). Used with [[TextOps.normKey]] this is
+    * normalization-aware exact dedup: byte-distinct texts that are the
+    * same document modulo Unicode form/case/whitespace land in one group.
+    *
+    * Same exchange discipline as [[exact]]: partition by the 8-byte
+    * `xxhash64(key)` (documents-sized keys never drive the shuffle
+    * hashing), group by (hash, key) so collisions stay separate — the
+    * wider clustering is satisfied by the hash partitioning, no second
+    * exchange.
+    */
+  def dupGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.select(col(idCol), key.as("__k"))
+      .withColumn("__kh", xxhash64(col("__k")))
+      .repartition(col("__kh"))
+      .groupBy(col("__kh"), col("__k"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col(idCol))),
+            x => x.cast(StringType))).as("members"))
+      .filter(col("n_docs") > 1)
+      .select("canonical_id", "n_docs", "members")
+
   // ----------------------------------------------------------- minhash
 
   /** Separator between tokens inside a shingle. Must be a character that
@@ -510,6 +537,36 @@ object Dedup {
     train.withColumn("contaminated",
       exists(shingles(col(textCol), shingleK),
         s => graft.functions.GraftFunctions.bloom_might_contain(lit(bytes), s)))
+  }
+
+  /** MinHash-LSH banding design grid: for every (bands, rows_per_band)
+    * factorization of an `nSigs`-hash signature and every similarity in
+    * `sims`, the candidate probability of the banding S-curve
+    *
+    *   P(candidate | s) = 1 - (1 - s^r)^b
+    *
+    * — the table an engineer reads before committing a (b, r) choice to
+    * a corpus-wide near-dup pass: where the curve's knee sits vs the
+    * intended Jaccard threshold, and how much sub-threshold mass the
+    * banding lets through (verify cost) vs above-threshold mass it drops
+    * (recall loss). A driver-sized pure-math table, but gate-checked
+    * like everything else: both powers are computed by index-ordered
+    * repeated multiplication (never `pow`, which is not bit-portable),
+    * so q162 hash-matches the DuckDB replay exactly.
+    */
+  def lshPlanGrid(spark: org.apache.spark.sql.SparkSession, nSigs: Int,
+      sims: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val grid = for {
+      b <- (1 to nSigs).filter(nSigs % _ == 0)
+      s <- sims
+    } yield (nSigs, b, nSigs / b, s)
+    def powBy(x: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), lit(1.0), (acc, _) => acc * x)
+    grid.toDF("n_sigs", "bands", "rows_per_band", "s")
+      .withColumn("p_candidate",
+        lit(1.0) - powBy(lit(1.0) - powBy(col("s"), col("rows_per_band")),
+          col("bands")))
   }
 
   /** Canonical-document selection: drop every doc that near-dups a

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+
+/** Stupid Backoff n-gram language model (Brants et al. 2007, "Large
+  * Language Models in Machine Translation") — the LM that was DESIGNED
+  * for this execution model: counts instead of discounted probabilities,
+  * a fixed backoff penalty instead of normalization, so training is
+  * nothing but distributed counting and scoring is pure rational
+  * arithmetic. That choice is also what makes the scorer
+  * CROSS-ENGINE-EXACT here: every per-token score is a ratio of two
+  * BIGINT counts times a power of the literal alpha (single IEEE ops),
+  * and the per-document sum folds in position order — so the q160 gate
+  * hash-matches a full DuckDB replay, where a log-space perplexity never
+  * could (transcendentals are not bit-portable).
+  *
+  * Scoring contract: positions 3..len (1-based) are scored with the
+  * trigram backoff chain
+  *
+  *   S(w | w2 w1) = c(w2 w1 w) / c(w2 w1)                 if c3 > 0
+  *                | alpha * c(w1 w) / c(w1)               elif c2 > 0
+  *                | alpha^2 * c(w) / N                    otherwise
+  *
+  * and `lm_score` is the position-ordered sum of S — a likelihood-mass
+  * signal (higher = more in-distribution), the perplexity-filter analog
+  * in backoff form. Documents under 3 tokens score 0 over 0 positions.
+  *
+  * Scale shape: training = three scan-side array expansions (uni/bi/tri
+  * windows built per row, exploded into map-side-combined partial
+  * aggregates — one exchange each, keyed by the gram). Scoring = one
+  * exploded position frame joined to tri once, bi twice (context +
+  * continuation) and uni twice — five key-partitioned joins, all linear;
+  * the N total is a 1-row broadcast. Count tables ride their own
+  * exchanges once (localCheckpoint), not once per consumer.
+  */
+object NgramLm {
+
+  final case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame, n: Long)
+
+  private def toks(textCol: String): Column = TextOps.tokens(col(textCol))
+
+  /** 1-based n-gram struct windows over a token array, empty below n. */
+  private def grams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)), i =>
+        struct((0 until n).map(j => element_at(t, i + lit(j)).as(s"w$j")): _*)))
+      .otherwise(array().cast(ArrayType(
+        org.apache.spark.sql.types.StructType((0 until n).map(j =>
+          org.apache.spark.sql.types.StructField(s"w$j", StringType))))))
+
+  /** Count tables from one corpus pass family; each table is built by a
+    * scan-side window expansion and ONE partial-aggregated exchange.
+    */
+  def train(docs: DataFrame, textCol: String): Model = {
+    val base = TextOps.parallelized(docs).select(toks(textCol).as("__toks"))
+    def countTable(n: Int, names: Seq[String], cName: String): DataFrame =
+      base.select(explode(grams(col("__toks"), n)).as("__g"))
+        .select(names.zipWithIndex.map { case (nm, j) =>
+          col(s"__g.w$j").as(nm) }: _*)
+        .groupBy(names.map(col): _*)
+        .agg(count(lit(1L)).as(cName))
+        .localCheckpoint()
+    val uni = countTable(1, Seq("w"), "c1")
+    val bi = countTable(2, Seq("w1", "w"), "c2")
+    val tri = countTable(3, Seq("w2", "w1", "w"), "c3")
+    val n = uni.agg(sum("c1")).head().getLong(0)
+    Model(uni, bi, tri, n)
+  }
+
+  /** Per-document Stupid Backoff scores against `model` (typically the
+    * corpus's own counts — the self-trained in-distribution signal, the
+    * q55/q117 pattern).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
+      alpha: Double = 0.4): DataFrame = {
+    val posType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("w2", StringType),
+      org.apache.spark.sql.types.StructField("w1", StringType),
+      org.apache.spark.sql.types.StructField("w", StringType))))
+    val posWindows = when(size(col("__toks")) >= 3,
+      transform(sequence(lit(3), size(col("__toks"))), p =>
+        struct(p.as("pos"),
+          element_at(col("__toks"), p - lit(2)).as("w2"),
+          element_at(col("__toks"), p - lit(1)).as("w1"),
+          element_at(col("__toks"), p).as("w"))))
+      .otherwise(array().cast(posType))
+    val positions = TextOps.parallelized(docs)
+      .select(col(idCol), toks(textCol).as("__toks"))
+      .select(col(idCol), explode(posWindows).as("__p"))
+      .select(col(idCol), col("__p.pos").as("__pos"), col("__p.w2").as("w2"),
+        col("__p.w1").as("w1"), col("__p.w").as("w"))
+    val biCtx = model.bi.select(col("w1").as("w2"), col("w").as("w1"),
+      col("c2").as("c2_ctx"))
+    val uniCtx = model.uni.select(col("w").as("w1"), col("c1").as("c1_ctx"))
+    val joined = positions
+      .join(model.tri, Seq("w2", "w1", "w"), "left")
+      .join(biCtx, Seq("w2", "w1"), "left")
+      .join(model.bi, Seq("w1", "w"), "left")
+      .join(uniCtx, Seq("w1"), "left")
+      .join(model.uni, Seq("w"), "left")
+    val s = when(col("c3").isNotNull && col("c2_ctx").isNotNull,
+        col("c3").cast(DoubleType) / col("c2_ctx").cast(DoubleType))
+      .when(col("c2").isNotNull && col("c1_ctx").isNotNull,
+        lit(alpha) * (col("c2").cast(DoubleType) / col("c1_ctx").cast(DoubleType)))
+      .otherwise(lit(alpha) * lit(alpha) *
+        (coalesce(col("c1"), lit(0L)).cast(DoubleType) / lit(model.n.toDouble)))
+    val perDoc = joined
+      .select(col(idCol), col("__pos"), s.as("__s"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1L)).as("n_scored"),
+        sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__lst"))
+      .select(col(idCol), col("n_scored"),
+        aggregate(col("__lst"), lit(0.0), (acc, x) => acc + x.getField("__s"))
+          .as("lm_score"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+}

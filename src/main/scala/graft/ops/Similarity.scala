@@ -118,6 +118,68 @@ object Similarity {
   def planeSigns(band: Int, plane: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => if (rademacherBit((band + 1) * 1024 + plane, i)) 1.0 else -1.0)
 
+  /** Seed base for [[randomProject]] planes — disjoint from every
+    * lshBucket/bandedBuckets plane id ((seed|band+1)*1024 + plane with
+    * small seeds), so projection components are independent of any
+    * bucketing that may run on the same vectors.
+    */
+  private val ProjPlaneBase = 500000
+
+  /** Johnson–Lindenstrauss signed random projection: `outDim` seeded
+    * Rademacher (±1) hyperplanes, one native dot each, components cast
+    * to float — the store-as-float32 production shape. Dimensionality
+    * reduction is the cheap lever before everything downstream of an
+    * embedding column: a 64→16 projection cuts ANN banding, clustering
+    * and quantization bytes/FLOPs 4× while JL keeps relative distances
+    * within (1±ε) w.h.p. — and unlike PQ/int8 the output is still a
+    * vector, so every operator here composes with it unchanged.
+    *
+    * Cross-engine exact: each component is an index-ordered ±x fold in
+    * double (the [[GraftFunctions.float_dot]] contract) rounded once to
+    * float; [[projectionSigns]] exposes the ±1 rows so an oracle replays
+    * the projection bit-for-bit (q163). Scan-side, no shuffle.
+    */
+  def randomProject(vec: Column, outDim: Int, seed: Int = 0): Column = {
+    import GraftFunctions.float_dot
+    array((0 until outDim).map(j =>
+      float_dot(vec, typedlit(planeArray(ProjPlaneBase + seed * 4096 + j)))
+        .cast(FloatType)): _*)
+  }
+
+  /** The ±1.0 projection-plane rows used by [[randomProject]] (truncated
+    * to `dim`), for external mirrors of the projection.
+    */
+  def projectionSigns(outDim: Int, dim: Int, seed: Int = 0): Seq[Seq[Double]] =
+    (0 until outDim).map(j => (0 until dim).map(i =>
+      if (rademacherBit(ProjPlaneBase + seed * 4096 + j, i)) 1.0 else -1.0))
+
+  /** Recall report for reduced-space search: exact top-k in the
+    * `outDim`-projected space vs exact top-k in the original space, per
+    * probe. The evaluation harness for choosing `outDim` — at corpus
+    * scale the projected space is where banding/IVF run, and this report
+    * (on a probe sample) is how that tradeoff is measured before
+    * committing a 100 TB reindex. Both rankings share the deterministic
+    * (sim DESC, neighbor_id) tie-break, so the whole report replays
+    * cross-engine (q163).
+    */
+  def projectionRecall(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, outDim: Int, k: Int, seed: Int = 0): DataFrame = {
+    val pr = probes.select(col(idCol), randomProject(col(vecCol), outDim, seed).as("__rp"))
+    val cr = corpus.select(col(idCol), randomProject(col(vecCol), outDim, seed).as("__rp"))
+    val red = bruteForceTopK(pr, cr, idCol, "__rp", k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val full = bruteForceTopK(probes, corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = red.join(full, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_overlap"))
+    probes.select(col(idCol).as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bucket space 2^n). */
   def lshBucket(vec: Column, nPlanes: Int = 8, seed: Int = 0): Column = {
     import GraftFunctions.float_dot

@@ -347,6 +347,23 @@ object TextOps {
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
 
+  /** Canonical dedup key: Unicode NFC (native [[graft.functions.NfcNormalize]]
+    * — crawled text mixes composed and decomposed forms of identical
+    * visible text), lowercased, inner whitespace collapsed to single
+    * spaces, trimmed. Byte-equal keys under this map are the "same
+    * document" for exact-dedup purposes modulo the encoding/casing/
+    * whitespace noise a crawler introduces. Pure scan-side projection;
+    * requires `GraftFunctions.register` (query APIs do it).
+    *
+    * Every step replays in DuckDB (`nfc_normalize`/`lower`/
+    * `regexp_replace(...,'g')`/`trim`), so q161's dup groups are
+    * hash-checked cross-engine — JDK `java.text.Normalizer` vs DuckDB's
+    * utf8proc, a genuine two-implementation UAX #15 conformance check.
+    */
+  def normKey(text: Column): Column =
+    trim(lower(regexp_replace(
+      graft.functions.GraftFunctions.nfc_normalize(text), "\\s+", " ")))
+
   /** Scan-side PII scrubbing for training corpora: emails, IPv4s and
     * phone-like digit runs replaced with typed placeholder tokens. A pure
     * projection — no shuffle, pipelines with the scan.

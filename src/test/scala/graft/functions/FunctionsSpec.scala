@@ -130,6 +130,58 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize: composes decomposed sequences, ascii fast path, null safety") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "cafe\u0301",            // NFD -> NFC composes to U+00E9
+      "caf\u00e9",             // already NFC: unchanged
+      "plain ascii stays",     // ascii fast path
+      "A\u030a",               // A + combining ring above -> U+00C5
+      "\u1e69",                // s with dot below and dot above, already NFC
+      "s\u0323\u0307",         // fully decomposed form of U+1E69
+      "")
+      .toDF("t")
+      .select(GraftFunctions.nfc_normalize(col("t")))
+      .as[String].collect()
+    assert(rows(0) == "caf\u00e9")
+    assert(rows(1) == "caf\u00e9")
+    assert(rows(2) == "plain ascii stays")
+    assert(rows(3) == "\u00c5")
+    assert(rows(4) == "\u1e69")
+    assert(rows(5) == "\u1e69")
+    assert(rows(6) == "")
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(GraftFunctions.nfc_normalize(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+    // matches java.text.Normalizer on supplementary-plane + combining mix
+    val hairy = "x \ud83d\ude00 e\u0301 q\u0323\u0307"
+    val got = Seq(hairy).toDF("t")
+      .select(GraftFunctions.nfc_normalize(col("t"))).as[String].head()
+    assert(got == java.text.Normalizer.normalize(hairy, java.text.Normalizer.Form.NFC))
+  }
+
+  test("normKey + dupGroups: normalization-aware exact dedup groups") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO\tWORLD "),
+      (4L, "résumé"),
+      (5L, "r\u00e9sum\u00e9"),
+      (6L, "unique doc")).toDF("id", "text")
+    val groups = graft.ops.Dedup
+      .dupGroups(df, "id", graft.ops.TextOps.normKey(col("text")))
+      .orderBy("canonical_id")
+      .collect()
+    assert(groups.length == 2)
+    assert(groups(0).getLong(0) == 1L && groups(0).getLong(1) == 3L &&
+      groups(0).getString(2) == "1,2,3")
+    assert(groups(1).getLong(0) == 4L && groups(1).getLong(1) == 2L &&
+      groups(1).getString(2) == "4,5")
+  }
+
   test("winnow: shared substring of length >= w+k-1 guarantees a shared fingerprint") {
     GraftFunctions.register(spark)
     val (k, w) = (5, 4)

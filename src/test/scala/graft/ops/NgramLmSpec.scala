@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // training corpus: "a b c a b d" and "a b c"
+  //   uni: a=3 b=3 c=2 d=1            N=9
+  //   bi:  (a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1
+  //   tri: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+  private val train = Seq((1L, "a b c a b d"), (2L, "a b c")).toDF("id", "text")
+
+  test("train counts n-grams exactly") {
+    val m = NgramLm.train(train, "text")
+    assert(m.n == 9)
+    assert(m.uni.filter($"w" === "a").head().getLong(1) == 3)
+    assert(m.bi.filter($"w1" === "a" && $"w" === "b").head().getLong(2) == 3)
+    assert(m.tri.filter($"w2" === "a" && $"w1" === "b" && $"w" === "c")
+      .head().getLong(3) == 2)
+    assert(m.bi.count() == 4 && m.tri.count() == 4)
+  }
+
+  test("score walks the trigram -> bigram -> unigram backoff chain exactly") {
+    val m = NgramLm.train(train, "text")
+    def scoreOf(text: String): (Long, Double) = {
+      val r = NgramLm.score(Seq((9L, text)).toDF("id", "text"), "id", "text", m)
+        .head()
+      (r.getLong(1), r.getDouble(2))
+    }
+    // all-trigram path: "a b c" -> S(c|a,b) = c3(a,b,c)/c2(a,b) = 2/3
+    assert(scoreOf("a b c") == ((1L, 2.0 / 3.0)))
+    // bigram backoff: trigram (b,b,c) unseen, bigram (b,c) seen with
+    // context c1(b)=3 -> 0.4 * 2/3
+    assert(scoreOf("b b c") == ((1L, 0.4 * (2.0 / 3.0))))
+    // unigram backoff: (z,z,a) -> 0.4^2 * c1(a)/N = 0.16 * 3/9
+    assert(scoreOf("z z a") == ((1L, 0.4 * 0.4 * (3.0 / 9.0))))
+    // fully unseen token -> 0.4^2 * 0/9 = 0
+    assert(scoreOf("z z q") == ((1L, 0.0)))
+    // under 3 tokens: zero positions
+    assert(scoreOf("a b") == ((0L, 0.0)))
+    // position-ordered sum over multiple windows:
+    // "a b c a" -> S(c|a,b)=2/3, then S(a|b,c)=c3(b,c,a)/c2(b,c)=1/2
+    assert(scoreOf("a b c a") == ((2L, 2.0 / 3.0 + 1.0 / 2.0)))
+  }
+}
