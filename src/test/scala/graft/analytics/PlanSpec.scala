@@ -64,6 +64,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the probe join")
   }
 
+  test("q163: projection-recall is the broadcast-cross brute-force class — probes broadcast, corpus never shuffles for the probe join") {
+    // two evaluation rankings (reduced space + original space), each the
+    // q37/q128 shape: the bounded probe set (vec_id % 50) broadcasts and
+    // the corpus side streams under it; a SortMergeJoin here would mean
+    // the corpus shuffled per-probe — the 100 TB outage shape
+    val p = plan("q163_projection_recall")
+    // formatted mode prints every node twice (tree line + detail header);
+    // count the numbered detail headers so each physical node counts once
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj >= 1 && bnlj <= 2,
+      s"expected 1-2 broadcast-cross probe joins (reduced + original ranking), got $bnlj")
+    assert(!p.contains("CartesianProduct"), "probe join degraded to a cartesian scan")
+    // the only sort-merge allowed is the final recall join of two
+    // probe-sized rankings — never a corpus-sized side
+    assert(!p.contains("minhash"), "projection recall must not involve LSH machinery")
+  }
+
   test("q55: scan-side classification plans with no join and no explode") {
     val p = plan("q55_langid_trained")
     // classification feeds straight from the documents scan: the only
@@ -172,10 +189,14 @@ class PlanSpec extends SparkSpec {
     // q126: two 1-row aggregates combined for the singleton-count row
     // q128: broadcast probes-with-LUTs × corpus codes — the PQ search IS
     //       a deliberate broadcast cross (codes-only corpus side, q37's class)
+    // q163: JL-projection recall — BOTH rankings (projected + original) are
+    //       the deliberate q37-class broadcast cross: probe set broadcasts,
+    //       corpus side streams; pinned by its own plan-shape test below
     val allowBnlj = Set("q37_cosine_topk", "q18_above_avg_parts", "q83_tfidf_keywords",
       "q102_bm25_topk", "q117_token_rarity", "q120_dsir_weights", "q123_ngram_novelty",
       "q86_vocab_coverage", "q126_cluster_size_histogram", "q128_pq_adc_topk",
-      "q127_dsir_selection") // q127 inherits q120's 1-row vocab-totals broadcast
+      "q127_dsir_selection", // q127 inherits q120's 1-row vocab-totals broadcast
+      "q163_projection_recall")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
