@@ -30,10 +30,33 @@ object LakeQueries {
     }
   }
 
+  /** Content fingerprint of the source documents fixture under `d`:
+    * part-file names, sizes and mtimes. Folded into the cached-lake dir
+    * name so regenerating the fixture IN PLACE (same path, new content)
+    * shifts the cache key and q150-q158 rebuild instead of silently
+    * running against a stale lake while the oracle reads fresh parquet.
+    */
+  private def sourceFingerprint(d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Path.of(d, "documents.parquet")
+    val sig =
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq
+          .filter(f => java.nio.file.Files.isRegularFile(f))
+          .sortBy(_.getFileName.toString)
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .mkString("|")
+      else s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    Integer.toHexString((d + "#" + sig).hashCode)
+  }
+
   private val lakeLock = new Object
   private[analytics] def lakeFixture(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q150_" +
-      Integer.toHexString(d.hashCode)
+      sourceFingerprint(d)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) lakeLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -204,7 +227,7 @@ object LakeQueries {
   private val mergeLock = new Object
   private[analytics] def mergeFixture(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q156_" +
-      Integer.toHexString(d.hashCode)
+      sourceFingerprint(d)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) mergeLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {

@@ -86,6 +86,20 @@ object SnapshotStore {
     if (vs.isEmpty) -1 else vs.max
   }
 
+  /** All committed versions that still have a pointer file, ascending.
+    * One listing of `snapshots/` — [[vacuum]] drops pointers below its
+    * `keepFrom`, so "0..latest" is NOT the set of readable versions and
+    * every scan over history must start from this list, never from a
+    * version range.
+    */
+  def committedVersions(spark: SparkSession, table: String): Seq[Int] = {
+    val fs = fsOf(spark, table)
+    val dir = new Path(snapshotsDir(table))
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{9}")).map(_.drop(1).toInt).toSeq.sorted
+  }
+
   def snapshot(spark: SparkSession, table: String, version: Int): Snapshot = {
     val fs = fsOf(spark, table)
     val p = pointerPath(table, version)
@@ -230,7 +244,19 @@ object SnapshotStore {
     val parent = latestVersion(spark, table)
     require(parent >= 0, s"append to nonexistent table $table")
     val snap = snapshot(spark, table, parent)
-    val rows = writeDataFiles(spark, table, df, snap.statsCols)
+    // schema compatibility: a frame with missing/renamed columns would
+    // write files that read() silently null-fills under snap.schema, and
+    // extra columns would be silently dropped — reject both up front
+    require(df.columns.sorted.sameElements(snap.schema.fieldNames.sorted),
+      s"append schema (${df.columns.sorted.mkString(",")}) != table schema " +
+        s"(${snap.schema.fieldNames.sorted.mkString(",")}) at $table")
+    snap.schema.fields.foreach { f =>
+      val in = df.schema(f.name).dataType
+      require(in == f.dataType,
+        s"append column ${f.name} has type $in, table expects ${f.dataType}")
+    }
+    val aligned = df.select(snap.schema.fieldNames.map(col): _*)
+    val rows = writeDataFiles(spark, table, aligned, snap.statsCols)
     val mName = writeManifest(spark, table,
       spark.read.parquet(snap.manifestDir).unionByName(rows))
     val v = parent + 1
@@ -246,10 +272,71 @@ object SnapshotStore {
     * deployment would additionally memoize per-app high-water marks).
     */
   def lastCommittedBatch(spark: SparkSession, table: String, appId: String): Option[Long] = {
-    val latest = latestVersion(spark, table)
-    (latest to 0 by -1).iterator
+    // iterate only pointers that EXIST: vacuum drops pointers below its
+    // keepFrom, so a version-range scan would throw on the first
+    // vacuumed version and crash the exactly-once streaming gate
+    val live = committedVersions(spark, table).reverseIterator
       .map(v => snapshot(spark, table, v).txn)
       .collectFirst { case Some((a, b)) if a == appId => b }
+    // plus watermarks vacuum carried forward from dropped pointers —
+    // without these a batch whose txn pointer was vacuumed would be
+    // silently re-appended on checkpoint replay
+    val carried = readTxnWatermarks(fsOf(spark, table), table).get(appId)
+    (live.toSeq ++ carried.toSeq).reduceOption(_ max _)
+  }
+
+  // ----------------------------------------------- txn watermark sidecar
+
+  private def txnSidecar(table: String) = new Path(snapshotsDir(table), "_txns")
+
+  private def parseTxnLines(bytes: Array[Byte]): Map[String, Long] =
+    new String(bytes, StandardCharsets.UTF_8).linesIterator
+      .filter(_.contains(':')).map { l =>
+        val i = l.lastIndexOf(':'); l.take(i) -> l.drop(i + 1).toLong
+      }.toMap
+
+  /** Per-app txn high-water marks preserved across [[vacuum]]. Reads the
+    * sidecar AND any leftover `.tmp` from a vacuum that crashed between
+    * its delete and rename (per-app max over all of them), so a torn
+    * sidecar swap never loses a watermark.
+    */
+  private def readTxnWatermarks(fs: FileSystem, table: String): Map[String, Long] = {
+    val dir = new Path(snapshotsDir(table))
+    if (!fs.exists(dir)) return Map.empty
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName == "_txns" || p.getName.startsWith("_txns.tmp-"))
+    files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
+      val in = fs.open(p)
+      val m = try parseTxnLines(org.apache.commons.io.IOUtils.toByteArray(in))
+        finally in.close()
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.get(k).fold(v)(_ max v)) }
+    }
+  }
+
+  /** Merge `add` into the sidecar: write tmp (containing old + new), swap
+    * into place, clean older tmps. Called only from [[vacuum]] (single
+    * maintenance writer); readers tolerate the non-atomic swap via the
+    * tmp fallback in [[readTxnWatermarks]].
+    */
+  private def mergeTxnWatermarks(fs: FileSystem, table: String,
+      add: Map[String, Long]): Unit = {
+    if (add.isEmpty) return
+    val merged = add.foldLeft(readTxnWatermarks(fs, table)) {
+      case (a, (k, v)) => a.updated(k, a.get(k).fold(v)(_ max v))
+    }
+    val tmp = new Path(snapshotsDir(table), s"_txns.tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(merged.toSeq.sorted.map { case (k, v) => s"$k:$v\n" }
+      .mkString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = txnSidecar(table)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (fs.rename(tmp, dst)) {
+      // swap landed: older crash-leftover tmps are now subsumed
+      fs.listStatus(new Path(snapshotsDir(table))).map(_.getPath)
+        .filter(p => p.getName.startsWith("_txns.tmp-") && p != tmp)
+        .foreach(fs.delete(_, false))
+    } // rename lost: keep tmp — readers merge it via the fallback
   }
 
   /** Exactly-once streaming append — the idempotent-foreachBatch
@@ -379,6 +466,15 @@ object SnapshotStore {
     require(updates.columns.sorted.sameElements(snap.schema.fieldNames.sorted),
       s"updates schema ${updates.columns.mkString(",")} != table schema")
     val aligned = updates.select(snap.schema.fieldNames.map(col): _*)
+    // keyed-upsert invariant: multiple update rows for one key would
+    // anti-join the old row away and append BOTH updates — silent
+    // duplicates. Reference MERGE semantics raise on multiple source
+    // matches; so do we (one partial-agg job over the delta-sized updates).
+    val dupKey = aligned.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"merge updates contain multiple rows for key ${dupKey.headOption.orNull} — " +
+        "MERGE requires at most one source row per key")
     val m = spark.read.parquet(snap.manifestDir)
     val candM = keyCols match {
       case Seq(k) if snap.statsCols.contains(k) =>
@@ -492,8 +588,8 @@ object SnapshotStore {
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val latest = latestVersion(spark, table)
-    (0 to latest).map { v =>
+    // only versions whose pointer survives vacuum are listable
+    committedVersions(spark, table).map { v =>
       val s = snapshot(spark, table, v)
       val m = spark.read.parquet(s.manifestDir)
         .agg(count(lit(1L)), coalesce(sum("rows"), lit(0L)),
@@ -504,16 +600,37 @@ object SnapshotStore {
 
   // ------------------------------------------------------------- vacuum
 
+  /** Default [[vacuum]] retention: files younger than this are never
+    * deleted even if unreferenced, because they may belong to an
+    * in-flight writer that has staged data + manifest but not yet
+    * renamed its pointer (the Delta/Iceberg retention-window guard).
+    */
+  val DefaultVacuumRetainMs: Long = 24L * 3600 * 1000
+
   /** Delete data files and manifests unreferenced by any version >=
     * `keepFrom` (and drop the older pointers). Time travel keeps working
     * for every retained version. Returns the number of data files
     * deleted.
+    *
+    * `retainMs`: unreferenced files/manifests modified within the last
+    * `retainMs` milliseconds are kept — a writer stages its data files
+    * and manifest BEFORE the atomic pointer rename, so without this
+    * guard a concurrent vacuum could delete an in-flight commit's files
+    * and the commit would still succeed, yielding a snapshot that
+    * references deleted data. Pass `retainMs = 0` ONLY when no
+    * concurrent writer can exist (tests, single-process maintenance
+    * windows).
     */
-  def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
+  def vacuum(spark: SparkSession, table: String, keepFrom: Int,
+      retainMs: Long = DefaultVacuumRetainMs): Int = {
     val fs = fsOf(spark, table)
     val latest = latestVersion(spark, table)
     require(keepFrom >= 0 && keepFrom <= latest, s"keepFrom out of range 0..$latest")
-    val kept = (keepFrom to latest).map(snapshot(spark, table, _))
+    require(retainMs >= 0, "retainMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retainMs
+    def retained(modTime: Long): Boolean = retainMs > 0 && modTime >= cutoff
+    val kept = committedVersions(spark, table).filter(_ >= keepFrom)
+      .map(snapshot(spark, table, _))
     val referenced = kept.flatMap(s =>
         filePaths(spark, spark.read.parquet(s.manifestDir))).toSet
     val keptManifests = kept.map(_.manifestDir.split('/').last).toSet
@@ -522,20 +639,31 @@ object SnapshotStore {
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { commitDir =>
       fs.listStatus(commitDir.getPath).foreach { f =>
         if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-            !referenced.contains(f.getPath.toString)) {
+            !referenced.contains(f.getPath.toString) &&
+            !retained(f.getModificationTime)) {
           fs.delete(f.getPath, false); deleted += 1
         }
       }
       // drop the commit dir once no referenced parquet remains (markers
-      // like _SUCCESS don't keep it alive)
+      // like _SUCCESS don't keep it alive) — but never a dir still inside
+      // the retention window (its writer may still be staging files)
       val left = fs.listStatus(commitDir.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (left.isEmpty) fs.delete(commitDir.getPath, true)
+      if (left.isEmpty && !retained(commitDir.getModificationTime))
+        fs.delete(commitDir.getPath, true)
     }
     val manifestRoot = new Path(s"$table/manifests")
     if (fs.exists(manifestRoot)) fs.listStatus(manifestRoot).foreach { mDir =>
-      if (!keptManifests.contains(mDir.getPath.getName)) fs.delete(mDir.getPath, true)
+      if (!keptManifests.contains(mDir.getPath.getName) &&
+          !retained(mDir.getModificationTime)) fs.delete(mDir.getPath, true)
     }
+    // dropped pointers may carry txn watermarks — fold their per-app max
+    // into the sidecar FIRST, so exactly-once appendIdempotent still
+    // recognizes replayed batches whose pointer is gone
+    val droppedTxns = committedVersions(spark, table).filter(_ < keepFrom)
+      .flatMap(v => snapshot(spark, table, v).txn)
+      .groupBy(_._1).map { case (a, bs) => a -> bs.map(_._2).max }
+    mergeTxnWatermarks(fs, table, droppedTxns)
     (0 until keepFrom).foreach { v =>
       val p = pointerPath(table, v)
       if (fs.exists(p)) fs.delete(p, false)

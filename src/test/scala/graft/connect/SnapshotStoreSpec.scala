@@ -146,13 +146,87 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.deleteWhere(spark, t, $"id" % 2 === 0)
     val v2 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue,
       clusterCol = Some("id"), targetFiles = 1)
-    val removed = SnapshotStore.vacuum(spark, t, keepFrom = v2)
+    // default retention would keep every just-written file; this test IS
+    // the no-concurrent-writers maintenance window, so retainMs = 0
+    val removed = SnapshotStore.vacuum(spark, t, keepFrom = v2, retainMs = 0)
     assert(removed > 0)
     assert(SnapshotStore.read(spark, t, v2).count() == 50)
     // pre-vacuum versions are gone by contract
     intercept[IllegalArgumentException] {
       SnapshotStore.snapshot(spark, t, 0)
     }
+  }
+
+  test("vacuum retention window protects an in-flight writer's staged files") {
+    val t = mkTable("snap-vacuum-retain")
+    SnapshotStore.commit(spark, t, docs(50), statsCols = Seq("id"))
+    val v1 = SnapshotStore.deleteWhere(spark, t, $"id" < 10)
+    // all unreferenced files were modified seconds ago: a default-window
+    // vacuum must delete NOTHING (they could be a concurrent writer's
+    // staged-but-not-yet-committed commit dir)
+    assert(SnapshotStore.vacuum(spark, t, keepFrom = v1) == 0)
+    assert(SnapshotStore.read(spark, t, v1).count() == 40)
+    // with the guard explicitly disabled the same files go away
+    assert(SnapshotStore.vacuum(spark, t, keepFrom = v1, retainMs = 0) > 0)
+    assert(SnapshotStore.read(spark, t, v1).count() == 40)
+  }
+
+  test("history and idempotent appends keep working after vacuum drops old pointers") {
+    val t = mkTable("snap-vacuum-txn")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    assert(SnapshotStore.appendIdempotent(spark, t,
+      docs(100).filter($"id" >= 10 && $"id" < 20), "appA", 0L))
+    val v2 = SnapshotStore.compact(spark, t, smallBytes = Long.MaxValue, targetFiles = 1)
+    SnapshotStore.vacuum(spark, t, keepFrom = v2, retainMs = 0)
+    // v0/v1 pointers are gone; the newest->oldest txn scan and history
+    // must iterate only surviving pointers, not a 0..latest range — and
+    // appA's watermark (whose pointer was vacuumed) must survive via the
+    // sidecar, or a checkpoint replay of batch 0 would re-append
+    assert(SnapshotStore.lastCommittedBatch(spark, t, "appA").contains(0L))
+    assert(!SnapshotStore.appendIdempotent(spark, t,
+      docs(100).filter($"id" >= 10 && $"id" < 20), "appA", 0L))
+    val h = SnapshotStore.history(spark, t)
+    assert(h.select("version").as[Long].collect().toSeq == Seq(v2.toLong))
+    // a brand-new appId's first idempotent append works post-vacuum
+    assert(SnapshotStore.appendIdempotent(spark, t,
+      docs(100).filter($"id" >= 20 && $"id" < 25), "appB", 0L))
+    assert(SnapshotStore.read(spark, t).count() == 25)
+  }
+
+  test("append validates schema compatibility like merge does") {
+    val t = mkTable("snap-append-schema")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    // missing column
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, t, Seq((11L, "x")).toDF("id", "text"))
+    }
+    // renamed column
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, t,
+        Seq((11L, "x", 1L)).toDF("id", "body", "grp"))
+    }
+    // wrong type
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, t,
+        Seq(("11", "x", 1L)).toDF("id", "text", "grp"))
+    }
+    // column order does not matter — names align
+    SnapshotStore.append(spark, t,
+      Seq(("x text", 11L, 4L)).toDF("text", "id", "grp"))
+    assert(SnapshotStore.read(spark, t).filter($"id" === 11)
+      .head().getString(1) == "x text")
+  }
+
+  test("merge refuses multiple update rows for the same key") {
+    val t = mkTable("snap-merge-dup")
+    SnapshotStore.commit(spark, t, docs(20), statsCols = Seq("id"))
+    val dup = Seq((5L, "first", 1L), (5L, "second", 2L)).toDF("id", "text", "grp")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, t, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    // table untouched by the refused merge
+    assert(SnapshotStore.latestVersion(spark, t) == 0)
   }
 
   test("idempotent txn appends: replayed micro-batches are skipped") {
