@@ -282,6 +282,44 @@ object ScaleCheck {
         ops.NgramLm.train(df.filter(col("doc_id") % 3 =!= 0), "text"))
       run("backoff_lm", lm(docs1), lm(docsN))
     }
+    // Incremental admission (q144/q145's end-to-end chain): gopher gate +
+    // intra/cross exact dedup + LSH clusters + cross near-dups +
+    // containment + decontamination in one composition. Rotated blow-up
+    // (verbatim copies would make every batch doc an exact cross-copy dup
+    // of some corpus copy — the pipeline would empty at stage 1 and hide
+    // every downstream stage's growth); per-copy batch/corpus/bench split
+    // on the UNSHIFTED id so every copy reproduces the small side's
+    // planted structure. minStopHits=0 for the same reason as
+    // curate_corpus_full: the stopword probe is the one rotation-broken
+    // signal and a gate dropping only rotated copies would deflate the
+    // N-side. Both batch and corpus grow — the production shape where the
+    // delivery tracks crawl size.
+    locally {
+      val unshifted = pmod(col("doc_id"), lit(1000000L))
+      def batchOf(df: DataFrame) = df.filter(pmod(unshifted, lit(3)) === 0)
+      def corpusOf(df: DataFrame) =
+        df.filter(pmod(unshifted, lit(3)) =!= 0).select(col("doc_id"), col("text"))
+      def benchOf(df: DataFrame) =
+        df.filter(pmod(unshifted, lit(97)) === 0).select(col("doc_id"), col("text"))
+      val gate = Some(ops.QualityRules.gate(col("text"), minStopHits = 0))
+      def admit(df: DataFrame) = ops.Curation.admitDelta(
+        batchOf(df), corpusOf(df), benchOf(df), "doc_id", "text",
+        nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5,
+        ruleGate = gate).admitted
+      run("admit_delta", admit(docs1), admit(docsNd))
+    }
+    // JL-projection recall: corpus up, probe set fixed (the realistic
+    // growth mode, like bm25/pq) — both rankings are broadcast crosses of
+    // the fixed probe set over the corpus scan, so linear is the pass
+    // signal.
+    locally {
+      val probes1 = emb1.filter(pmod(col("vec_id"), lit(50)) === 0)
+      run("projection_recall",
+        ops.Similarity.projectionRecall(probes1, emb1, "vec_id", "embedding",
+          outDim = 16, k = 10),
+        ops.Similarity.projectionRecall(probes1, embN, "vec_id", "embedding",
+          outDim = 16, k = 10))
+    }
     // Persisted-index search: the index is built once per side OUTSIDE
     // the timer (the amortized production shape — build cost is its own
     // linear pipeline, already trend-checked via pq_adc_topk's train);

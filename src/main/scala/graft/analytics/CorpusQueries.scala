@@ -1022,6 +1022,77 @@ object CorpusQueries {
     dir
   }
 
+  // --------------------------------------------------------------- q164
+  // Index staleness tied to the snapshot lake: the IVF-PQ store records
+  // the (table, version) it was built from, the lake keeps versioning
+  // after the build, and search REFUSES once the lag exceeds its budget.
+  // The fixture walks the whole drift story — build at v0 (even vec_ids),
+  // lake advances to v1 (append odds), versionLag reports 1, a strict
+  // search throws, buildOrRefreshIvfPq rebuilds at v1 — then the query
+  // itself searches with maxVersionLag = 0, which only passes because
+  // the refresh happened. Rows-only here; q164r pins the refreshed
+  // index's bit-identity against the inline IVF-PQ over the same lake
+  // version AND the lake content's identity with the full embeddings
+  // table (the q149 corpus), in the gate.
+  val q164 = QuerySpec.rowsOnly("q164_index_staleness_refresh") { (s, d) =>
+    val (_, idx) = staleIndexFixture(s, d)
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    graft.ops.IndexStore.searchIvfPq(s, idx, probes, "vec_id", "embedding",
+      k = 3, nprobe = 3, maxVersionLag = 0)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q164/q164r fixture: an embeddings snapshot lake (v0 = even vec_ids,
+    * v1 = append odds — latest content equals the full embeddings table)
+    * plus an index built at v0 and REFRESHED to v1 through the staleness
+    * path. The builder asserts each step of the drift story (strict
+    * search refuses while stale, versionLag = 1, rebuild serves v1), so
+    * a regression in the fence fails the gate here even before the
+    * referee compares results. Marker-cached per content fingerprint;
+    * serialized like the q149 fixture (two gate consumers).
+    */
+  private val staleIdxLock = new Object
+  private[analytics] def staleIndexFixture(s: SparkSession, d: String): (String, String) = {
+    val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q164_$fp"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q164_$fp"
+    val marker = java.nio.file.Path.of(idx, "_complete")
+    if (!java.nio.file.Files.exists(marker)) staleIdxLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        Seq(lake, idx).foreach { dir =>
+          val root = java.nio.file.Path.of(dir)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        graft.connect.SnapshotStore.commit(s, lake,
+          emb.filter(col("vec_id") % 2 === 0).repartition(8, col("vec_id")))
+        val v0 = graft.ops.IndexStore.buildOrRefreshIvfPq(s, lake, idx,
+          "vec_id", "embedding", dim = 64, m = 16, ksub = 16, nlist = 8)
+        require(v0 == 0, s"expected first build at v0, got $v0")
+        graft.connect.SnapshotStore.append(s, lake,
+          emb.filter(col("vec_id") % 2 === 1).repartition(8, col("vec_id")))
+        require(graft.ops.IndexStore.versionLag(s, idx).contains(1),
+          "index must report one version of lag after the append")
+        val probe1 = emb.filter(col("vec_id") % 50 === 0)
+        val refused = try {
+          graft.ops.IndexStore.searchIvfPq(s, idx, probe1, "vec_id",
+            "embedding", k = 1, nprobe = 1, maxVersionLag = 0).head()
+          false
+        } catch { case _: IllegalArgumentException => true }
+        require(refused, "stale index must refuse a maxVersionLag=0 search")
+        val v1 = graft.ops.IndexStore.buildOrRefreshIvfPq(s, lake, idx,
+          "vec_id", "embedding", dim = 64, m = 16, ksub = 16, nlist = 8)
+        require(v1 == 1, s"refresh must rebuild at v1, got $v1")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    (lake, idx)
+  }
+
   // --------------------------------------------------------------- q160
   // Stupid Backoff trigram LM scores (ops.NgramLm — Brants et al. 2007):
   // the model trains on the doc_id % 3 <> 0 slice and scores EVERY
@@ -1207,5 +1278,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163)
+    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164)
 }

@@ -30,15 +30,15 @@ object LakeQueries {
     }
   }
 
-  /** Content fingerprint of the source documents fixture under `d`:
-    * part-file names, sizes and mtimes. Folded into the cached-lake dir
-    * name so regenerating the fixture IN PLACE (same path, new content)
-    * shifts the cache key and q150-q158 rebuild instead of silently
-    * running against a stale lake while the oracle reads fresh parquet.
+  /** Content fingerprint of source table `name` under `d`: part-file
+    * names, sizes and mtimes. Folded into cached-fixture dir names so
+    * regenerating testdata IN PLACE (same path, new content) shifts the
+    * cache key and dependent queries rebuild instead of silently running
+    * against a stale cache while the oracle reads fresh parquet.
     */
-  private def sourceFingerprint(d: String): String = {
+  private[analytics] def contentFingerprint(d: String, name: String): String = {
     import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Path.of(d, "documents.parquet")
+    val p = java.nio.file.Path.of(d, name)
     val sig =
       if (!java.nio.file.Files.exists(p)) "absent"
       else if (java.nio.file.Files.isDirectory(p))
@@ -56,7 +56,7 @@ object LakeQueries {
   private val lakeLock = new Object
   private[analytics] def lakeFixture(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q150_" +
-      sourceFingerprint(d)
+      contentFingerprint(d, "documents.parquet")
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) lakeLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -227,7 +227,7 @@ object LakeQueries {
   private val mergeLock = new Object
   private[analytics] def mergeFixture(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q156_" +
-      sourceFingerprint(d)
+      contentFingerprint(d, "documents.parquet")
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) mergeLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {

@@ -452,6 +452,34 @@ object RefereeQueries {
     report(symDiff(inline, loaded))
   }
 
+  // ------------------------------------------------------ q164 referee
+  // Staleness-refresh equivalence, two invariants: (1) the REFRESHED
+  // store (rebuilt at lake v1 through the drift path) searches
+  // BIT-IDENTICAL to the inline Pq.ivfPqTopK over the same lake read —
+  // the q149r store-vs-inline contract, re-established across a rebuild;
+  // (2) the lake's latest content IS the full embeddings table, row for
+  // row and float for float (two-sided exceptAll) — which ties the
+  // refreshed index to exactly the corpus q149 serves. (The inline side
+  // trains on the lake READ rather than the plain parquet read because
+  // k-means mean-sums are partition-order-sensitive floating point —
+  // same-input determinism is the invariant q149r pins, and it is the
+  // one that matters: store round-trip and refresh must not change
+  // results given the same corpus frame.)
+  val q164r = QuerySpec.refereeCheck("q164r_staleness_refresh_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val (lake, idx) = CorpusQueries.staleIndexFixture(s, d)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val lakeRows = graft.connect.SnapshotStore.read(s, lake)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val cb = Pq.train(lakeRows, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val inline = Pq.ivfPqTopK(probes, lakeRows, "vec_id", "embedding", cb,
+      k = 3, nlist = 8, nprobe = 3)
+    val loaded = graft.ops.IndexStore.searchIvfPq(s, idx, probes, "vec_id",
+      "embedding", k = 3, nprobe = 3, maxVersionLag = 0)
+    report(symDiff(inline, loaded) ++
+      Seq(lakeRows.exceptAll(emb), emb.exceptAll(lakeRows)))
+  }
+
   // ------------------------------------------------------ q154 referee
   // HLL distinct-token estimates (q154) pinned two ways: (1) MERGE
   // IDENTITY — the estimate from union-ing three per-delivery sketches
@@ -484,5 +512,5 @@ object RefereeQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r)
 }

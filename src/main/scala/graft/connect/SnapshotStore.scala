@@ -449,9 +449,10 @@ object SnapshotStore {
   // -------------------------------------------------------------- merge
 
   /** Keyed upsert (MERGE): rows of `updates` replace same-key rows and
-    * insert otherwise. Copy-on-write like [[deleteWhere]]: when the
-    * (single) key is a stats column, the updates' own key range prunes
-    * candidate files at manifest level; a per-file key semi-join then
+    * insert otherwise. Copy-on-write like [[deleteWhere]]: every merge
+    * key that is a stats column prunes candidate files at manifest level
+    * (per-key interval intersection — [[mergeCandidates]]); a per-file
+    * key semi-join then
     * narrows to files actually holding matched keys; only those are
     * rewritten (their unmatched rows survive via anti-join — delta-sized
     * `updates` broadcasts, so survivors never shuffle). Untouched files
@@ -476,13 +477,7 @@ object SnapshotStore {
       s"merge updates contain multiple rows for key ${dupKey.headOption.orNull} — " +
         "MERGE requires at most one source row per key")
     val m = spark.read.parquet(snap.manifestDir)
-    val candM = keyCols match {
-      case Seq(k) if snap.statsCols.contains(k) =>
-        val r = aligned.agg(min(col(k).cast("double")), max(col(k).cast("double"))).head()
-        if (r.isNullAt(0)) m.limit(0) else overlappingFiles(m, k, r.getDouble(0), r.getDouble(1))
-      case _ => m
-    }
-    val candPaths = filePaths(spark, candM)
+    val candPaths = filePaths(spark, mergeCandidates(m, aligned, keyCols, snap.statsCols))
     val keys = broadcast(aligned.select(keyCols.map(col): _*).distinct())
     val touched: Seq[String] =
       if (candPaths.isEmpty) Seq.empty
@@ -512,6 +507,29 @@ object SnapshotStore {
       snap.schema, snap.statsCols),
       s"concurrent commit won v$v at $table — re-resolve and retry")
     v
+  }
+
+  /** Manifest rows that could hold keys present in `updates`: the
+    * delta's per-key [min, max] interval intersected against each file's
+    * stats box, for EVERY merge key that is a stats column (one
+    * delta-sized aggregate computes all ranges). Pruning on a subset of
+    * the keys is sound — each key's range overlap is a necessary
+    * condition for a file to hold a matched key — so a two-key merge
+    * where only one key has stats still skips on that key, and a merge
+    * where both have stats intersects both (typically far fewer files
+    * than either alone).
+    */
+  private[connect] def mergeCandidates(m: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], statsCols: Seq[String]): DataFrame = {
+    val statKeys = keyCols.filter(statsCols.contains)
+    if (statKeys.isEmpty) return m
+    val aggs = statKeys.flatMap(k =>
+      Seq(min(col(k).cast("double")), max(col(k).cast("double"))))
+    val r = updates.agg(aggs.head, aggs.tail: _*).head()
+    if (r.isNullAt(0)) m.limit(0) // empty delta: no file can match
+    else statKeys.zipWithIndex.foldLeft(m) { case (mm, (k, i)) =>
+      overlappingFiles(mm, k, r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   // ------------------------------------------------------------ compact

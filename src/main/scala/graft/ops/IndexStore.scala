@@ -30,17 +30,30 @@ import org.apache.spark.sql.types.IntegerType
   */
 object IndexStore {
 
-  final case class IvfPqMeta(dim: Int, m: Int, dsub: Int, nlist: Int)
+  /** `source`: when the indexed corpus came from a [[graft.connect.SnapshotStore]]
+    * table, the (table path, committed version) the index was built from —
+    * the tie that makes staleness DETECTABLE: the lake keeps versioning
+    * after the build, and [[versionLag]]/[[searchIvfPq]]'s `maxVersionLag`
+    * compare the recorded version against the table's current latest.
+    * None for indexes built from plain frames (no drift tracking possible).
+    */
+  final case class IvfPqMeta(dim: Int, m: Int, dsub: Int, nlist: Int,
+      source: Option[(String, Int)] = None)
 
-  /** Train and persist an IVF-PQ index for `corpus`. */
+  /** Train and persist an IVF-PQ index for `corpus`. Pass `source` when
+    * the corpus is a snapshot-lake read so the built version is recorded
+    * (use [[buildOrRefreshIvfPq]] to do both in one step).
+    */
   def writeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, m: Int, ksub: Int = 16, nlist: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, source: Option[(String, Int)] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = Pq.train(corpus, idCol, vecCol, dim, m, ksub, iters)
     val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters)
-    Seq((dim, m, cb.dsub, nlist)).toDF("dim", "m", "dsub", "nlist")
+    Seq((dim, m, cb.dsub, nlist, source.map(_._1).orNull,
+        source.map(_._2).getOrElse(-1)))
+      .toDF("dim", "m", "dsub", "nlist", "source_table", "source_version")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -60,9 +73,53 @@ object IndexStore {
   }
 
   def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val df = spark.read.parquet(s"$path/meta")
+    val r = df.head()
+    // indexes written before source tracking lack the columns — treat as untracked
+    val source =
+      if (!df.columns.contains("source_table")) None
+      else Option(r.getAs[String]("source_table"))
+        .map(t => (t, r.getAs[Int]("source_version")))
     IvfPqMeta(r.getAs[Int]("dim"), r.getAs[Int]("m"),
-      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"))
+      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"), source)
+  }
+
+  /** How many snapshot versions the index's recorded source table has
+    * advanced since the build; None when the index is untracked.
+    */
+  def versionLag(spark: SparkSession, path: String): Option[Int] =
+    loadMeta(spark, path).source.map { case (table, built) =>
+      graft.connect.SnapshotStore.latestVersion(spark, table) - built
+    }
+
+  /** Build the IVF-PQ index from snapshot table `table`'s LATEST version
+    * — or reuse the stored index when it exists, was built from the same
+    * table, and lags at most `maxVersionLag` versions behind. Returns
+    * the snapshot version the index now serves. This is the
+    * build-once/search-many contract with drift handled: callers search
+    * with the returned version pinned, and a corpus that advanced past
+    * the lag budget triggers exactly one rebuild, not a stale answer.
+    *
+    * The rewrite overwrites `path` in place — publication is
+    * whole-directory, so run refreshes from the single maintenance
+    * writer that owns the path (a production deployment would stage to a
+    * new path and swap a pointer, exactly the [[graft.connect.SnapshotStore]]
+    * commit idea one level up).
+    */
+  def buildOrRefreshIvfPq(spark: SparkSession, table: String, path: String,
+      idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int = 16,
+      nlist: Int = 16, iters: Int = 2, maxVersionLag: Int = 0): Int = {
+    val latest = graft.connect.SnapshotStore.latestVersion(spark, table)
+    require(latest >= 0, s"buildOrRefreshIvfPq: no committed snapshot at $table")
+    val current = scala.util.Try(loadMeta(spark, path)).toOption.flatMap(_.source)
+    current match {
+      case Some((t, v)) if t == table && latest - v <= maxVersionLag => v
+      case _ =>
+        writeIvfPq(graft.connect.SnapshotStore.read(spark, table, latest),
+          idCol, vecCol, path, dim, m, ksub, nlist, iters,
+          source = Some((table, latest)))
+        latest
+    }
   }
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
@@ -87,9 +144,15 @@ object IndexStore {
     * parameters.
     */
   def searchIvfPq(spark: SparkSession, path: String, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      maxVersionLag: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
+    // staleness fence: a lake-tracked index whose source advanced past
+    // the lag budget REFUSES instead of silently serving old vectors
+    versionLag(spark, path).foreach(lag => require(lag <= maxVersionLag,
+      s"index at $path is $lag snapshot versions behind its source table " +
+        s"(maxVersionLag=$maxVersionLag) — refresh with buildOrRefreshIvfPq"))
     val cb = loadCodebooks(spark, path)
     val centroids = loadCentroids(spark, path)
     val cells = spark.read.parquet(s"$path/codes")

@@ -217,6 +217,34 @@ class SnapshotStoreSpec extends SparkSpec {
       .head().getString(1) == "x text")
   }
 
+  test("merge prunes candidate files by intersecting per-key stats ranges") {
+    val t = mkTable("snap-merge-multikey")
+    // 4 range-partitioned files: id [0,24][25,49][50,74][75,99], each a
+    // single grp value (0..3)
+    val df = (0 until 100).map(i => (i.toLong, s"t$i", (i / 25).toLong))
+      .toDF("id", "text", "grp")
+    SnapshotStore.commit(spark, t, df.repartitionByRange(4, $"id"),
+      statsCols = Seq("id", "grp"))
+    val m = SnapshotStore.manifest(spark, t, 0)
+    assert(m.count() == 4)
+    // delta spanning every id but a single grp: the id interval alone
+    // keeps all 4 files, intersecting the grp interval keeps 1
+    val wide = Seq((0L, "x", 1L), (99L, "y", 1L)).toDF("id", "text", "grp")
+    assert(SnapshotStore.mergeCandidates(m, wide, Seq("id"), Seq("id", "grp"))
+      .count() == 4)
+    assert(SnapshotStore.mergeCandidates(m, wide, Seq("id", "grp"), Seq("id", "grp"))
+      .count() == 1)
+    // a real two-key merge rewrites only the one candidate file
+    val v1 = SnapshotStore.merge(spark, t,
+      Seq((30L, "revised", 1L)).toDF("id", "text", "grp"), Seq("id", "grp"))
+    val after = SnapshotStore.read(spark, t, v1)
+    assert(after.count() == 100)
+    assert(after.filter($"id" === 30).head().getString(1) == "revised")
+    val m0 = SnapshotStore.manifest(spark, t, 0).select("file").as[String].collect().toSet
+    val m1 = SnapshotStore.manifest(spark, t, v1).select("file").as[String].collect().toSet
+    assert((m0 intersect m1).size == 3, "three untouched files must carry by reference")
+  }
+
   test("merge refuses multiple update rows for the same key") {
     val t = mkTable("snap-merge-dup")
     SnapshotStore.commit(spark, t, docs(20), statsCols = Seq("id"))

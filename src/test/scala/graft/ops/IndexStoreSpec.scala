@@ -32,6 +32,55 @@ class IndexStoreSpec extends SparkSpec {
       assert(java.util.Arrays.equals(lc(i), cents(i)), s"centroid $i drifted"))
   }
 
+  test("lake-tracked index: records source version, refuses stale search, refreshes on drift") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_lake")
+    val dir = tmpDir("graft_idx_stale")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" % 2 === 0))
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val v0 = IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id",
+      "embedding", dim = 8, m = 4, ksub = 4, nlist = 4)
+    assert(v0 == 0)
+    assert(IndexStore.loadMeta(spark, dir).source.contains((lake, 0)))
+    assert(IndexStore.versionLag(spark, dir).contains(0))
+    // fresh index passes the strict fence
+    assert(IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2, maxVersionLag = 0).count() > 0)
+    // the lake advances: the index is now one version stale
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 2 === 1))
+    assert(IndexStore.versionLag(spark, dir).contains(1))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+        k = 3, nprobe = 2, maxVersionLag = 0).count()
+    }
+    assert(e.getMessage.contains("behind its source table"))
+    // an explicit lag budget still serves
+    assert(IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2, maxVersionLag = 1).count() > 0)
+    // refresh rebuilds from the latest version; odd ids (absent at v0)
+    // become reachable neighbors and the strict fence passes again
+    val v1 = IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id",
+      "embedding", dim = 8, m = 4, ksub = 4, nlist = 4)
+    assert(v1 == 1)
+    val res = IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2, maxVersionLag = 0)
+    assert(res.filter($"neighbor_id" % 2 === 1).count() > 0)
+    // no drift -> reuse, no rebuild
+    assert(IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id",
+      "embedding", dim = 8, m = 4, ksub = 4, nlist = 4) == 1)
+  }
+
+  test("untracked index (plain-frame build) reports no lag and never refuses") {
+    val dir = tmpDir("graft_idx_untracked")
+    IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    assert(IndexStore.loadMeta(spark, dir).source.isEmpty)
+    assert(IndexStore.versionLag(spark, dir).isEmpty)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    assert(IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2, maxVersionLag = 0).count() > 0)
+  }
+
   test("loaded-index search is bit-identical to the inline IVF-PQ search") {
     val dir = tmpDir("graft_idx_search")
     IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
