@@ -582,16 +582,21 @@ object CurationQueries {
       |dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
       |e2s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM dropped))""".stripMargin
 
-  // Stages 3-4 (decontamination + quality pruning) from survivor
-  // relation `src2`, ending at the pruned set `k3`.
-  private def q95TailCtes(src2: String): String =
+  // Stage 3 (decontamination) from survivor relation `src2`, ending at
+  // the clean set `e3s` — split from the quality tail so q166 can insert
+  // the opt-in LM-filter stage between them, exactly where the engine's
+  // stage 3b sits.
+  private def q95DecontamCtes(src2: String): String =
     s"""t2s AS (SELECT doc_id, $duckToks95 AS toks FROM $src2),
       |ts AS (SELECT doc_id, unnest(${duckShK95(5)}) AS sh FROM t2s),
       |tb AS (SELECT doc_id, $duckToks95 AS toks FROM bench),
       |bs AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb),
       |cont AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sh)),
-      |e3s AS (SELECT * FROM $src2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-      |t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM e3s),
+      |e3s AS (SELECT * FROM $src2 WHERE doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+
+  // Stage 4 (quality pruning) from relation `src3`, ending at `k3`.
+  private def q95QualityCtes(src3: String): String =
+    s"""t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM $src3),
       |m3 AS (SELECT doc_id, source, text, len(toks) AS n_toks,
       |  CAST(len(list_filter(toks, x -> list_contains($duckStops95, x))) AS DOUBLE) AS n_stop FROM t3),
       |r3 AS (SELECT doc_id, source,
@@ -604,6 +609,13 @@ object CurationQueries {
       |w3 AS (SELECT doc_id, source, score,
       |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
       |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+
+  // Stages 3-4 stitched (the default form every pre-q166 consumer
+  // shares — concatenation identical to the pre-split single builder, so
+  // every existing oracle string is byte-identical).
+  private def q95TailCtes(src2: String): String =
+    s"""${q95DecontamCtes(src2)},
+      |${q95QualityCtes("e3s")}""".stripMargin
 
   // The default chain (no opt-in stages): dedup prefix + tail, stitched
   // exactly as before the q131 split.
@@ -965,7 +977,129 @@ object CurationQueries {
       .toDF("n_batch", "n_gate", "n_exact", "n_near", "n_admitted")
   }
 
+  // LM replay (q160's CTE chain, parameterized): Stupid-Backoff count
+  // tables from `trainRel` (text), per-doc scores for `scoreRel`
+  // (doc_id, text) → `lmavg(doc_id, n_scored, lm_score, lm_avg)`. Same
+  // rational arithmetic as the engine's NgramLm: BIGINT count ratios,
+  // the literal 0.4 backoff, a position-ordered fold, then one double
+  // division for the mean — every step bit-portable.
+  private def duckLmCtes(trainRel: String, scoreRel: String): String =
+    s"""lmtr AS (SELECT $duckToks95 AS toks FROM $trainRel),
+      |lmt AS (SELECT doc_id, $duckToks95 AS toks FROM $scoreRel),
+      |lmuni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM lmtr) GROUP BY w),
+      |lmnn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM lmuni),
+      |lmbi AS (SELECT w1, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w
+      |  FROM lmtr, unnest(generate_series(1, len(toks)-1)) AS u(i)) GROUP BY w1, w),
+      |lmtri AS (SELECT w2, w1, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+      |  SELECT toks[i] AS w2, toks[i+1] AS w1, toks[i+2] AS w
+      |  FROM lmtr, unnest(generate_series(1, len(toks)-2)) AS u(i)) GROUP BY w2, w1, w),
+      |lmpos AS (SELECT doc_id, p, toks[p-2] AS w2, toks[p-1] AS w1, toks[p] AS w
+      |  FROM lmt, unnest(generate_series(3, len(toks))) AS u(p)),
+      |lmps AS (SELECT lmpos.doc_id, lmpos.p,
+      |  CASE WHEN lmtri.c3 IS NOT NULL AND bc.c2 IS NOT NULL
+      |    THEN CAST(lmtri.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+      |  WHEN lmbi.c2 IS NOT NULL AND uc.c1 IS NOT NULL
+      |    THEN 0.4 * (CAST(lmbi.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))
+      |  ELSE 0.4 * 0.4 *
+      |    (CAST(COALESCE(lmuni.c1, 0) AS DOUBLE) / CAST(lmnn.n AS DOUBLE)) END AS s
+      |  FROM lmpos
+      |  LEFT JOIN lmtri ON lmtri.w2 = lmpos.w2 AND lmtri.w1 = lmpos.w1 AND lmtri.w = lmpos.w
+      |  LEFT JOIN lmbi bc ON bc.w1 = lmpos.w2 AND bc.w = lmpos.w1
+      |  LEFT JOIN lmbi ON lmbi.w1 = lmpos.w1 AND lmbi.w = lmpos.w
+      |  LEFT JOIN lmuni uc ON uc.w = lmpos.w1
+      |  LEFT JOIN lmuni ON lmuni.w = lmpos.w
+      |  CROSS JOIN lmnn),
+      |lmagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY p)),
+      |    (a, x) -> a + x) AS lm_score
+      |  FROM lmps GROUP BY doc_id),
+      |lmavg AS (SELECT d.doc_id, COALESCE(lmagg.n_scored, 0) AS n_scored,
+      |  COALESCE(lmagg.lm_score, 0.0) AS lm_score,
+      |  CASE WHEN COALESCE(lmagg.n_scored, 0) = 0 THEN 0.0
+      |    ELSE lmagg.lm_score / CAST(lmagg.n_scored AS DOUBLE) END AS lm_avg
+      |  FROM $scoreRel d LEFT JOIN lmagg USING (doc_id))""".stripMargin
+
+  // --------------------------------------------------------------- q165
+  // Reference-LM filter (Curation.lmFilterScores — CCNet's LM stage,
+  // Wenzek et al. 2020, in Stupid Backoff form): the model trains on the
+  // corpus's English slice (the trusted target distribution), every
+  // corpus document gets its mean per-position likelihood mass, and the
+  // per-source head 2/3 survives (head/middle kept, tail dropped — the
+  // CCNet bucket cut). Oracle replays the q160 scorer plus the mean
+  // division and the NTILE(3) cut — hash-matched end to end.
+  val q165 = QuerySpec.sql(
+    "q165_lm_filter",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |lmref AS (SELECT text FROM corpus WHERE lang = 'en'),
+      |${duckLmCtes("lmref", "corpus")},
+      |lmw AS (SELECT lmavg.doc_id, c.source, lmavg.n_scored, lmavg.lm_score,
+      |  lmavg.lm_avg,
+      |  CAST(NTILE(3) OVER (PARTITION BY c.source
+      |    ORDER BY lmavg.lm_avg DESC, lmavg.doc_id) AS INT) AS lm_tile
+      |  FROM lmavg JOIN corpus c USING (doc_id))
+      |SELECT doc_id, source, n_scored, lm_score, lm_avg, lm_tile
+      |FROM lmw WHERE lm_tile <= 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    Curation.lmFilterScores(corpus, corpus.filter(col("lang") === "en"),
+      "doc_id", "text", "source", nTiles = 3, keepTiles = 2)
+      .select("doc_id", "source", "n_scored", "lm_score", "lm_avg", "lm_tile")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q166
+  // Per-source funnel with the LM stage enabled (default chain + stage
+  // 3b): the oracle replays dedup → decontamination, inserts the LM cut
+  // (q165's CTEs over the e3s survivors, model still trained on the raw
+  // corpus's English slice — the reference is the trusted corpus, not
+  // the pipeline's own survivors), then runs quality pruning on the
+  // LM-kept set. The n_lm_kept column between decontam and final is the
+  // stage's data-card receipt.
+  val q166 = QuerySpec.sql(
+    "q166_curation_funnel_lm",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${q95DedupCtes("corpus")},
+      |${q95DecontamCtes("e2s")},
+      |lmref AS (SELECT text FROM corpus WHERE lang = 'en'),
+      |${duckLmCtes("lmref", "e3s")},
+      |lmw AS (SELECT lmavg.doc_id,
+      |  NTILE(3) OVER (PARTITION BY e.source
+      |    ORDER BY lmavg.lm_avg DESC, lmavg.doc_id) AS lm_tile
+      |  FROM lmavg JOIN e3s e USING (doc_id)),
+      |lmk AS (SELECT e3s.* FROM e3s JOIN lmw USING (doc_id)
+      |  WHERE lmw.lm_tile <= 2),
+      |${q95QualityCtes("lmk")},
+      |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
+      |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY source),
+      |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2s GROUP BY source),
+      |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
+      |lc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM lmk GROUP BY source),
+      |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
+      |SELECT ic.source, ic.n_in,
+      |  ic.n_in AS n_rules_kept,
+      |  COALESCE(ec.n, 0) AS n_exact_kept,
+      |  COALESCE(nc.n, 0) AS n_neardup_kept,
+      |  COALESCE(cc.n, 0) AS n_decontam_kept,
+      |  COALESCE(lc.n, 0) AS n_lm_kept,
+      |  COALESCE(fc.n, 0) AS n_final
+      |FROM ic LEFT JOIN ec USING (source) LEFT JOIN nc USING (source)
+      |LEFT JOIN cc USING (source) LEFT JOIN lc USING (source)
+      |LEFT JOIN fc USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    Curation.curationFunnel(
+      corpus,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      lmFilter = Some((corpus.filter(col("lang") === "en"), 3, 2)))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145)
+    q131, q144, q145, q165, q166)
 }

@@ -79,6 +79,43 @@ object Curation {
     }
   }
 
+  /** CCNet-style reference-LM filter (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document against a [[NgramLm]] Stupid-Backoff model
+    * trained on a REFERENCE corpus (the trusted target distribution —
+    * CCNet uses Wikipedia), rank per source by mean per-position
+    * likelihood mass, and keep the head `keepTiles` of `nTiles` buckets
+    * — the head/middle/tail cut with the tail dropped (defaults 3/2).
+    * Backoff form instead of CCNet's KenLM perplexity because the score
+    * is then pure rational arithmetic — cross-engine exact (see
+    * [[NgramLm]]), where a log-space perplexity never replays.
+    *
+    * Unscorable documents (< 3 tokens, `n_scored = 0`) rank with
+    * `lm_avg = 0.0` — no evidence of in-distribution mass puts them at
+    * the tail, which is where CCNet's length floor drops them too.
+    *
+    * Scale shape: training is [[NgramLm.train]]'s three counting
+    * exchanges over the (typically much smaller) reference; scoring is
+    * the five key-partitioned joins of [[NgramLm.score]]; the tile cut
+    * is one per-source window ([[Sampling.keepTopTiles]] — the same
+    * accepted shape as quality-decile pruning). Output: (idCol,
+    * sourceCol, n_scored, lm_score, lm_avg, lm_tile).
+    */
+  def lmFilterScores(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, nTiles: Int = 3, keepTiles: Int = 2,
+      alpha: Double = 0.4): DataFrame = {
+    val model = NgramLm.train(ref, textCol)
+    val avg = NgramLm.score(docs, idCol, textCol, model, alpha)
+      .select(col(idCol), col("n_scored"), col("lm_score"),
+        when(col("n_scored") === 0, lit(0.0))
+          .otherwise(col("lm_score") / col("n_scored").cast(DoubleType))
+          .as("lm_avg"))
+    Sampling.keepTopTiles(
+        docs.select(col(idCol), col(sourceCol)).join(avg, Seq(idCol)),
+        sourceCol, "lm_avg", idCol, nTiles, keepTiles)
+      .withColumnRenamed("tile", "lm_tile")
+  }
+
   /** The end-to-end corpus curation pipeline, composed from this
     * library's own operators into ONE declarative plan — the flagship
     * "a training-data user runs their whole pipeline on this engine"
@@ -121,6 +158,13 @@ object Curation {
     *  3. benchmark decontamination: drop docs sharing any `decontamK`-gram
     *     with the eval set (long shingles — short ones flag everything;
     *     [[Dedup.bloomDecontaminate]] is the sketch variant of this stage)
+    *  3b. (opt-in via `lmFilter = Some((reference, nTiles, keepTiles))`)
+    *     reference-LM filtering ([[lmFilterScores]] — the CCNet stage):
+    *     per source, keep the head `keepTiles`/`nTiles` of survivors by
+    *     Stupid-Backoff likelihood against a model trained on the
+    *     reference corpus. Runs AFTER dedup/decontamination as in CCNet
+    *     (dedup first shrinks the scoring pass; contaminated docs must
+    *     not make the cut regardless of fluency).
     *  4. quality-decile pruning per source ([[TextOps.qualityScore]] +
     *     [[Sampling.keepTopTiles]])
     *  5. deterministic train/val/test [[hashSplit]]
@@ -144,11 +188,12 @@ object Curation {
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
-      semantic: Option[(DataFrame, String, Double)] = None)
+      semantic: Option[(DataFrame, String, Double)] = None,
+      lmFilter: Option[(DataFrame, Int, Int)] = None)
       : DataFrame =
     hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic).pruned,
+      ruleGate, semantic, lmFilter).pruned,
       idCol, weights)
 
   /** The stage-boundary frames of [[curateCorpus]] — one chain, two
@@ -158,7 +203,8 @@ object Curation {
     * disabled gate).
     */
   final case class CurationStages(ruleKept: DataFrame, exactKept: DataFrame,
-      nearKept: DataFrame, clean: DataFrame, pruned: DataFrame)
+      nearKept: DataFrame, clean: DataFrame, lmKept: DataFrame,
+      pruned: DataFrame)
 
   def curationStages(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
@@ -167,7 +213,8 @@ object Curation {
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
-      semantic: Option[(DataFrame, String, Double)] = None)
+      semantic: Option[(DataFrame, String, Double)] = None,
+      lmFilter: Option[(DataFrame, Int, Int)] = None)
       : CurationStages = {
     // Stage 0 is a pure scan-side filter: it fuses into the parquet scan
     // of the exact-dedup stage, so it is NOT checkpointed — the only
@@ -230,9 +277,20 @@ object Curation {
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
       shingleK = decontamK).select(col(idCol))
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
-    val scored = clean.select(col(idCol), col(sourceCol),
+    val lmKept = lmFilter match {
+      case None => clean
+      case Some((ref, lmTiles, lmKeep)) =>
+        // stage-boundary corpus: the LM scorer consumes it (positions +
+        // the id/source join) and the semi-join below consumes it again
+        val base = clean.localCheckpoint()
+        base.join(
+          lmFilterScores(base, ref, idCol, textCol, sourceCol, lmTiles, lmKeep)
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+    }
+    val scored = lmKept.select(col(idCol), col(sourceCol),
       TextOps.qualityScore(col(textCol)).as("score"))
-    CurationStages(admitted, exactKept, nearKept, clean,
+    CurationStages(admitted, exactKept, nearKept, clean, lmKept,
       Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles))
   }
 
@@ -249,7 +307,10 @@ object Curation {
     * per-source aggregates each reduce a checkpointed frame to
     * source-cardinality rows). Output: (sourceCol, n_in, n_rules_kept,
     * n_exact_kept, n_neardup_kept, n_decontam_kept, n_final);
-    * `n_rules_kept` equals `n_in` when the rule gate is off.
+    * `n_rules_kept` equals `n_in` when the rule gate is off. With the
+    * opt-in LM filter enabled, an `n_lm_kept` column appears between
+    * n_decontam_kept and n_final (absent otherwise, so default-chain
+    * funnels keep their schema).
     */
   def curationFunnel(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
@@ -258,25 +319,33 @@ object Curation {
       substrK: Option[Int] = None,
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
-      semantic: Option[(DataFrame, String, Double)] = None)
+      semantic: Option[(DataFrame, String, Double)] = None,
+      lmFilter: Option[(DataFrame, Int, Int)] = None)
       : DataFrame = {
     val st = curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic)
+      ruleGate, semantic, lmFilter)
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
-    counts(docs, "n_in")
+    val base = counts(docs, "n_in")
       .join(counts(st.ruleKept, "n_rules_kept"), Seq(sourceCol), "left")
       .join(counts(st.exactKept, "n_exact_kept"), Seq(sourceCol), "left")
       .join(counts(st.nearKept, "n_neardup_kept"), Seq(sourceCol), "left")
       .join(counts(st.clean, "n_decontam_kept"), Seq(sourceCol), "left")
+    val withLm = lmFilter match {
+      case None => base
+      case Some(_) => base.join(counts(st.lmKept, "n_lm_kept"), Seq(sourceCol), "left")
+    }
+    val lmCols = lmFilter.map(_ =>
+      coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept")).toSeq
+    withLm
       .join(counts(st.pruned, "n_final"), Seq(sourceCol), "left")
-      .select(col(sourceCol), col("n_in"),
+      .select(Seq(col(sourceCol), col("n_in"),
         coalesce(col("n_rules_kept"), lit(0L)).as("n_rules_kept"),
         coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
         coalesce(col("n_neardup_kept"), lit(0L)).as("n_neardup_kept"),
-        coalesce(col("n_decontam_kept"), lit(0L)).as("n_decontam_kept"),
-        coalesce(col("n_final"), lit(0L)).as("n_final"))
+        coalesce(col("n_decontam_kept"), lit(0L)).as("n_decontam_kept")) ++
+        lmCols :+ coalesce(col("n_final"), lit(0L)).as("n_final"): _*)
   }
 
   /** Deterministic seeded shuffle: a reproducible global random order for

@@ -245,6 +245,62 @@ class CurationSpec extends SparkSpec {
     assert(got("s") == ((5L, 5L, 5L, 4L, 3L, 3L)))
   }
 
+  test("lmFilterScores: reference-fluent docs outscore gibberish; tail tile drops") {
+    val ref = Seq.tabulate(4)(i =>
+      (100L + i, "r", "the cat sat on the mat while the dog sat on the rug"))
+      .toDF("doc_id", "source", "text")
+    val docs = Seq(
+      (1L, "s", "the cat sat on the mat today"),        // in-distribution
+      (2L, "s", "the dog sat on the rug quietly"),      // in-distribution
+      (3L, "s", "zx qv wq pl mn bv kj df gh"),          // every gram unseen
+      (4L, "s", "qq ww ee rr tt yy uu ii oo")           // every gram unseen
+    ).toDF("doc_id", "source", "text")
+    val scores = Curation.lmFilterScores(docs, ref, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("lm_avg"), r.getAs[Int]("lm_tile")))).toMap
+    assert(scores(1L)._1 > 0.0 && scores(2L)._1 > 0.0)
+    assert(scores(3L)._1 == 0.0 && scores(4L)._1 == 0.0)
+    // keepTiles = nTiles keeps everything; the head tile is the fluent docs
+    assert(Set(1L, 2L).map(scores(_)._2) == Set(1))
+    assert(Set(3L, 4L).map(scores(_)._2) == Set(2))
+    // and the actual cut: keep the head tile only
+    val kept = Curation.lmFilterScores(docs, ref, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("curateCorpus lmFilter: gibberish drops at stage 3b, funnel gains n_lm_kept") {
+    val ref = Seq.tabulate(4)(i =>
+      (100L + i, "r", "the cat sat on the mat while the dog sat on the rug"))
+      .toDF("doc_id", "source", "text")
+    val docs = Seq(
+      (1L, "s", "the cat sat on the mat in the warm afternoon sun today"),
+      (2L, "s", "the dog sat on the rug near the door all morning long"),
+      (3L, "s", "zx qv wq pl mn bv kj df gh yu io pa"), // unseen grams -> tail tile
+      (4L, "s", "qq ww ee rr tt yy uu ii oo ply wex novel") // unseen grams -> tail tile
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((200L, "b", "totally disjoint benchmark prompt"))
+      .toDF("doc_id", "source", "text")
+    val off = Curation.curationFunnel(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2)
+    assert(!off.columns.contains("n_lm_kept"), "default funnel schema must not change")
+    val on = Curation.curationFunnel(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, lmFilter = Some((ref, 2, 1)))
+    assert(on.columns.toSeq ==
+      Seq("source", "n_in", "n_rules_kept", "n_exact_kept", "n_neardup_kept",
+        "n_decontam_kept", "n_lm_kept", "n_final"))
+    val row = on.filter($"source" === "s").head()
+    assert(row.getAs[Long]("n_decontam_kept") == 4L)
+    assert(row.getAs[Long]("n_lm_kept") == 2L)
+    assert(row.getAs[Long]("n_final") == 2L)
+    val out = Curation.curateCorpus(docs, bench, "doc_id", "text", "source",
+      nTiles = 2, keepTiles = 2, lmFilter = Some((ref, 2, 1)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("curateCorpus ruleGate: junk drops at stage 0, funnel reports the stage") {
     val docs = Seq(
       (1L, "s", "the quality engine keeps ordinary documents looking like natural prose with enough words"),
