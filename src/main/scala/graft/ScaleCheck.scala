@@ -320,6 +320,27 @@ object ScaleCheck {
         ops.Similarity.projectionRecall(probes1, embN, "vec_id", "embedding",
           outDim = 16, k = 10))
     }
+    // CCNet reference-LM filter (curation stage 3b): reference FIXED (a
+    // trusted slice doesn't grow with the crawl), corpus up. The count
+    // tables are reference-sized constants; the per-position score frame
+    // and its key-partitioned joins grow with the corpus — linear is the
+    // pass signal.
+    locally {
+      val ref1 = docs1.filter(col("lang") === "en").select(col("text"))
+      def lmf(df: DataFrame) = ops.Curation.lmFilterScores(
+        df, ref1, "doc_id", "text", "source")
+      run("lm_filter", lmf(docs1), lmf(docsN))
+    }
+    // Binary-Hamming ANN: probe set fixed, corpus up (the bm25/pq growth
+    // mode). Stage 1 streams 2-long codes against broadcast probe codes;
+    // stage 2 reranks a fixed |probes|*shortlist candidate set — the
+    // code scan is the only term that grows.
+    locally {
+      val probes1 = emb1.filter(pmod(col("vec_id"), lit(50)) === 0)
+      def ham(df: DataFrame) = ops.Similarity.hammingTopK(
+        probes1, df, "vec_id", "embedding", dim = 64, k = 5, shortlist = 32)
+      run("hamming_topk", ham(emb1), ham(embN))
+    }
     // Persisted-index search: the index is built once per side OUTSIDE
     // the timer (the amortized production shape — build cost is its own
     // linear pipeline, already trend-checked via pq_adc_topk's train);

@@ -1276,7 +1276,58 @@ object CorpusQueries {
       .orderBy("probe_id")
   }
 
+  // --------------------------------------------------------------- q167
+  // Binary (sign) quantization + Hamming ANN (Similarity.signQuantize /
+  // hammingTopK): 64 float dims pack into two 32-bit words held in
+  // BIGINTs (bit = sign of the dim — Charikar SRP with coordinate
+  // hyperplanes), a Hamming shortlist of 32 candidates per probe is cut
+  // over CODES only, and exact cosine reranks the shortlist. The missing
+  // point on the quantization ladder between int8 (q80) and PQ (q128):
+  // 32× compression, distance = xor + popcount. Everything is
+  // bit-portable (sign tests, integer bit ops, q37's float-fold cosine),
+  // so the oracle replays the full two-stage ladder and the result
+  // hash-matches end to end.
+  private def duckSignWord(v: String, w: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, 32), j ->
+       |    CASE WHEN $v[${w * 32} + j] > 0 THEN CAST(1 AS BIGINT) << (j - 1)
+       |    ELSE CAST(0 AS BIGINT) END), (a, x) -> a | x)""".stripMargin
+  val q167 = QuerySpec.sql(
+    "q167_hamming_topk",
+    s"""WITH p AS (
+      |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |pcod AS (SELECT probe_id, pv,
+      |  [${duckSignWord("pv", 0)}, ${duckSignWord("pv", 1)}] AS code FROM p),
+      |ccod AS (SELECT neighbor_id, cv,
+      |  [${duckSignWord("cv", 0)}, ${duckSignWord("cv", 1)}] AS code FROM c),
+      |h AS (SELECT probe_id, neighbor_id,
+      |  CAST(bit_count(xor(pcod.code[1], ccod.code[1]))
+      |     + bit_count(xor(pcod.code[2], ccod.code[2])) AS INT) AS hamming
+      |  FROM ccod, pcod WHERE probe_id <> neighbor_id),
+      |sl AS (SELECT probe_id, neighbor_id, hamming FROM (
+      |  SELECT probe_id, neighbor_id, hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS hr
+      |  FROM h) WHERE hr <= 32),
+      |s AS (SELECT sl.probe_id, sl.neighbor_id, sl.hamming,
+      |  CASE WHEN sqrt(${LlmQueries.duckDot("pv", "pv")}) * sqrt(${LlmQueries.duckDot("cv", "cv")}) > 0
+      |    THEN ${LlmQueries.duckDot("pv", "cv")}
+      |      / (sqrt(${LlmQueries.duckDot("pv", "pv")}) * sqrt(${LlmQueries.duckDot("cv", "cv")}))
+      |    ELSE 0.0 END AS sim
+      |  FROM sl
+      |  JOIN pcod ON sl.probe_id = pcod.probe_id
+      |  JOIN ccod ON sl.neighbor_id = ccod.neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, hamming, sim,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM s)
+      |SELECT probe_id, neighbor_id, hamming, sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.hammingTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", dim = 64, k = 5, shortlist = 32)
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164)
+    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167)
 }

@@ -273,6 +273,84 @@ object Similarity {
         (col("n_sat").cast(DoubleType) / n).as("saturation_rate"))
   }
 
+  // ------------------------------ binary (sign) codes + Hamming ANN
+
+  /** Sign/binary quantization of a float-array column: bit j of word w
+    * is set iff vec[w*32+j] > 0, packed 32 dimensions per 64-bit word.
+    * High halves stay zero, so codes are non-negative in every engine —
+    * an external BIGINT replay needs no unsigned arithmetic. 32× smaller
+    * than float32; the Hamming distance between two codes counts the
+    * dimensions where the vectors disagree in sign, which for
+    * zero-centered embeddings is the coordinate-hyperplane case of
+    * sign-random-projection LSH (Charikar 2002, "Similarity estimation
+    * techniques from rounding algorithms") — Hamming rank tracks angular
+    * rank. The sign test `x > 0` is exact in any float widening, so
+    * codes are bit-portable by construction.
+    */
+  def signQuantize(vec: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val bitsInWord = math.min(32, dim - w * 32)
+      (0 until bitsInWord).map { j =>
+        when(element_at(vec, w * 32 + j + 1) > lit(0f), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Hamming distance between two equal-length packed-code columns. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v).cast(IntegerType)
+
+  /** Two-stage binary ANN: a Hamming shortlist over [[signQuantize]]
+    * codes, exact-cosine rerank of the shortlist only — the standard
+    * binary-sketch retrieval ladder (cheap bit ops prune, floats confirm).
+    *
+    * Scale shape: stage 1 streams CODES only (ceil(dim/32) longs per
+    * corpus row) against the broadcast probe codes — 32× less scan
+    * bandwidth than [[bruteForceTopK]]'s float pass — and its ranking
+    * exchange carries (probe_id, neighbor_id, hamming) triples, never a
+    * vector. Stage 2 fetches float vectors for the |probes|·`shortlist`
+    * survivors alone via an 8-byte-keyed join; the full corpus of floats
+    * is never shuffled. Same deliberate broadcast-cross class as
+    * [[bruteForceTopK]] (bounded probe set).
+    *
+    * Output: (probe_id, neighbor_id, hamming, sim, rank) — rank by exact
+    * cosine within the shortlist, ties by neighbor_id. Self-matches
+    * excluded.
+    */
+  def hammingTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, shortlist: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(probes.sparkSession)
+    val pc = probes.select(col(idCol).as("probe_id"),
+      signQuantize(col(vecCol), dim).as("__pc"))
+    val cc = corpus.select(col(idCol).as("neighbor_id"),
+      signQuantize(col(vecCol), dim).as("__cc"))
+    val wH = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = cc.crossJoin(broadcast(pc))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        hammingDist(col("__pc"), col("__cc")).as("hamming"))
+      .withColumn("__hr", row_number().over(wH))
+      .filter(col("__hr") <= shortlist)
+      .drop("__hr")
+    val pv = withNorm(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      "__pv", "__pn")
+    val cv = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", "__cn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("hamming"), pairSim.as("sim"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact all-pairs cosine (id_a < id_b) — the verification baseline for
     * the LSH-blocked paths, NOT a scale path: deliberately quadratic, so
     * it refuses inputs larger than `maxRows` (limit-probe, not a full

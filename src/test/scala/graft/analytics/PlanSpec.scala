@@ -196,7 +196,10 @@ class PlanSpec extends SparkSpec {
       "q102_bm25_topk", "q117_token_rarity", "q120_dsir_weights", "q123_ngram_novelty",
       "q86_vocab_coverage", "q126_cluster_size_histogram", "q128_pq_adc_topk",
       "q127_dsir_selection", // q127 inherits q120's 1-row vocab-totals broadcast
-      "q163_projection_recall")
+      "q163_projection_recall",
+      // q167's stage 1 is the same deliberate broadcast-cross class: the
+      // bounded probe CODE set broadcasts, the corpus streams codes only
+      "q167_hamming_topk")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

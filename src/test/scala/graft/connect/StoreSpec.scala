@@ -51,6 +51,20 @@ class StoreSpec extends SparkSpec {
     val back = store.read(t).collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(back == Set(("x", "1"), ("y", "2")))
   }
+
+  test("orc-format FileStore round-trips typed values through the generic seam") {
+    // the format parameter is the whole switch: the same Source/Sink code
+    // path serves any Spark-native columnar format a warehouse speaks
+    val root = tmpDir("orc_store")
+    val store = new FileStore(spark, root, "landing", format = "orc")
+    val t = TableRef("landing", "t")
+    store.write(Seq((1L, "x", 1.5), (2L, "y", -0.25)).toDF("id", "k", "v"),
+      t, SaveMode.Overwrite)
+    val back = store.read(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "x", 1.5), (2L, "y", -0.25)))
+    assert(store.count(t) == 2)
+  }
 }
 
 /** The full Source/Sink contract against a real database: embedded Derby

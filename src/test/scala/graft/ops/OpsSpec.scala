@@ -778,6 +778,66 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3) == ((3L, 0.0, 0.0)))
   }
 
+  test("signQuantize packs sign bits 32 per word; hammingDist counts disagreements") {
+    import spark.implicits._
+    // dims 1..5 signs + - + 0 + -> bits 0,2,4 set = 0b10101 = 21; one word
+    val small = Seq((1L, Array(0.5f, -1.0f, 2.0f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val code5 = small.select(Similarity.signQuantize(col("embedding"), 5))
+      .collect()(0).getSeq[Long](0)
+    assert(code5 == Seq(21L))
+    // 64 dims: dim i positive iff i % 3 == 0 (0-based) -> word bit j set
+    // iff (w*32 + j) % 3 == 0; verified against a JVM replay
+    val v64 = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val big = Seq((1L, v64)).toDF("vec_id", "embedding")
+    val code64 = big.select(Similarity.signQuantize(col("embedding"), 64))
+      .collect()(0).getSeq[Long](0)
+    val expect = (0 until 2).map(w => (0 until 32)
+      .filter(j => (w * 32 + j) % 3 == 0).map(j => 1L << j).foldLeft(0L)(_ | _))
+    assert(code64 == expect)
+    assert(code64.forall(_ >= 0L), "high halves must stay clear (sign-safe replay)")
+    // hamming: flip dims 0 and 63 (both 0 mod 3 -> positive) -> distance
+    // exactly 2, one per word
+    val v64b = v64.clone(); v64b(0) = -v64b(0); v64b(63) = -1.0f
+    val two = Seq((1L, v64, v64b)).toDF("vec_id", "a", "b")
+      .select(Similarity.hammingDist(
+        Similarity.signQuantize(col("a"), 64),
+        Similarity.signQuantize(col("b"), 64)))
+      .collect()(0).getInt(0)
+    assert(two == 2)
+  }
+
+  test("hammingTopK: full shortlist equals brute force; sims exact; self excluded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(80)
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+    val brute = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // shortlist >= corpus: the Hamming stage prunes nothing, so the
+    // cosine rerank must reproduce the exact brute-force answer
+    val full = Similarity.hammingTopK(probes, emb, "vec_id", "embedding",
+      dim = 64, k = 5, shortlist = 100)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute)
+    // a tight shortlist still returns k ranked rows per probe with exact
+    // sims (subset of the brute-force score map), never a self-match
+    val bruteSims = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding",
+      k = 80).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    val short = Similarity.hammingTopK(probes, emb, "vec_id", "embedding",
+      dim = 64, k = 5, shortlist = 16).collect()
+    val nProbes = probes.count()
+    assert(short.length == nProbes * 5)
+    short.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(key._1 != key._2)
+      assert(bruteSims(key) == r.getAs[Double]("sim"), s"sim not exact for $key")
+      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 64)
+    }
+  }
+
   test("exactAllPairs is the exact baseline for embeddingNearDups, with a size guard") {
     val all = Similarity.exactAllPairs(vecs, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
