@@ -1093,6 +1093,74 @@ object CorpusQueries {
     (lake, idx)
   }
 
+  // --------------------------------------------------------------- q168
+  // Incremental index maintenance (IndexStore.appendDeltaIvfPq): the
+  // lake advances append-only, and instead of a full rebuild the index
+  // encodes ONLY the inserted rows under its FROZEN v0 centroids and
+  // codebooks — delta-sized maintenance cost, the production middle path
+  // between serving stale and retraining. The fixture walks the story:
+  // build at v0 (even vec_ids), lake appends odds → v1, appendDelta
+  // advances the served version to 1 while trainedVersion stays 0; the
+  // query then searches with maxVersionLag = 0, which only passes
+  // because the append happened. Rows-only here; q168r pins the codes
+  // table (base ∪ committed deltas) bit-identical to the whole v1 corpus
+  // encoded under the frozen models, the frozen models bit-identical to
+  // a fresh v0 train, and the lake's v1 content identical to the full
+  // embeddings table.
+  val q168 = QuerySpec.rowsOnly("q168_index_delta_append") { (s, d) =>
+    val (_, idx) = appendIndexFixture(s, d)
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    graft.ops.IndexStore.searchIvfPq(s, idx, probes, "vec_id", "embedding",
+      k = 3, nprobe = 3, maxVersionLag = 0)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q168/q168r fixture: an embeddings snapshot lake (v0 = even vec_ids,
+    * v1 = append odds) plus an index built at v0 and advanced to v1 via
+    * the frozen-model delta append. The builder asserts each step
+    * (versionLag 1 while stale, append serves v1, trainedVersion pinned
+    * at 0), marker-cached per content fingerprint.
+    */
+  private val appendIdxLock = new Object
+  private[analytics] def appendIndexFixture(s: SparkSession, d: String): (String, String) = {
+    val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q168_$fp"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q168_$fp"
+    val marker = java.nio.file.Path.of(idx, "_complete")
+    if (!java.nio.file.Files.exists(marker)) appendIdxLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        Seq(lake, idx).foreach { dir =>
+          val root = java.nio.file.Path.of(dir)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        graft.connect.SnapshotStore.commit(s, lake,
+          emb.filter(col("vec_id") % 2 === 0).repartition(8, col("vec_id")))
+        val v0 = graft.ops.IndexStore.buildOrRefreshIvfPq(s, lake, idx,
+          "vec_id", "embedding", dim = 64, m = 16, ksub = 16, nlist = 8)
+        require(v0 == 0, s"expected first build at v0, got $v0")
+        graft.connect.SnapshotStore.append(s, lake,
+          emb.filter(col("vec_id") % 2 === 1).repartition(8, col("vec_id")))
+        require(graft.ops.IndexStore.versionLag(s, idx).contains(1),
+          "index must report one version of lag after the lake append")
+        val served = graft.ops.IndexStore.appendDeltaIvfPq(s, lake, idx,
+          "vec_id", "embedding")
+        require(served == 1, s"delta append must serve v1, got $served")
+        val meta = graft.ops.IndexStore.loadMeta(s, idx)
+        require(meta.trainedVersion.contains(0),
+          "delta append must not move the trained version")
+        require(graft.ops.IndexStore.versionLag(s, idx).contains(0),
+          "appended index must report zero lag")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    (lake, idx)
+  }
+
   // --------------------------------------------------------------- q160
   // Stupid Backoff trigram LM scores (ops.NgramLm — Brants et al. 2007):
   // the model trains on the doc_id % 3 <> 0 slice and scores EVERY
@@ -1329,5 +1397,6 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167)
+    q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
+    q168)
 }

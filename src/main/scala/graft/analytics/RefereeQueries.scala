@@ -480,6 +480,43 @@ object RefereeQueries {
       Seq(lakeRows.exceptAll(emb), emb.exceptAll(lakeRows)))
   }
 
+  // ------------------------------------------------------ q168 referee
+  // Frozen-model delta append (q168) pinned three ways: (1) CODES
+  // IDENTITY — the served codes table (base build ∪ committed deltas)
+  // must bit-equal the ENTIRE v1 corpus encoded under the index's own
+  // stored models (nothing lost, nothing duplicated, the delta encoded
+  // exactly like the base); (2) FROZEN MODELS — the stored centroids and
+  // codebooks must bit-equal a fresh deterministic train on the v0
+  // content (the append really did not retrain); (3) LAKE CONTENT — the
+  // lake's v1 equals the full embeddings table, so q168's search ran
+  // over the complete corpus.
+  val q168r = QuerySpec.refereeCheck("q168r_delta_append_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val (lake, idx) = CorpusQueries.appendIndexFixture(s, d)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val v0 = graft.connect.SnapshotStore.read(s, lake, 0)
+    val v1 = graft.connect.SnapshotStore.read(s, lake, 1)
+    val cb = graft.ops.IndexStore.loadCodebooks(s, idx)
+    val cents = graft.ops.IndexStore.loadCentroids(s, idx)
+    val expectedCodes = v1.select(col("vec_id").as("neighbor_id"),
+      graft.ops.Ivf.assignCell(col("embedding"), cents).as("cell"),
+      Pq.encode(col("embedding"), cb).as("codes"))
+    val actualCodes = graft.ops.IndexStore.codes(s, idx)
+      .select("neighbor_id", "cell", "codes")
+    val cbFresh = Pq.train(v0, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val centsFresh = graft.ops.Ivf.trainCentroids(v0, "vec_id", "embedding", 8, 2)
+    def cbDf(c: Pq.Codebooks): DataFrame =
+      (for (j <- 0 until c.m; k <- 0 until c.ksub)
+        yield (j, k, c.centroids(j)(k).toSeq)).toDF("j", "c", "cent")
+    def centDf(a: Array[Array[Float]]): DataFrame =
+      a.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid")
+    report(symDiff(expectedCodes, actualCodes) ++
+      symDiff(cbDf(cb), cbDf(cbFresh)) ++
+      symDiff(centDf(cents), centDf(centsFresh)) ++
+      Seq(v1.exceptAll(emb), emb.exceptAll(v1)))
+  }
+
   // ------------------------------------------------------ q154 referee
   // HLL distinct-token estimates (q154) pinned two ways: (1) MERGE
   // IDENTITY — the estimate from union-ing three per-delivery sketches
@@ -512,5 +549,5 @@ object RefereeQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r)
 }

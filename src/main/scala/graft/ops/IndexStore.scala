@@ -31,14 +31,21 @@ import org.apache.spark.sql.types.IntegerType
 object IndexStore {
 
   /** `source`: when the indexed corpus came from a [[graft.connect.SnapshotStore]]
-    * table, the (table path, committed version) the index was built from —
-    * the tie that makes staleness DETECTABLE: the lake keeps versioning
-    * after the build, and [[versionLag]]/[[searchIvfPq]]'s `maxVersionLag`
-    * compare the recorded version against the table's current latest.
-    * None for indexes built from plain frames (no drift tracking possible).
+    * table, the (table path, committed version) the index currently
+    * SERVES — the tie that makes staleness DETECTABLE: the lake keeps
+    * versioning after the build, and [[versionLag]]/[[searchIvfPq]]'s
+    * `maxVersionLag` compare the recorded version against the table's
+    * current latest. None for indexes built from plain frames (no drift
+    * tracking possible).
+    *
+    * `trainedVersion`: the snapshot the centroids/codebooks were TRAINED
+    * on. Equal to the served version after a build; [[appendDeltaIvfPq]]
+    * advances the served version under frozen models, so the gap
+    * `source.version - trainedVersion` is the model-drift exposure a
+    * maintenance policy budgets ([[syncIvfPq]]'s `maxTrainLag`).
     */
   final case class IvfPqMeta(dim: Int, m: Int, dsub: Int, nlist: Int,
-      source: Option[(String, Int)] = None)
+      source: Option[(String, Int)] = None, trainedVersion: Option[Int] = None)
 
   /** Train and persist an IVF-PQ index for `corpus`. Pass `source` when
     * the corpus is a snapshot-lake read so the built version is recorded
@@ -51,10 +58,13 @@ object IndexStore {
     import spark.implicits._
     val cb = Pq.train(corpus, idCol, vecCol, dim, m, ksub, iters)
     val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters)
-    Seq((dim, m, cb.dsub, nlist, source.map(_._1).orNull,
-        source.map(_._2).getOrElse(-1)))
-      .toDF("dim", "m", "dsub", "nlist", "source_table", "source_version")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // a rebuild restarts the delta chain: stale delta dirs must not
+    // survive to be re-included once the new meta's version passes them
+    deltaCodeDirs(spark, path).foreach { case (_, p) =>
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    writeMeta(spark, path,
+      IvfPqMeta(dim, m, cb.dsub, nlist, source, trainedVersion = source.map(_._2)))
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -72,6 +82,16 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
   }
 
+  private def writeMeta(spark: SparkSession, path: String, meta: IvfPqMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.dim, meta.m, meta.dsub, meta.nlist,
+        meta.source.map(_._1).orNull, meta.source.map(_._2).getOrElse(-1),
+        meta.trainedVersion.getOrElse(-1)))
+      .toDF("dim", "m", "dsub", "nlist", "source_table", "source_version",
+        "trained_version")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
   def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
     val df = spark.read.parquet(s"$path/meta")
     val r = df.head()
@@ -80,8 +100,40 @@ object IndexStore {
       if (!df.columns.contains("source_table")) None
       else Option(r.getAs[String]("source_table"))
         .map(t => (t, r.getAs[Int]("source_version")))
+    // pre-trained_version indexes were always built, never appended to
+    val trained =
+      if (!df.columns.contains("trained_version")) source.map(_._2)
+      else Some(r.getAs[Int]("trained_version")).filter(_ >= 0)
     IvfPqMeta(r.getAs[Int]("dim"), r.getAs[Int]("m"),
-      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"), source)
+      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"), source, trained)
+  }
+
+  /** The delta code dirs present on disk, as (version, path) — live or
+    * not (a crash can leave one ABOVE the meta version; [[codes]] filters
+    * to the committed prefix).
+    */
+  private def deltaCodeDirs(spark: SparkSession, path: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory &&
+          s.getPath.getName.startsWith("delta_codes_v") =>
+        (s.getPath.getName.stripPrefix("delta_codes_v").toInt, s.getPath)
+    }
+  }
+
+  /** The index's full codes table: the base build plus every COMMITTED
+    * delta append (delta dirs at or below the meta's served version — a
+    * half-landed append whose meta rewrite never happened is invisible,
+    * which is what makes [[appendDeltaIvfPq]] retry-safe).
+    */
+  def codes(spark: SparkSession, path: String): DataFrame = {
+    val served = loadMeta(spark, path).source.map(_._2).getOrElse(Int.MinValue)
+    val live = deltaCodeDirs(spark, path)
+      .filter(_._1 <= served).map(_._2.toString)
+    spark.read.parquet((s"$path/codes" +: live): _*)
   }
 
   /** How many snapshot versions the index's recorded source table has
@@ -122,6 +174,98 @@ object IndexStore {
     }
   }
 
+  /** Append-only incremental maintenance: advance a lake-tracked index
+    * to the source table's latest snapshot by encoding ONLY the rows the
+    * snapshot diff reports as inserted — under the FROZEN centroids and
+    * codebooks recorded at train time. No retrain, no rewrite of existing
+    * codes: the cost is delta-sized, which is how a billion-vector index
+    * tracks a growing corpus between (much rarer) full rebuilds.
+    * Assignment quality degrades only with distribution drift from the
+    * training snapshot; that exposure stays observable as
+    * `served version - trainedVersion` ([[IvfPqMeta]]), which
+    * [[syncIvfPq]] budgets.
+    *
+    * REFUSES a non-append-only advance (any 'delete' in the diff):
+    * removing or updating a vector requires rewriting its code file —
+    * that is [[buildOrRefreshIvfPq]]'s rebuild.
+    *
+    * Retry safety: the delta lands in `delta_codes_v<latest>` with
+    * overwrite semantics (a retry after a crash rewrites the same dir),
+    * and the meta rewrite that makes it visible to [[codes]] happens
+    * AFTER — so a half-landed delta is never served, and re-running the
+    * append converges. Single maintenance writer per path, like
+    * [[buildOrRefreshIvfPq]].
+    *
+    * Returns the snapshot version the index now serves.
+    */
+  def appendDeltaIvfPq(spark: SparkSession, table: String, path: String,
+      idCol: String, vecCol: String): Int = {
+    val meta = loadMeta(spark, path)
+    val (srcTable, recorded) = meta.source.getOrElse(throw new IllegalArgumentException(
+      s"appendDeltaIvfPq: index at $path is not lake-tracked"))
+    require(srcTable == table,
+      s"appendDeltaIvfPq: index tracks $srcTable, not $table")
+    val latest = graft.connect.SnapshotStore.latestVersion(spark, table)
+    if (latest == recorded) return recorded
+    require(latest > recorded,
+      s"appendDeltaIvfPq: served version $recorded is ahead of latest $latest")
+    val d = graft.connect.SnapshotStore.diff(spark, table, recorded, latest)
+      .localCheckpoint()
+    appendFromDiff(spark, table, path, idCol, vecCol, meta, d, latest)
+  }
+
+  private def appendFromDiff(spark: SparkSession, table: String, path: String,
+      idCol: String, vecCol: String, meta: IvfPqMeta, d: DataFrame,
+      latest: Int): Int = {
+    require(d.filter(col("change") === "delete").isEmpty,
+      s"appendDeltaIvfPq: advance to v$latest is not append-only " +
+        "(diff contains deletes/updates) — rebuild with buildOrRefreshIvfPq")
+    val cb = loadCodebooks(spark, path)
+    val centroids = loadCentroids(spark, path)
+    d.filter(col("change") === "insert")
+      .select(col(idCol).as("neighbor_id"),
+        Ivf.assignCell(col(vecCol), centroids).as("cell"),
+        Pq.encode(col(vecCol), cb).as("codes"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/delta_codes_v$latest")
+    writeMeta(spark, path, meta.copy(source = Some((table, latest))))
+    latest
+  }
+
+  /** Keep an EXISTING lake-tracked index serving its table's latest
+    * snapshot with the cheapest safe action: no-op when current; a
+    * frozen-model delta append when the advance is append-only and the
+    * models are at most `maxTrainLag` snapshots old; a full rebuild
+    * (retrain + re-encode, delta chain reset) otherwise. The index's own
+    * recorded dimensions/parameters drive the rebuild. Returns the
+    * version now served.
+    */
+  def syncIvfPq(spark: SparkSession, table: String, path: String,
+      idCol: String, vecCol: String, maxTrainLag: Int = Int.MaxValue,
+      ksub: Int = 16, iters: Int = 2): Int = {
+    val meta = loadMeta(spark, path)
+    val (srcTable, recorded) = meta.source.getOrElse(throw new IllegalArgumentException(
+      s"syncIvfPq: index at $path is not lake-tracked"))
+    require(srcTable == table, s"syncIvfPq: index tracks $srcTable, not $table")
+    val latest = graft.connect.SnapshotStore.latestVersion(spark, table)
+    if (latest == recorded) return recorded
+    val trained = meta.trainedVersion.getOrElse(recorded)
+    def rebuild(): Int = {
+      writeIvfPq(graft.connect.SnapshotStore.read(spark, table, latest),
+        idCol, vecCol, path, meta.dim, meta.m, ksub, meta.nlist, iters,
+        source = Some((table, latest)))
+      latest
+    }
+    if (latest - trained > maxTrainLag) rebuild()
+    else {
+      val d = graft.connect.SnapshotStore.diff(spark, table, recorded, latest)
+        .localCheckpoint()
+      if (d.filter(col("change") === "delete").isEmpty)
+        appendFromDiff(spark, table, path, idCol, vecCol, meta, d, latest)
+      else rebuild()
+    }
+  }
+
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(s"$path/centroids").collect()
       .sortBy(_.getAs[Int]("cell"))
@@ -155,7 +299,7 @@ object IndexStore {
         s"(maxVersionLag=$maxVersionLag) — refresh with buildOrRefreshIvfPq"))
     val cb = loadCodebooks(spark, path)
     val centroids = loadCentroids(spark, path)
-    val cells = spark.read.parquet(s"$path/codes")
+    val cells = codes(spark, path)
     val p = Ivf.probeCells(probes, idCol, vecCol, centroids, nprobe)
       .select(col("probe_id"), col("__c").as("cell"),
         Pq.lutCol(col("__pv"), cb).as("__lut"))

@@ -81,6 +81,98 @@ class IndexStoreSpec extends SparkSpec {
       k = 3, nprobe = 2, maxVersionLag = 0).count() > 0)
   }
 
+  test("appendDeltaIvfPq: frozen-model delta append serves the latest version") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_applake")
+    val dir = tmpDir("graft_idx_append")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" % 2 === 0))
+    assert(IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id",
+      "embedding", dim = 8, m = 4, ksub = 4, nlist = 4) == 0)
+    val metaV0 = IndexStore.loadMeta(spark, dir)
+    assert(metaV0.trainedVersion.contains(0))
+    val cb = IndexStore.loadCodebooks(spark, dir)
+    val cents = IndexStore.loadCentroids(spark, dir)
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 2 === 1))
+    assert(IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding") == 1)
+    // served version advanced, models stayed at the training snapshot
+    val meta = IndexStore.loadMeta(spark, dir)
+    assert(meta.source.contains((lake, 1)) && meta.trainedVersion.contains(0))
+    assert(IndexStore.versionLag(spark, dir).contains(0))
+    // models untouched: bit-identical to the pre-append load
+    val cb2 = IndexStore.loadCodebooks(spark, dir)
+    for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      assert(java.util.Arrays.equals(cb2.centroids(j)(c), cb.centroids(j)(c)))
+    // codes table == every v1 row encoded under the frozen models
+    val expected = emb.select(col("vec_id").as("neighbor_id"),
+      Ivf.assignCell(col("embedding"), cents).as("cell"),
+      Pq.encode(col("embedding"), cb).as("codes"))
+    val actual = IndexStore.codes(spark, dir)
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+    // strict-fence search serves, odd (appended) ids are reachable
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val res = IndexStore.searchIvfPq(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2, maxVersionLag = 0)
+    assert(res.filter($"neighbor_id" % 2 === 1).count() > 0)
+    // already current -> no-op
+    assert(IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding") == 1)
+  }
+
+  test("append retry safety: an uncommitted delta dir is invisible to codes/search") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_crashlake")
+    val dir = tmpDir("graft_idx_crash")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" < 30))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val before = IndexStore.codes(spark, dir).count()
+    // simulate a crash AFTER the delta write, BEFORE the meta rewrite: a
+    // delta dir above the served version with a sentinel row
+    IndexStore.codes(spark, dir).limit(1)
+      .withColumn("neighbor_id", lit(999999L))
+      .write.parquet(s"$dir/delta_codes_v7")
+    assert(IndexStore.codes(spark, dir).count() == before)
+    assert(IndexStore.codes(spark, dir).filter($"neighbor_id" === 999999L).isEmpty)
+    // a rebuild clears the stale chain so it can never resurface
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" >= 30))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    assert(!new java.io.File(s"$dir/delta_codes_v7").exists())
+  }
+
+  test("non-append-only advance refuses; syncIvfPq picks append vs rebuild") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_synclake")
+    val dir = tmpDir("graft_idx_sync")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" % 2 === 0))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 2 === 1))
+    // append-only advance within the train-lag budget -> delta append
+    assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
+      maxTrainLag = 1, ksub = 4) == 1)
+    assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(0))
+    // a delete makes the advance non-append-only: appendDelta refuses...
+    SnapshotStore.deleteWhere(spark, lake, col("vec_id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // ...and sync falls back to a rebuild: models retrain at latest and
+    // the deleted vector is gone from the codes table
+    assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
+      maxTrainLag = 100, ksub = 4) == 2)
+    val meta = IndexStore.loadMeta(spark, dir)
+    assert(meta.trainedVersion.contains(2))
+    assert(IndexStore.codes(spark, dir).filter($"neighbor_id" === 1L).isEmpty)
+    // train-lag budget 0 forces rebuild even for an append-only advance
+    SnapshotStore.append(spark, lake,
+      Seq((100L, Array.tabulate(8)(j => j.toFloat))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+    assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
+      maxTrainLag = 0, ksub = 4) == 3)
+    assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(3))
+  }
+
   test("loaded-index search is bit-identical to the inline IVF-PQ search") {
     val dir = tmpDir("graft_idx_search")
     IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
