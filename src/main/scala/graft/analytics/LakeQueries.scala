@@ -316,6 +316,63 @@ object LakeQueries {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** q169 fixture: a three-version lake exercising additive schema
+    * evolution — v0 create (doc_id % 3 == 0, narrow schema), v1
+    * appendEvolved (doc_id % 3 == 1, + a `quality` DOUBLE column), v2
+    * plain append (doc_id % 3 == 2, full evolved schema — proving
+    * post-evolution appends carry the column). quality = n_chars / 64.0
+    * is a single IEEE division, bit-portable for the oracle replay.
+    */
+  private val evolveLock = new Object
+  private[analytics] def evolveFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q169_" +
+      contentFingerprint(d, "documents.parquet")
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) evolveLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipe(dir)
+        val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        val q = (col("n_chars").cast("double") / 64.0).as("quality")
+        SnapshotStore.commit(s, dir,
+          docs.filter(col("doc_id") % 3 === 0).repartition(4, col("doc_id")),
+          statsCols = Seq("doc_id"))
+        SnapshotStore.appendEvolved(s, dir,
+          docs.filter(col("doc_id") % 3 === 1).withColumn("quality", q)
+            .repartition(4, col("doc_id")))
+        // the evolved schema is now the table schema: plain append takes it
+        SnapshotStore.append(s, dir,
+          docs.filter(col("doc_id") % 3 === 2).withColumn("quality", q)
+            .repartition(4, col("doc_id")))
+        // time travel must keep v0's pre-evolution schema
+        require(SnapshotStore.read(s, dir, 0).schema.fieldNames.toSeq ==
+          Seq("doc_id", "source", "n_chars"),
+          "v0 must keep its recorded narrow schema")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  // --------------------------------------------------------------- q169
+  // Additive schema evolution (SnapshotStore.appendEvolved — the
+  // mergeSchema append of transactional table formats): pre-evolution
+  // rows surface with NULL in the widened column, evolution-batch and
+  // post-evolution rows carry values, and no old file was rewritten (v1
+  // carries v0's files by reference — the manifest union is the same
+  // append path q150 pins). The oracle states each version slice's
+  // contribution directly over `documents`.
+  val q169 = QuerySpec.sql(
+    "q169_schema_evolution",
+    """SELECT doc_id, source, n_chars, CAST(NULL AS DOUBLE) AS quality
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, source, n_chars, CAST(n_chars AS DOUBLE) / 64.0
+      |FROM documents WHERE doc_id % 3 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val table = evolveFixture(s, d)
+    SnapshotStore.read(s, table).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q150, q151, q152, q153, q154, q155, q156, q157,
-    q158)
+    q158, q169)
 }

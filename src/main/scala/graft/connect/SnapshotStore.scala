@@ -266,6 +266,49 @@ object SnapshotStore {
     v
   }
 
+  /** Additive schema evolution on append (the `mergeSchema` append of
+    * transactional table formats): every EXISTING table column must be
+    * present with its exact type; NEW columns are allowed and become
+    * nullable fields appended to the table schema. Old files are never
+    * touched — [[read]] applies the snapshot schema and the parquet
+    * reader null-fills columns a file lacks, so pre-evolution rows
+    * surface with NULLs in the new columns. Renames, drops and type
+    * changes still refuse exactly like [[append]]: those silently
+    * corrupt; evolution only widens. Readers pinned to an older version
+    * keep the schema their snapshot recorded (time travel is
+    * schema-versioned for free).
+    */
+  def appendEvolved(spark: SparkSession, table: String, df: DataFrame,
+      txn: Option[(String, Long)] = None): Int = {
+    txn.foreach { case (a, _) =>
+      require(!a.contains(":") && !a.contains("\n"), s"bad txn app id '$a'") }
+    val parent = latestVersion(spark, table)
+    require(parent >= 0, s"appendEvolved to nonexistent table $table")
+    val snap = snapshot(spark, table, parent)
+    val missing = snap.schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"appendEvolved is additive-only: frame lacks table columns " +
+        s"${missing.mkString(",")} at $table")
+    snap.schema.fields.foreach { f =>
+      val in = df.schema(f.name).dataType
+      require(in == f.dataType,
+        s"appendEvolved column ${f.name} has type $in, table expects ${f.dataType}")
+    }
+    val existing = snap.schema.fieldNames.toSet
+    val newFields = df.schema.fields.filterNot(f => existing.contains(f.name))
+      .map(_.copy(nullable = true))
+    val evolved = StructType(snap.schema.fields ++ newFields)
+    val aligned = df.select(evolved.fieldNames.map(col): _*)
+    val rows = writeDataFiles(spark, table, aligned, snap.statsCols)
+    val mName = writeManifest(spark, table,
+      spark.read.parquet(snap.manifestDir).unionByName(rows))
+    val v = parent + 1
+    require(commitPointer(spark, table, v, mName, parent,
+      if (newFields.isEmpty) "append" else "evolve", evolved, snap.statsCols, txn),
+      s"concurrent commit won v$v at $table — re-resolve and retry")
+    v
+  }
+
   /** Highest batch id committed for `appId`, scanning pointers newest →
     * oldest (tiny driver-side files; a long-lived writer app's latest
     * txn is almost always the latest few versions — a production

@@ -217,6 +217,50 @@ class SnapshotStoreSpec extends SparkSpec {
       .head().getString(1) == "x text")
   }
 
+  test("appendEvolved widens the schema additively; old rows null-fill; time travel keeps old schema") {
+    val t = mkTable("snap-evolve")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    // additive append: existing columns + a new nullable one
+    val v1 = SnapshotStore.appendEvolved(spark, t,
+      Seq((100L, "new row", 9L, 0.75)).toDF("id", "text", "grp", "quality"))
+    assert(v1 == 1)
+    val latest = SnapshotStore.read(spark, t)
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "text", "grp", "quality"))
+    assert(latest.schema("quality").nullable)
+    // pre-evolution rows surface with NULL in the new column
+    assert(latest.filter($"quality".isNull).count() == 10)
+    assert(latest.filter($"id" === 100L).head().getDouble(3) == 0.75)
+    // time travel: v0 keeps its recorded (pre-evolution) schema
+    assert(SnapshotStore.read(spark, t, 0).schema.fieldNames.toSeq ==
+      Seq("id", "text", "grp"))
+    // history names the operation
+    assert(SnapshotStore.history(spark, t).filter($"version" === 1)
+      .head().getAs[String]("operation") == "evolve")
+    // plain append must now carry the evolved schema...
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, t, Seq((101L, "x", 1L)).toDF("id", "text", "grp"))
+    }
+    SnapshotStore.append(spark, t,
+      Seq((101L, "x", 1L, 0.5)).toDF("id", "text", "grp", "quality"))
+    // ...and evolution still refuses drops and type changes
+    intercept[IllegalArgumentException] {
+      SnapshotStore.appendEvolved(spark, t, Seq((102L, "y")).toDF("id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.appendEvolved(spark, t,
+        Seq(("102", "y", 1L, 0.1)).toDF("id", "text", "grp", "quality"))
+    }
+    // diff across the evolution reads under the evolved schema
+    val d = SnapshotStore.diff(spark, t, 0, 1)
+    assert(d.filter($"change" === "insert").count() == 1)
+    assert(d.filter($"change" === "delete").isEmpty)
+    // a same-schema frame through appendEvolved degrades to a plain append
+    val v3 = SnapshotStore.appendEvolved(spark, t,
+      Seq((103L, "z", 2L, 0.25)).toDF("id", "text", "grp", "quality"))
+    assert(SnapshotStore.history(spark, t).filter($"version" === v3)
+      .head().getAs[String]("operation") == "append")
+  }
+
   test("merge prunes candidate files by intersecting per-key stats ranges") {
     val t = mkTable("snap-merge-multikey")
     // 4 range-partitioned files: id [0,24][25,49][50,74][75,99], each a
