@@ -743,23 +743,17 @@ object CurationQueries {
       |tb AS (SELECT doc_id, $duckToks95 AS toks FROM bench),
       |bs AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb),
       |cont AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sh)),
-      |e3s AS (SELECT * FROM e2c WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-      |t3 AS (SELECT doc_id, source, text, $duckToks95 AS toks FROM e3s),
-      |m3 AS (SELECT doc_id, source, text, len(toks) AS n_toks,
-      |  CAST(len(list_filter(toks, x -> list_contains($duckStops95, x))) AS DOUBLE) AS n_stop FROM t3),
-      |r3 AS (SELECT doc_id, source,
-      |  round((least(n_toks / 64.0, 1.0) * 0.4
-      |    + (1.0 - abs((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) - 0.4)) * 0.4
-      |    + (1.0 - least((CASE WHEN length(text) > 0
-      |        THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text)
-      |        ELSE 0.0 END) * 4.0, 1.0)) * 0.2), 6) AS score
-      |  FROM m3),
-      |w3 AS (SELECT doc_id, source, score,
-      |  NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tile FROM r3),
-      |k3 AS (SELECT * FROM w3 WHERE tile <= 7)""".stripMargin
+      |e3s AS (SELECT * FROM e2c WHERE doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+  // Full-chain CTEs ending at the pruned set `k3` — prefix + the shared
+  // quality tail (concatenation byte-identical to the pre-split single
+  // builder, so q114's oracle string is unchanged); q170 inserts the LM
+  // stage between them.
+  private def q114AllCtes =
+    s"""$q114StagesCtes,
+      |${q95QualityCtes("e3s")}""".stripMargin
   val q114 = QuerySpec.sql(
     "q114_curation_funnel_full",
-    s"""$q114StagesCtes,
+    s"""$q114AllCtes,
       |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
       |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e1b GROUP BY source),
       |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2c GROUP BY source),
@@ -780,6 +774,57 @@ object CurationQueries {
       docs.filter(pmod(col("doc_id"), lit(97)) === 0),
       "doc_id", "text", "source",
       substrK = Some(25), containment = Some(0.8))
+      .orderBy("source")
+  }
+
+  // --------------------------------------------------------------- q170
+  // The widest oracle-gated composition in the suite: q114's
+  // fully-enabled chain (substring-span strip 1b + containment drop 2b)
+  // PLUS the reference-LM filter stage 3b — every opt-in text stage of
+  // curateCorpus on at once, each already pinned standalone (q101, q107,
+  // q165) and in partial composition (q114, q166); this query pins the
+  // full stack. The oracle is q114's prefix CTEs through e3s, the q165
+  // LM replay over those survivors (model trained on the raw corpus's
+  // English slice — the trusted reference, not the pipeline's own
+  // output), the NTILE(3) head-2 cut, and the shared quality tail over
+  // the LM-kept set; the funnel's n_lm_kept column documents the stage.
+  val q170 = QuerySpec.sql(
+    "q170_curation_funnel_full_lm",
+    s"""$q114StagesCtes,
+      |lmref AS (SELECT text FROM corpus WHERE lang = 'en'),
+      |${duckLmCtes("lmref", "e3s")},
+      |lmw AS (SELECT lmavg.doc_id,
+      |  NTILE(3) OVER (PARTITION BY e.source
+      |    ORDER BY lmavg.lm_avg DESC, lmavg.doc_id) AS lm_tile
+      |  FROM lmavg JOIN e3s e USING (doc_id)),
+      |lmk AS (SELECT e3s.* FROM e3s JOIN lmw USING (doc_id)
+      |  WHERE lmw.lm_tile <= 2),
+      |${q95QualityCtes("lmk")},
+      |ic AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM corpus GROUP BY source),
+      |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e1b GROUP BY source),
+      |nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e2c GROUP BY source),
+      |cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e3s GROUP BY source),
+      |lc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM lmk GROUP BY source),
+      |fc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k3 GROUP BY source)
+      |SELECT ic.source, ic.n_in,
+      |  ic.n_in AS n_rules_kept,
+      |  COALESCE(ec.n, 0) AS n_exact_kept,
+      |  COALESCE(nc.n, 0) AS n_neardup_kept,
+      |  COALESCE(cc.n, 0) AS n_decontam_kept,
+      |  COALESCE(lc.n, 0) AS n_lm_kept,
+      |  COALESCE(fc.n, 0) AS n_final
+      |FROM ic LEFT JOIN ec USING (source) LEFT JOIN nc USING (source)
+      |LEFT JOIN cc USING (source) LEFT JOIN lc USING (source)
+      |LEFT JOIN fc USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    Curation.curationFunnel(
+      corpus,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      substrK = Some(25), containment = Some(0.8),
+      lmFilter = Some((corpus.filter(col("lang") === "en"), 3, 2)))
       .orderBy("source")
   }
 
@@ -1101,5 +1146,5 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166)
+    q131, q144, q145, q165, q166, q170)
 }
