@@ -87,16 +87,21 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the line verbatim (round-3 lesson: the driver captures a
+    // Persist the line verbatim (round-3 lesson: the driver captures a
     // bounded stdout tail, and a clipped line cannot be re-parsed later —
     // cross-round per-query comparisons need the full artifact on disk).
+    // BENCH_FULL.json is the artifact of record for cross-round diffs.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
       line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // Print the metric line LAST — after spark.stop(), so no Spark
+    // shutdown chatter can land below it on stdout: seven rounds of the
+    // driver scraping a truncated tail parsed to null (VERDICT r7 #2).
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 
   /** ETL-parity timing: the reference's one published number is a 9-table

@@ -20,8 +20,25 @@ final case class QuerySpec(
     referee: Boolean = false)
 
 object QuerySpec {
+
+  /** Force-materialize every named CTE in a DuckDB oracle. DuckDB 1.0
+    * INLINES CTEs by default, so a CTE referenced n times is evaluated n
+    * times — and the funnel oracles reference their expensive stage CTEs
+    * (quadratic candidate self-joins, recursive closures) five-plus times
+    * each: r7's q170 oracle cost 245 s of pure DuckDB at sf0.01, vs ~8 s
+    * materialized, and the duplicated evaluation nearly starved the
+    * driver's gate budget (CORRECTNESS_r07.json came back empty). The
+    * hint is purely an evaluation-strategy pragma — results are
+    * identical; an r8 sweep replayed all 169 oracles both ways and every
+    * frame matched bit-for-bit. Recursive CTE headers (`reach(id, r) AS
+    * (`) are skipped by construction: the char before ` AS (` is `)`,
+    * not a word character.
+    */
+  private[graft] def materializeCtes(sql: String): String =
+    """(\w+) AS \(""".r.replaceAllIn(sql, "$1 AS MATERIALIZED (")
+
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
-    QuerySpec(name, fn, Some(oracle))
+    QuerySpec(name, fn, Some(materializeCtes(oracle)))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
   /** In-gate referee: output is a single `status` column that is exactly

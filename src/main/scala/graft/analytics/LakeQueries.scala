@@ -42,12 +42,14 @@ object LakeQueries {
     val sig =
       if (!java.nio.file.Files.exists(p)) "absent"
       else if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.toSeq
-          .filter(f => java.nio.file.Files.isRegularFile(f))
-          .sortBy(_.getFileName.toString)
-          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-          .mkString("|")
+        scala.util.Using.resource(java.nio.file.Files.list(p)) { stream =>
+          stream.iterator().asScala.toSeq
+            .filter(f => java.nio.file.Files.isRegularFile(f))
+            .sortBy(_.getFileName.toString)
+            .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+            .mkString("|")
+        }
       else s"${java.nio.file.Files.size(p)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
     Integer.toHexString((d + "#" + sig).hashCode)

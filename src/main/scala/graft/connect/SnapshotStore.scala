@@ -334,8 +334,12 @@ object SnapshotStore {
 
   private def parseTxnLines(bytes: Array[Byte]): Map[String, Long] =
     new String(bytes, StandardCharsets.UTF_8).linesIterator
-      .filter(_.contains(':')).map { l =>
-        val i = l.lastIndexOf(':'); l.take(i) -> l.drop(i + 1).toLong
+      .filter(_.contains(':')).flatMap { l =>
+        // a torn/corrupt line (crash mid-write) must not poison the whole
+        // sidecar — skip it; the per-app max over live pointers and other
+        // tmp files masks an understated value
+        val i = l.lastIndexOf(':')
+        scala.util.Try(l.drop(i + 1).trim.toLong).toOption.map(l.take(i) -> _)
       }.toMap
 
   /** Per-app txn high-water marks preserved across [[vacuum]]. Reads the
@@ -695,6 +699,22 @@ object SnapshotStore {
     val referenced = kept.flatMap(s =>
         filePaths(spark, spark.read.parquet(s.manifestDir))).toSet
     val keptManifests = kept.map(_.manifestDir.split('/').last).toSet
+    // dropped pointers may carry txn watermarks — fold their per-app max
+    // into the sidecar FIRST, so exactly-once appendIdempotent still
+    // recognizes replayed batches whose pointer is gone
+    val droppedTxns = committedVersions(spark, table).filter(_ < keepFrom)
+      .flatMap(v => snapshot(spark, table, v).txn)
+      .groupBy(_._1).map { case (a, bs) => a -> bs.map(_._2).max }
+    mergeTxnWatermarks(fs, table, droppedTxns)
+    // drop the old pointers BEFORE any physical deletion (data files or
+    // manifests): a crash mid-vacuum then leaves only unreferenced garbage
+    // (cleaned by a rerun), never a surviving pointer whose manifest or
+    // data is gone — history() and read(v) stay resolvable for every
+    // version a listing can return
+    (0 until keepFrom).foreach { v =>
+      val p = pointerPath(table, v)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
     var deleted = 0
     val dataRoot = new Path(s"$table/data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { commitDir =>
@@ -717,17 +737,6 @@ object SnapshotStore {
     if (fs.exists(manifestRoot)) fs.listStatus(manifestRoot).foreach { mDir =>
       if (!keptManifests.contains(mDir.getPath.getName) &&
           !retained(mDir.getModificationTime)) fs.delete(mDir.getPath, true)
-    }
-    // dropped pointers may carry txn watermarks — fold their per-app max
-    // into the sidecar FIRST, so exactly-once appendIdempotent still
-    // recognizes replayed batches whose pointer is gone
-    val droppedTxns = committedVersions(spark, table).filter(_ < keepFrom)
-      .flatMap(v => snapshot(spark, table, v).txn)
-      .groupBy(_._1).map { case (a, bs) => a -> bs.map(_._2).max }
-    mergeTxnWatermarks(fs, table, droppedTxns)
-    (0 until keepFrom).foreach { v =>
-      val p = pointerPath(table, v)
-      if (fs.exists(p)) fs.delete(p, false)
     }
     deleted
   }

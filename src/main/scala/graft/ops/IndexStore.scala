@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.util.UUID
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -12,12 +14,23 @@ import org.apache.spark.sql.types.IntegerType
   * as a parquet layout and searches FROM the store, with no access to
   * the original vectors:
   *
-  *   path/meta/        1 row: (dim, m, dsub, nlist)
-  *   path/centroids/   nlist rows: (cell, centroid float[])   — KBs
-  *   path/codebooks/   m*ksub rows: (j, c, cent float[])      — KBs
-  *   path/codes/       1 row/vector: (neighbor_id, cell, codes byte-ish)
-  *                     hive-free parquet, repartitioned BY CELL so a
-  *                     search's nprobe cell-join prunes row groups
+  *   path/meta/                1 row: (dim, m, dsub, nlist, ksub, iters,
+  *                             source, versions, gen, base_version)
+  *   path/centroids_<gen>/     nlist rows: (cell, centroid float[]) — KBs
+  *   path/codebooks_<gen>/     m*ksub rows: (j, c, cent float[])    — KBs
+  *   path/codes_<gen>/         1 row/vector: (neighbor_id, cell, codes)
+  *                             hive-free parquet, repartitioned BY CELL so
+  *                             a search's nprobe cell-join prunes row groups
+  *   path/delta_codes_v<N>/    frozen-model append for snapshot version N
+  *
+  * Publication protocol: every rebuild/compaction writes its artifacts
+  * into FRESH generation dirs first and commits by rewriting `meta` LAST
+  * — the meta is the only pointer readers follow, so a crash mid-rebuild
+  * leaves the previous generation fully served and the half-written one
+  * as invisible garbage (cleaned up by the next successful commit). The
+  * residual window is the tiny meta parquet overwrite itself; single
+  * maintenance writer per path, like the snapshot lake's pointer commit
+  * one level up.
   *
   * Scale split: metadata (centroids + codebooks) is a few KB by
   * construction — it collects to the driver at load and broadcasts with
@@ -43,9 +56,25 @@ object IndexStore {
     * advances the served version under frozen models, so the gap
     * `source.version - trainedVersion` is the model-drift exposure a
     * maintenance policy budgets ([[syncIvfPq]]'s `maxTrainLag`).
+    *
+    * `ksub`/`iters` are the TRAINING parameters, persisted so rebuilds
+    * ([[syncIvfPq]]) retrain with the codebook size the index was built
+    * with instead of whatever a caller's default happens to be.
+    *
+    * `gen` names the artifact generation the meta points at ("" for
+    * pre-generational layouts: plain `centroids`/`codebooks`/`codes`
+    * dirs). `baseVersion`: delta dirs at or below it are FOLDED INTO the
+    * codes table (by the build itself or a [[compactIvfPq]]) — [[codes]]
+    * reads only deltas in (baseVersion, served].
     */
   final case class IvfPqMeta(dim: Int, m: Int, dsub: Int, nlist: Int,
-      source: Option[(String, Int)] = None, trainedVersion: Option[Int] = None)
+      ksub: Int = 16, iters: Int = 2,
+      source: Option[(String, Int)] = None, trainedVersion: Option[Int] = None,
+      gen: String = "", baseVersion: Int = Int.MinValue)
+
+  private def newGen(): String = s"g${UUID.randomUUID().toString.take(8)}"
+  private def genDir(path: String, name: String, gen: String): String =
+    if (gen.isEmpty) s"$path/$name" else s"$path/${name}_$gen"
 
   /** Train and persist an IVF-PQ index for `corpus`. Pass `source` when
     * the corpus is a snapshot-lake read so the built version is recorded
@@ -58,43 +87,75 @@ object IndexStore {
     import spark.implicits._
     val cb = Pq.train(corpus, idCol, vecCol, dim, m, ksub, iters)
     val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nlist, iters)
-    // a rebuild restarts the delta chain: stale delta dirs must not
-    // survive to be re-included once the new meta's version passes them
-    deltaCodeDirs(spark, path).foreach { case (_, p) =>
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    writeMeta(spark, path,
-      IvfPqMeta(dim, m, cb.dsub, nlist, source, trainedVersion = source.map(_._2)))
+    // stage everything into a fresh generation; the meta rewrite below is
+    // the commit (advisor r7: meta must never point at unwritten artifacts)
+    val gen = newGen()
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .select(col("cell").cast(IntegerType), col("centroid").cast("array<float>"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(genDir(path, "centroids", gen))
     (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
       yield (j, c, cb.centroids(j)(c).toSeq)).toDF("j", "c", "cent")
       .select(col("j").cast(IntegerType), col("c").cast(IntegerType),
         col("cent").cast("array<float>"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(genDir(path, "codebooks", gen))
     corpus.select(col(idCol).as("neighbor_id"),
         Ivf.assignCell(col(vecCol), centroids).as("cell"),
         Pq.encode(col(vecCol), cb).as("codes"))
       .repartition(col("cell"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+      .write.mode(SaveMode.Overwrite).parquet(genDir(path, "codes", gen))
+    // the commit: baseVersion = built version makes any surviving older
+    // delta dir invisible to codes() even before cleanup removes it
+    writeMeta(spark, path,
+      IvfPqMeta(dim, m, cb.dsub, nlist, ksub, iters, source,
+        trainedVersion = source.map(_._2), gen = gen,
+        baseVersion = source.map(_._2).getOrElse(Int.MinValue)))
+    cleanupStale(spark, path, gen, dropDeltasUpTo = Int.MaxValue)
+  }
+
+  /** Best-effort post-commit cleanup: generation dirs other than
+    * `keepGen`, and delta dirs at or below `dropDeltasUpTo`. Everything
+    * deleted here is already invisible to readers (the meta no longer
+    * references it), so a crash mid-cleanup just leaves garbage for the
+    * next commit's cleanup.
+    */
+  private def cleanupStale(spark: SparkSession, path: String, keepGen: String,
+      dropDeltasUpTo: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val genNames = Seq("centroids", "codebooks", "codes")
+      .map(n => n -> genDir(path, n, keepGen).split('/').last).toMap
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val staleGen = s.isDirectory && genNames.exists { case (base, keep) =>
+        (n == base || n.startsWith(s"${base}_g")) && n != keep
+      }
+      val staleDelta = s.isDirectory && n.startsWith("delta_codes_v") &&
+        scala.util.Try(n.stripPrefix("delta_codes_v").toInt).toOption
+          .exists(_ <= dropDeltasUpTo)
+      if (staleGen || staleDelta) fs.delete(s.getPath, true)
+    }
   }
 
   private def writeMeta(spark: SparkSession, path: String, meta: IvfPqMeta): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.m, meta.dsub, meta.nlist,
+    Seq((meta.dim, meta.m, meta.dsub, meta.nlist, meta.ksub, meta.iters,
         meta.source.map(_._1).orNull, meta.source.map(_._2).getOrElse(-1),
-        meta.trainedVersion.getOrElse(-1)))
-      .toDF("dim", "m", "dsub", "nlist", "source_table", "source_version",
-        "trained_version")
+        meta.trainedVersion.getOrElse(-1), meta.gen, meta.baseVersion))
+      .toDF("dim", "m", "dsub", "nlist", "ksub", "iters",
+        "source_table", "source_version", "trained_version", "gen", "base_version")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
   def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
     val df = spark.read.parquet(s"$path/meta")
     val r = df.head()
+    def intOr(c: String, d: Int) =
+      if (df.columns.contains(c)) r.getAs[Int](c) else d
     // indexes written before source tracking lack the columns — treat as untracked
     val source =
       if (!df.columns.contains("source_table")) None
@@ -105,12 +166,17 @@ object IndexStore {
       if (!df.columns.contains("trained_version")) source.map(_._2)
       else Some(r.getAs[Int]("trained_version")).filter(_ >= 0)
     IvfPqMeta(r.getAs[Int]("dim"), r.getAs[Int]("m"),
-      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"), source, trained)
+      r.getAs[Int]("dsub"), r.getAs[Int]("nlist"),
+      // pre-persistence indexes were only ever written with the defaults
+      ksub = intOr("ksub", 16), iters = intOr("iters", 2),
+      source = source, trainedVersion = trained,
+      gen = if (df.columns.contains("gen")) r.getAs[String]("gen") else "",
+      baseVersion = intOr("base_version", Int.MinValue))
   }
 
   /** The delta code dirs present on disk, as (version, path) — live or
     * not (a crash can leave one ABOVE the meta version; [[codes]] filters
-    * to the committed prefix).
+    * to the committed window).
     */
   private def deltaCodeDirs(spark: SparkSession, path: String)
       : Seq[(Int, org.apache.hadoop.fs.Path)] = {
@@ -124,17 +190,36 @@ object IndexStore {
     }
   }
 
-  /** The index's full codes table: the base build plus every COMMITTED
-    * delta append (delta dirs at or below the meta's served version — a
-    * half-landed append whose meta rewrite never happened is invisible,
-    * which is what makes [[appendDeltaIvfPq]] retry-safe).
+  /** The live delta window for `meta`: committed appends not yet folded
+    * into the codes table — versions in (baseVersion, served].
+    */
+  private def liveDeltas(spark: SparkSession, path: String, meta: IvfPqMeta)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val served = meta.source.map(_._2).getOrElse(Int.MinValue)
+    deltaCodeDirs(spark, path)
+      .filter { case (v, _) => v > meta.baseVersion && v <= served }
+      .sortBy(_._1)
+  }
+
+  /** The index's full codes table: the base build plus every COMMITTED,
+    * not-yet-compacted delta append (delta dirs inside the meta's
+    * (baseVersion, served] window — a half-landed append whose meta
+    * rewrite never happened is invisible, which is what makes
+    * [[appendDeltaIvfPq]] retry-safe, and a compacted delta is excluded
+    * even before its dir is cleaned up).
     */
   def codes(spark: SparkSession, path: String): DataFrame = {
-    val served = loadMeta(spark, path).source.map(_._2).getOrElse(Int.MinValue)
-    val live = deltaCodeDirs(spark, path)
-      .filter(_._1 <= served).map(_._2.toString)
-    spark.read.parquet((s"$path/codes" +: live): _*)
+    val meta = loadMeta(spark, path)
+    val live = liveDeltas(spark, path, meta).map(_._2.toString)
+    spark.read.parquet((genDir(path, "codes", meta.gen) +: live): _*)
   }
+
+  /** Number of delta dirs a read of [[codes]] currently unions on top of
+    * the base codes table — the chain length [[syncIvfPq]]'s
+    * `maxDeltaChain` budgets.
+    */
+  def deltaChainLength(spark: SparkSession, path: String): Int =
+    liveDeltas(spark, path, loadMeta(spark, path)).size
 
   /** How many snapshot versions the index's recorded source table has
     * advanced since the build; None when the index is untracked.
@@ -146,26 +231,30 @@ object IndexStore {
 
   /** Build the IVF-PQ index from snapshot table `table`'s LATEST version
     * — or reuse the stored index when it exists, was built from the same
-    * table, and lags at most `maxVersionLag` versions behind. Returns
+    * table WITH THE SAME PARAMETERS (dim/m/ksub/nlist/iters — a
+    * parameter change must retrain, never silently serve the old
+    * models), and lags at most `maxVersionLag` versions behind. Returns
     * the snapshot version the index now serves. This is the
     * build-once/search-many contract with drift handled: callers search
     * with the returned version pinned, and a corpus that advanced past
     * the lag budget triggers exactly one rebuild, not a stale answer.
     *
-    * The rewrite overwrites `path` in place — publication is
-    * whole-directory, so run refreshes from the single maintenance
-    * writer that owns the path (a production deployment would stage to a
-    * new path and swap a pointer, exactly the [[graft.connect.SnapshotStore]]
-    * commit idea one level up).
+    * Rebuilds stage into a fresh generation and commit via the meta
+    * rewrite, so readers never observe a half-built index; run refreshes
+    * from the single maintenance writer that owns the path.
     */
   def buildOrRefreshIvfPq(spark: SparkSession, table: String, path: String,
       idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int = 16,
       nlist: Int = 16, iters: Int = 2, maxVersionLag: Int = 0): Int = {
     val latest = graft.connect.SnapshotStore.latestVersion(spark, table)
     require(latest >= 0, s"buildOrRefreshIvfPq: no committed snapshot at $table")
-    val current = scala.util.Try(loadMeta(spark, path)).toOption.flatMap(_.source)
+    val current = scala.util.Try(loadMeta(spark, path)).toOption
     current match {
-      case Some((t, v)) if t == table && latest - v <= maxVersionLag => v
+      case Some(meta) if meta.source.exists { case (t, v) =>
+            t == table && latest - v <= maxVersionLag } &&
+          meta.dim == dim && meta.m == m && meta.ksub == ksub &&
+          meta.nlist == nlist && meta.iters == iters =>
+        meta.source.get._2
       case _ =>
         writeIvfPq(graft.connect.SnapshotStore.read(spark, table, latest),
           idCol, vecCol, path, dim, m, ksub, nlist, iters,
@@ -232,17 +321,52 @@ object IndexStore {
     latest
   }
 
+  /** Fold the live delta chain into the base codes table WITHOUT
+    * retraining: [[appendDeltaIvfPq]] accumulates one `delta_codes_v<N>`
+    * dir per append, and every search unions the whole chain — a
+    * daily-append index would otherwise read base + N deltas forever.
+    * Compaction rewrites base ∪ deltas, cell-partitioned, into a fresh
+    * generation under the UNCHANGED frozen models (cell assignments and
+    * codes are already computed — this is a pure re-layout, so the served
+    * rows are bit-identical) and commits by meta rewrite with
+    * `baseVersion` advanced to the served version; the now-folded delta
+    * dirs become invisible at commit and are cleaned up afterwards.
+    * Returns the number of delta dirs folded (0 = nothing to do).
+    */
+  def compactIvfPq(spark: SparkSession, path: String): Int = {
+    val meta = loadMeta(spark, path)
+    val live = liveDeltas(spark, path, meta)
+    if (live.isEmpty) return 0
+    val served = meta.source.map(_._2).getOrElse(Int.MinValue)
+    val gen = newGen()
+    spark.read.parquet((genDir(path, "codes", meta.gen) +:
+        live.map(_._2.toString)): _*)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(genDir(path, "codes", gen))
+    // models are KB-sized and unchanged — carry them into the new
+    // generation so one gen name covers all three artifacts
+    spark.read.parquet(genDir(path, "centroids", meta.gen)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(genDir(path, "centroids", gen))
+    spark.read.parquet(genDir(path, "codebooks", meta.gen)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(genDir(path, "codebooks", gen))
+    writeMeta(spark, path, meta.copy(gen = gen, baseVersion = served))
+    cleanupStale(spark, path, gen, dropDeltasUpTo = served)
+    live.size
+  }
+
   /** Keep an EXISTING lake-tracked index serving its table's latest
     * snapshot with the cheapest safe action: no-op when current; a
     * frozen-model delta append when the advance is append-only and the
     * models are at most `maxTrainLag` snapshots old; a full rebuild
-    * (retrain + re-encode, delta chain reset) otherwise. The index's own
-    * recorded dimensions/parameters drive the rebuild. Returns the
-    * version now served.
+    * (retrain + re-encode with the index's own RECORDED parameters,
+    * delta chain reset) otherwise. After an append, a delta chain longer
+    * than `maxDeltaChain` is folded into the base codes table
+    * ([[compactIvfPq]] — no retrain), so chain length stays bounded for
+    * a perpetually-appending corpus. Returns the version now served.
     */
   def syncIvfPq(spark: SparkSession, table: String, path: String,
       idCol: String, vecCol: String, maxTrainLag: Int = Int.MaxValue,
-      ksub: Int = 16, iters: Int = 2): Int = {
+      maxDeltaChain: Int = 16): Int = {
     val meta = loadMeta(spark, path)
     val (srcTable, recorded) = meta.source.getOrElse(throw new IllegalArgumentException(
       s"syncIvfPq: index at $path is not lake-tracked"))
@@ -252,28 +376,31 @@ object IndexStore {
     val trained = meta.trainedVersion.getOrElse(recorded)
     def rebuild(): Int = {
       writeIvfPq(graft.connect.SnapshotStore.read(spark, table, latest),
-        idCol, vecCol, path, meta.dim, meta.m, ksub, meta.nlist, iters,
-        source = Some((table, latest)))
+        idCol, vecCol, path, meta.dim, meta.m, meta.ksub, meta.nlist,
+        meta.iters, source = Some((table, latest)))
       latest
     }
     if (latest - trained > maxTrainLag) rebuild()
     else {
       val d = graft.connect.SnapshotStore.diff(spark, table, recorded, latest)
         .localCheckpoint()
-      if (d.filter(col("change") === "delete").isEmpty)
-        appendFromDiff(spark, table, path, idCol, vecCol, meta, d, latest)
-      else rebuild()
+      if (d.filter(col("change") === "delete").isEmpty) {
+        val v = appendFromDiff(spark, table, path, idCol, vecCol, meta, d, latest)
+        if (deltaChainLength(spark, path) > maxDeltaChain) compactIvfPq(spark, path)
+        v
+      } else rebuild()
     }
   }
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/centroids").collect()
+    spark.read.parquet(genDir(path, "centroids", loadMeta(spark, path).gen))
+      .collect()
       .sortBy(_.getAs[Int]("cell"))
       .map(_.getSeq[Float](1).toArray)
 
   def loadCodebooks(spark: SparkSession, path: String): Pq.Codebooks = {
     val meta = loadMeta(spark, path)
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    val rows = spark.read.parquet(genDir(path, "codebooks", meta.gen)).collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"), r.getSeq[Float](2).toArray))
     val ksub = rows.map(_._2).max + 1
     val cents = Array.ofDim[Array[Float]](meta.m, ksub)

@@ -149,7 +149,7 @@ class IndexStoreSpec extends SparkSpec {
     SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 2 === 1))
     // append-only advance within the train-lag budget -> delta append
     assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
-      maxTrainLag = 1, ksub = 4) == 1)
+      maxTrainLag = 1) == 1)
     assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(0))
     // a delete makes the advance non-append-only: appendDelta refuses...
     SnapshotStore.deleteWhere(spark, lake, col("vec_id") === 1L)
@@ -157,20 +157,100 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding")
     }
     assert(e.getMessage.contains("not append-only"))
-    // ...and sync falls back to a rebuild: models retrain at latest and
-    // the deleted vector is gone from the codes table
+    // ...and sync falls back to a rebuild: models retrain at latest with
+    // the index's RECORDED parameters (ksub=4 came from the build, not a
+    // caller default — advisor r7), and the deleted vector is gone
     assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
-      maxTrainLag = 100, ksub = 4) == 2)
+      maxTrainLag = 100) == 2)
     val meta = IndexStore.loadMeta(spark, dir)
     assert(meta.trainedVersion.contains(2))
+    assert(meta.ksub == 4 && IndexStore.loadCodebooks(spark, dir).ksub == 4)
     assert(IndexStore.codes(spark, dir).filter($"neighbor_id" === 1L).isEmpty)
     // train-lag budget 0 forces rebuild even for an append-only advance
     SnapshotStore.append(spark, lake,
       Seq((100L, Array.tabulate(8)(j => j.toFloat))).toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
     assert(IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
-      maxTrainLag = 0, ksub = 4) == 3)
+      maxTrainLag = 0) == 3)
     assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(3))
+  }
+
+  test("buildOrRefresh rebuilds on a parameter change instead of silently reusing") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_paramlake")
+    val dir = tmpDir("graft_idx_param")
+    SnapshotStore.commit(spark, lake, emb)
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    assert(IndexStore.loadMeta(spark, dir).ksub == 4)
+    // same table+version but a different codebook size: must retrain, not
+    // serve the ksub=4 models under a ksub=8 request
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 8, nlist = 4)
+    val meta = IndexStore.loadMeta(spark, dir)
+    assert(meta.ksub == 8 && IndexStore.loadCodebooks(spark, dir).ksub == 8)
+  }
+
+  test("compactIvfPq folds the delta chain; codes and search are unchanged") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_complake")
+    val dir = tmpDir("graft_idx_compact")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" % 4 === 0))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    // three appends -> three delta dirs on the chain
+    (1 to 3).foreach { r =>
+      SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 4 === r))
+      IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding")
+    }
+    assert(IndexStore.deltaChainLength(spark, dir) == 3)
+    val before = IndexStore.codes(spark, dir).localCheckpoint()
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val resBefore = IndexStore.searchIvfPq(spark, dir, probes, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().toSet
+    val cbBefore = IndexStore.loadCodebooks(spark, dir)
+    assert(IndexStore.compactIvfPq(spark, dir) == 3)
+    // chain folded: no live deltas, dirs cleaned, served version unchanged
+    assert(IndexStore.deltaChainLength(spark, dir) == 0)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("delta_codes_v")))
+    val meta = IndexStore.loadMeta(spark, dir)
+    assert(meta.source.contains((lake, 3)) && meta.trainedVersion.contains(0))
+    // codes identical row-for-row; models bit-identical; search unchanged
+    val after = IndexStore.codes(spark, dir)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    val cbAfter = IndexStore.loadCodebooks(spark, dir)
+    for (j <- 0 until cbBefore.m; c <- 0 until cbBefore.ksub)
+      assert(java.util.Arrays.equals(cbAfter.centroids(j)(c), cbBefore.centroids(j)(c)))
+    val resAfter = IndexStore.searchIvfPq(spark, dir, probes, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect().toSet
+    assert(resAfter == resBefore && resAfter.nonEmpty)
+    // idempotent: nothing left to fold
+    assert(IndexStore.compactIvfPq(spark, dir) == 0)
+    // further appends keep working on the compacted base
+    SnapshotStore.append(spark, lake,
+      Seq((200L, Array.tabulate(8)(j => (j + 1).toFloat))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+    assert(IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding") == 4)
+    assert(IndexStore.deltaChainLength(spark, dir) == 1)
+    assert(IndexStore.codes(spark, dir).filter($"neighbor_id" === 200L).count() == 1)
+  }
+
+  test("syncIvfPq compacts past the maxDeltaChain budget") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_budgetlake")
+    val dir = tmpDir("graft_idx_budget")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" % 4 === 0))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    (1 to 3).foreach { r =>
+      SnapshotStore.append(spark, lake, emb.filter($"vec_id" % 4 === r))
+      IndexStore.syncIvfPq(spark, lake, dir, "vec_id", "embedding",
+        maxDeltaChain = 1)
+    }
+    // each sync appended one delta, then folded once the chain passed 1
+    assert(IndexStore.deltaChainLength(spark, dir) <= 1)
+    assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(0))
+    assert(IndexStore.codes(spark, dir).count() == emb.count())
   }
 
   test("loaded-index search is bit-identical to the inline IVF-PQ search") {

@@ -6,7 +6,7 @@ for each query result parquet, re-runs the recorded oracle SQL in DuckDB
 over the same testdata tables and compares rows (columns sorted by name,
 rows sorted, values hashed). NOT part of the shipped library.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time, datetime
 import duckdb
 import pandas as pd
 
@@ -22,6 +22,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # builder-side mirror of the driver's correctness artifact: committed
+    # every round so an empty driver-side CORRECTNESS_r{N}.json can never
+    # leave a round without a hard correctness signal (r7 lesson)
+    mirror_path = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/CORRECTNESS_LOCAL.json"
+    mirror = {}
+    t_start = time.time()
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -31,24 +37,28 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = f"{out_dir}/{name}"
+        t_q = time.time()
+        def record(status, detail=""):
+            mirror[name] = {"status": status, "oracle_sec": round(time.time() - t_q, 2)}
+            if detail: mirror[name]["detail"] = detail
         if not os.path.isdir(res_dir):
-            print(f"FAIL {name}: no result parquet"); n_fail += 1; continue
+            print(f"FAIL {name}: no result parquet"); record("fail", "no result parquet"); n_fail += 1; continue
         try:
             spark_df = pd.concat([pd.read_parquet(p) for p in
                                   sorted(glob.glob(f"{res_dir}/*.parquet"))],
                                  ignore_index=True)
         except Exception as e:
-            print(f"FAIL {name}: read error {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: read error {e}"); record("fail", f"read error {e}"); n_fail += 1; continue
         try:
             duck_df = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {str(e)[:200]}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error {str(e)[:200]}"); record("fail", f"oracle error {str(e)[:200]}"); n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
-            n_fail += 1; continue
+            record("fail", "column mismatch"); n_fail += 1; continue
         if len(a) != len(b):
-            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); record("fail", f"rows {len(a)} vs {len(b)}"); n_fail += 1; continue
         eq = a.equals(b)
         if not eq:
             # find first mismatching cell for debugging
@@ -62,8 +72,9 @@ def main():
                     diff_info += f" (dtypes {a[c].dtype} vs {b[c].dtype})"
                     break
             print(f"FAIL {name}: values differ{diff_info}")
-            n_fail += 1; continue
+            record("fail", f"values differ{diff_info}"); n_fail += 1; continue
         print(f"PASS {name} ({len(a)} rows)")
+        record("pass"); mirror[name]["rows"] = len(a)
         n_pass += 1
     # queries with no oracle: rows-only check
     for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
@@ -72,9 +83,26 @@ def main():
         try:
             n = sum(len(pd.read_parquet(p)) for p in glob.glob(f"{res_dir}/*.parquet"))
             print(f"ROWS {name}: {n} rows {'(ok)' if n > 0 else '(EMPTY!)'}")
+            mirror[name] = {"status": "rows_only" if n > 0 else "rows_only_EMPTY", "rows": n}
         except Exception as e:
             print(f"ROWS {name}: read error {e}")
+            mirror[name] = {"status": "fail", "detail": f"read error {e}"}
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    summary = {
+        "checked_at": datetime.datetime.now().isoformat(timespec="seconds"),
+        "sf_dir": sf_dir,
+        "n_pass": n_pass, "n_fail": n_fail,
+        "n_rows_only": sum(1 for v in mirror.values() if v["status"].startswith("rows_only")),
+        "n_entries": len(mirror),
+        "total_sec": round(time.time() - t_start, 1),
+        "queries": mirror,
+    }
+    try:
+        with open(mirror_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"mirror artifact -> {mirror_path}")
+    except Exception as e:
+        print(f"mirror artifact write failed: {e}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
