@@ -331,6 +331,23 @@ object ScaleCheck {
         df, ref1, "doc_id", "text", "source")
       run("lm_filter", lmf(docs1), lmf(docsN))
     }
+    // The q170 composition — every opt-in text stage at once (rule gate +
+    // substring strip + containment dedup + reference-LM filter + the
+    // shared quality tail). Each stage is trend-checked standalone above;
+    // this row pins the COMPOSITION, whose growth was previously asserted
+    // only by argument (the same gap the r6 verdict flagged for
+    // admit_delta). Rotated blow-up + minStopHits=0 for the
+    // curate_corpus_full reasons; reference fixed for the lm_filter
+    // reason (a trusted slice doesn't grow with the crawl).
+    locally {
+      val ref1 = docs1.filter(col("lang") === "en").select(col("text"))
+      val gate = Some(ops.QualityRules.gate(col("text"), minStopHits = 0))
+      def full(df: DataFrame) = ops.Curation.curateCorpus(
+        train(df), bench(df), "doc_id", "text", "source",
+        substrK = Some(25), containment = Some(0.8), ruleGate = gate,
+        lmFilter = Some((ref1, 3, 2)))
+      run("curate_corpus_full_lm", full(docs1), full(docsNd))
+    }
     // Binary-Hamming ANN: probe set fixed, corpus up (the bm25/pq growth
     // mode). Stage 1 streams 2-long codes against broadcast probe codes;
     // stage 2 reranks a fixed |probes|*shortlist candidate set — the

@@ -16,6 +16,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     analytics.Relational.all ++ analytics.LlmQueries.all ++ analytics.Extras.all ++
       analytics.CurationQueries.all ++ analytics.CorpusQueries.all ++
+      analytics.ExtractQueries.all ++
       analytics.LakeQueries.all ++ analytics.RefereeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -416,12 +416,86 @@ object CorpusQueries {
   // Full BPE merge-table training (ops.Bpe): q122 computes the FIRST
   // iteration's pair counts; this runs the whole Sennrich et al. loop —
   // 40 merges, each a vocabulary-sized aggregate + one-row argmax
-  // collect. Rows-only in the gate: the merge table is data-dependent
-  // and DuckDB has no affordable iterative-argmax form; q132r retrains
-  // it in plain JVM from the same word counts and must agree
-  // bit-for-bit (and BpeSpec property-tests the fold semantics).
+  // collect. The training is PURE INTEGER arithmetic with a total
+  // tie-break (count desc, pair asc), so the oracle replays the entire
+  // loop: 40 unrolled iterations (the q136 MATERIALIZED-iteration
+  // pattern — affordable now that every CTE materializes), each one a
+  // pair-count aggregate, a one-row argmax, and the greedy
+  // left-to-right non-overlapping merge application. The greedy fold is
+  // replayed positionally: a pair position is a merge START iff it
+  // matches (left, right) and sits at an ODD offset within its maximal
+  // run of consecutive matching positions (consecutive matches require
+  // left = right — the "aaa" case, where greedy takes positions 0, 2,
+  // ... of the run); started positions emit the merged symbol, the
+  // position after a start is skipped, everything else passes through —
+  // exactly Bpe.mergeStep's (out, prev) fold. An iteration whose best
+  // pair falls below minCount=2 applies nothing, leaving the state
+  // fixed (so every later iteration sees the same sub-threshold best
+  // and also applies nothing — the engine's early stop, expressed
+  // statically). q132r additionally retrains in plain JVM; BpeSpec
+  // property-tests the fold semantics.
   private[analytics] val bpeNMerges = 40
-  val q132 = QuerySpec.rowsOnly("q132_bpe_merges") { (s, d) =>
+  private val duckBpeToks =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  /** One BPE iteration `i` as CTEs (state in `st{i-1}` → `st{i}`):
+    * pair stats, argmax, position explode with the run-parity start
+    * rule, and the list rebuild. All MATERIALIZED explicitly — DuckDB
+    * would otherwise inline st{i-1} into each of its four consumers,
+    * exponentiating the 40-deep expression tree exactly like q136's
+    * pagerank iterations.
+    */
+  private def bpeIterSql(i: Int): String = {
+    val p = s"st${i - 1}"
+    s"""pc$i AS MATERIALIZED (
+       |  SELECT syms[u.j+1] AS l, syms[u.j+2] AS r, CAST(SUM(c) AS BIGINT) AS n
+       |  FROM $p, unnest(generate_series(0, len(syms)-2)) AS u(j)
+       |  GROUP BY 1, 2),
+       |bs$i AS MATERIALIZED (SELECT l, r, n FROM pc$i
+       |  ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+       |ps$i AS MATERIALIZED (
+       |  SELECT s.word, s.c, u.j AS pos, s.syms[u.j+1] AS sym, s.syms[u.j+2] AS nxt,
+       |    (u.j < len(s.syms)-1 AND s.syms[u.j+1] = b.l AND s.syms[u.j+2] = b.r
+       |      AND b.n >= 2) AS m
+       |  FROM $p s CROSS JOIN bs$i b,
+       |    unnest(generate_series(0, len(s.syms)-1)) AS u(j)),
+       |rn$i AS MATERIALIZED (
+       |  SELECT word, c, pos, sym, nxt, m,
+       |    CASE WHEN m THEN ROW_NUMBER() OVER (
+       |      PARTITION BY word, m, pos - rk ORDER BY pos) ELSE 0 END AS runpos
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS rk
+       |        FROM ps$i)),
+       |fs$i AS MATERIALIZED (
+       |  SELECT word, c, pos, sym, nxt, (m AND runpos % 2 = 1) AS strt,
+       |    COALESCE(LAG(m AND runpos % 2 = 1) OVER (
+       |      PARTITION BY word ORDER BY pos), false) AS prevst
+       |  FROM rn$i),
+       |st$i AS MATERIALIZED (
+       |  SELECT word, c, list_filter(
+       |      list(CASE WHEN strt THEN sym || nxt
+       |                WHEN prevst THEN NULL ELSE sym END ORDER BY pos),
+       |      x -> x IS NOT NULL) AS syms
+       |  FROM fs$i GROUP BY word, c)""".stripMargin
+  }
+  /** Shared training chain: word counts → initial symbol state → 40
+    * iterations, ending at state `st{bpeNMerges}` (= the encoded
+    * vocabulary) with per-iteration argmaxes in `bs{i}`.
+    */
+  private def duckBpeCtes: String =
+    s"""wc AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest($duckBpeToks) AS w FROM documents) GROUP BY w),
+      |st0 AS MATERIALIZED (SELECT word, c,
+      |  list_append(list_transform(generate_series(1, length(word)),
+      |    j -> substring(word, j, 1)), '${Bpe.EndOfWord}') AS syms FROM wc),
+      |${(1 to bpeNMerges).map(bpeIterSql).mkString(",\n")}""".stripMargin
+  val q132 = QuerySpec.sql(
+    "q132_bpe_merges",
+    s"""WITH $duckBpeCtes
+      |SELECT * FROM (
+      |${(1 to bpeNMerges).map(i =>
+        s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, " +
+          s"l || r AS merged, n FROM bs$i WHERE n >= 2")
+        .mkString("\nUNION ALL\n")}
+      |) ORDER BY rank""".stripMargin) { (s, d) =>
     val merges = Bpe.train(Tables.documents(s, d), "text", nMerges = bpeNMerges)
     s.createDataFrame(merges)
       .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
@@ -431,10 +505,25 @@ object CorpusQueries {
   // --------------------------------------------------------------- q133
   // Corpus encoded under the q132 merge table: per-document word and
   // subword counts (Bpe.encodeCorpus — the TF exchange shape joined to
-  // vocab-folded subword lengths). Rows-only for the same reason as
-  // q132; q132r re-encodes a vocabulary slice in plain JVM against the
-  // same table.
-  val q133 = QuerySpec.rowsOnly("q133_bpe_encode") { (s, d) =>
+  // vocab-folded subword lengths). The oracle shares q132's training
+  // chain verbatim — its final state st40 IS the encoded vocabulary —
+  // and joins the per-(doc, word) term frequencies against its symbol
+  // counts (the engine's unseen-word fallback length(word)+1 is
+  // replayed for parity even though a same-corpus vocabulary makes it
+  // unreachable here).
+  val q133 = QuerySpec.sql(
+    "q133_bpe_encode",
+    s"""WITH $duckBpeCtes,
+      |tfd AS (SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($duckBpeToks) AS w FROM documents)
+      |  GROUP BY doc_id, w),
+      |lens AS (SELECT word, CAST(len(syms) AS BIGINT) AS wl
+      |  FROM st$bpeNMerges)
+      |SELECT doc_id,
+      |  CAST(SUM(tf) AS BIGINT) AS n_words,
+      |  CAST(SUM(tf * COALESCE(wl, length(word) + 1)) AS BIGINT) AS n_subwords
+      |FROM tfd LEFT JOIN lens USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val counts = Bpe.wordCounts(docs, "text").localCheckpoint()
     val merges = Bpe.trainFromCounts(counts, nMerges = bpeNMerges)

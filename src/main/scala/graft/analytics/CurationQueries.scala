@@ -553,7 +553,7 @@ object CurationQueries {
   }
   private val duckStops95 =
     TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  private[analytics] val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
   // CTE chain replaying stages 1-4 (through k3) from relation `src` —
   // shared verbatim by q95's row-level gate, q109's per-source funnel
   // counts (src=corpus), and q118's rule-gated funnel (src=the
@@ -619,7 +619,7 @@ object CurationQueries {
 
   // The default chain (no opt-in stages): dedup prefix + tail, stitched
   // exactly as before the q131 split.
-  private def q95ChainCtes(src: String): String =
+  private[analytics] def q95ChainCtes(src: String): String =
     s"""${q95DedupCtes(src)},
       |${q95TailCtes("e2s")}""".stripMargin
   private val q95StagesCtes =

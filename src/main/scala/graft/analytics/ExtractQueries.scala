@@ -1,0 +1,189 @@
+package graft.analytics
+
+import graft.QuerySpec
+import graft.ops.{Curation, Extract}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction surfaces ([[graft.ops.Extract]] — the
+  * raw-crawl front door that runs BEFORE every other curation stage).
+  *
+  * The fixture wraps each `documents` row in a deterministic synthetic
+  * page — head chrome (title/style/script), an HTML comment, a nav bar,
+  * a header, the document text as `<p>` paragraphs (sentence-split), an
+  * entity-bearing teaser paragraph, a link-dense share bar on every
+  * third doc, a short date line, and a footer — built IDENTICALLY by
+  * Spark and by the oracle's SQL from the same columns, so the
+  * extraction rules (not the fixture) are what the gate checks. Every
+  * extraction pattern lives once in [[Extract]] and is interpolated
+  * into the oracle, the [[UrlOps]] single-source discipline.
+  *
+  * Expected behavior on the fixture: head/nav/header/footer and the
+  * comment vanish (element drops), the share bar fails the
+  * link-density rule, the date line fails the length rule, and the
+  * paragraph blocks survive with entities decoded — q171 pins all of
+  * it per document; q172 pins the COMPOSITION (extracted text feeding
+  * the default curation funnel — extraction as stage -1).
+  */
+object ExtractQueries {
+
+  // ------------------------------------------------------------ fixture
+
+  // Spark side: one concat over (doc_id, text). Paragraphs come from
+  // sentence-splitting the document's own text; the teaser quotes the
+  // doc's OWN first 40 chars so the entity demo adds almost no
+  // cross-document token overlap (a fixed shared sentence would push
+  // unrelated short docs toward the LSH threshold — see q172's recall
+  // note).
+  private def htmlCol: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{margin:0}</style><script>var t=\"x\";</script></head><body>"),
+    lit("<!-- chrome below is boilerplate -->"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>"),
+    lit("<header><h1>Doc "), col("doc_id").cast("string"), lit("</h1></header>"),
+    lit("<article><p>"),
+    replace(col("text"), lit(". "), lit(".</p><p>")),
+    lit("</p><p>Teaser: &quot;"), substring(col("text"), 1, 40),
+    lit("&quot; &amp; it&#39;s x &lt; y&nbsp;&gt; z.</p></article>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<div><a href=\"/t\">Tweet</a> <a href=\"/s\">Share</a> " +
+        "<a href=\"/p\">Pin</a> <a href=\"/m\">Mail</a></div>"))
+      .otherwise(lit("")),
+    lit("<div>Posted 2024-01-01</div>"),
+    lit("<footer>&copy; 2024 Example Corp <a href=\"/tos\">Terms</a></footer>" +
+      "</body></html>"))
+
+  // Oracle side: the same string from the same columns.
+  private val duckHtml: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>p{margin:0}</style><script>var t="x";</script></head><body>' ||
+      |'<!-- chrome below is boilerplate -->' ||
+      |'<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+      |'<header><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1></header>' ||
+      |'<article><p>' || replace(text, '. ', '.</p><p>') ||
+      |'</p><p>Teaser: &quot;' || substring(text, 1, 40) ||
+      |'&quot; &amp; it&#39;s x &lt; y&nbsp;&gt; z.</p></article>' ||
+      |CASE WHEN doc_id % 3 = 0
+      |  THEN '<div><a href="/t">Tweet</a> <a href="/s">Share</a> <a href="/p">Pin</a> <a href="/m">Mail</a></div>'
+      |  ELSE '' END ||
+      |'<div>Posted 2024-01-01</div>' ||
+      |'<footer>&copy; 2024 Example Corp <a href="/tos">Terms</a></footer></body></html>'"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  // --------------------------------------------- oracle extraction replay
+
+  /** `replace(...)` fold decoding [[Extract.Entities]] in the engine's
+    * order (`&amp;` last — same double-decode protection).
+    */
+  private def duckEntityFold(inner: String): String =
+    Extract.Entities.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+
+  /** Visible text of one raw block `x` — the [[Extract]] cleanBlock
+    * chain: strip tags, decode entities, squeeze portable-whitespace
+    * runs, trim.
+    */
+  private def duckClean(x: String): String =
+    s"trim(regexp_replace(${duckEntityFold(
+        s"regexp_replace($x, '${Extract.AnyTagRe}', '', 'g')")}, " +
+      s"'${Extract.SpaceRunRe}', ' ', 'g'))"
+
+  /** The keep rule on a raw block `x`: length and link-density gates,
+    * links counted on the RAW block (tags still present).
+    */
+  private def duckKeep(x: String): String =
+    s"length(${duckClean(x)}) >= 25 AND length(${duckClean(x)}) >= " +
+      s"len(regexp_extract_all($x, '${Extract.AnchorRe}')) * 50"
+
+  /** CTEs from `documents` (filtered by `whereSql`) to `ext(doc_id,
+    * source, kb, n_blocks)`: kb = kept block texts in page order,
+    * n_blocks = all non-empty blocks.
+    */
+  private def duckExtractCtes(whereSql: String): String =
+    s"""hb AS (SELECT doc_id, source, $duckHtml AS html FROM documents $whereSql),
+      |bl AS (SELECT doc_id, source,
+      |  string_split(regexp_replace(regexp_replace(regexp_replace(html,
+      |    '${Extract.CommentRe}', '', 'g'),
+      |    '${Extract.DropElementsRe}', '', 'g'),
+      |    '${Extract.BlockBreakRe}', chr(10), 'g'), chr(10)) AS blks FROM hb),
+      |ext AS (SELECT doc_id, source,
+      |  list_transform(list_filter(blks, x -> ${duckKeep("x")}),
+      |    x -> ${duckClean("x")}) AS kb,
+      |  len(list_filter(list_transform(blks, x -> ${duckClean("x")}),
+      |    c -> length(c) > 0)) AS n_blocks
+      |  FROM bl)""".stripMargin
+
+  // --------------------------------------------------------------- q171
+  // Per-document extraction receipt: block counts before/after the keep
+  // rule plus the extracted content itself, hash-matched end to end —
+  // the markup strip, element drops, block segmentation, entity decode,
+  // whitespace squeeze, and both keep gates all participate in the hash.
+  val q171 = QuerySpec.sql(
+    "q171_html_extract",
+    s"""WITH ${duckExtractCtes("")}
+      |SELECT doc_id, source,
+      |  CAST(n_blocks AS INT) AS n_blocks,
+      |  CAST(len(kb) AS INT) AS n_kept,
+      |  COALESCE(array_to_string(kb, chr(10)), '') AS content
+      |FROM ext ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), htmlCol.as("html"))
+      .select(col("doc_id"), col("source"),
+        size(Extract.blockTexts(col("html"))).as("n_blocks"),
+        size(Extract.contentBlocks(col("html"))).as("n_kept"),
+        Extract.mainContent(col("html")).as("content"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q172
+  // Extraction as curateCorpus stage -1: the raw-crawl shape end to end
+  // — wrap the corpus in markup, extract main content, then run the
+  // default curation chain (exact dedup → LSH near-dup → benchmark
+  // decontamination → quality pruning → hash split) on the EXTRACTED
+  // text. The oracle replays extraction (shared CTEs above) and then
+  // the q95 stage chain verbatim from the extracted relation; the
+  // benchmark set stays raw text (eval sets are not crawled pages).
+  //
+  // LSH recall in composition (the q95/q114 argument RE-MEASURED on the
+  // EXTRACTED corpus — and it does NOT transfer): extraction drops
+  // different sub-25-char sentences from each member of a near-dup
+  // pair, amplifying small differences, and the measured sf0.01
+  // distribution has 14 pairs INSIDE the default banding's fuzzy zone
+  // (exact Jaccard in [0.5, 0.93) — raw-text pairs were all >= 0.95).
+  // The default 64x16 (r=4) banding would catch those pairs only
+  // contingently (miss ~ (1-0.5^4)^16 = 0.35 at the threshold edge), so
+  // this query runs stage 2 in the high-recall configuration 256x128
+  // (r=2): miss <= (1-0.5^2)^128 ~ 1e-16 for every pair at or above the
+  // 0.5 threshold, making the brute-force oracle replay robust rather
+  // than fixture-lucky. (The teaser quotes each doc's OWN text so the
+  // fixture itself injects no shared tokens across unrelated docs.)
+  val q172 = QuerySpec.sql(
+    "q172_curation_extracted",
+    s"""WITH ${duckExtractCtes("WHERE doc_id % 97 <> 0")},
+      |corpus AS (SELECT doc_id, source,
+      |  COALESCE(array_to_string(kb, chr(10)), '') AS text FROM ext),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val extracted = docs
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"), htmlCol.as("html"))
+      .select(col("doc_id"), col("source"),
+        Extract.mainContent(col("html")).as("text"))
+    Curation.curateCorpus(
+      extracted,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      lshHashes = 256, lshBands = 128)
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q171, q172)
+}

@@ -628,6 +628,59 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- q173
+  // Threshold-mode near-dup detection at a HIGH threshold (0.9) with
+  // non-empty results: the embeddings fixture itself has no pair above
+  // cosine ~0.51 (q56's note), so every threshold-mode surface so far
+  // ran empty-or-top-k. This query PLANTS near-duplicates
+  // deterministically from the fixture: every 25th vector gets a
+  // shifted-id copy with each component rescaled by 1 + 0.02*((j%5)-2)
+  // (multipliers 0.96..1.04 — cosine vs the source ~0.9995, far above
+  // the 0.9 gate; both engines compute the perturbation in DOUBLE and
+  // round once to FLOAT, so the planted vectors are bit-identical).
+  // Engine and oracle then run the exact q56/q72 surface over the
+  // augmented set — blocking replayed bucket-for-bucket, cosine exact —
+  // and must agree on the planted pairs AND their sims bit-for-bit.
+  private def duckPerturb(e: String): String =
+    s"list_transform($e, (x, i) -> CAST(CAST(x AS DOUBLE) * " +
+      "(CAST(1.0 AS DOUBLE) + CAST(0.02 AS DOUBLE) * " +
+      "CAST(((i - 1) % 5) - 2 AS DOUBLE)) AS FLOAT))"
+  val q173 = QuerySpec.sql(
+    "q173_planted_neardups",
+    s"""WITH pl AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000 AS vec_id, ${duckPerturb("embedding")} AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm,
+      |    ${(0 until q56Bands).map(b => s"${duckBucket("embedding", b)} AS b$b").mkString(",\n    ")}
+      |  FROM pl
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CASE WHEN a.nm * b.nm > 0
+      |      THEN ${duckDot("a.e", "b.e")} / (a.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    AND (${(0 until q56Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")}))
+      |SELECT id_a, id_b, sim FROM p
+      |WHERE sim >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = base.unionByName(
+      base.filter(col("vec_id") % 25 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(0.02) *
+            (pmod(i, lit(5)) - lit(2)).cast(DoubleType))).cast(FloatType))
+          .as("embedding")))
+    Similarity.embeddingNearDups(planted, "vec_id", "embedding",
+      threshold = 0.9, bands = q56Bands, planesPerBand = q56Planes)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q61
   // Oracle thresholds come from the SAME Curation.thresholds code the
   // operator uses, so the hex literals can never drift.
@@ -1525,5 +1578,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134, q159)
+    q130, q134, q159, q173)
 }

@@ -236,34 +236,60 @@ object SnapshotStore {
 
   /** Append-only commit: new manifest = parent's file rows + the new
     * files. No existing data is read or rewritten.
+    *
+    * Concurrency: appends COMMUTE with appends, so a writer that loses
+    * the version race rebases instead of failing — the already-written
+    * data files are reused, the manifest union is rebuilt against the
+    * NEW latest snapshot, and the pointer commit retries (up to
+    * `maxRetries` rounds; each round some writer in the system makes
+    * progress, so the loop is lock-free in the obstruction sense). The
+    * rebase re-validates schema and stats columns against the new
+    * parent: a concurrent non-append (overwrite/evolve/delete) does NOT
+    * commute with this writer's already-written files, and the rebase
+    * refuses rather than silently appending pre-evolution files to a
+    * post-evolution table. Manifests from lost rounds are unreferenced
+    * garbage ([[vacuum]] cleans them).
     */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None, maxRetries: Int = 20): Int = {
     txn.foreach { case (a, _) =>
       require(!a.contains(":") && !a.contains("\n"), s"bad txn app id '$a'") }
-    val parent = latestVersion(spark, table)
-    require(parent >= 0, s"append to nonexistent table $table")
-    val snap = snapshot(spark, table, parent)
+    val parent0 = latestVersion(spark, table)
+    require(parent0 >= 0, s"append to nonexistent table $table")
+    val snap0 = snapshot(spark, table, parent0)
     // schema compatibility: a frame with missing/renamed columns would
     // write files that read() silently null-fills under snap.schema, and
     // extra columns would be silently dropped — reject both up front
-    require(df.columns.sorted.sameElements(snap.schema.fieldNames.sorted),
+    require(df.columns.sorted.sameElements(snap0.schema.fieldNames.sorted),
       s"append schema (${df.columns.sorted.mkString(",")}) != table schema " +
-        s"(${snap.schema.fieldNames.sorted.mkString(",")}) at $table")
-    snap.schema.fields.foreach { f =>
+        s"(${snap0.schema.fieldNames.sorted.mkString(",")}) at $table")
+    snap0.schema.fields.foreach { f =>
       val in = df.schema(f.name).dataType
       require(in == f.dataType,
         s"append column ${f.name} has type $in, table expects ${f.dataType}")
     }
-    val aligned = df.select(snap.schema.fieldNames.map(col): _*)
-    val rows = writeDataFiles(spark, table, aligned, snap.statsCols)
-    val mName = writeManifest(spark, table,
-      spark.read.parquet(snap.manifestDir).unionByName(rows))
-    val v = parent + 1
-    require(commitPointer(spark, table, v, mName, parent, "append",
-      snap.schema, snap.statsCols, txn),
-      s"concurrent commit won v$v at $table — re-resolve and retry")
-    v
+    val aligned = df.select(snap0.schema.fieldNames.map(col): _*)
+    val rows = writeDataFiles(spark, table, aligned, snap0.statsCols)
+      .localCheckpoint() // reused across rebase rounds — file metadata only
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion(spark, table)
+      val snap = if (parent == parent0) snap0 else snapshot(spark, table, parent)
+      // rebase safety: only append-shaped advances commute with the
+      // files this writer already staged under snap0's schema/stats
+      require(snap.schema == snap0.schema && snap.statsCols == snap0.statsCols,
+        s"append lost a race to a non-commuting commit at $table " +
+          s"(schema/stats changed between v$parent0 and v$parent) — re-run the append")
+      val mName = writeManifest(spark, table,
+        spark.read.parquet(snap.manifestDir).unionByName(rows))
+      val v = parent + 1
+      if (commitPointer(spark, table, v, mName, parent, "append",
+          snap.schema, snap.statsCols, txn)) return v
+      attempt += 1
+      require(attempt < maxRetries,
+        s"append at $table lost $maxRetries straight version races — giving up")
+    }
+    -1 // unreachable
   }
 
   /** Additive schema evolution on append (the `mergeSchema` append of

@@ -189,11 +189,12 @@ object Curation {
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
-      lmFilter: Option[(DataFrame, Int, Int)] = None)
+      lmFilter: Option[(DataFrame, Int, Int)] = None,
+      lshHashes: Int = 64, lshBands: Int = 16)
       : DataFrame =
     hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic, lmFilter).pruned,
+      ruleGate, semantic, lmFilter, lshHashes, lshBands).pruned,
       idCol, weights)
 
   /** The stage-boundary frames of [[curateCorpus]] — one chain, two
@@ -206,6 +207,16 @@ object Curation {
       nearKept: DataFrame, clean: DataFrame, lmKept: DataFrame,
       pruned: DataFrame)
 
+  /** `lshHashes`/`lshBands` tune stage 2's banding (rows per band r =
+    * lshHashes/lshBands). The 64x16 default (r=4) is the published
+    * sweet spot for corpora whose near-dup pairs sit at J >= ~0.85;
+    * when the threshold must catch pairs near 0.5 (e.g. post-extraction
+    * corpora where markup stripping amplifies small differences —
+    * q172), pass a high-recall configuration like 256x128 (r=2): miss
+    * probability (1-J^r)^bands at J=0.5 is then (0.75)^128 ~ 1e-16,
+    * at the price of a denser candidate channel (r=2 buckets collide
+    * more; the exact-Jaccard verify still guarantees precision).
+    */
   def curationStages(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       nearDupThreshold: Double = 0.5, decontamK: Int = 5,
@@ -214,7 +225,8 @@ object Curation {
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
-      lmFilter: Option[(DataFrame, Int, Int)] = None)
+      lmFilter: Option[(DataFrame, Int, Int)] = None,
+      lshHashes: Int = 64, lshBands: Int = 16)
       : CurationStages = {
     // Stage 0 is a pure scan-side filter: it fuses into the parquet scan
     // of the exact-dedup stage, so it is NOT checkpointed — the only
@@ -241,7 +253,8 @@ object Curation {
           idCol, Seq(textCol)).localCheckpoint()
     }
     val pairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
-      numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
+      numHashes = lshHashes, bands = lshBands, shingleK = 3,
+      threshold = nearDupThreshold)
     val jaccardKept = Dedup.dropNearDups(exactKept, pairs, idCol)
     val afterContainment = containment match {
       case None => jaccardKept
@@ -320,11 +333,12 @@ object Curation {
       containment: Option[Double] = None,
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
-      lmFilter: Option[(DataFrame, Int, Int)] = None)
+      lmFilter: Option[(DataFrame, Int, Int)] = None,
+      lshHashes: Int = 64, lshBands: Int = 16)
       : DataFrame = {
     val st = curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic, lmFilter)
+      ruleGate, semantic, lmFilter, lshHashes, lshBands)
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
     val base = counts(docs, "n_in")

@@ -386,6 +386,39 @@ class SnapshotStoreSpec extends SparkSpec {
       (2L, "delete", 150L - docs(150).filter($"id" % 3 === 0).count())))
   }
 
+  test("concurrent appenders both land: losers rebase and retry") {
+    val t = mkTable("snap-multi-append")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    // two writers, three appends each, racing on every version; appends
+    // commute, so with the rebase loop ALL six must land (pre-retry, the
+    // loser of any race threw and its batch was lost)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = (0 until 2).map { w =>
+      Future {
+        (0 until 3).map { i =>
+          val lo = 100 + w * 30 + i * 10
+          SnapshotStore.append(spark, t,
+            docs(lo + 10).filter($"id" >= lo))
+        }
+      }
+    }
+    val versions = try Await.result(Future.sequence(writers), Duration.Inf).flatten
+      finally pool.shutdown()
+    // six distinct committed versions 1..6, every row present exactly once
+    assert(versions.toSet == (1 to 6).toSet)
+    assert(SnapshotStore.latestVersion(spark, t) == 6)
+    assert(SnapshotStore.read(spark, t).count() == 10 + 60)
+    assert(SnapshotStore.read(spark, t).select("id").distinct().count() == 70)
+    // every surviving version's history row is an append on a resolvable
+    // manifest (the losers' abandoned manifests are invisible garbage)
+    val ops = SnapshotStore.history(spark, t).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops == "create" +: Seq.fill(6)("append"))
+  }
+
   test("concurrent commit on the same version: second writer loses") {
     val t = mkTable("snap-race")
     SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String, minChars: Int = 25,
+      minCharsPerLink: Int = 50): String =
+    Seq(html).toDF("html")
+      .select(Extract.mainContent(col("html"), minChars, minCharsPerLink).as("c"))
+      .head().getString(0)
+
+  private val prose =
+    "This paragraph is long enough to clear the minimum length rule easily."
+
+  test("script/style/comment and boilerplate containers vanish with their content") {
+    val html =
+      s"""<html><head><style>p{color:red}</style><script>var x="<p>not text</p>";</script></head>
+         |<body><!-- hidden comment text --><nav><a href="/">H</a></nav>
+         |<header><h1>Site Title Banner</h1></header>
+         |<p>$prose</p>
+         |<footer>All rights reserved by the example corporation forever</footer>
+         |</body></html>""".stripMargin
+    val out = extract(html)
+    assert(out == prose)
+  }
+
+  test("block segmentation: paragraphs and divs become separate blocks, br splits") {
+    val html = s"<div>$prose</div><p>$prose extended second block.</p>"
+    val out = extract(html)
+    assert(out == s"$prose\n$prose extended second block.")
+  }
+
+  test("length rule drops short chrome lines; link-density rule drops share bars") {
+    val html =
+      s"""<p>$prose</p>
+         |<div>Posted 2024-01-01</div>
+         |<div><a href="/t">Tweet</a> <a href="/s">Share this article</a> <a href="/p">Pin</a></div>""".stripMargin
+    assert(extract(html) == prose)
+    // the same share bar text WITHOUT links passes the length rule when
+    // long enough — proving it was the link density that killed it
+    assert(extract("<div>Tweet Share this article Pin it now</div>") ==
+      "Tweet Share this article Pin it now")
+  }
+
+  test("a prose block with an occasional link survives the density rule") {
+    val html = s"""<p>$prose $prose See <a href="/ref">the reference</a> for details.</p>"""
+    val out = extract(html)
+    assert(out.contains("See the reference for details."))
+  }
+
+  test("entities decode in order: &amp;lt; yields literal &lt;, not <") {
+    val out = extract(
+      "<p>Escaped entity demo: &amp;lt; stays literal while x &lt; y &amp; a&nbsp;b.</p>")
+    assert(out == "Escaped entity demo: &lt; stays literal while x < y & a b.")
+  }
+
+  test("whitespace runs squeeze to single spaces; ends trim") {
+    val out = extract(s"<p>  $prose\t\t with   gaps  </p>")
+    assert(out == s"$prose with gaps")
+  }
+
+  test("malformed and markup-free inputs degrade gracefully") {
+    assert(extract("") == "")
+    assert(extract("<p><div><em>tiny</p>") == "")
+    // plain text with no markup at all is one block, kept when long enough
+    assert(extract(prose) == prose)
+  }
+
+  test("blockTexts counts all non-empty blocks; contentBlocks only the kept ones") {
+    val html = s"<p>$prose</p><div>short one</div><nav><a href='/'>x</a></nav>"
+    val r = Seq(html).toDF("html").select(
+      size(Extract.blockTexts(col("html"))).as("nb"),
+      size(Extract.contentBlocks(col("html"))).as("nk")).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1) // nav dropped pre-split
+  }
+}
