@@ -331,6 +331,12 @@ object ScaleCheck {
         df, ref1, "doc_id", "text", "source")
       run("lm_filter", lmf(docs1), lmf(docsN))
     }
+    // HTML main-content extraction: a pure scan-side projection (regex
+    // chains + per-block list lambdas, zero exchange) — linear by
+    // construction; the row pins the constant factor against doc count.
+    run("html_extract",
+      analytics.ExtractQueries.scaleHtml(docs1),
+      analytics.ExtractQueries.scaleHtml(docsN))
     // The q170 composition — every opt-in text stage at once (rule gate +
     // substring strip + containment dedup + reference-LM filter + the
     // shared quality tail). Each stage is trend-checked standalone above;

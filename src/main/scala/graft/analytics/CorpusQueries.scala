@@ -1191,9 +1191,11 @@ object CorpusQueries {
   // build at v0 (even vec_ids), lake appends odds → v1, appendDelta
   // advances the served version to 1 while trainedVersion stays 0; the
   // query then searches with maxVersionLag = 0, which only passes
-  // because the append happened. Rows-only here; q168r pins the codes
-  // table (base ∪ committed deltas) bit-identical to the whole v1 corpus
-  // encoded under the frozen models, the frozen models bit-identical to
+  // because the append happened; the fixture then COMPACTS the delta
+  // chain (IndexStore.compactIvfPq — r8), so the searched index is the
+  // folded layout. Rows-only here; q168r pins the codes table
+  // bit-identical to the whole v1 corpus encoded under the frozen
+  // models ACROSS that compaction, the frozen models bit-identical to
   // a fresh v0 train, and the lake's v1 content identical to the full
   // embeddings table.
   val q168 = QuerySpec.rowsOnly("q168_index_delta_append") { (s, d) =>
@@ -1205,16 +1207,23 @@ object CorpusQueries {
   }
 
   /** q168/q168r fixture: an embeddings snapshot lake (v0 = even vec_ids,
-    * v1 = append odds) plus an index built at v0 and advanced to v1 via
-    * the frozen-model delta append. The builder asserts each step
-    * (versionLag 1 while stale, append serves v1, trainedVersion pinned
-    * at 0), marker-cached per content fingerprint.
+    * v1 = append odds) plus an index built at v0, advanced to v1 via the
+    * frozen-model delta append, then COMPACTED (the delta chain folded
+    * into the base codes table, r8) — so q168r's codes-identity check
+    * (base ∪ deltas == whole-corpus encode under the frozen models) and
+    * its frozen-model pins hold ACROSS a compaction, not just an append.
+    * The builder asserts each step (versionLag 1 while stale, append
+    * serves v1, trainedVersion pinned at 0, compaction folds exactly one
+    * delta and leaves the chain empty), marker-cached per content
+    * fingerprint.
     */
   private val appendIdxLock = new Object
   private[analytics] def appendIndexFixture(s: SparkSession, d: String): (String, String) = {
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q168_$fp"
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q168_$fp"
+    // "c" suffix: cache key break for the r8 builder change (compaction
+    // step added) — the fingerprint alone only tracks INPUT content
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q168c_$fp"
     val marker = java.nio.file.Path.of(idx, "_complete")
     if (!java.nio.file.Files.exists(marker)) appendIdxLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -1244,6 +1253,14 @@ object CorpusQueries {
           "delta append must not move the trained version")
         require(graft.ops.IndexStore.versionLag(s, idx).contains(0),
           "appended index must report zero lag")
+        // fold the delta chain — served content must be unchanged, which
+        // q168r then pins row-for-row against the frozen-model encode
+        require(graft.ops.IndexStore.compactIvfPq(s, idx) == 1,
+          "compaction must fold exactly the one delta dir")
+        require(graft.ops.IndexStore.deltaChainLength(s, idx) == 0,
+          "compacted index must have an empty delta chain")
+        require(graft.ops.IndexStore.loadMeta(s, idx).trainedVersion.contains(0),
+          "compaction must not move the trained version")
         java.nio.file.Files.createFile(marker)
       }
     }

@@ -153,11 +153,15 @@ object ExtractQueries {
   // (exact Jaccard in [0.5, 0.93) — raw-text pairs were all >= 0.95).
   // The default 64x16 (r=4) banding would catch those pairs only
   // contingently (miss ~ (1-0.5^4)^16 = 0.35 at the threshold edge), so
-  // this query runs stage 2 in the high-recall configuration 256x128
-  // (r=2): miss <= (1-0.5^2)^128 ~ 1e-16 for every pair at or above the
+  // this query runs stage 2 in the high-recall configuration 128x64
+  // (r=2): miss <= (1-0.5^2)^64 ~ 1e-8 for every pair at or above the
   // 0.5 threshold, making the brute-force oracle replay robust rather
-  // than fixture-lucky. (The teaser quotes each doc's OWN text so the
-  // fixture itself injects no shared tokens across unrelated docs.)
+  // than fixture-lucky. (Why not 256x128's ~1e-16: signature cost
+  // scales linearly with the hash count — measured 7.8 s vs 4.3 s for
+  // the stage at sf0.1 with identical verified pairs — and 1e-8 across
+  // the fixture's ~14 fuzzy pairs is already a ~1e-7 failure budget.
+  // The teaser quotes each doc's OWN text so the fixture itself injects
+  // no shared tokens across unrelated docs.)
   val q172 = QuerySpec.sql(
     "q172_curation_extracted",
     s"""WITH ${duckExtractCtes("WHERE doc_id % 97 <> 0")},
@@ -180,10 +184,20 @@ object ExtractQueries {
       extracted,
       docs.filter(pmod(col("doc_id"), lit(97)) === 0),
       "doc_id", "text", "source",
-      lshHashes = 256, lshBands = 128)
+      lshHashes = 128, lshBands = 64)
       .select("doc_id", "source", "score", "tile", "split")
       .orderBy("doc_id")
   }
+
+  /** ScaleCheck surface: wrap each doc in the fixture page and extract —
+    * the raw-crawl front-door cost per corpus pass (pure scan-side
+    * projection; the trend row pins that the regex/lambda constant
+    * factor tracks doc count linearly).
+    */
+  private[graft] def scaleHtml(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      Extract.mainContent(htmlCol).as("text"))
 
   val all: Seq[QuerySpec] = Seq(q171, q172)
 }

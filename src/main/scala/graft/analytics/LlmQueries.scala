@@ -366,13 +366,43 @@ object LlmQueries {
       .orderBy("probe_id", "rank")
   }
 
-  // ---------------------------------------------------------------- q55 (rows-only: trained model output)
-  val q55 = QuerySpec.rowsOnly("q55_langid_trained") { (s, d) =>
-    // self-trained n-gram-profile language ID: profiles learned from the
-    // corpus's own labels, then applied back — the trainable upgrade of
-    // q32's fixed marker heuristic. Classification is the scan-side form
-    // (profile maps as literals, zero shuffle); LangProfileSpec pins its
-    // equality to the explode+join form.
+  // ---------------------------------------------------------------- q55
+  // Self-trained n-gram-profile language ID: profiles learned from the
+  // corpus's own labels, then applied back — the trainable upgrade of
+  // q32's fixed marker heuristic. Classification is the scan-side form
+  // (profile maps as literals, zero shuffle); LangProfileSpec pins its
+  // equality to the explode+join form — which is exactly what the
+  // oracle replays: training is integer trigram counts with a total
+  // rank order (count desc, trigram asc — binary string compare on both
+  // engines), weights are 81-rank, scores are weight sums over trigram
+  // OCCURRENCES, and the argmax tie-break is (score desc, lang asc).
+  // Previously rows-only ("trained model output") — but the model is
+  // pure rational arithmetic, so the whole train+classify loop
+  // hash-matches end to end.
+  val q55 = QuerySpec.sql(
+    "q55_langid_trained",
+    s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      |tg AS (SELECT doc_id, lang,
+      |  CASE WHEN length(t) >= 3
+      |    THEN list_transform(generate_series(1, length(t) - 2), i -> substring(t, i, 3))
+      |    ELSE [t] END AS tgs FROM lt),
+      |tr AS (SELECT lang, unnest(tgs) AS trigram FROM tg),
+      |cnt AS (SELECT lang, trigram, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tr GROUP BY lang, trigram),
+      |prof AS (SELECT lang, trigram, CAST(81 - rnk AS BIGINT) AS weight FROM (
+      |  SELECT lang, trigram, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rnk
+      |  FROM cnt) WHERE rnk <= 80),
+      |dt AS (SELECT doc_id, unnest(tgs) AS trigram FROM tg),
+      |sc AS (SELECT dt.doc_id, p.lang, CAST(SUM(p.weight) AS BIGINT) AS score
+      |  FROM dt JOIN prof p USING (trigram) GROUP BY dt.doc_id, p.lang),
+      |best AS (SELECT doc_id, lang, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, lang) AS r FROM sc) WHERE r = 1)
+      |SELECT d.doc_id, b.lang AS lang_pred,
+      |  CAST(COALESCE(b.score, 0) AS BIGINT) AS lang_score
+      |FROM documents d LEFT JOIN best b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val profiles = graft.ops.LangProfile.train(docs, "text", "lang", topK = 80)
     val maps = graft.ops.LangProfile.collectProfiles(profiles)
@@ -1408,23 +1438,83 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  // ------------------------------- q110 (rows-only: custom rolling hash)
+  // --------------------------------------------------------------- q110
   // Winnowed document fingerprints (MOSS): the tunable-density document
-  // sketch with the shared-substring guarantee. Rows-only (the Rabin-
-  // Karp polynomial has no DuckDB twin); the in-gate q110r referee
-  // recomputes every fingerprint set in plain JVM code and must match
-  // bit-for-bit. The gate row carries dump-friendly scalars only —
-  // n_fp plus an order-sensitive xxhash64 fold of the fingerprint
-  // array (the driver's pandas dump cannot sort raw array cells).
-  val q110 = QuerySpec.rowsOnly("q110_winnow_fingerprints") { (s, d) =>
+  // sketch with the shared-substring guarantee. Previously rows-only
+  // ("the Rabin-Karp polynomial has no DuckDB twin") — but the twin is
+  // constructible: the hash is wrapping mod-2^64 integer arithmetic, and
+  // DuckDB's HUGEINT carries it exactly. The oracle recomputes every
+  // per-window k-gram hash as sum(codepoint * Base^(k-1-i)) mod 2^64
+  // with the 25 power-of-Base constants precomputed as unsigned
+  // literals (same BigInt arithmetic as the JVM's wrapping Long), maps
+  // each value back to the signed BIGINT domain the engine compares in,
+  // replays the sliding-window minima with first-occurrence dedup
+  // (windowed MIN + MIN(pos) GROUP BY value — the Winnow expression's
+  // contract), and emits the fingerprint sequence as a joined string,
+  // so this is a full cross-ENGINE verification of the Rabin-Karp +
+  // winnow semantics (strictly stronger than the plain-JVM q110r
+  // referee, which shares the JVM). The gate row carries dump-friendly
+  // scalars only — the string join replaces the old order-sensitive
+  // xxhash64 fold (unreplayable AND a wrapping fold is inexpressible in
+  // ANSI Column arithmetic; a plain CSV of the values is both).
+  private val winnowK = 25
+  private val winnowW = 8
+  private val duckTwo64 = "CAST('18446744073709551616' AS HUGEINT)"
+  /** Unsigned decimal literals of Base^(k-1-i) mod 2^64, i = 0..k-1 —
+    * the weights the JVM's wrapping-Long Horner loop implicitly applies.
+    */
+  private def winnowPows: Seq[String] = {
+    val mod = BigInt(1) << 64
+    (0 until winnowK).map(i =>
+      (BigInt(graft.functions.RollingHashes.Base).pow(winnowK - 1 - i) mod mod).toString)
+  }
+  private def duckWinnowHash: String = {
+    val terms = winnowPows.zipWithIndex.map { case (p, i) =>
+      s"CAST(l[j+$i] AS HUGEINT) * CAST('$p' AS HUGEINT)"
+    }.mkString(" + ")
+    s"""CASE WHEN ($terms) % $duckTwo64 >= CAST('9223372036854775808' AS HUGEINT)
+       |  THEN CAST(($terms) % $duckTwo64 - $duckTwo64 AS BIGINT)
+       |  ELSE CAST(($terms) % $duckTwo64 AS BIGINT) END""".stripMargin
+  }
+  val q110 = QuerySpec.sql(
+    "q110_winnow_fingerprints",
+    s"""WITH cps AS (
+      |  SELECT doc_id, list_transform(generate_series(1, length(text)),
+      |    p -> unicode(substring(text, p, 1))) AS l
+      |  FROM documents),
+      |rh AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(l) - ${winnowK - 1}),
+      |    j -> $duckWinnowHash) AS h
+      |  FROM cps),
+      |lens AS (SELECT doc_id, len(h) AS m FROM rh),
+      |rhp AS (SELECT doc_id, u.j AS pos, h[u.j] AS hv
+      |  FROM rh, unnest(generate_series(1, len(h))) AS u(j)),
+      |wmin AS (
+      |  SELECT r.doc_id, r.pos, MIN(r.hv) OVER (PARTITION BY r.doc_id
+      |      ORDER BY r.pos ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS v
+      |  FROM rhp r JOIN lens USING (doc_id) WHERE m > $winnowW),
+      |sel AS (SELECT w.doc_id, w.pos, w.v FROM wmin w JOIN lens USING (doc_id)
+      |  WHERE w.pos <= m - ${winnowW - 1}),
+      |small AS (SELECT r.doc_id, MIN(r.hv) AS v FROM rhp r JOIN lens USING (doc_id)
+      |  WHERE m BETWEEN 1 AND $winnowW GROUP BY r.doc_id),
+      |firsts AS (SELECT doc_id, v, MIN(pos) AS p0 FROM sel GROUP BY doc_id, v),
+      |outl AS (
+      |  SELECT doc_id, list(v ORDER BY p0) AS fps FROM firsts GROUP BY doc_id
+      |  UNION ALL SELECT doc_id, [v] AS fps FROM small)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(len(o.fps), 0) AS INT) AS n_fp,
+      |  COALESCE(array_to_string(list_transform(o.fps, x -> CAST(x AS VARCHAR)), ','), '')
+      |    AS fp_list
+      |FROM documents d LEFT JOIN outl o USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val fp = TextOps.winnowFingerprints(col("text"), k = 25, w = 8)
+    val fp = TextOps.winnowFingerprints(col("text"), k = winnowK, w = winnowW)
     Tables.documents(s, d)
       .select(col("doc_id"), fp.as("fingerprints"))
       .select(col("doc_id"),
         size(col("fingerprints")).as("n_fp"),
-        aggregate(col("fingerprints"), lit(0L),
-          (acc, x) => xxhash64(acc, x)).as("fp_hash"))
+        concat_ws(",", transform(col("fingerprints"), x => x.cast("string")))
+          .as("fp_list"))
       .orderBy("doc_id")
   }
 

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.IntegerType
   * as a parquet layout and searches FROM the store, with no access to
   * the original vectors:
   *
-  *   path/meta/                1 row: (dim, m, dsub, nlist, ksub, iters,
-  *                             source, versions, gen, base_version)
+  *   path/meta_v<N>/           1 row: (dim, m, dsub, nlist, ksub, iters,
+  *                             source, versions, gen, base_version) —
+  *                             versioned dirs, highest _SUCCESS-complete wins
   *   path/centroids_<gen>/     nlist rows: (cell, centroid float[]) — KBs
   *   path/codebooks_<gen>/     m*ksub rows: (j, c, cent float[])    — KBs
   *   path/codes_<gen>/         1 row/vector: (neighbor_id, cell, codes)
@@ -24,13 +25,15 @@ import org.apache.spark.sql.types.IntegerType
   *   path/delta_codes_v<N>/    frozen-model append for snapshot version N
   *
   * Publication protocol: every rebuild/compaction writes its artifacts
-  * into FRESH generation dirs first and commits by rewriting `meta` LAST
-  * — the meta is the only pointer readers follow, so a crash mid-rebuild
-  * leaves the previous generation fully served and the half-written one
-  * as invisible garbage (cleaned up by the next successful commit). The
-  * residual window is the tiny meta parquet overwrite itself; single
-  * maintenance writer per path, like the snapshot lake's pointer commit
-  * one level up.
+  * into FRESH generation dirs first and commits by writing the NEXT
+  * meta version LAST (`meta_v<N>`, valid once its `_SUCCESS` marker
+  * lands; readers resolve the highest complete version) — the meta is
+  * the only pointer readers follow, so a crash at ANY step leaves the
+  * previous meta serving its fully-written generation and everything
+  * newer as invisible garbage (cleaned up by the next successful
+  * commit). No overwrite window anywhere — the same
+  * commit-is-a-marker-write idea as the snapshot lake's pointer rename
+  * one level up. Single maintenance writer per path.
   *
   * Scale split: metadata (centroids + codebooks) is a few KB by
   * construction — it collects to the driver at load and broadcasts with
@@ -141,18 +144,54 @@ object IndexStore {
     }
   }
 
+  /** Committed meta versions on disk, ascending: `meta_v%09d` dirs whose
+    * `_SUCCESS` marker landed (a crash mid-write leaves no marker and
+    * the half-written dir is invisible). The meta COMMIT is "write the
+    * next version dir, marker last" — the SnapshotStore pointer idea —
+    * so there is no overwrite window at all: readers always resolve a
+    * fully-written meta, old or new.
+    */
+  private def metaVersions(spark: SparkSession, path: String): Seq[(Int, String)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.matches("meta_v\\d{9}") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+        (s.getPath.getName.stripPrefix("meta_v").toInt, s.getPath.toString)
+    }.sortBy(_._1)
+  }
+
   private def writeMeta(spark: SparkSession, path: String, meta: IvfPqMeta): Unit = {
     import spark.implicits._
+    val prior = metaVersions(spark, path)
+    val next = prior.lastOption.map(_._1 + 1).getOrElse(0)
     Seq((meta.dim, meta.m, meta.dsub, meta.nlist, meta.ksub, meta.iters,
         meta.source.map(_._1).orNull, meta.source.map(_._2).getOrElse(-1),
         meta.trainedVersion.getOrElse(-1), meta.gen, meta.baseVersion))
       .toDF("dim", "m", "dsub", "nlist", "ksub", "iters",
         "source_table", "source_version", "trained_version", "gen", "base_version")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(f"$path/meta_v$next%09d")
+    // committed (the _SUCCESS marker landed with the write) — now clean
+    // up history, keeping one prior version so a reader that resolved
+    // the listing a moment ago still reads a complete dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    prior.dropRight(1).foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    // a pre-versioning plain meta dir is subsumed by meta_v0
+    val legacy = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (fs.exists(legacy)) fs.delete(legacy, true)
   }
 
   def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
-    val df = spark.read.parquet(s"$path/meta")
+    // highest committed meta version wins; plain `meta` is the legacy
+    // pre-versioning layout
+    val metaDir = metaVersions(spark, path).lastOption.map(_._2)
+      .getOrElse(s"$path/meta")
+    val df = spark.read.parquet(metaDir)
     val r = df.head()
     def intOr(c: String, d: Int) =
       if (df.columns.contains(c)) r.getAs[Int](c) else d

@@ -253,6 +253,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.codes(spark, dir).count() == emb.count())
   }
 
+  test("meta commit is marker-gated: a torn meta version dir is invisible") {
+    val dir = tmpDir("graft_idx_tornmeta")
+    IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val before = IndexStore.loadMeta(spark, dir)
+    // simulate a crash mid-meta-write: a higher meta version dir with
+    // parquet content but NO _SUCCESS marker (writer died before commit)
+    val vs = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("meta_v\\d{9}")).map(_.getName).sorted
+    val next = vs.last.stripPrefix("meta_v").toInt + 1
+    val torn = new java.io.File(dir, f"meta_v$next%09d")
+    // copy the real meta's parquet part file but omit _SUCCESS
+    torn.mkdirs()
+    val src = new java.io.File(s"$dir/${vs.last}").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(torn, src.getName).toPath)
+    // readers still resolve the committed version
+    assert(IndexStore.loadMeta(spark, dir) == before)
+    // and the next successful commit supersedes the torn dir
+    IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
+      dim = 8, m = 4, ksub = 8, nlist = 4)
+    assert(IndexStore.loadMeta(spark, dir).ksub == 8)
+  }
+
   test("loaded-index search is bit-identical to the inline IVF-PQ search") {
     val dir = tmpDir("graft_idx_search")
     IndexStore.writeIvfPq(emb, "vec_id", "embedding", dir,
