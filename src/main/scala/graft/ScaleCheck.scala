@@ -197,6 +197,12 @@ object ScaleCheck {
       run("bpe_encode",
         ops.Bpe.encodeCorpus(docs1, "doc_id", "text", merges1, counts1),
         ops.Bpe.encodeCorpus(docsN, "doc_id", "text", merges1, countsN))
+      // tokenize-to-ids: the corpus-sized occurrence explode + broadcast
+      // vocab joins + one doc-keyed ordered reassembly — the id-emitting
+      // sibling of bpe_encode, same linear shape expected
+      run("bpe_tokenize",
+        ops.Bpe.tokenizeCorpus(docs1, "doc_id", "text", merges1, counts1),
+        ops.Bpe.tokenizeCorpus(docsN, "doc_id", "text", merges1, countsN))
     }
     // Embedding decontamination: corpus up, benchmark fixed (the
     // realistic growth mode, like bm25/pq above); candidates are

@@ -437,6 +437,32 @@ object CorpusQueries {
   private[analytics] val bpeNMerges = 40
   private val duckBpeToks =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  /** Shared trained tokenizer for q132/q133/q174 — the build-once
+    * production shape: the three queries consume ONE word-count pass and
+    * ONE 40-iteration merge training per (session, fixture content)
+    * instead of three (the LakeQueries content-fingerprint memo
+    * discipline; ~8 s of identical driver-looped Spark jobs per extra
+    * retrain at sf0.1). Keyed by session identity so a test session
+    * never sees another session's checkpointed frame; results are
+    * byte-identical either way (training is deterministic).
+    */
+  private val bpeLock = new Object
+  private var bpeMemo: Map[(Int, String),
+    (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge])] = Map.empty
+  private def bpeTrained(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge]) = {
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    bpeLock.synchronized {
+      bpeMemo.getOrElse(key, {
+        val counts = Bpe.wordCounts(Tables.documents(s, d), "text").localCheckpoint()
+        val merges = Bpe.trainFromCounts(counts, nMerges = bpeNMerges)
+        val v = (counts, merges)
+        bpeMemo += key -> v
+        v
+      })
+    }
+  }
   /** One BPE iteration `i` as CTEs (state in `st{i-1}` → `st{i}`):
     * pair stats, argmax, position explode with the run-parity start
     * rule, and the list rebuild. All MATERIALIZED explicitly — DuckDB
@@ -496,7 +522,7 @@ object CorpusQueries {
           s"l || r AS merged, n FROM bs$i WHERE n >= 2")
         .mkString("\nUNION ALL\n")}
       |) ORDER BY rank""".stripMargin) { (s, d) =>
-    val merges = Bpe.train(Tables.documents(s, d), "text", nMerges = bpeNMerges)
+    val (_, merges) = bpeTrained(s, d)
     s.createDataFrame(merges)
       .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
       .orderBy("rank")
@@ -525,9 +551,69 @@ object CorpusQueries {
       |FROM tfd LEFT JOIN lens USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val counts = Bpe.wordCounts(docs, "text").localCheckpoint()
-    val merges = Bpe.trainFromCounts(counts, nMerges = bpeNMerges)
+    val (counts, merges) = bpeTrained(s, d)
     Bpe.encodeCorpus(docs, "doc_id", "text", merges, counts)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q174
+  // Corpus tokenization to BPE token-id SEQUENCES (Bpe.tokenizeCorpus) —
+  // the step that turns a curated corpus into trainer input, where
+  // q133 reports only subword counts. Id layout is GPT-2-style: base
+  // symbols (binary-sorted) then merges in learned order; duplicate
+  // merge strings collapse to their first id; unseen-word symbols fall
+  // back to char splits with -1 (UNK) for unmapped symbols. The oracle
+  // shares q132's training chain (st40 = encoded vocabulary, bs_i = the
+  // per-rank argmaxes), rebuilds the id map in SQL, and reassembles
+  // every document's id sequence in (word position, symbol position)
+  // order; sequences compare as CSV strings (the q110 dump-friendly
+  // scalar rule — pandas cannot sort raw array cells).
+  private def duckInitSyms(w: String): String =
+    s"list_append(list_transform(generate_series(1, length($w)), " +
+      s"j -> substring($w, j, 1)), '${Bpe.EndOfWord}')"
+  val q174 = QuerySpec.sql(
+    "q174_bpe_tokenize",
+    s"""WITH $duckBpeCtes,
+      |tdoc AS (SELECT doc_id, $duckBpeToks AS toks FROM documents),
+      |words AS (SELECT doc_id, u.wpos AS wpos, toks[u.wpos] AS word
+      |  FROM tdoc, unnest(generate_series(1, len(toks))) AS u(wpos)),
+      |wsyms AS (SELECT w.doc_id, w.wpos,
+      |  COALESCE(s.syms, ${duckInitSyms("w.word")}) AS syms
+      |  FROM words w LEFT JOIN st$bpeNMerges s USING (word)),
+      |sympos AS (SELECT doc_id, wpos, u.spos AS spos, syms[u.spos] AS token
+      |  FROM wsyms, unnest(generate_series(1, len(syms))) AS u(spos)),
+      |sbase AS (SELECT DISTINCT unnest(syms) AS token FROM st0),
+      |bids AS (SELECT token,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+      |  FROM sbase),
+      |nbase AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sbase),
+      |mrg AS (
+      |${(1 to bpeNMerges).map(i =>
+          s"  SELECT CAST($i AS BIGINT) AS rank, l || r AS token FROM bs$i WHERE n >= 2")
+          .mkString("\n  UNION ALL\n")}),
+      |mids AS (SELECT token, nbase.n + rank - 1 AS token_id
+      |  FROM mrg CROSS JOIN nbase),
+      |vids AS (SELECT token, CAST(MIN(token_id) AS BIGINT) AS token_id FROM (
+      |  SELECT * FROM bids UNION ALL SELECT * FROM mids) GROUP BY token),
+      |mapped AS (SELECT sp.doc_id, sp.wpos, sp.spos,
+      |  COALESCE(v.token_id, -1) AS tid
+      |  FROM sympos sp LEFT JOIN vids v USING (token)),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS ids_csv
+      |  FROM mapped GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  COALESCE(a.ids_csv, '') AS ids_csv
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = bpeTrained(s, d)
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    docs.select("doc_id").join(tok, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("token_ids")), lit(0)).cast("long").as("n_tokens"),
+        concat_ws(",", transform(
+          coalesce(col("token_ids"), array().cast("array<bigint>")),
+          x => x.cast("string"))).as("ids_csv"))
       .orderBy("doc_id")
   }
 
@@ -1502,7 +1588,7 @@ object CorpusQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141,
+    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168)
 }

@@ -163,6 +163,66 @@ object Bpe {
         sum(col("__tf") * col("__len")).as("n_subwords"))
   }
 
+  /** The trained tokenizer's vocabulary as (token, token_id): base
+    * symbols (every distinct initial symbol in the training vocabulary —
+    * characters plus [[EndOfWord]]) take ids 0..B-1 in binary-sorted
+    * order, then each merge rule's produced symbol takes B + rank - 1 —
+    * the GPT-2-style id layout (base alphabet first, merges in learned
+    * order). Different merge paths CAN produce the same token string
+    * (('ab','c') and ('a','bc') both yield "abc"); tokenization is
+    * string-keyed, so such duplicates collapse to their FIRST (minimum)
+    * id. The base-symbol window is vocabulary-alphabet-sized (hundreds
+    * of rows), the accepted aggregated-data window class.
+    */
+  def vocabulary(counts: DataFrame, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val base = counts.select(explode(initialSyms(col("word"))).as("token")).distinct()
+    val bids = base.withColumn("token_id",
+      (row_number().over(Window.orderBy(col("token"))) - 1).cast(LongType))
+    val nBase = base.count()
+    val mids = merges.map(m => (m.merged, nBase + m.rank - 1L))
+      .toDF("token", "token_id")
+    bids.unionByName(mids)
+      .groupBy(col("token")).agg(min(col("token_id")).as("token_id"))
+  }
+
+  /** Tokenize a corpus to BPE token-id sequences — the step that turns a
+    * curated corpus into trainer input. Per document: whitespace words
+    * in order, each word's trained symbol sequence ([[encodeVocab]] —
+    * computed ONCE per distinct vocabulary word, broadcast to the
+    * corpus-sized occurrence join; unseen words fall back to their
+    * initial char+terminal split), symbols mapped to [[vocabulary]] ids
+    * (unseen symbols, only possible under the unseen-word fallback, map
+    * to -1 = UNK), flattened in (word position, symbol position) order.
+    *
+    * Exchange shape: one corpus-sized occurrence explode joined to the
+    * BROADCAST encoded vocabulary and id map (both vocabulary-sized),
+    * then one doc-keyed aggregate that assembles the ordered id array —
+    * the TF exchange pattern with an ordered reassembly instead of a
+    * count. Output: (idCol, token_ids array<bigint>).
+    */
+  def tokenizeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], trainedVocab: DataFrame): DataFrame = {
+    val enc = encodeVocab(trainedVocab, merges).select(col("word"), col("syms"))
+    val ids = vocabulary(trainedVocab, merges)
+    val words = TextOps.parallelized(docs)
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("__wpos", "word")))
+    val withSyms = words.join(broadcast(enc), Seq("word"), "left")
+      .withColumn("__syms", coalesce(col("syms"), initialSyms(col("word"))))
+    val sym = withSyms.select(col(idCol), col("__wpos"),
+      posexplode(col("__syms")).as(Seq("__spos", "token")))
+    sym.join(broadcast(ids), Seq("token"), "left")
+      .withColumn("__tid", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("__wpos"), col("__spos"), col("__tid")))).as("__o"))
+      .select(col(idCol),
+        transform(col("__o"), e => e.getField("__tid")).as("token_ids"))
+  }
+
   // ------------------------------------------------- plain-JVM referee
 
   /** Bit-for-bit plain-JVM reimplementation of [[trainFromCounts]] for the

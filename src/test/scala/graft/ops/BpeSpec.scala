@@ -89,4 +89,39 @@ class BpeSpec extends SparkSpec {
     assert(!out.contains(2L)) // empty doc has no tokens → no row (TF shape)
     assert(out(3L) == (2L, lenOf("zq") + lenOf("ab")))
   }
+
+  test("vocabulary: base symbols sorted first, merges by rank, duplicate strings collapse") {
+    val counts = Seq(("aaab", 2L), ("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(counts, nMerges = 3, minCount = 1)
+    val v = Bpe.vocabulary(counts, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base alphabet of the vocab: '</w>', 'a', 'b' (binary sort: '<' < 'a')
+    assert(v(Bpe.EndOfWord) == 0L && v("a") == 1L && v("b") == 2L)
+    // each merge's produced symbol sits at nBase + rank - 1 (unless the
+    // string duplicates an earlier token, which keeps the earlier id)
+    merges.foreach { m =>
+      assert(v(m.merged) <= 3L + m.rank - 1)
+      assert(v.contains(m.merged))
+    }
+    // ids are unique per token string
+    assert(v.values.toSeq.distinct.size == v.size)
+  }
+
+  test("tokenizeCorpus: ordered ids, unseen-word fallback maps to char ids or UNK") {
+    val docs = Seq((1L, "ab ab"), (2L, "zb"), (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(vocab, nMerges = 2, minCount = 1)
+    val v = Bpe.vocabulary(vocab, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](1).toList).toMap
+    // "ab" trains to one merged token (or two merges ending at ab</w>)
+    val abIds = Bpe.referenceEncode("ab", merges).map(v).toList
+    assert(out(1L) == abIds ++ abIds) // word order preserved
+    // unseen word "zb": falls back to chars; 'z' is outside the trained
+    // alphabet -> UNK (-1); 'b' and '</w>' resolve to their base ids
+    assert(out(2L) == List(-1L, v("b"), v(Bpe.EndOfWord)))
+    assert(!out.contains(3L)) // empty doc: no tokens, no row
+  }
 }
