@@ -203,6 +203,19 @@ object ScaleCheck {
       run("bpe_tokenize",
         ops.Bpe.tokenizeCorpus(docs1, "doc_id", "text", merges1, counts1),
         ops.Bpe.tokenizeCorpus(docsN, "doc_id", "text", merges1, countsN))
+      // window packing over the ids: tokenize checkpointed out of the
+      // timed path so the row isolates the pack itself — the doc-array
+      // exchange + per-window ordered flatten (offsets are per-source
+      // cumulative windows; sources are the parallelism unit)
+      val tok1 = docs1.select(col("doc_id"), col("source"))
+        .join(ops.Bpe.tokenizeCorpus(docs1, "doc_id", "text", merges1, counts1),
+          Seq("doc_id")).localCheckpoint()
+      val tokN = docsN.select(col("doc_id"), col("source"))
+        .join(ops.Bpe.tokenizeCorpus(docsN, "doc_id", "text", merges1, countsN),
+          Seq("doc_id")).localCheckpoint()
+      run("pack_token_ids",
+        ops.Curation.packTokenIds(tok1, "doc_id", "source", "token_ids", 512),
+        ops.Curation.packTokenIds(tokN, "doc_id", "source", "token_ids", 512))
     }
     // Embedding decontamination: corpus up, benchmark fixed (the
     // realistic growth mode, like bm25/pq above); candidates are
@@ -343,6 +356,12 @@ object ScaleCheck {
     run("html_extract",
       analytics.ExtractQueries.scaleHtml(docs1),
       analytics.ExtractQueries.scaleHtml(docsN))
+    // C4 line-rule cleaning: same shape (regex line rules + in-doc
+    // first-occurrence dedup lambdas, zero exchange) — linear by
+    // construction; the row pins the constant factor.
+    run("c4_clean",
+      analytics.ExtractQueries.scaleC4(docs1),
+      analytics.ExtractQueries.scaleC4(docsN))
     // The q170 composition — every opt-in text stage at once (rule gate +
     // substring strip + containment dedup + reference-LM filter + the
     // shared quality tail). Each stage is trend-checked standalone above;

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Bpe, Dedup, Pq, QualityRules, Similarity, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, Pq, QualityRules, Similarity, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
@@ -391,9 +391,29 @@ object CorpusQueries {
   // — with q128r recomputing every ADC score through the composable
   // path bit-for-bit and holding a recall floor against exact
   // inner-product search.
+  /** Shared PQ codebooks for q128/q129 and their referees — the same
+    * build-once memo discipline as the BPE tokenizer below (training is
+    * deterministic, so results are byte-identical either way; the five
+    * consumers otherwise each pay the seed collect + 2 Lloyd sweeps).
+    */
+  private val pqLock = new Object
+  private var pqMemo: Map[(Int, String), Pq.Codebooks] = Map.empty
+  private[analytics] def pqTrained(s: SparkSession, d: String): Pq.Codebooks = {
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "embeddings.parquet"))
+    pqLock.synchronized {
+      pqMemo.getOrElse(key, {
+        val cb = Pq.train(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, m = 16, ksub = 16)
+        pqMemo += key -> cb
+        cb
+      })
+    }
+  }
+
   val q128 = QuerySpec.rowsOnly("q128_pq_adc_topk") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val cb = pqTrained(s, d)
     Pq.adcTopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
       "vec_id", "embedding", cb, k = 3)
       .orderBy("probe_id", "rank")
@@ -406,7 +426,7 @@ object CorpusQueries {
   // bit-exact ADC scores per emitted row and a compounded recall floor.
   val q129 = QuerySpec.rowsOnly("q129_ivfpq_topk") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val cb = pqTrained(s, d)
     Pq.ivfPqTopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
       "vec_id", "embedding", cb, k = 3, nlist = 8, nprobe = 3)
       .orderBy("probe_id", "rank")
@@ -571,10 +591,13 @@ object CorpusQueries {
   private def duckInitSyms(w: String): String =
     s"list_append(list_transform(generate_series(1, length($w)), " +
       s"j -> substring($w, j, 1)), '${Bpe.EndOfWord}')"
-  val q174 = QuerySpec.sql(
-    "q174_bpe_tokenize",
-    s"""WITH $duckBpeCtes,
-      |tdoc AS (SELECT doc_id, $duckBpeToks AS toks FROM documents),
+  /** The tokenization replay shared by q174/q177: documents → per-(doc,
+    * word position, symbol position) token ids in `mapped(doc_id, wpos,
+    * spos, tid)`, given the training chain's `st{N}`/`bs{i}`/`st0` CTEs
+    * are in scope. Id layout per [[graft.ops.Bpe.vocabulary]].
+    */
+  private def duckTokenizeCtes: String =
+    s"""tdoc AS (SELECT doc_id, $duckBpeToks AS toks FROM documents),
       |words AS (SELECT doc_id, u.wpos AS wpos, toks[u.wpos] AS word
       |  FROM tdoc, unnest(generate_series(1, len(toks))) AS u(wpos)),
       |wsyms AS (SELECT w.doc_id, w.wpos,
@@ -597,7 +620,12 @@ object CorpusQueries {
       |  SELECT * FROM bids UNION ALL SELECT * FROM mids) GROUP BY token),
       |mapped AS (SELECT sp.doc_id, sp.wpos, sp.spos,
       |  COALESCE(v.token_id, -1) AS tid
-      |  FROM sympos sp LEFT JOIN vids v USING (token)),
+      |  FROM sympos sp LEFT JOIN vids v USING (token))""".stripMargin
+
+  val q174 = QuerySpec.sql(
+    "q174_bpe_tokenize",
+    s"""WITH $duckBpeCtes,
+      |$duckTokenizeCtes,
       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS ids_csv
       |  FROM mapped GROUP BY doc_id)
@@ -615,6 +643,57 @@ object CorpusQueries {
           coalesce(col("token_ids"), array().cast("array<bigint>")),
           x => x.cast("string"))).as("ids_csv"))
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q177
+  // Token-id sequence PACKING (Curation.packTokenIds over q174's
+  // tokenization): documents laid end-to-end per source in doc_id
+  // order, cut into fixed 512-id training windows spanning doc
+  // boundaries — the actual trainer-input tensors, where q103/q104
+  // plan membership from whitespace counts. The oracle replays the
+  // whole chain — training (q132's CTEs), tokenization (q174's), then
+  // per-doc running offsets, per-window fragment slicing (DuckDB list
+  // slices are 1-based-inclusive = the same integers as Spark's
+  // slice(start0+1, endExcl-start0)), and offset-ordered flattening —
+  // and hash-matches every window's id sequence as a CSV scalar.
+  private val packMaxIds = 512
+  val q177 = QuerySpec.sql(
+    "q177_pack_token_ids",
+    s"""WITH $duckBpeCtes,
+      |$duckTokenizeCtes,
+      |dl AS (SELECT doc_id, list(tid ORDER BY wpos, spos) AS ids
+      |  FROM mapped GROUP BY doc_id),
+      |dj AS (SELECT d.doc_id, d.source, COALESCE(l.ids, []) AS ids,
+      |  CAST(len(COALESCE(l.ids, [])) AS BIGINT) AS n
+      |  FROM documents d LEFT JOIN dl l USING (doc_id)),
+      |ofs AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY source
+      |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  0) AS o FROM dj),
+      |wins AS (SELECT source, doc_id, o, n, ids, u.w AS w
+      |  FROM ofs, unnest(generate_series(CAST(o // $packMaxIds AS BIGINT),
+      |    CAST((o + n - 1) // $packMaxIds AS BIGINT))) AS u(w)
+      |  WHERE n > 0),
+      |frg AS (SELECT source, w, o,
+      |  list_slice(ids, greatest(w * $packMaxIds - o, 0) + 1,
+      |    least((w + 1) * $packMaxIds - o, n)) AS fr FROM wins),
+      |pk AS (SELECT source, w AS window_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  flatten(list(fr ORDER BY o)) AS ids FROM frg GROUP BY source, w)
+      |SELECT source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+      |FROM pk ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = bpeTrained(s, d)
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    val withSrc = docs.select("doc_id", "source").join(tok, Seq("doc_id"), "left")
+      .withColumn("token_ids",
+        coalesce(col("token_ids"), array().cast("array<bigint>")))
+    Curation.packTokenIds(withSrc, "doc_id", "source", "token_ids", packMaxIds)
+      .select(col("source"), col("window_id"), col("n_docs"), col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"))
+      .orderBy("source", "window_id")
   }
 
   // --------------------------------------------------------------- q135
@@ -1588,7 +1667,7 @@ object CorpusQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174,
+    q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168)
 }

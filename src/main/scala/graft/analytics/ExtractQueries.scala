@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Curation, Extract}
+import graft.ops.{C4Rules, Curation, Extract}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -199,5 +199,169 @@ object ExtractQueries {
     docs.select(col("doc_id"),
       Extract.mainContent(htmlCol).as("text"))
 
-  val all: Seq[QuerySpec] = Seq(q171, q172)
+  // ----------------------------------------------- C4 line-rule fixture
+
+  /** Bad-words parameter for the C4 gate queries (stand-in for the
+    * LDNOOBW list C4 ships; the rule is list-shape-independent).
+    */
+  private val c4BadWords = Seq("xxx")
+
+  /** Synthetic crawled-page text per document — the [[htmlCol]]
+    * discipline: built IDENTICALLY by Spark and by the oracle from the
+    * same columns, exercising every rule. Body lines come from fixed
+    * substrings of the doc's own text (terminal-punctuated, >= 5 words
+    * for any doc long enough); the noise lines are a no-punct nav
+    * stub ("Click here"), an enable-javascript banner that passes the
+    * punct+length rules, a 1-word line ("Home"), an exact repeat of the
+    * first body line (the within-doc dedup target), and per-residue
+    * page-poison lines: lorem ipsum (doc_id%7), a bad word (%11), a
+    * curly-brace code line (%13). Docs shorter than the substring
+    * windows degrade to 1-word lines ('.', '!', '?'), dropped by the
+    * word floor in both engines — page then fails the 3-sentence rule.
+    */
+  private def c4PageCol: Column = concat(
+    substring(col("text"), 1, 70), lit(".\nClick here\n"),
+    lit("Sign up now to get javascript alerts every day okay.\n"),
+    substring(col("text"), 71, 70), lit("!\nHome\n"),
+    substring(col("text"), 1, 70), lit(".\n"),
+    when(col("doc_id") % 7 === 0,
+      lit("Lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      lit("This page rated xxx by the panel.\n")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      lit("var config = { mode: 1 };\n")).otherwise(lit("")),
+    substring(col("text"), 141, 70), lit("?"))
+
+  /** The same page from the same columns, oracle-side. */
+  private val duckC4Page: String =
+    """substring(text, 1, 70) || '.' || chr(10) || 'Click here' || chr(10) ||
+      |'Sign up now to get javascript alerts every day okay.' || chr(10) ||
+      |substring(text, 71, 70) || '!' || chr(10) || 'Home' || chr(10) ||
+      |substring(text, 1, 70) || '.' || chr(10) ||
+      |CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10) ELSE '' END ||
+      |CASE WHEN doc_id % 11 = 0 THEN 'This page rated xxx by the panel.' || chr(10) ELSE '' END ||
+      |CASE WHEN doc_id % 13 = 0 THEN 'var config = { mode: 1 };' || chr(10) ELSE '' END ||
+      |substring(text, 141, 70) || '?'"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  // ------------------------------------------- oracle C4 rules replay
+  // Every pattern interpolates the [[C4Rules]] constant it mirrors —
+  // the single-source discipline all Extract/UrlOps oracles follow.
+
+  private def duckC4Words(x: String): String =
+    s"len(list_filter(string_split_regex($x, '${C4Rules.SpaceRunRe}'), w -> w <> ''))"
+  private def duckC4Term(x: String): String =
+    s"len(regexp_extract_all($x, '${C4Rules.TerminalEndRe}')) > 0"
+  private def duckC4Js(x: String): String =
+    s"len(regexp_extract_all($x, '${C4Rules.JavascriptRe}')) > 0"
+  private def duckC4LineKeep(x: String): String =
+    s"${duckC4Term(x)} AND ${duckC4Words(x)} >= 5 AND NOT ${duckC4Js(x)}"
+  private def duckC4PageKeep(page: String, clean: String): String =
+    s"len(regexp_extract_all($clean, '${C4Rules.SentencePunctRe}')) >= 3" +
+      s" AND len(regexp_extract_all($page, '${C4Rules.LoremIpsumRe}')) = 0" +
+      s" AND NOT contains($page, '{')" +
+      s" AND len(regexp_extract_all(lower($page), '${C4Rules.badWordsRe(c4BadWords)}')) = 0"
+
+  /** CTEs from `documents` (filtered by `whereSql`) to `c4c(doc_id,
+    * source, page, ls = raw lines, kl = line-rule survivors, dl = kl
+    * after within-doc dedup, clean_text)`. Line dedup replays as a
+    * first-occurrence filter — DuckDB lambda indexes are 1-based where
+    * Spark's are 0-based, `list_position`/`array_position` both return
+    * the first 1-based hit.
+    */
+  private def duckC4Ctes(whereSql: String): String =
+    s"""pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents $whereSql),
+      |lns AS (SELECT doc_id, source, page, string_split(page, chr(10)) AS ls FROM pg),
+      |kpt AS (SELECT doc_id, source, page, ls,
+      |  list_filter(ls, x -> ${duckC4LineKeep("x")}) AS kl FROM lns),
+      |ddp AS (SELECT doc_id, source, page, ls, kl,
+      |  list_filter(kl, (x, i) -> list_position(kl, x) = i) AS dl FROM kpt),
+      |c4c AS (SELECT doc_id, source, page, ls, kl, dl,
+      |  COALESCE(array_to_string(dl, chr(10)), '') AS clean_text FROM ddp)""".stripMargin
+
+  // --------------------------------------------------------------- q175
+  // Per-document C4 line-clean receipt: raw/kept/deduped line counts,
+  // dropped lines attributed to their FIRST failing rule (punct → short
+  // → javascript), the cleaned text itself, its sentence count, and the
+  // page verdict (sentence floor on cleaned text, lorem/brace/bad-word
+  // screens on the raw page) — all hash-matched byte-for-byte.
+  val q175 = QuerySpec.sql(
+    "q175_c4_line_clean",
+    s"""WITH ${duckC4Ctes("")}
+      |SELECT doc_id, source,
+      |  CAST(len(list_filter(ls, x -> trim(x) <> '')) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, x -> trim(x) <> ''
+      |    AND NOT ${duckC4Term("x")})) AS BIGINT) AS n_drop_punct,
+      |  CAST(len(list_filter(ls, x -> trim(x) <> '' AND ${duckC4Term("x")}
+      |    AND ${duckC4Words("x")} < 5)) AS BIGINT) AS n_drop_short,
+      |  CAST(len(list_filter(ls, x -> trim(x) <> '' AND ${duckC4Term("x")}
+      |    AND ${duckC4Words("x")} >= 5 AND ${duckC4Js("x")})) AS BIGINT) AS n_drop_js,
+      |  CAST(len(kl) AS BIGINT) AS n_kept,
+      |  CAST(len(dl) AS BIGINT) AS n_deduped,
+      |  clean_text,
+      |  CAST(len(regexp_extract_all(clean_text, '${C4Rules.SentencePunctRe}')) AS BIGINT) AS n_sentences,
+      |  CAST(${duckC4PageKeep("page", "clean_text")} AS INT) AS page_keep
+      |FROM c4c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sig = C4Rules.signals(col("page"), c4BadWords)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), c4PageCol.as("page"))
+      .select(col("doc_id") +: col("source") +:
+        sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q176
+  // C4 cleaning as curateCorpus stage -1/0: pages are line-cleaned, the
+  // page gate runs as the funnel's rule gate (stage 0), and the default
+  // curation chain (exact dedup → LSH near-dup → decontamination →
+  // quality pruning → hash split) runs on the CLEANED text — the
+  // [[q172]] composition shape with C4 rules in place of HTML
+  // extraction. Banding: cleaned pages are ~210-char substring excerpts
+  // of their documents, so (as with extraction — q172's lesson)
+  // near-dup pairs drift toward the 0.5 threshold: measured on the
+  // sf0.01 cleaned corpus, 14 post-exact-dedup pairs have exact Jaccard
+  // in [0.5, 0.93). Stage 2 therefore runs at the high-recall 128x64
+  // (r=2): miss <= (1-0.5^2)^64 ~ 1e-8 per pair at the threshold edge,
+  // ~1.4e-7 across the fixture — the oracle replay is robust rather
+  // than fixture-lucky.
+  val q176 = QuerySpec.sql(
+    "q176_curation_c4",
+    s"""WITH ${duckC4Ctes("WHERE doc_id % 97 <> 0")},
+      |corpus AS (SELECT doc_id, source, clean_text AS text FROM c4c
+      |  WHERE ${duckC4PageKeep("page", "clean_text")}),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cleaned = docs
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"), c4PageCol.as("page"))
+      .select(col("doc_id"), col("source"), col("page"),
+        C4Rules.cleanText(col("page")).as("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        C4Rules.pageKeep(col("page"), col("text"), c4BadWords).as("__pk"))
+    Curation.curateCorpus(
+      cleaned,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      ruleGate = Some(col("__pk")),
+      lshHashes = 128, lshBands = 64)
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
+  /** ScaleCheck surface: per-doc C4 clean + page gate over the fixture
+    * page — pure scan-side projection, expected ~1x at any blow-up.
+    */
+  private[graft] def scaleC4(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), c4PageCol.as("page"))
+      .select(col("doc_id") +: C4Rules.signals(col("page"), c4BadWords)
+        .map { case (n, c) => c.as(n) }: _*)
+
+  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176)
 }

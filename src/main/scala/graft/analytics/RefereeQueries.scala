@@ -359,7 +359,7 @@ object RefereeQueries {
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") % 50 === 0)
     val k = 3
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val cb = CorpusQueries.pqTrained(s, d)
     val native = Pq.adcTopK(probes, emb, "vec_id", "embedding", cb, k = k)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -386,7 +386,7 @@ object RefereeQueries {
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") % 50 === 0)
     val k = 3
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val cb = CorpusQueries.pqTrained(s, d)
     val native = Pq.ivfPqTopK(probes, emb, "vec_id", "embedding", cb, k = k,
       nlist = 8, nprobe = 3)
     val scoreBad = native.join(
@@ -443,7 +443,7 @@ object RefereeQueries {
     implicit val ss: SparkSession = s
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") % 50 === 0)
-    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 16)
+    val cb = CorpusQueries.pqTrained(s, d)
     val inline = Pq.ivfPqTopK(probes, emb, "vec_id", "embedding", cb, k = 3,
       nlist = 8, nprobe = 3)
     val loaded = graft.ops.IndexStore.searchIvfPq(

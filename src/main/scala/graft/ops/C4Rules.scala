@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** C4-style LINE-granularity cleaning rules (Raffel et al. 2020,
+  * "Exploring the Limits of Transfer Learning with a Unified
+  * Text-to-Text Transformer", §2.2 — the filter set the C4 corpus was
+  * built with, reused in some form by every open web-corpus stack
+  * since). [[QualityRules]] is the Gopher DOCUMENT-granularity rule set;
+  * this is the complementary pass that edits documents line by line
+  * before any document-level signal is computed: crawled pages carry
+  * menu items, cookie banners and share bars on otherwise-good pages,
+  * and dropping the page for them (the only option a document-level
+  * gate has) throws away the prose.
+  *
+  * Line rules (a line is kept iff ALL hold; published defaults):
+  *   - ends in a terminal punctuation mark (`.`, `!`, `?`, closing
+  *     quote after one of those)
+  *   - has at least `minWords` (5) whitespace words
+  *   - does not contain the word "javascript" (case-insensitive) —
+  *     enable-JS banners
+  * Page rules (keep iff ALL hold): the sentence floor is evaluated on
+  * the SURVIVING text, the content screens on the RAW page (the
+  * reference TFDS implementation's split — a bad word on a dropped
+  * share-bar line still poisons the page):
+  *   - at least `minSentences` (3) sentences, counted as terminal-
+  *     punctuation occurrences in the kept lines
+  *   - raw page does not contain "lorem ipsum" (case-insensitive)
+  *   - raw page does not contain a curly brace `{` (code)
+  *   - raw page contains no word from the bad-words list (C4 uses the
+  *     LDNOOBW list; the list is a parameter here, matched
+  *     case-insensitively as whole words)
+  * Plus the within-document line dedup RefinedWeb/Dolma run alongside
+  * (C4 dedups three-sentence spans corpus-wide — that global pass is
+  * [[Dedup.paragraphDedup]]'s job; the in-document form here kills the
+  * "same footer line repeated between sections" pattern with zero
+  * shuffle).
+  *
+  * Every rule is a pure per-row Column expression — no UDF, no shuffle,
+  * scan-side under whole-stage codegen; at 100 TB the clean fuses into
+  * the read pass like any projection and Catalyst prunes the scan to
+  * `text`. Engine-portability discipline (the [[Extract]]/[[UrlOps]]
+  * rule): alternation + character classes only — no backreferences, no
+  * lookaround, explicit `[ \t\n\r\f]` classes — so a DuckDB oracle
+  * replays every kept byte. Word splitting matches [[TextOps.tokens]]
+  * (whitespace split, empties dropped) so counts agree with the rest of
+  * the engine.
+  */
+object C4Rules {
+
+  /** Terminal-punctuation line ending: `.`, `!`, `?`, optionally
+    * followed by a closing double quote (C4 keeps `He said "stop."`
+    * -style lines; the quote variant is the paper's "terminal
+    * punctuation mark (i.e. a period, exclamation mark, question mark,
+    * or end quotation mark)").
+    */
+  val TerminalEndRe = "[.!?]\"?$"
+
+  /** Sentence counter over kept text: one sentence per terminal-punct
+    * occurrence.
+    */
+  val SentencePunctRe = "[.!?]"
+
+  /** Case-insensitive "javascript" anywhere in the line. */
+  val JavascriptRe = "(?i)javascript"
+
+  /** Case-insensitive "lorem ipsum" (whitespace-run separated). */
+  val LoremIpsumRe = "(?i)lorem[ \\t\\n\\r\\f]+ipsum"
+
+  /** Portable whitespace run (see [[Extract.SpaceRunRe]] for why not
+    * `\\s`).
+    */
+  val SpaceRunRe = "[ \\t\\n\\r\\f]+"
+
+  /** Newline-separated raw lines (empties kept — `nLines` counts them
+    * out explicitly so the kept/total accounting is stable).
+    */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Whitespace words of one line ([[TextOps.tokens]] semantics). */
+  def lineWords(line: Column): Column =
+    filter(split(line, SpaceRunRe), w => length(w) > 0)
+
+  /** Line predicate building blocks — public so funnel queries can
+    * attribute each dropped line to its FIRST failing rule (punct →
+    * short → javascript, the class-doc order) without restating the
+    * patterns.
+    */
+  def endsTerminal(line: Column): Column =
+    regexp_count(line, lit(TerminalEndRe)) > 0
+  def hasJavascript(line: Column): Column =
+    regexp_count(line, lit(JavascriptRe)) > 0
+
+  /** The C4 line keep rule (see class doc). */
+  def lineKeep(line: Column, minWords: Int = 5): Column =
+    endsTerminal(line) && size(lineWords(line)) >= minWords &&
+      !hasJavascript(line)
+
+  /** Surviving lines, page order preserved. */
+  def keptLines(text: Column, minWords: Int = 5): Column =
+    filter(lines(text), l => lineKeep(l, minWords))
+
+  /** First occurrence of every line, page order preserved (the
+    * within-document line dedup — see class doc). `array_position`
+    * returns the FIRST 1-based index of the value, so a line survives
+    * iff it sits at its own first occurrence; the filter index `i` is
+    * 0-based.
+    */
+  def dedupLines(linesArr: Column): Column =
+    filter(linesArr, (l, i) => array_position(linesArr, l) === i + 1)
+
+  /** The cleaned page: kept lines, in-document-deduped, rejoined. */
+  def cleanText(text: Column, minWords: Int = 5): Column =
+    array_join(dedupLines(keptLines(text, minWords)), "\n")
+
+  /** Sentences in a cleaned page (terminal-punct occurrences). */
+  def sentenceCount(cleanedText: Column): Column =
+    regexp_count(cleanedText, lit(SentencePunctRe))
+
+  /** Case-insensitive whole-word bad-word alternation over a cleaned
+    * page. Empty list → never matches. The words are interpolated into
+    * a regex, so they must be plain `[a-z0-9]+` tokens — enforced, not
+    * assumed (a metacharacter would silently change the rule).
+    */
+  def badWordHit(cleanedText: Column, badWords: Seq[String]): Column = {
+    require(badWords.forall(_.matches("[a-z0-9]+")),
+      s"bad words must be lowercase alphanumeric tokens: $badWords")
+    if (badWords.isEmpty) lit(false)
+    else regexp_count(lower(cleanedText),
+      lit(badWordsRe(badWords))) > 0
+  }
+
+  /** The whole-word alternation [[badWordHit]] compiles — shared with
+    * oracle builders (single-source pattern discipline). Word
+    * boundaries are spelled as explicit non-word-char/edge
+    * alternations instead of `\b` so the pattern is RE2-portable.
+    */
+  def badWordsRe(badWords: Seq[String]): String =
+    s"(^|[^a-z0-9])(${badWords.mkString("|")})($$|[^a-z0-9])"
+
+  /** Case-insensitive "lorem ipsum" on the raw page. */
+  def hasLorem(rawText: Column): Column =
+    regexp_count(rawText, lit(LoremIpsumRe)) > 0
+
+  /** The C4 page gate: sentence floor on the CLEANED text, content
+    * screens on the RAW page (see class doc).
+    */
+  def pageKeep(rawText: Column, cleanedText: Column, badWords: Seq[String],
+      minSentences: Int = 3): Column =
+    sentenceCount(cleanedText) >= minSentences &&
+      !hasLorem(rawText) &&
+      !rawText.contains("{") &&
+      !badWordHit(rawText, badWords)
+
+  /** Per-page line accounting + first-fail drop attribution + cleaned
+    * text + page verdict, as named expressions over a raw-text column —
+    * the one-stop projection a curation stage calls. Columns: n_lines
+    * (non-empty raw lines), n_drop_punct / n_drop_short / n_drop_js
+    * (dropped lines attributed to the FIRST failing rule), n_kept
+    * (lines surviving the line rules), n_deduped (after in-document
+    * dedup), clean_text, n_sentences, page_keep (0/1).
+    */
+  def signals(text: Column, badWords: Seq[String], minWords: Int = 5,
+      minSentences: Int = 3): Seq[(String, Column)] = {
+    val nonEmpty = filter(lines(text), l => length(trim(l)) > 0)
+    val kept = dedupLines(keptLines(text, minWords))
+    val cleaned = array_join(kept, "\n")
+    Seq(
+      "n_lines" -> size(nonEmpty).cast(LongType),
+      "n_drop_punct" -> size(filter(nonEmpty, l => !endsTerminal(l)))
+        .cast(LongType),
+      "n_drop_short" -> size(filter(nonEmpty,
+        l => endsTerminal(l) && size(lineWords(l)) < minWords)).cast(LongType),
+      "n_drop_js" -> size(filter(nonEmpty,
+        l => endsTerminal(l) && size(lineWords(l)) >= minWords &&
+          hasJavascript(l))).cast(LongType),
+      "n_kept" -> size(keptLines(text, minWords)).cast(LongType),
+      "n_deduped" -> size(kept).cast(LongType),
+      "clean_text" -> cleaned,
+      "n_sentences" -> sentenceCount(cleaned).cast(LongType),
+      "page_keep" -> pageKeep(text, cleaned, badWords, minSentences)
+        .cast(IntegerType))
+  }
+}

@@ -464,6 +464,60 @@ object Curation {
       .withColumn("chunk_id", floor(col("token_offset") / maxTokens))
   }
 
+  /** Pack REAL token-id sequences ([[Bpe.tokenizeCorpus]] output) into
+    * fixed `maxTokens` training windows — the last step before the
+    * trainer: documents laid end-to-end in (group, id) order, each
+    * window an `array<bigint>` of exactly `maxTokens` ids spanning
+    * document boundaries (each group's final window may be shorter; no
+    * padding — pad/drop is the trainer's policy, like epoch repetition
+    * in [[Sampling]]). [[packSequences]] plans window MEMBERSHIP from
+    * whitespace counts; this emits the windows themselves from the
+    * tokenizer's ids.
+    *
+    * Scale shape: the exchange carries DOC-sized id arrays, never
+    * token-level rows — each document computes its own window span
+    * scan-side (a doc overlaps ceil(n/maxTokens)+1 windows at most) and
+    * ships one array fragment per overlapped window, keyed by (group,
+    * window); assembly is one ordered aggregate per window. The
+    * per-group running offset is a cumulative-sum window — one
+    * partition per group, the same parallelism-unit argument as
+    * [[packSequences]] (groups are shards/sources by construction).
+    * Offsets stay exact: `floor` on a double division is exact below
+    * 2^52 tokens per group (a 100 TB corpus is ~1e13).
+    *
+    * Input: (idCol, groupCol, idsCol: array of ids). Output per
+    * (groupCol, window_id): n_docs (documents contributing ids to the
+    * window), token_ids, n_ids. Zero-token documents occupy no window.
+    */
+  def packTokenIds(tokens: DataFrame, idCol: String, groupCol: String,
+      idsCol: String, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val m = lit(maxTokens.toLong)
+    tokens
+      .withColumn("__n", size(col(idsCol)).cast(LongType))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("__n") > 0)
+      .withColumn("__w", explode(sequence(
+        floor(col("__off") / m).cast(LongType),
+        floor((col("__off") + col("__n") - 1) / m).cast(LongType))))
+      // window-local cut of THIS doc's ids: 0-based [start, endExcl)
+      .withColumn("__start", greatest(col("__w") * m - col("__off"), lit(0L)))
+      .withColumn("__endx", least((col("__w") + 1) * m - col("__off"), col("__n")))
+      .withColumn("__frag", slice(col(idsCol),
+        (col("__start") + 1).cast(IntegerType),
+        (col("__endx") - col("__start")).cast(IntegerType)))
+      .groupBy(col(groupCol), col("__w").as("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("__off"), col("__frag")))),
+          e => e.getField("__frag"))).as("token_ids"))
+      .withColumn("n_ids", size(col("token_ids")).cast(LongType))
+  }
+
   // ------------------------------------------------------ shard layout
 
   /** Token-balanced training-shard assignment: `shard_id =

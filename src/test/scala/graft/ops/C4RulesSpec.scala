@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class C4RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bad = Seq("badterm")
+
+  private def sig(text: String): Map[String, Any] = {
+    val row = Seq(text).toDF("t")
+      .select(C4Rules.signals(col("t"), bad).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("line rules: terminal punct, word floor, javascript — first-fail attribution") {
+    val page = Seq(
+      "This sentence is long enough and ends well.", // kept
+      "No terminal punctuation on this line",        // drop: punct
+      "Too short.",                                  // drop: short (has punct)
+      "Please enable javascript to view this page.", // drop: js (punct + words ok)
+      "Another full sentence that ends properly!"    // kept
+    ).mkString("\n")
+    val s = sig(page)
+    assert(s("n_lines") == 5L)
+    assert(s("n_drop_punct") == 1L)
+    assert(s("n_drop_short") == 1L)
+    assert(s("n_drop_js") == 1L)
+    assert(s("n_kept") == 2L)
+    assert(s("clean_text") ==
+      "This sentence is long enough and ends well.\n" +
+        "Another full sentence that ends properly!")
+  }
+
+  test("closing-quote terminal ending is kept; question mark counts as sentence") {
+    val s = sig("He said the words \"this is the end.\"\nIs this a real question someone asked?")
+    assert(s("n_kept") == 2L)
+    // one '.' (inside the quote) + one '?' — the quote char itself is
+    // not a sentence mark
+    assert(s("n_sentences") == 2L)
+  }
+
+  test("within-doc line dedup keeps the first occurrence, preserves order") {
+    val l1 = "The repeated footer line shows up twice here."
+    val l2 = "A different middle sentence sits between them."
+    val s = sig(Seq(l1, l2, l1).mkString("\n"))
+    assert(s("n_kept") == 3L)
+    assert(s("n_deduped") == 2L)
+    assert(s("clean_text") == s"$l1\n$l2")
+  }
+
+  test("page gate: sentence floor on cleaned text, lorem/brace/badword on raw page") {
+    val good = Seq(
+      "First complete sentence with enough words here.",
+      "Second complete sentence with enough words too.",
+      "Third complete sentence rounds out the page nicely.").mkString("\n")
+    assert(sig(good)("page_keep") == 1)
+    // two sentences only -> fails the floor
+    assert(sig(good.linesIterator.take(2).mkString("\n"))("page_keep") == 0)
+    // poison on a DROPPED line still kills the page (raw-page screens)
+    assert(sig(good + "\nlorem ipsum")("page_keep") == 0)
+    assert(sig(good + "\nvar x = { }")("page_keep") == 0)
+    assert(sig(good + "\nBADTERM appears")("page_keep") == 0)
+  }
+
+  test("bad-word matching is whole-word: substrings do not fire") {
+    val page = Seq(
+      "The word badterms is a different longer token here.",
+      "Second complete sentence with enough words too.",
+      "Third complete sentence rounds out the page nicely.").mkString("\n")
+    assert(sig(page)("page_keep") == 1)
+    assert(sig(page + "\nplain badterm here")("page_keep") == 0)
+    // list entries must be plain tokens — metacharacters refuse
+    intercept[IllegalArgumentException] {
+      C4Rules.badWordHit(lit("x"), Seq("a.b"))
+    }
+  }
+
+  test("empty text and empty bad-word list degrade cleanly") {
+    val s = sig("")
+    assert(s("n_lines") == 0L && s("n_kept") == 0L && s("clean_text") == "")
+    assert(s("page_keep") == 0) // zero sentences fails the floor
+    val none = Seq("One full sentence that is long enough here.").toDF("t")
+      .select(C4Rules.badWordHit(col("t"), Nil).as("b")).head().getBoolean(0)
+    assert(!none)
+  }
+}

@@ -368,6 +368,29 @@ class CurationSpec extends SparkSpec {
     assert(packed(10L) == ((5L, 0L, 0L)))
   }
 
+  test("packTokenIds: windows span docs, fragments reassemble in order, last window short") {
+    val toks = Seq(
+      (1L, "g1", Seq(10L, 11L, 12L)),       // offset 0
+      (2L, "g1", Seq(20L, 21L, 22L, 23L)),  // offset 3: spans windows 0/1
+      (3L, "g1", Seq[Long]()),              // zero tokens: no window, no offset shift
+      (4L, "g1", Seq(30L, 31L)),            // offset 7: window 1/2
+      (9L, "g2", Seq(90L))                  // separate group
+    ).toDF("doc_id", "grp", "ids")
+    val out = Curation.packTokenIds(toks, "doc_id", "grp", "ids", maxTokens = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Long](3).toList, r.getLong(4)))).toMap
+    // g1 stream: 10 11 12 | 20 21 22 23 | 30 31 → windows of 4
+    assert(out(("g1", 0L)) == ((2L, List(10L, 11L, 12L, 20L), 4L)))
+    assert(out(("g1", 1L)) == ((2L, List(21L, 22L, 23L, 30L), 4L)))
+    assert(out(("g1", 2L)) == ((1L, List(31L), 1L))) // short tail, no padding
+    assert(out(("g2", 0L)) == ((1L, List(90L), 1L)))
+    assert(out.size == 4)
+    // exactly-full boundary: a doc ending on a window edge opens no empty window
+    val exact = Seq((1L, "g", Seq(1L, 2L, 3L, 4L))).toDF("doc_id", "grp", "ids")
+    val e = Curation.packTokenIds(exact, "doc_id", "grp", "ids", maxTokens = 4).collect()
+    assert(e.length == 1 && e.head.getLong(4) == 4L)
+  }
+
   test("admitDelta: each stage drops exactly its targets") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
