@@ -362,6 +362,12 @@ object ScaleCheck {
     run("c4_clean",
       analytics.ExtractQueries.scaleC4(docs1),
       analytics.ExtractQueries.scaleC4(docsN))
+    // Gopher repetition battery: line signals scan-side; the n-gram
+    // signals run one (doc, n) position-explode with doc-scoped
+    // exchange keys — per-doc work is corpus-independent, so linear.
+    run("repetition_battery",
+      ops.QualityRules.repetitionSignals(docs1, "doc_id", "text"),
+      ops.QualityRules.repetitionSignals(docsN, "doc_id", "text"))
     // The q170 composition — every opt-in text stage at once (rule gate +
     // substring strip + containment dedup + reference-LM filter + the
     // shared quality tail). Each stage is trend-checked standalone above;

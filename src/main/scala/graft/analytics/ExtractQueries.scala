@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{C4Rules, Curation, Extract}
+import graft.ops.{C4Rules, Curation, Extract, QualityRules}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -213,7 +213,9 @@ object ExtractQueries {
     * for any doc long enough); the noise lines are a no-punct nav
     * stub ("Click here"), an enable-javascript banner that passes the
     * punct+length rules, a 1-word line ("Home"), an exact repeat of the
-    * first body line (the within-doc dedup target), and per-residue
+    * first body line on doc_id%5 (the within-doc-dedup and
+    * duplicate-line-battery target — residue-gated so deduped and
+    * dup-free pages, and both q178 gate verdicts, all occur), and per-residue
     * page-poison lines: lorem ipsum (doc_id%7), a bad word (%11), a
     * curly-brace code line (%13). Docs shorter than the substring
     * windows degrade to 1-word lines ('.', '!', '?'), dropped by the
@@ -223,7 +225,8 @@ object ExtractQueries {
     substring(col("text"), 1, 70), lit(".\nClick here\n"),
     lit("Sign up now to get javascript alerts every day okay.\n"),
     substring(col("text"), 71, 70), lit("!\nHome\n"),
-    substring(col("text"), 1, 70), lit(".\n"),
+    when(col("doc_id") % 5 === 0,
+      concat(substring(col("text"), 1, 70), lit(".\n"))).otherwise(lit("")),
     when(col("doc_id") % 7 === 0,
       lit("Lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
     when(col("doc_id") % 11 === 0,
@@ -237,7 +240,7 @@ object ExtractQueries {
     """substring(text, 1, 70) || '.' || chr(10) || 'Click here' || chr(10) ||
       |'Sign up now to get javascript alerts every day okay.' || chr(10) ||
       |substring(text, 71, 70) || '!' || chr(10) || 'Home' || chr(10) ||
-      |substring(text, 1, 70) || '.' || chr(10) ||
+      |CASE WHEN doc_id % 5 = 0 THEN substring(text, 1, 70) || '.' || chr(10) ELSE '' END ||
       |CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10) ELSE '' END ||
       |CASE WHEN doc_id % 11 = 0 THEN 'This page rated xxx by the panel.' || chr(10) ELSE '' END ||
       |CASE WHEN doc_id % 13 = 0 THEN 'var config = { mode: 1 };' || chr(10) ELSE '' END ||
@@ -363,5 +366,92 @@ object ExtractQueries {
       .select(col("doc_id") +: C4Rules.signals(col("page"), c4BadWords)
         .map { case (n, c) => c.as(n) }: _*)
 
-  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176)
+  // --------------------------------------------------------------- q178
+  // The FULL Gopher repetition battery (QualityRules.repetitionSignals —
+  // Rae et al. 2021 Appendix A1.2's character-weighted duplication
+  // table, where q116's repetitionRatio is the one-number proxy) over
+  // the C4 page fixture, whose planted duplicate line and repeated
+  // body substrings exercise every column: duplicate-line count/chars
+  // (all-but-first occurrences), top-{2,3,4}-gram chars (occurrences x
+  // token chars, (count, gram) total-order tie-break), duplicate-
+  // {5..10}-gram coverage chars (distinct positions — overlaps count
+  // once), plus the published-threshold gate as exact integer
+  // arithmetic (chars*100 <= pct*n_chars). Everything is an exact
+  // BIGINT, so the oracle replays the whole chain — tokenization,
+  // trimmed-line first-occurrence marking, the (doc, n, pos) gram
+  // explode, the per-(doc, n) argmax, and position-coverage joins —
+  // and hash-matches every cell.
+  private val duckRepToks =
+    """list_filter(string_split_regex(page, '\s+'), x -> x <> '')"""
+  val q178 = QuerySpec.sql(
+    "q178_repetition_battery",
+    s"""WITH pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents),
+      |tk AS (SELECT doc_id, source, page, $duckRepToks AS toks FROM pg),
+      |ln AS (SELECT doc_id, source,
+      |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS n_chars,
+      |  CAST(len(lt) AS BIGINT) AS n_lines,
+      |  CAST(len(dl) AS BIGINT) AS dup_line_count,
+      |  CAST(COALESCE(list_sum(list_transform(dl, l -> length(l))), 0) AS BIGINT) AS dup_line_chars
+      |  FROM (SELECT *, list_filter(lt, (l, i) -> list_position(lt, l) <> i) AS dl
+      |    FROM (SELECT *, list_filter(list_transform(string_split(page, chr(10)),
+      |      l -> trim(l)), l -> l <> '') AS lt FROM tk))),
+      |ns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+      |gr AS (SELECT t.doc_id, ns.n, u.p AS pos,
+      |  array_to_string(list_slice(t.toks, u.p, u.p + ns.n - 1), ' ') AS gram
+      |  FROM tk t CROSS JOIN ns,
+      |    unnest(generate_series(1, len(t.toks) - ns.n + 1)) AS u(p)),
+      |gc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM gr GROUP BY 1, 2, 3),
+      |tp AS (SELECT doc_id, n, c * (CAST(length(gram) AS BIGINT) - (n - 1)) AS chars
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+      |      ORDER BY c DESC, gram DESC) AS rn FROM gc WHERE n IN (2, 3, 4))
+      |  WHERE rn = 1),
+      |tpv AS (SELECT doc_id,
+      |  CAST(COALESCE(MAX(CASE WHEN n = 2 THEN chars END), 0) AS BIGINT) AS top2_chars,
+      |  CAST(COALESCE(MAX(CASE WHEN n = 3 THEN chars END), 0) AS BIGINT) AS top3_chars,
+      |  CAST(COALESCE(MAX(CASE WHEN n = 4 THEN chars END), 0) AS BIGINT) AS top4_chars
+      |  FROM tp GROUP BY doc_id),
+      |dg AS (SELECT doc_id, n, gram FROM gc WHERE c >= 2 AND n >= 5),
+      |cov AS (SELECT DISTINCT g.doc_id, g.n, u.tp AS tp
+      |  FROM gr g JOIN dg USING (doc_id, n, gram),
+      |    unnest(generate_series(g.pos, g.pos + g.n - 1)) AS u(tp)),
+      |tl AS (SELECT doc_id, u.tp AS tp, CAST(length(toks[u.tp]) AS BIGINT) AS len
+      |  FROM tk, unnest(generate_series(1, len(toks))) AS u(tp)),
+      |dc AS (SELECT c.doc_id, c.n, CAST(SUM(t.len) AS BIGINT) AS chars
+      |  FROM cov c JOIN tl t USING (doc_id, tp) GROUP BY 1, 2),
+      |dpv AS (SELECT doc_id,
+      |${(5 to 10).map(n =>
+          s"  CAST(COALESCE(MAX(CASE WHEN n = $n THEN chars END), 0) AS BIGINT) AS dup${n}_chars")
+          .mkString(",\n")}
+      |  FROM dc GROUP BY doc_id),
+      |rep AS (SELECT l.doc_id, l.source, l.n_chars, l.n_lines,
+      |  l.dup_line_count, l.dup_line_chars,
+      |  COALESCE(t.top2_chars, 0) AS top2_chars,
+      |  COALESCE(t.top3_chars, 0) AS top3_chars,
+      |  COALESCE(t.top4_chars, 0) AS top4_chars,
+      |${(5 to 10).map(n =>
+          s"  COALESCE(p.dup${n}_chars, 0) AS dup${n}_chars").mkString(",\n")}
+      |  FROM ln l LEFT JOIN tpv t USING (doc_id) LEFT JOIN dpv p USING (doc_id))
+      |SELECT *, CAST((dup_line_count * 100 <= n_lines * 30
+      |  AND dup_line_chars * 100 <= n_chars * 20
+      |  AND top2_chars * 100 <= n_chars * 20
+      |  AND top3_chars * 100 <= n_chars * 18
+      |  AND top4_chars * 100 <= n_chars * 16
+      |${Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10).map {
+          case (n, pct) => s"  AND dup${n}_chars * 100 <= n_chars * $pct"
+        }.mkString("\n")}) AS INT) AS rep_pass
+      |FROM rep ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pages = docs.select(col("doc_id"), col("source"), c4PageCol.as("page"))
+    docs.select(col("doc_id"), col("source"))
+      .join(QualityRules.repetitionSignals(pages, "doc_id", "page"), Seq("doc_id"))
+      .withColumn("rep_pass", QualityRules.repetitionGate.cast("int"))
+      .select(Seq("doc_id", "source", "n_chars", "n_lines",
+        "dup_line_count", "dup_line_chars", "top2_chars", "top3_chars",
+        "top4_chars") ++ (5 to 10).map(n => s"dup${n}_chars") :+ "rep_pass"
+        map col: _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178)
 }

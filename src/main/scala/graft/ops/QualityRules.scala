@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -152,4 +152,134 @@ object QualityRules {
     "ellipsis_line_frac" -> ellipsisLineFrac(text),
     "alpha_word_frac" -> alphaWordFrac(text),
     "n_stop_hits" -> stopwordHits(text))
+
+  // ------------------------------------- repetition battery (Gopher A1.2)
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021, Appendix A1.2
+    * — the table [[TextOps.repetitionRatio]] is the one-number proxy
+    * for): per document, CHARACTER-WEIGHTED duplication measures —
+    * boilerplate repeats long lines and degenerate generations repeat
+    * long n-grams, which a count-based ratio underweights.
+    *
+    * Conventions (each pinned by the oracle, so spelled out):
+    *   - characters = TOKEN characters ([[TextOps.tokens]] split;
+    *     separators excluded — whitespace-normalization-invariant).
+    *     `n_chars` is the shared denominator.
+    *   - lines = trimmed non-empty `\n` segments; a line is DUPLICATED
+    *     at every occurrence after its first (removing duplicates would
+    *     delete exactly `dup_line_chars` characters). Trimmed length
+    *     counts.
+    *   - `top{n}_chars` (n in `topNs`): occurrences × token-chars of the
+    *     single most frequent word n-gram, total-order tie-break
+    *     (count desc, then gram string desc — Spark's `max(struct)` and
+    *     binary collation on both engines). 0 when the doc has no
+    *     n-gram.
+    *   - `dup{n}_chars` (n in `dupNs`): token characters at positions
+    *     covered by ANY n-gram occurring >= 2 times in the doc —
+    *     overlapping occurrences counted once (distinct positions).
+    *
+    * Scale shape: line signals and the denominator are pure scan-side
+    * HOFs (the in-array first-occurrence trick — zero exchange). The
+    * n-gram signals run ONE position-explode over (doc, n) — corpus ×
+    * |topNs ∪ dupNs| rows, the standard shingle-explode shape — with
+    * every exchange keyed by doc-scoped (id, n, gram)/(id, pos) keys:
+    * no global hot keys by construction, and nothing wider than a gram
+    * string ever shuffles. Output: one row per input doc, all columns
+    * exact BIGINTs (hash-exact on any engine).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.nonEmpty && dupNs.nonEmpty && (topNs ++ dupNs).forall(_ >= 2),
+      "n-gram orders must be >= 2")
+    val base = TextOps.parallelized(docs)
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__toks", TextOps.tokens(col("__t")))
+      .localCheckpoint() // 3 consumers: line scan, gram explode, token lens
+    val tokLenSum = (c: Column) => coalesce(aggregate(
+      transform(c, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x), lit(0L))
+    val ls = filter(transform(split(col("__t"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val dupLs = filter(ls, (l, i) => array_position(ls, l) =!= i + 1)
+    val lineSig = base.select(col(idCol),
+      tokLenSum(col("__toks")).as("n_chars"),
+      size(ls).cast(LongType).as("n_lines"),
+      size(dupLs).cast(LongType).as("dup_line_count"),
+      coalesce(aggregate(transform(dupLs, l => length(l).cast(LongType)),
+        lit(0L), (a, x) => a + x), lit(0L)).as("dup_line_chars"))
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    // one (doc, n, pos, gram) explode feeding both the argmax and the
+    // coverage chain; gram token-chars = string length minus separators
+    val grams = base
+      .withColumn("__n", explode(array(allNs.map(lit): _*)))
+      .filter(size(col("__toks")) >= col("__n"))
+      .select(col(idCol), col("__n"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - col("__n")),
+        i => struct(i.as("pos"),
+          array_join(slice(col("__toks"), i + 1, col("__n")), " ").as("gram"))))
+        .as("__g"))
+      .select(col(idCol), col("__n"), col("__g.pos").as("__pos"),
+        col("__g.gram").as("__gram"))
+      .localCheckpoint()
+    val counts = grams.groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+    val gramChars = (g: Column, n: Column) => length(g).cast(LongType) - (n - 1)
+    val topAggs = topNs.map(n =>
+      coalesce(max(when(col("__n") === n, col("__chars"))), lit(0L))
+        .as(s"top${n}_chars"))
+    val tops = counts.filter(col("__n").isin(topNs: _*))
+      .groupBy(col(idCol), col("__n"))
+      .agg(max(struct(col("__c"), col("__gram"))).as("__m"))
+      .select(col(idCol), col("__n"),
+        (col("__m").getField("__c") *
+          gramChars(col("__m").getField("__gram"), col("__n"))).as("__chars"))
+      .groupBy(col(idCol)).agg(topAggs.head, topAggs.tail: _*)
+    // coverage: occurrences of duplicated grams -> their token positions
+    // (distinct — overlaps count once) -> token char lengths
+    val dupG = counts
+      .filter(col("__c") >= 2 && col("__n").isin(dupNs: _*))
+      .select(col(idCol), col("__n"), col("__gram"))
+    val covered = grams.join(dupG, Seq(idCol, "__n", "__gram"), "left_semi")
+      .select(col(idCol), col("__n"),
+        explode(sequence(col("__pos"), col("__pos") + col("__n") - 1)).as("__tp"))
+      .distinct()
+    val tokLens = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__tp", "__tok")))
+      .select(col(idCol), col("__tp"), length(col("__tok")).cast(LongType).as("__len"))
+    val dupAggs = dupNs.map(n =>
+      coalesce(max(when(col("__n") === n, col("__chars"))), lit(0L))
+        .as(s"dup${n}_chars"))
+    val dups = covered.join(tokLens, Seq(idCol, "__tp"))
+      .groupBy(col(idCol), col("__n")).agg(sum(col("__len")).as("__chars"))
+      .groupBy(col(idCol)).agg(dupAggs.head, dupAggs.tail: _*)
+    val zeroTop = topNs.map(n => s"top${n}_chars")
+    val zeroDup = dupNs.map(n => s"dup${n}_chars")
+    (zeroTop ++ zeroDup).foldLeft(
+      lineSig.join(tops, Seq(idCol), "left").join(dups, Seq(idCol), "left")) {
+      (df, c) => df.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+  }
+
+  /** The battery's conjunction gate at the PUBLISHED Gopher thresholds
+    * (Table A1: duplicate-line fraction <= 0.30, duplicate-line
+    * CHARACTER fraction <= 0.20, top-{2,3,4}-gram character fraction <=
+    * {0.20, 0.18, 0.16}, duplicate-{5..10}-gram character fraction <=
+    * {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}), over [[repetitionSignals]]
+    * columns. Every comparison is EXACT INTEGER arithmetic
+    * (`chars * 100 <= pct * n_chars` — the thresholds are 2-decimal),
+    * so the verdict is bit-portable; char-free/line-free docs pass
+    * vacuously (nothing repeats in nothing).
+    */
+  def repetitionGate: Column = {
+    def fracLe(num: Column, pct: Int, den: Column): Column =
+      num * 100 <= den * pct
+    fracLe(col("dup_line_count"), 30, col("n_lines")) &&
+      fracLe(col("dup_line_chars"), 20, col("n_chars")) &&
+      fracLe(col("top2_chars"), 20, col("n_chars")) &&
+      fracLe(col("top3_chars"), 18, col("n_chars")) &&
+      fracLe(col("top4_chars"), 16, col("n_chars")) &&
+      Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10).map {
+        case (n, pct) => fracLe(col(s"dup${n}_chars"), pct, col("n_chars"))
+      }.reduce(_ && _)
+  }
 }

@@ -93,4 +93,49 @@ class QualityRulesSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(!physical.contains("Exchange"), s"plan shuffles:\n$physical")
   }
+
+  private def rep(text: String): Map[String, Any] = {
+    val row = QualityRules.repetitionSignals(
+      Seq((1L, text)).toDF("doc_id", "t"), "doc_id", "t").head()
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("repetition battery: duplicate-line chars count all-but-first occurrences") {
+    val s = rep("aa bb\ncc dd ee\naa bb\naa bb")
+    assert(s("n_lines") == 4L)
+    assert(s("dup_line_count") == 2L)   // 2nd and 3rd "aa bb"
+    assert(s("dup_line_chars") == 10L)  // 2 x trimmed-line length 5
+    assert(s("n_chars") == 18L)         // aa bb cc dd ee aa bb aa bb = 9 tokens x 2
+  }
+
+  test("repetition battery: top n-gram chars = occurrences x token chars, total-order tie-break") {
+    // tokens x y x y x y z -> 2-grams "x y" x3, "y x" x2, "y z" x1
+    val s = rep("x y x y x y z")
+    assert(s("top2_chars") == 6L)  // 3 occurrences x 2 token chars
+    // tie: "a b" and "b a" both occur once; (count, gram) max picks the
+    // binary-larger gram "b a" — same 1 x 2 chars either way
+    val t = rep("a b a")
+    assert(t("top2_chars") == 2L)
+  }
+
+  test("repetition battery: dup n-gram coverage counts overlapping positions once") {
+    // tokens: a b c d e a b c d e -> every 5-gram window repeats? 5-grams:
+    // (a b c d e) at 0 and 5 -> duplicated; coverage = all 10 positions
+    val s = rep("a b c d e a b c d e")
+    assert(s("dup5_chars") == 10L)
+    // 6-grams: all distinct (abcdea, bcdeab, ... each once) -> 0
+    assert(s("dup6_chars") == 0L)
+  }
+
+  test("repetition battery: degenerate docs are all-zero and pass the gate") {
+    val s = rep("")
+    assert(s("n_chars") == 0L && s("n_lines") == 0L &&
+      s("dup_line_chars") == 0L && s("top2_chars") == 0L && s("dup10_chars") == 0L)
+    val pass = QualityRules.repetitionSignals(
+      Seq((1L, ""), (2L, "w w w w w w w w")).toDF("doc_id", "t"), "doc_id", "t")
+      .withColumn("g", QualityRules.repetitionGate)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("g")).toMap
+    assert(pass(1L))        // vacuous pass
+    assert(!pass(2L))       // "w w ... w": top 2-gram covers everything
+  }
 }
