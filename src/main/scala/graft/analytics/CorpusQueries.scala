@@ -469,7 +469,7 @@ object CorpusQueries {
   private val bpeLock = new Object
   private var bpeMemo: Map[(Int, String),
     (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge])] = Map.empty
-  private def bpeTrained(s: SparkSession, d: String)
+  private[analytics] def bpeTrained(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge]) = {
     val key = (System.identityHashCode(s),
       LakeQueries.contentFingerprint(d, "documents.parquet"))

@@ -432,6 +432,39 @@ object RefereeQueries {
     report(symDiff(native, referee) ++ symDiff(encNative, encReferee))
   }
 
+  // ------------------------------------------------------ q174 referee
+  // Tokenize/detokenize ROUND TRIP: decoding q174's id sequences through
+  // the inverse vocabulary must reproduce every document's
+  // whitespace-normalized text byte-for-byte — the bijection property
+  // of the GPT-2-style id layout (ids are unique per token string by
+  // construction: base ids are a dense row_number, merge ids start past
+  // them, and duplicate merge STRINGS collapse to one id on both the
+  // encode and decode side). An UNK (-1) or any drift in the id map,
+  // the ordered reassembly, or the end-of-word handling breaks the
+  // reconstruction and emits a row. Self-trained vocabulary, so the
+  // round trip is exact by design.
+  val q174r = QuerySpec.refereeCheck("q174r_detok_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = CorpusQueries.bpeTrained(s, d)
+    val tok = graft.ops.Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    val inv = graft.ops.Bpe.vocabulary(counts, merges)
+      .select(col("token_id"), col("token"))
+    val rebuilt = tok
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .join(broadcast(inv), Seq("token_id"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("pos"), col("token")))),
+        e => e.getField("token"))).as("joined"))
+      .select(col("doc_id"),
+        trim(replace(col("joined"), lit(graft.ops.Bpe.EndOfWord), lit(" "))).as("t"))
+    val native = docs
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), array_join(TextOps.tokens(col("text")), " ").as("t"))
+    report(symDiff(rebuilt, native))
+  }
+
   // ------------------------------------------------------ q149 referee
   // Persisted-index equivalence: a search over the SAVED-then-LOADED
   // IVF-PQ index (IndexStore — codebooks/centroids/codes through a
@@ -549,5 +582,5 @@ object RefereeQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r)
 }
