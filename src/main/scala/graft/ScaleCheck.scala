@@ -368,6 +368,21 @@ object ScaleCheck {
     run("repetition_battery",
       ops.QualityRules.repetitionSignals(docs1, "doc_id", "text"),
       ops.QualityRules.repetitionSignals(docsN, "doc_id", "text"))
+    // The q179 last-mile composition (C4 clean + page gate → default
+    // funnel → survivor-trained BPE → tokenize → pack): every stage is
+    // trend-checked standalone above; this row pins the composition.
+    // Benchmark side fixed (eval sets don't grow with the crawl);
+    // training cost is corpus-linear in its word-count pass and
+    // vocab-bound in its 40 iterations (the blow-up keeps the
+    // vocabulary identical — the 100 TB shape).
+    locally {
+      val bench1 = docs1.filter(pmod(col("doc_id"), lit(97)) === 0)
+      run("curated_token_windows",
+        analytics.ExtractQueries.curatedTokenWindows(
+          docs1.filter(pmod(col("doc_id"), lit(97)) =!= 0), bench1),
+        analytics.ExtractQueries.curatedTokenWindows(
+          docsN.filter(pmod(col("doc_id"), lit(97)) =!= 0), bench1))
+    }
     // The q170 composition — every opt-in text stage at once (rule gate +
     // substring strip + containment dedup + reference-LM filter + the
     // shared quality tail). Each stage is trend-checked standalone above;

@@ -524,11 +524,15 @@ object CorpusQueries {
   }
   /** Shared training chain: word counts → initial symbol state → 40
     * iterations, ending at state `st{bpeNMerges}` (= the encoded
-    * vocabulary) with per-iteration argmaxes in `bs{i}`.
+    * vocabulary) with per-iteration argmaxes in `bs{i}`. `src` is the
+    * relation trained on — `documents` for the q132/q133/q174/q177
+    * whole-corpus tokenizer, a survivor CTE for compositions that train
+    * on a curated corpus (q179).
     */
-  private def duckBpeCtes: String =
+  private def duckBpeCtes: String = duckBpeCtesFrom("documents")
+  private[analytics] def duckBpeCtesFrom(src: String): String =
     s"""wc AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM (SELECT unnest($duckBpeToks) AS w FROM documents) GROUP BY w),
+      |  FROM (SELECT unnest($duckBpeToks) AS w FROM $src) GROUP BY w),
       |st0 AS MATERIALIZED (SELECT word, c,
       |  list_append(list_transform(generate_series(1, length(word)),
       |    j -> substring(word, j, 1)), '${Bpe.EndOfWord}') AS syms FROM wc),
@@ -596,8 +600,9 @@ object CorpusQueries {
     * spos, tid)`, given the training chain's `st{N}`/`bs{i}`/`st0` CTEs
     * are in scope. Id layout per [[graft.ops.Bpe.vocabulary]].
     */
-  private def duckTokenizeCtes: String =
-    s"""tdoc AS (SELECT doc_id, $duckBpeToks AS toks FROM documents),
+  private def duckTokenizeCtes: String = duckTokenizeCtesFrom("documents")
+  private[analytics] def duckTokenizeCtesFrom(src: String): String =
+    s"""tdoc AS (SELECT doc_id, $duckBpeToks AS toks FROM $src),
       |words AS (SELECT doc_id, u.wpos AS wpos, toks[u.wpos] AS word
       |  FROM tdoc, unnest(generate_series(1, len(toks))) AS u(wpos)),
       |wsyms AS (SELECT w.doc_id, w.wpos,
@@ -656,16 +661,19 @@ object CorpusQueries {
   // slices are 1-based-inclusive = the same integers as Spark's
   // slice(start0+1, endExcl-start0)), and offset-ordered flattening —
   // and hash-matches every window's id sequence as a CSV scalar.
-  private val packMaxIds = 512
-  val q177 = QuerySpec.sql(
-    "q177_pack_token_ids",
-    s"""WITH $duckBpeCtes,
-      |$duckTokenizeCtes,
-      |dl AS (SELECT doc_id, list(tid ORDER BY wpos, spos) AS ids
+  private[analytics] val packMaxIds = 512
+  /** Window-packing replay shared by q177/q179: per-doc ordered id
+    * lists from `mapped`, per-source running offsets over `src`, window
+    * fragments via 1-based inclusive list slices, offset-ordered
+    * flattening — ending at `pk(source, window_id, n_docs, ids)`.
+    */
+  private def duckPackCtes: String = duckPackCtesFrom("documents")
+  private[analytics] def duckPackCtesFrom(src: String): String =
+    s"""dl AS (SELECT doc_id, list(tid ORDER BY wpos, spos) AS ids
       |  FROM mapped GROUP BY doc_id),
       |dj AS (SELECT d.doc_id, d.source, COALESCE(l.ids, []) AS ids,
       |  CAST(len(COALESCE(l.ids, [])) AS BIGINT) AS n
-      |  FROM documents d LEFT JOIN dl l USING (doc_id)),
+      |  FROM $src d LEFT JOIN dl l USING (doc_id)),
       |ofs AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY source
       |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
       |  0) AS o FROM dj),
@@ -678,7 +686,13 @@ object CorpusQueries {
       |    least((w + 1) * $packMaxIds - o, n)) AS fr FROM wins),
       |pk AS (SELECT source, w AS window_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  flatten(list(fr ORDER BY o)) AS ids FROM frg GROUP BY source, w)
+      |  flatten(list(fr ORDER BY o)) AS ids FROM frg GROUP BY source, w)""".stripMargin
+
+  val q177 = QuerySpec.sql(
+    "q177_pack_token_ids",
+    s"""WITH $duckBpeCtes,
+      |$duckTokenizeCtes,
+      |$duckPackCtes
       |SELECT source, CAST(window_id AS BIGINT) AS window_id, n_docs,
       |  CAST(len(ids) AS BIGINT) AS n_ids,
       |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv

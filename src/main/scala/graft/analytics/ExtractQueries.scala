@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{C4Rules, Curation, Extract, QualityRules}
+import graft.ops.{Bpe, C4Rules, Curation, Extract, QualityRules}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -453,5 +453,71 @@ object ExtractQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178)
+  // --------------------------------------------------------------- q179
+  // The LAST MILE end to end: raw page → C4 clean + page gate → the
+  // default curation funnel → a BPE tokenizer TRAINED ON THE SURVIVORS
+  // → token-id sequences → fixed 512-id trainer windows. This is the
+  // production order (the tokenizer must never see dropped/contaminated
+  // text, so training follows curation), and every stage reuses the
+  // already-pinned replay: the q175/q176 C4 CTEs, the q95 funnel chain,
+  // and the q132/q174/q177 training/tokenize/pack chains re-rooted at
+  // the survivor relation. One hash covers the whole composition — a
+  // drift anywhere from the line rules to the window slicing breaks it.
+  val q179 = QuerySpec.sql(
+    "q179_curated_token_windows",
+    s"""WITH ${duckC4Ctes("WHERE doc_id % 97 <> 0")},
+      |corpus AS (SELECT doc_id, source, clean_text AS text FROM c4c
+      |  WHERE ${duckC4PageKeep("page", "clean_text")}),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")},
+      |sv AS (SELECT c.doc_id, c.source, c.text
+      |  FROM corpus c JOIN k3 USING (doc_id)),
+      |${CorpusQueries.duckBpeCtesFrom("sv")},
+      |${CorpusQueries.duckTokenizeCtesFrom("sv")},
+      |${CorpusQueries.duckPackCtesFrom("sv")}
+      |SELECT source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+      |FROM pk ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    curatedTokenWindows(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .orderBy("source", "window_id")
+  }
+
+  /** The q179 chain over explicit (corpus, bench) frames — shared with
+    * ScaleCheck's composition row. Input needs (doc_id, source, text).
+    */
+  private[graft] def curatedTokenWindows(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cleaned = corpus
+      .select(col("doc_id"), col("source"), c4PageCol.as("page"))
+      .select(col("doc_id"), col("source"), col("page"),
+        C4Rules.cleanText(col("page")).as("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        C4Rules.pageKeep(col("page"), col("text"), c4BadWords).as("__pk"))
+    val pruned = Curation.curateCorpus(cleaned, bench,
+      "doc_id", "text", "source",
+      ruleGate = Some(col("__pk")),
+      lshHashes = 128, lshBands = 64)
+    val sv = cleaned.select("doc_id", "source", "text")
+      .join(pruned.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // survivor corpus: word counts + tokenize + pack
+    val counts = Bpe.wordCounts(sv, "text").localCheckpoint()
+    val merges = Bpe.trainFromCounts(counts, nMerges = CorpusQueries.bpeNMerges)
+    val tok = Bpe.tokenizeCorpus(sv, "doc_id", "text", merges, counts)
+    val withSrc = sv.select("doc_id", "source").join(tok, Seq("doc_id"), "left")
+      .withColumn("token_ids",
+        coalesce(col("token_ids"), array().cast("array<bigint>")))
+    Curation.packTokenIds(withSrc, "doc_id", "source", "token_ids",
+      CorpusQueries.packMaxIds)
+      .select(col("source"), col("window_id"), col("n_docs"), col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179)
 }

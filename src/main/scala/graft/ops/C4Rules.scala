@@ -137,8 +137,11 @@ object C4Rules {
     * boundaries are spelled as explicit non-word-char/edge
     * alternations instead of `\b` so the pattern is RE2-portable.
     */
-  def badWordsRe(badWords: Seq[String]): String =
+  def badWordsRe(badWords: Seq[String]): String = {
+    require(badWords.nonEmpty,
+      "badWordsRe needs at least one word (badWordHit short-circuits empty lists)")
     s"(^|[^a-z0-9])(${badWords.mkString("|")})($$|[^a-z0-9])"
+  }
 
   /** Case-insensitive "lorem ipsum" on the raw page. */
   def hasLorem(rawText: Column): Column =
