@@ -537,15 +537,22 @@ object CorpusQueries {
       |  list_append(list_transform(generate_series(1, length(word)),
       |    j -> substring(word, j, 1)), '${Bpe.EndOfWord}') AS syms FROM wc),
       |${(1 to bpeNMerges).map(bpeIterSql).mkString(",\n")}""".stripMargin
-  val q132 = QuerySpec.sql(
-    "q132_bpe_merges",
+  /** The merge-table replay — shared verbatim by q132 (in-memory
+    * training) and q180 (the same table read back from the persisted
+    * tokenizer store): both must hash-match the same oracle.
+    */
+  private val duckBpeMergesSql: String =
     s"""WITH $duckBpeCtes
       |SELECT * FROM (
       |${(1 to bpeNMerges).map(i =>
         s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, " +
           s"l || r AS merged, n FROM bs$i WHERE n >= 2")
         .mkString("\nUNION ALL\n")}
-      |) ORDER BY rank""".stripMargin) { (s, d) =>
+      |) ORDER BY rank""".stripMargin
+
+  val q132 = QuerySpec.sql(
+    "q132_bpe_merges",
+    duckBpeMergesSql) { (s, d) =>
     val (_, merges) = bpeTrained(s, d)
     s.createDataFrame(merges)
       .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
@@ -708,6 +715,36 @@ object CorpusQueries {
         concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
           .as("ids_csv"))
       .orderBy("source", "window_id")
+  }
+
+  // --------------------------------------------------------------- q180
+  // Tokenizer store round trip (Bpe.writeTokenizer/loadMerges — the
+  // merges.txt + vocab.json artifact shape under IndexStore's
+  // generation-dirs + marker-gated-meta crash-safety discipline): the
+  // merge table read back from the persisted store must hash-match the
+  // SAME oracle q132's in-memory training matches. q180r additionally
+  // pins tokenizeFromStore ≡ tokenizeCorpus bit-identity and the
+  // corpus-version staleness fence.
+  private val tokStoreLock = new Object
+  private[analytics] def tokenizerStoreFixture(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tok_q180_" +
+      Integer.toHexString(d.hashCode)
+    val marker = java.nio.file.Path.of(dir, "_complete")
+    if (!java.nio.file.Files.exists(marker)) tokStoreLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val (counts, merges) = bpeTrained(s, d)
+        Bpe.writeTokenizer(s, dir, counts, merges, corpusVersion = 1L)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+  val q180 = QuerySpec.sql(
+    "q180_tokenizer_store",
+    duckBpeMergesSql) { (s, d) =>
+    s.createDataFrame(Bpe.loadMerges(s, tokenizerStoreFixture(s, d)))
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
+      .orderBy("rank")
   }
 
   // --------------------------------------------------------------- q135
@@ -1683,5 +1720,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168)
+    q168, q180)
 }

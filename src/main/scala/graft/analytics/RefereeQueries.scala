@@ -465,6 +465,33 @@ object RefereeQueries {
     report(symDiff(rebuilt, native))
   }
 
+  // ------------------------------------------------------ q180 referee
+  // Persisted-tokenizer equivalence + staleness fence: tokenizing under
+  // the STORED artifacts (enc/ids tables through a parquet round trip —
+  // strings round-trip exactly) must be BIT-IDENTICAL to the in-memory
+  // tokenizeCorpus under the same training run, and the corpus-version
+  // fence must read fresh at the written version and stale past it.
+  val q180r = QuerySpec.refereeCheck("q180r_tokenizer_store_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = CorpusQueries.bpeTrained(s, d)
+    val dir = CorpusQueries.tokenizerStoreFixture(s, d)
+    def csv(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+        .as("ids"))
+    val native = csv(graft.ops.Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts))
+    val loaded = csv(graft.ops.Bpe.tokenizeFromStore(s, dir, docs, "doc_id", "text"))
+    // fixture written at corpusVersion = 1: fresh at 1, stale at 2
+    val fenceBroken =
+      graft.ops.Bpe.tokenizerStale(s, dir, 1L) ||
+        !graft.ops.Bpe.tokenizerStale(s, dir, 2L)
+    val fence =
+      if (fenceBroken) Seq("staleness_fence_broken").toDF("violation")
+      else Seq.empty[String].toDF("violation")
+    report(symDiff(loaded, native) :+ fence)
+  }
+
   // ------------------------------------------------------ q149 referee
   // Persisted-index equivalence: a search over the SAVED-then-LOADED
   // IVF-PQ index (IndexStore — codebooks/centroids/codes through a
@@ -582,5 +609,6 @@ object RefereeQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
-    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r)
+    q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
+    q180r)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -204,9 +204,17 @@ object Bpe {
     * count. Output: (idCol, token_ids array<bigint>).
     */
   def tokenizeCorpus(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge], trainedVocab: DataFrame): DataFrame = {
-    val enc = encodeVocab(trainedVocab, merges).select(col("word"), col("syms"))
-    val ids = vocabulary(trainedVocab, merges)
+      merges: Seq[Merge], trainedVocab: DataFrame): DataFrame =
+    tokenizeWith(docs, idCol, textCol,
+      encodeVocab(trainedVocab, merges).select(col("word"), col("syms")),
+      vocabulary(trainedVocab, merges))
+
+  /** [[tokenizeCorpus]]'s core over explicit artifact frames — `enc`
+    * (word, syms) and `ids` (token, token_id) — so the store-loaded path
+    * ([[tokenizeFromStore]]) and the in-memory path share one plan.
+    */
+  private def tokenizeWith(docs: DataFrame, idCol: String, textCol: String,
+      enc: DataFrame, ids: DataFrame): DataFrame = {
     val words = TextOps.parallelized(docs)
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
         .as(Seq("__wpos", "word")))
@@ -221,6 +229,116 @@ object Bpe {
         struct(col("__wpos"), col("__spos"), col("__tid")))).as("__o"))
       .select(col(idCol),
         transform(col("__o"), e => e.getField("__tid")).as("token_ids"))
+  }
+
+  // ------------------------------------------------ persisted tokenizer
+
+  /** Tokenizer-as-artifact (the HuggingFace merges.txt + vocab.json
+    * shape, persisted with [[IndexStore]]'s crash-safety discipline):
+    *
+    *   path/merges_g<gen>/    (rank, left, right, merged, n)
+    *   path/enc_g<gen>/       (word, syms) — the trained vocabulary's
+    *                          encoded symbol sequences (the broadcast
+    *                          side of tokenization)
+    *   path/ids_g<gen>/       (token, token_id) — the id layout
+    *   path/meta_v<N>/        1 row: (n_merges, corpus_version, gen);
+    *                          versioned dirs, highest _SUCCESS-complete
+    *                          version wins
+    *
+    * Everything stages into a fresh generation and the meta version is
+    * written LAST, so a crash anywhere mid-write leaves the previous
+    * tokenizer fully served and the fresh generation invisible.
+    * `corpusVersion` is the caller's monotonic corpus id (a
+    * SnapshotStore version in a lake deployment) — [[tokenizerStale]]
+    * fences consumers the q164 way. All three tables are
+    * vocabulary-sized (KB–MB), so single-file writes are the right
+    * layout at any corpus scale.
+    */
+  def writeTokenizer(spark: SparkSession, path: String, counts: DataFrame,
+      merges: Seq[Merge], corpusVersion: Long = -1L): Unit = {
+    import spark.implicits._
+    val gen = s"g${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges_$gen")
+    encodeVocab(counts, merges).select(col("word"), col("syms"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/enc_$gen")
+    vocabulary(counts, merges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ids_$gen")
+    // the commit: next meta version, marker-gated by its own _SUCCESS
+    val prior = tokenizerMetaVersions(spark, path)
+    val next = prior.lastOption.map(_._1 + 1).getOrElse(0)
+    Seq((merges.size, corpusVersion, gen))
+      .toDF("n_merges", "corpus_version", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(f"$path/meta_v$next%09d")
+    // post-commit cleanup: generations no meta references + all but the
+    // latest prior meta (a reader that listed a moment ago still wins)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { s =>
+      val n = s.getPath.getName
+      val staleGen = Seq("merges_", "enc_", "ids_")
+        .exists(p => n.startsWith(p)) && !n.endsWith(s"_$gen")
+      val staleMeta = n.matches("meta_v\\d{9}") &&
+        n.stripPrefix("meta_v").toInt < next - 1
+      if (staleGen || staleMeta) fs.delete(s.getPath, true)
+    }
+  }
+
+  private def tokenizerMetaVersions(spark: SparkSession, path: String)
+      : Seq[(Int, String)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.matches("meta_v\\d{9}") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+        (s.getPath.getName.stripPrefix("meta_v").toInt, s.getPath.toString)
+    }.sortBy(_._1)
+  }
+
+  final case class TokenizerMeta(nMerges: Int, corpusVersion: Long, gen: String)
+
+  /** The served tokenizer's meta (highest complete version). */
+  def readTokenizerMeta(spark: SparkSession, path: String): TokenizerMeta = {
+    val versions = tokenizerMetaVersions(spark, path)
+    require(versions.nonEmpty, s"no committed tokenizer at $path")
+    val r = spark.read.parquet(versions.last._2).head()
+    TokenizerMeta(r.getAs[Int]("n_merges"), r.getAs[Long]("corpus_version"),
+      r.getAs[String]("gen"))
+  }
+
+  /** True when the stored tokenizer was trained on an older corpus
+    * version than `currentVersion` — the [[IndexStore]] staleness fence.
+    */
+  def tokenizerStale(spark: SparkSession, path: String,
+      currentVersion: Long): Boolean =
+    readTokenizerMeta(spark, path).corpusVersion < currentVersion
+
+  /** The stored merge table, rank-ordered — [[Merge]] rows identical to
+    * what [[trainFromCounts]] returned at write time.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] = {
+    val gen = readTokenizerMeta(spark, path).gen
+    spark.read.parquet(s"$path/merges_$gen")
+      .orderBy("rank").collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"), r.getAs[Long]("n")))
+      .toSeq
+  }
+
+  /** Tokenize a corpus under the STORED artifacts — no retraining, no
+    * recomputation of the vocabulary encode: the enc/ids tables load
+    * from parquet (strings round-trip exactly) and broadcast, so this
+    * is bit-identical to [[tokenizeCorpus]] under the same training
+    * run — the q174r-class invariant the store's referee pins.
+    */
+  def tokenizeFromStore(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val gen = readTokenizerMeta(spark, path).gen
+    tokenizeWith(docs, idCol, textCol,
+      spark.read.parquet(s"$path/enc_$gen"),
+      spark.read.parquet(s"$path/ids_$gen"))
   }
 
   // ------------------------------------------------- plain-JVM referee

@@ -124,4 +124,27 @@ class BpeSpec extends SparkSpec {
     assert(out(2L) == List(-1L, v("b"), v(Bpe.EndOfWord)))
     assert(!out.contains(3L)) // empty doc: no tokens, no row
   }
+
+  test("tokenizer store: round trip, loaded-path identity, meta-last commit, staleness fence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_store").toString
+    val counts = Seq(("aaab", 2L), ("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(counts, nMerges = 3, minCount = 1)
+    Bpe.writeTokenizer(spark, dir, counts, merges, corpusVersion = 5L)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+    assert(!Bpe.tokenizerStale(spark, dir, 5L))
+    assert(Bpe.tokenizerStale(spark, dir, 6L))
+    // tokenizing under the stored artifacts == the in-memory path
+    val docs = Seq((1L, "ab aaab zq"), (2L, "ab")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(ids(Bpe.tokenizeFromStore(spark, dir, docs, "doc_id", "text")) ==
+      ids(Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)))
+    // an uncommitted newer meta dir (no _SUCCESS) is invisible
+    new java.io.File(s"$dir/meta_v000000099").mkdirs()
+    assert(Bpe.readTokenizerMeta(spark, dir).corpusVersion == 5L)
+    // a rewrite at a newer corpus version supersedes the old commit
+    Bpe.writeTokenizer(spark, dir, counts, merges, corpusVersion = 7L)
+    assert(Bpe.readTokenizerMeta(spark, dir).corpusVersion == 7L)
+    assert(!Bpe.tokenizerStale(spark, dir, 7L))
+  }
 }
