@@ -391,6 +391,20 @@ class CurationSpec extends SparkSpec {
     assert(e.length == 1 && e.head.getLong(4) == 4L)
   }
 
+  test("packTokenIds plan: two group-keyed exchanges, no token-level explode before the shuffle") {
+    // the scale contract: the offset window shuffles on the GROUP key and
+    // the assembly shuffles on (group, window) — doc-sized array
+    // fragments ride both; token-level rows never do (the window
+    // explode sits after the offsets, one row per overlapped window).
+    val toks = Seq((1L, "g", Seq(1L, 2L, 3L))).toDF("doc_id", "grp", "ids")
+    val plan = Curation.packTokenIds(toks, "doc_id", "grp", "ids", maxTokens = 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("admitDelta: each stage drops exactly its targets") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
