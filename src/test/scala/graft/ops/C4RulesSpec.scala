@@ -78,6 +78,16 @@ class C4RulesSpec extends SparkSpec {
     }
   }
 
+  test("signals stay scan-side: no exchange in the plan") {
+    // the 100 TB contract: the whole line-clean + page gate fuses into
+    // the read pass like any projection (the QualityRules.signals pin)
+    val df = Seq((1L, "line one.\nline two.")).toDF("doc_id", "t")
+      .select(col("doc_id") +:
+        C4Rules.signals(col("t"), bad).map { case (n, c) => c.as(n) }: _*)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"plan shuffles:\n$physical")
+  }
+
   test("empty text and empty bad-word list degrade cleanly") {
     val s = sig("")
     assert(s("n_lines") == 0L && s("n_kept") == 0L && s("clean_text") == "")

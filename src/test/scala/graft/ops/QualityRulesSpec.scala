@@ -127,6 +127,17 @@ class QualityRulesSpec extends SparkSpec {
     assert(s("dup6_chars") == 0L)
   }
 
+  test("repetition battery plan: doc-scoped exchange keys, no degenerate join") {
+    // line signals + the denominator are scan-side HOFs; the n-gram
+    // chains shuffle only on doc-scoped (id, n, gram)/(id, pos) keys —
+    // a cartesian or nested-loop anywhere is a 100 TB outage
+    val plan = QualityRules.repetitionSignals(
+      Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "t"), "doc_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("repetition battery: degenerate docs are all-zero and pass the gate") {
     val s = rep("")
     assert(s("n_chars") == 0L && s("n_lines") == 0L &&
