@@ -90,17 +90,26 @@ object Bench {
     // Persist the line verbatim (round-3 lesson: the driver captures a
     // bounded stdout tail, and a clipped line cannot be re-parsed later —
     // cross-round per-query comparisons need the full artifact on disk).
-    // BENCH_FULL.json is the artifact of record for cross-round diffs.
+    // The committed /root/repo/BENCH_FULL.json is the artifact of record
+    // for cross-round diffs; the DEFAULT output path is outside the repo
+    // (VERDICT r8 #1: ad-hoc smoke runs kept clobbering the committed
+    // quiet-host receipt) — the round-end checklist copies the intended
+    // run in explicitly.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_FULL.json")),
       line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     // Print the metric line LAST — after spark.stop(), so no Spark
     // shutdown chatter can land below it on stdout: seven rounds of the
     // driver scraping a truncated tail parsed to null (VERDICT r7 #2).
+    // The bare JSON line comes first (for a parse-the-last-JSON-line
+    // scraper), then a sentinel-prefixed copy as the FINAL line (VERDICT
+    // r8 #4: a grep-able anchor survives even when trailing build-tool
+    // chatter pushes the bare line out of a bounded tail capture).
     spark.stop()
     println(line)
+    println(s"GRAFT_BENCH_JSON: $line")
     System.out.flush()
   }
 

@@ -30,12 +30,31 @@ object QuerySpec {
     * driver's gate budget (CORRECTNESS_r07.json came back empty). The
     * hint is purely an evaluation-strategy pragma — results are
     * identical; an r8 sweep replayed all 169 oracles both ways and every
-    * frame matched bit-for-bit. Recursive CTE headers (`reach(id, r) AS
-    * (`) are skipped by construction: the char before ` AS (` is `)`,
-    * not a word character.
+    * frame matched bit-for-bit.
+    *
+    * The rewrite is restricted to CTE-DEFINITION positions (advisor r8):
+    * `name AS (` is rewritten only when the nearest preceding
+    * non-whitespace token ends the previous definition (`,`) or opens
+    * the clause (`WITH`). That skips recursive CTE heads both with a
+    * column list (`reach(id, r) AS (` — the char before ` AS (` is `)`)
+    * and without one (preceded by `RECURSIVE`, where DuckDB rejects the
+    * hint), string literals / aliases mid-expression, and anything else
+    * that merely LOOKS like a definition. QuerySpecSuite pins the
+    * guard's accept/reject cases.
     */
-  private[graft] def materializeCtes(sql: String): String =
-    """(\w+) AS \(""".r.replaceAllIn(sql, "$1 AS MATERIALIZED (")
+  private[graft] def materializeCtes(sql: String): String = {
+    val re = """(\w+) AS \(""".r
+    re.replaceAllIn(sql, m => {
+      // nearest preceding non-whitespace text, REVERSED (cheap suffix test)
+      val rBefore = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+      val afterWith = rBefore.take(4).equalsIgnoreCase("HTIW") &&
+        (rBefore.length == 4 ||
+          (!rBefore(4).isLetterOrDigit && rBefore(4) != '_')) // word boundary: "(WITH" yes, "ENDSWITH" no
+      val atCteDef = rBefore.isEmpty || rBefore.head == ',' || afterWith
+      scala.util.matching.Regex.quoteReplacement(
+        if (atCteDef) s"${m.group(1)} AS MATERIALIZED (" else m.matched)
+    })
+  }
 
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(materializeCtes(oracle)))

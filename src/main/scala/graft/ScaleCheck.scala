@@ -362,6 +362,11 @@ object ScaleCheck {
     run("c4_clean",
       analytics.ExtractQueries.scaleC4(docs1),
       analytics.ExtractQueries.scaleC4(docsN))
+    // Pre-release PII redaction: three regexp cascades + counts, pure
+    // scan-side projection — linear by construction; pins the constant.
+    run("pii_redact",
+      analytics.ExtractQueries.scaleRedact(docs1),
+      analytics.ExtractQueries.scaleRedact(docsN))
     // Gopher repetition battery: line signals scan-side; the n-gram
     // signals run one (doc, n) position-explode with doc-scoped
     // exchange keys — per-doc work is corpus-independent, so linear.

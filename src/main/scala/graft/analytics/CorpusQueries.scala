@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType,
 object CorpusQueries {
 
   private[analytics] val duckToks =
-    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+    s"list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   /** DuckDB word-k-shingle fragment over a `toks` list column (mirrors
     * Dedup.shingles: distinct windows, chr(1) separator, join-all
     * fallback below k tokens).
@@ -456,7 +456,7 @@ object CorpusQueries {
   // property-tests the fold semantics.
   private[analytics] val bpeNMerges = 40
   private val duckBpeToks =
-    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+    s"list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   /** Shared trained tokenizer for q132/q133/q174 — the build-once
     * production shape: the three queries consume ONE word-count pass and
     * ONE 40-iteration merge training per (session, fixture content)
@@ -630,19 +630,22 @@ object CorpusQueries {
       |  FROM mrg CROSS JOIN nbase),
       |vids AS (SELECT token, CAST(MIN(token_id) AS BIGINT) AS token_id FROM (
       |  SELECT * FROM bids UNION ALL SELECT * FROM mids) GROUP BY token),
+      |nv AS (SELECT CAST(COALESCE(MAX(token_id), -1) + 1 AS BIGINT) AS nv FROM vids),
       |mapped AS (SELECT sp.doc_id, sp.wpos, sp.spos,
-      |  COALESCE(v.token_id, -1) AS tid
-      |  FROM sympos sp LEFT JOIN vids v USING (token))""".stripMargin
+      |  CASE WHEN v.token_id IS NOT NULL THEN [v.token_id]
+      |       ELSE list_transform(generate_series(1, octet_length(encode(sp.token))),
+      |         i -> nv.nv + CAST(('0x' || substring(hex(encode(sp.token)), 2*i-1, 2)) AS BIGINT))
+      |  END AS tids
+      |  FROM sympos sp LEFT JOIN vids v USING (token) CROSS JOIN nv)""".stripMargin
 
   val q174 = QuerySpec.sql(
     "q174_bpe_tokenize",
     s"""WITH $duckBpeCtes,
       |$duckTokenizeCtes,
-      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS ids_csv
+      |agg AS (SELECT doc_id, flatten(list(tids ORDER BY wpos, spos)) AS ids
       |  FROM mapped GROUP BY doc_id)
-      |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  COALESCE(a.ids_csv, '') AS ids_csv
+      |SELECT d.doc_id, CAST(COALESCE(len(a.ids), 0) AS BIGINT) AS n_tokens,
+      |  COALESCE(array_to_string(list_transform(a.ids, x -> CAST(x AS VARCHAR)), ','), '') AS ids_csv
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -676,7 +679,7 @@ object CorpusQueries {
     */
   private def duckPackCtes: String = duckPackCtesFrom("documents")
   private[analytics] def duckPackCtesFrom(src: String): String =
-    s"""dl AS (SELECT doc_id, list(tid ORDER BY wpos, spos) AS ids
+    s"""dl AS (SELECT doc_id, flatten(list(tids ORDER BY wpos, spos)) AS ids
       |  FROM mapped GROUP BY doc_id),
       |dj AS (SELECT d.doc_id, d.source, COALESCE(l.ids, []) AS ids,
       |  CAST(len(COALESCE(l.ids, [])) AS BIGINT) AS n
@@ -1556,7 +1559,7 @@ object CorpusQueries {
       |  SELECT doc_id*10 + 1000003, '  ' || text || '  caf' || chr(233) || '  ' FROM base),
       |allx AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM variants),
       |keys AS (SELECT doc_id,
-      |  trim(lower(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))) AS k
+      |  trim(lower(regexp_replace(nfc_normalize(text), '${graft.ops.TextOps.DuckTokenSplitRe}', ' ', 'g'))) AS k
       |  FROM allx),
       |g AS (SELECT k, MIN(doc_id) AS canonical_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1717,8 +1720,136 @@ object CorpusQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // --------------------------------------------------------------- q181
+  // OUT-OF-VOCABULARY tokenization — the byte-fallback receipt (VERDICT
+  // r8 #1): every document gets a suffix word of characters the trainer
+  // NEVER saw (accented latin, CJK, non-BMP emoji — all multi-byte
+  // UTF-8), which the r8 path would have tokenized to UNK=-1. Under the
+  // GPT-2-style byte guarantee the unseen word char-splits, each unmapped
+  // symbol decomposes into UTF-8 bytes at positional ids byteBase+b, and
+  // the sequence stays total and bijective (q181r pins the detok round
+  // trip through the byte-run UTF-8 reassembly). The oracle replays the
+  // whole chain — q132's training CTEs, the byte-fallback id mapping
+  // (same '0x'||hex arithmetic both engines), ordered reassembly — and
+  // the n_byte_ids column proves the fallback actually fired (emoji and
+  // CJK are one CODE POINT but 3-4 bytes in both engines' substring
+  // semantics, so the byte counts are engine-portable by construction).
+  private[analytics] val oovSuffix = " \u00e9\ud83e\udd16" // " é + robot emoji"
+  private[analytics] val oovWords =
+    Seq("\u4f60\u597d", "\u4e16\u754c", "\u6a21\u578b", "\ud83d\ude00\u00fc")
+  private[analytics] def oovTextCol: org.apache.spark.sql.Column = concat(col("text"),
+    lit(oovSuffix),
+    element_at(array(oovWords.map(lit): _*),
+      (pmod(col("doc_id"), lit(oovWords.size)) + 1).cast("int")))
+  private def duckOovText: String =
+    s"text || '$oovSuffix' || (['${oovWords.mkString("','")}'])" +
+      s"[CAST(doc_id % ${oovWords.size} AS INT) + 1]"
+  val q181 = QuerySpec.sql(
+    "q181_bpe_tokenize_oov",
+    s"""WITH $duckBpeCtes,
+      |oovd AS (SELECT doc_id, $duckOovText AS text FROM documents),
+      |${duckTokenizeCtesFrom("oovd")},
+      |agg AS (SELECT doc_id, flatten(list(tids ORDER BY wpos, spos)) AS ids
+      |  FROM mapped GROUP BY doc_id)
+      |SELECT a.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(a.ids, x -> x >= nv.nv)) AS BIGINT) AS n_byte_ids,
+      |  array_to_string(list_transform(a.ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+      |FROM agg a CROSS JOIN nv ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    val (counts, merges) = bpeTrained(s, d)
+    val oov = Tables.documents(s, d).select(col("doc_id"), oovTextCol.as("text"))
+    val bb = Bpe.byteBase(Bpe.vocabulary(counts, merges))
+    Bpe.tokenizeCorpus(oov, "doc_id", "text", merges, counts)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        size(filter(col("token_ids"), x => x >= bb)).cast("long").as("n_byte_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- q183/q184
+  // Packed-window DELIVERY to the lake (VERDICT r8 #5 — the last mile
+  // between "trainer windows exist in a plan" and "a trainer's data
+  // loader reads them"): q177's packed windows get a token-balanced
+  // shard assignment (md5(source:window) mod ceil(total/20000) — the
+  // q104 shard arithmetic with the window's exact id count as weight)
+  // and land in a SnapshotStore table via a txn-stamped append. The
+  // fixture performs the delivery TWICE with the same (appId, batchId);
+  // q183 reads the table back and pins per-window shard + contents —
+  // a double-write would duplicate every row and hash-fail — and q184
+  // pins the per-shard manifest off the same snapshot. The oracle
+  // replays pack + shard arithmetic ONCE (single copy = the
+  // rerun-idempotence receipt).
+  private[analytics] val windowsShardTarget = 20000L
+  private val winLock = new Object
+  private var winMemo: Map[(Int, String), String] = Map.empty
+  private[analytics] def windowsTableFixture(s: SparkSession, d: String): String = {
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    winLock.synchronized {
+      winMemo.getOrElse(key, {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_windows_q183_" +
+          Integer.toHexString(d.hashCode)
+        val (counts, merges) = bpeTrained(s, d)
+        val docs = Tables.documents(s, d)
+        val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+        val withSrc = docs.select("doc_id", "source").join(tok, Seq("doc_id"), "left")
+          .withColumn("token_ids",
+            coalesce(col("token_ids"), array().cast("array<bigint>")))
+        val packed = Curation.packTokenIds(withSrc, "doc_id", "source",
+          "token_ids", packMaxIds).localCheckpoint()
+        // two identical deliveries: the second MUST be recognized and
+        // skipped (exactly-once under scheduler rerun / crash retry)
+        Curation.deliverTokenWindows(packed, "source", dir,
+          windowsShardTarget, "graft_q183", batchId = 1L)
+        Curation.deliverTokenWindows(packed, "source", dir,
+          windowsShardTarget, "graft_q183", batchId = 1L)
+        winMemo += key -> dir
+        dir
+      })
+    }
+  }
+  private def duckShardedWindows: String =
+    s"""$duckBpeCtes,
+      |$duckTokenizeCtes,
+      |$duckPackCtes,
+      |tot AS (SELECT CAST(SUM(len(ids)) AS BIGINT) AS total FROM pk),
+      |shd AS (SELECT source, window_id, n_docs, ids,
+      |  CAST(('0x' || substring(md5(source || ':' || CAST(window_id AS VARCHAR)), 1, 8))::UBIGINT
+      |    % (SELECT (total + $windowsShardTarget - 1) // $windowsShardTarget FROM tot) AS BIGINT)
+      |    AS shard_id
+      |  FROM pk)""".stripMargin
+  val q183 = QuerySpec.sql(
+    "q183_token_windows_delivery",
+    s"""WITH $duckShardedWindows
+      |SELECT shard_id, source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+      |FROM shd ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    graft.connect.SnapshotStore.read(s, windowsTableFixture(s, d))
+      .select(col("shard_id"), col("source"), col("window_id"), col("n_docs"),
+        col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"))
+      .orderBy("source", "window_id")
+  }
+  val q184 = QuerySpec.sql(
+    "q184_token_shard_manifest",
+    s"""WITH $duckShardedWindows
+      |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(ids)) AS BIGINT) AS n_ids
+      |FROM shd GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, d) =>
+    graft.connect.SnapshotStore.read(s, windowsTableFixture(s, d))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_ids")).as("n_ids"))
+      .orderBy("shard_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180)
+    q168, q180, q181, q183, q184)
 }

@@ -338,9 +338,9 @@ object CurationQueries {
   // per bucket (no global sort).
   val q88 = QuerySpec.sql(
     "q88_length_batches",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+      |    CAST(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')) AS INT) AS n_tokens
       |  FROM documents
       |), b AS (
       |  SELECT doc_id, n_tokens, CAST(floor(n_tokens / 16) AS INT) AS len_bucket FROM t
@@ -468,7 +468,7 @@ object CurationQueries {
     "q103_mix_manifest",
     s"""WITH c AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source),
       |m AS (
       |  SELECT source, n_docs, n_tokens,
@@ -497,7 +497,7 @@ object CurationQueries {
     "q104_shard_manifest",
     s"""WITH tok AS (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n
+      |    CAST(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')) AS BIGINT) AS n
       |  FROM documents),
       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tok),
       |s AS (
@@ -541,7 +541,7 @@ object CurationQueries {
   // hash split. The oracle replays every stage: window dedup,
   // brute-force Jaccard pairs + recursive-CTE transitive closure,
   // shingle join, q31 quality + NTILE, md5-threshold split.
-  private val duckToks95 = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks95 = s"list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   private def duckShK95(k: Int): String = {
     val parts = (1 to k).map(j => s"toks[i+$j]").mkString(", ")
     // COALESCE: DuckDB's array_to_string([]) is NULL where Spark's

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Bpe, C4Rules, Curation, Extract, QualityRules}
+import graft.ops.{Bpe, C4Rules, Curation, Extract, QualityRules, TextOps}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -272,9 +272,13 @@ object ExtractQueries {
     * Spark's are 0-based, `list_position`/`array_position` both return
     * the first 1-based hit.
     */
+  /** [[C4Rules.LineTrimChars]] as a DuckDB `trim` charset expression. */
+  private val duckLineTrim = "concat(' ', chr(9), chr(13), chr(12))"
+
   private def duckC4Ctes(whereSql: String): String =
     s"""pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents $whereSql),
-      |lns AS (SELECT doc_id, source, page, string_split(page, chr(10)) AS ls FROM pg),
+      |lns AS (SELECT doc_id, source, page,
+      |  list_transform(string_split(page, chr(10)), x -> trim(x, $duckLineTrim)) AS ls FROM pg),
       |kpt AS (SELECT doc_id, source, page, ls,
       |  list_filter(ls, x -> ${duckC4LineKeep("x")}) AS kl FROM lns),
       |ddp AS (SELECT doc_id, source, page, ls, kl,
@@ -292,12 +296,12 @@ object ExtractQueries {
     "q175_c4_line_clean",
     s"""WITH ${duckC4Ctes("")}
       |SELECT doc_id, source,
-      |  CAST(len(list_filter(ls, x -> trim(x) <> '')) AS BIGINT) AS n_lines,
-      |  CAST(len(list_filter(ls, x -> trim(x) <> ''
+      |  CAST(len(list_filter(ls, x -> x <> '')) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, x -> x <> ''
       |    AND NOT ${duckC4Term("x")})) AS BIGINT) AS n_drop_punct,
-      |  CAST(len(list_filter(ls, x -> trim(x) <> '' AND ${duckC4Term("x")}
+      |  CAST(len(list_filter(ls, x -> x <> '' AND ${duckC4Term("x")}
       |    AND ${duckC4Words("x")} < 5)) AS BIGINT) AS n_drop_short,
-      |  CAST(len(list_filter(ls, x -> trim(x) <> '' AND ${duckC4Term("x")}
+      |  CAST(len(list_filter(ls, x -> x <> '' AND ${duckC4Term("x")}
       |    AND ${duckC4Words("x")} >= 5 AND ${duckC4Js("x")})) AS BIGINT) AS n_drop_js,
       |  CAST(len(kl) AS BIGINT) AS n_kept,
       |  CAST(len(dl) AS BIGINT) AS n_deduped,
@@ -382,7 +386,7 @@ object ExtractQueries {
   // explode, the per-(doc, n) argmax, and position-coverage joins —
   // and hash-matches every cell.
   private val duckRepToks =
-    """list_filter(string_split_regex(page, '\s+'), x -> x <> '')"""
+    s"list_filter(string_split_regex(page, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   val q178 = QuerySpec.sql(
     "q178_repetition_battery",
     s"""WITH pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents),
@@ -519,5 +523,67 @@ object ExtractQueries {
           .as("ids_csv"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179)
+  // --------------------------------------------------------------- q182
+  // Pre-release PII redaction IN COMPOSITION (VERDICT r8 #2's funnel
+  // receipt): the default curation chain runs on the raw corpus, then
+  // the SURVIVORS get deterministic planted PII (q75's doc_id-derived
+  // email / IPv4 / phone plant — the fixture has no natural PII, and
+  // planting AFTER the chain leaves every pinned dedup/banding structure
+  // untouched) and pass through Curation.redactStage — the production
+  // order: scrub what ships, not what was dropped. The oracle replays
+  // the q95 chain, the plant, and the three-stage redaction cascade with
+  // per-stage counts (emails on raw text, IPv4s after email redaction,
+  // phones after both — the TextOps.redactionSignals convention), all
+  // patterns interpolated from the TextOps constants both engines
+  // compile.
+  private val piiPlant =
+    " contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 (555) 123-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+  private def plantPiiCol: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit(".7 tel +1 (555) 123-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+  val q182 = QuerySpec.sql(
+    "q182_redacted_corpus",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")},
+      |sv AS (SELECT c.doc_id, c.source, c.text || '$piiPlant AS text
+      |  FROM corpus c JOIN k3 USING (doc_id)),
+      |r1 AS (SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+      |  regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS t1 FROM sv),
+      |r2 AS (SELECT doc_id, source, n_emails,
+      |  CAST(len(regexp_extract_all(t1, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ipv4s,
+      |  regexp_replace(t1, '${TextOps.Ipv4Re}', '<IPV4>', 'g') AS t2 FROM r1)
+      |SELECT doc_id, source, n_emails, n_ipv4s,
+      |  CAST(len(regexp_extract_all(t2, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(t2, '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted_text
+      |FROM r2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val pruned = Curation.curateCorpus(
+      corpus,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source")
+    val planted = corpus
+      .join(pruned.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), plantPiiCol.as("text"))
+    Curation.redactStage(planted, "text")
+      .select(col("doc_id"), col("source"), col("n_emails"), col("n_ipv4s"),
+        col("n_phones"), col("text").as("redacted_text"))
+      .orderBy("doc_id")
+  }
+
+  /** ScaleCheck surface: plant + redact per doc — the pre-release scrub
+    * cost per corpus pass (pure scan-side projection, expect ~1x).
+    */
+  private[graft] def scaleRedact(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Curation.redactStage(
+      docs.select(col("doc_id"), plantPiiCol.as("text")), "text")
+
+  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179, q182)
 }

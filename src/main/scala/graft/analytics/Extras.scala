@@ -48,8 +48,8 @@ object Extras {
   // ---------------------------------------------------------------- q49
   val q49 = QuerySpec.sql(
     "q49_top_tokens",
-    """WITH t AS (
-      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+    s"""WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')) AS token
       |  FROM documents)
       |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
       |FROM t GROUP BY token
@@ -459,8 +459,8 @@ object Extras {
   // division for the coverage fraction.
   val q86 = QuerySpec.sql(
     "q86_vocab_coverage",
-    """WITH t AS (
-      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+    s"""WITH t AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')) AS token
       |  FROM documents
       |), c AS (
       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
@@ -487,7 +487,7 @@ object Extras {
   // boundaries, so the oracle is the closed form: docs with no
   // smaller-id near-dup at jaccard >= 0.8. Banding recall carries q33's
   // probability argument (planted dups j >= 0.9, P(miss) ~ 4e-8).
-  private val duckToksE = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToksE = s"list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   private val duckShingles3E =
     s"""CASE WHEN len(toks) >= 3
        | THEN list_distinct(list_transform(range(len(toks)-2),

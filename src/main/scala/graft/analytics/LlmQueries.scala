@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 object LlmQueries {
 
   // DuckDB token-list fragments mirroring TextOps.tokens / distinctTokens.
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = s"list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
   private val duckDToks = s"list_distinct($duckToks)"
   // DuckDB sequential-fold dot product mirroring Similarity.dot.
   private[analytics] def duckDot(a: String, b: String) =

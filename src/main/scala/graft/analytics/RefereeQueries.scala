@@ -449,20 +449,45 @@ object RefereeQueries {
     val (counts, merges) = CorpusQueries.bpeTrained(s, d)
     val tok = graft.ops.Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
     val inv = graft.ops.Bpe.vocabulary(counts, merges)
-      .select(col("token_id"), col("token"))
-    val rebuilt = tok
-      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
-      .join(broadcast(inv), Seq("token_id"))
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("", transform(
-        sort_array(collect_list(struct(col("pos"), col("token")))),
-        e => e.getField("token"))).as("joined"))
-      .select(col("doc_id"),
-        trim(replace(col("joined"), lit(graft.ops.Bpe.EndOfWord), lit(" "))).as("t"))
+    val rebuilt = graft.ops.Bpe.detokenize(tok, inv)
+      .select(col("doc_id"), col("text").as("t"))
     val native = docs
       .filter(size(TextOps.tokens(col("text"))) > 0)
       .select(col("doc_id"), array_join(TextOps.tokens(col("text")), " ").as("t"))
     report(symDiff(rebuilt, native))
+  }
+
+  // ------------------------------------------------------ q181 referee
+  // OOV detok ROUND TRIP: q174r's bijection property re-established on
+  // the byte-fallback path — the corpus with q181's appended
+  // never-seen-in-training words (accented latin, CJK, non-BMP emoji)
+  // must round-trip byte-exactly through tokenize -> detokenize, where
+  // the unseen symbols ride as UTF-8 byte ids and detokenize reassembles
+  // multi-byte characters through one UTF-8 decode. There is no UNK
+  // branch left to hide behind: a wrong byte id, a mis-ordered
+  // reassembly, or a split surrogate pair corrupts the decoded text and
+  // emits a row.
+  val q181r = QuerySpec.refereeCheck("q181r_oov_detok_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val (counts, merges) = CorpusQueries.bpeTrained(s, d)
+    val oov = Tables.documents(s, d)
+      .select(col("doc_id"), CorpusQueries.oovTextCol.as("text"))
+    val tok = graft.ops.Bpe.tokenizeCorpus(oov, "doc_id", "text", merges, counts)
+    val inv = graft.ops.Bpe.vocabulary(counts, merges)
+    val rebuilt = graft.ops.Bpe.detokenize(tok, inv)
+      .select(col("doc_id"), col("text").as("t"))
+    val native = oov
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), array_join(TextOps.tokens(col("text")), " ").as("t"))
+    // the fallback must actually FIRE on this fixture: every doc carries
+    // at least one unseen word, so zero byte ids means the receipt went
+    // vacuous (e.g. the fixture generator started emitting CJK)
+    val bb = graft.ops.Bpe.byteBase(inv)
+    val noByteIds = tok
+      .agg(sum(size(filter(col("token_ids"), x => x >= bb))).as("n"))
+      .filter(col("n") === 0)
+      .select(lit("byte_fallback_never_fired").as("violation"))
+    report(symDiff(rebuilt, native) :+ noByteIds)
   }
 
   // ------------------------------------------------------ q180 referee
@@ -610,5 +635,5 @@ object RefereeQueries {
 
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r)
+    q180r, q181r)
 }

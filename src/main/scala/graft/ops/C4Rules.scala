@@ -74,10 +74,22 @@ object C4Rules {
     */
   val SpaceRunRe = "[ \\t\\n\\r\\f]+"
 
-  /** Newline-separated raw lines (empties kept — `nLines` counts them
-    * out explicitly so the kept/total accounting is stable).
+  /** The character set each line is stripped of at both ends before any
+    * rule runs (advisor r8: the reference C4 implementation strips lines
+    * first — CRLF pages or trailing spaces would otherwise fail the
+    * terminal-punctuation rule on every line and empty the page).
+    * Explicit chars, no regex, so a `trim(x, chars)` oracle replays it
+    * exactly: space, tab, CR, FF (`\n` can't appear — lines are the
+    * split's output).
     */
-  def lines(text: Column): Column = split(text, "\n")
+  val LineTrimChars = " \t\r\f"
+
+  /** Newline-separated raw lines, stripped of [[LineTrimChars]] at both
+    * ends (empties kept — `nLines` counts them out explicitly so the
+    * kept/total accounting is stable).
+    */
+  def lines(text: Column): Column =
+    transform(split(text, "\n"), l => trim(l, LineTrimChars))
 
   /** Whitespace words of one line ([[TextOps.tokens]] semantics). */
   def lineWords(line: Column): Column =
@@ -167,7 +179,7 @@ object C4Rules {
     */
   def signals(text: Column, badWords: Seq[String], minWords: Int = 5,
       minSentences: Int = 3): Seq[(String, Column)] = {
-    val nonEmpty = filter(lines(text), l => length(trim(l)) > 0)
+    val nonEmpty = filter(lines(text), l => length(l) > 0)
     val kept = dedupLines(keptLines(text, minWords))
     val cleaned = array_join(kept, "\n")
     Seq(

@@ -518,6 +518,26 @@ object Curation {
       .withColumn("n_ids", size(col("token_ids")).cast(LongType))
   }
 
+  /** Pre-release PII redaction stage (the standard last step before a
+    * corpus ships — Dolma, RefinedWeb): emails / IPv4s / phone-like digit
+    * runs inside the document TEXT replaced with typed placeholders,
+    * with the per-document counts a data card reports. Runs on the
+    * funnel's SURVIVORS (redaction rewrites text, so running it earlier
+    * would perturb every dedup key for no benefit — dropped docs don't
+    * need scrubbing). Pure scan-side projection over
+    * [[TextOps.redactionSignals]] — zero shuffle, fuses with whatever
+    * read feeds it; `textCol` is replaced in place so downstream
+    * consumers (sharding, delivery) are oblivious.
+    */
+  def redactStage(docs: DataFrame, textCol: String): DataFrame = {
+    val sig = TextOps.redactionSignals(col(textCol)).toMap
+    docs
+      .withColumn("n_emails", sig("n_emails"))
+      .withColumn("n_ipv4s", sig("n_ipv4s"))
+      .withColumn("n_phones", sig("n_phones"))
+      .withColumn(textCol, sig("redacted_text"))
+  }
+
   // ------------------------------------------------------ shard layout
 
   /** Token-balanced training-shard assignment: `shard_id =
@@ -566,6 +586,49 @@ object Curation {
     sharded.repartition(n, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     shardManifest(sharded, textCol).orderBy("shard_id")
+  }
+
+  /** Deliver [[packTokenIds]] output as a VERSIONED, shard-partitioned
+    * lake table (VERDICT r8 #5 — the last mile between "windows exist in
+    * a plan" and "a trainer's data loader reads them"): windows get a
+    * token-balanced `shard_id` (`md5bucket(group:window) mod nShards`,
+    * `nShards = ceil(total_ids / targetIdsPerShard)` — the
+    * [[assignShards]] arithmetic with the WINDOW's exact id count as the
+    * weight and the (group, window) key as the hash input, so assignment
+    * is reproducible from the rows alone on any engine), are exchanged
+    * once BY SHARD so each shard is one writer's contiguous output, and
+    * land in a [[graft.connect.SnapshotStore]] table through a
+    * txn-stamped append — a re-delivered (appId, batchId) is recognized
+    * and skipped, so crash-retry/scheduler-rerun never double-writes a
+    * window (the exactly-once receipt q183 pins by reading the table
+    * back after two identical delivery calls). First delivery creates
+    * the table (schema-only v0, then the stamped append — creation is
+    * idempotent too: a concurrent/replayed creator loses the v0 pointer
+    * race harmlessly). Returns the served per-shard manifest (shard_id,
+    * n_windows, n_docs, n_ids) from the table's LATEST snapshot.
+    */
+  def deliverTokenWindows(packed: DataFrame, groupCol: String, table: String,
+      targetIdsPerShard: Long, appId: String, batchId: Long): DataFrame = {
+    import graft.connect.SnapshotStore
+    require(targetIdsPerShard > 0, "target ids per shard must be positive")
+    val spark = packed.sparkSession
+    val total = packed.agg(coalesce(sum(col("n_ids")), lit(0L))).head().getLong(0)
+    val nShards = math.max(1L, (total + targetIdsPerShard - 1) / targetIdsPerShard).toInt
+    val bucket = conv(substring(md5(concat(
+      col(groupCol).cast(StringType), lit(":"),
+      col("window_id").cast(StringType))), 1, 8), 16, 10)
+      .cast(LongType)
+    val sharded = packed.withColumn("shard_id", pmod(bucket, lit(nShards.toLong)))
+      .repartition(nShards, col("shard_id"))
+    if (SnapshotStore.latestVersion(spark, table) < 0)
+      scala.util.Try(SnapshotStore.commit(spark, table, sharded.limit(0)))
+      // a lost v0 race means someone else created the table — proceed
+    SnapshotStore.appendIdempotent(spark, table, sharded, appId, batchId)
+    SnapshotStore.read(spark, table)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_ids")).as("n_ids"))
   }
 
   // ------------------------------------------- incremental admission

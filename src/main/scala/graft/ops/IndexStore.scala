@@ -116,30 +116,41 @@ object IndexStore {
       IvfPqMeta(dim, m, cb.dsub, nlist, ksub, iters, source,
         trainedVersion = source.map(_._2), gen = gen,
         baseVersion = source.map(_._2).getOrElse(Int.MinValue)))
-    cleanupStale(spark, path, gen, dropDeltasUpTo = Int.MaxValue)
+    cleanupStale(spark, path)
   }
 
-  /** Best-effort post-commit cleanup: generation dirs other than
-    * `keepGen`, and delta dirs at or below `dropDeltasUpTo`. Everything
-    * deleted here is already invisible to readers (the meta no longer
-    * references it), so a crash mid-cleanup just leaves garbage for the
-    * next commit's cleanup.
+  /** Best-effort post-commit cleanup, SURVIVOR-AWARE (advisor r8): an
+    * artifact is deleted only when NO surviving committed meta version
+    * references it — [[writeMeta]] retains the immediately-prior meta so
+    * a reader that resolved the listing a moment ago still wins, and
+    * that retained meta's generation dirs and live delta window must
+    * therefore survive too (their deletion defers to the NEXT commit,
+    * when the meta itself ages out). Everything deleted here is already
+    * invisible to every surviving meta, so a crash mid-cleanup just
+    * leaves garbage for the next commit's cleanup.
     */
-  private def cleanupStale(spark: SparkSession, path: String, keepGen: String,
-      dropDeltasUpTo: Int): Unit = {
+  private def cleanupStale(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val genNames = Seq("centroids", "codebooks", "codes")
-      .map(n => n -> genDir(path, n, keepGen).split('/').last).toMap
+    val survivors = metaVersions(spark, path)
+      .flatMap { case (_, dir) => scala.util.Try(loadMetaAt(spark, dir)).toOption }
+    val keepGenDirs = (for {
+      m <- survivors
+      base <- Seq("centroids", "codebooks", "codes")
+    } yield genDir(path, base, m.gen).split('/').last).toSet
+    def liveForSome(v: Int): Boolean = survivors.exists { m =>
+      v > m.baseVersion && v <= m.source.map(_._2).getOrElse(Int.MinValue)
+    }
     fs.listStatus(root).foreach { s =>
       val n = s.getPath.getName
-      val staleGen = s.isDirectory && genNames.exists { case (base, keep) =>
-        (n == base || n.startsWith(s"${base}_g")) && n != keep
-      }
+      val staleGen = s.isDirectory &&
+        Seq("centroids", "codebooks", "codes").exists(base =>
+          n == base || n.startsWith(s"${base}_g")) &&
+        !keepGenDirs.contains(n)
       val staleDelta = s.isDirectory && n.startsWith("delta_codes_v") &&
         scala.util.Try(n.stripPrefix("delta_codes_v").toInt).toOption
-          .exists(_ <= dropDeltasUpTo)
+          .exists(v => !liveForSome(v))
       if (staleGen || staleDelta) fs.delete(s.getPath, true)
     }
   }
@@ -189,8 +200,14 @@ object IndexStore {
   def loadMeta(spark: SparkSession, path: String): IvfPqMeta = {
     // highest committed meta version wins; plain `meta` is the legacy
     // pre-versioning layout
-    val metaDir = metaVersions(spark, path).lastOption.map(_._2)
-      .getOrElse(s"$path/meta")
+    loadMetaAt(spark, metaVersions(spark, path).lastOption.map(_._2)
+      .getOrElse(s"$path/meta"))
+  }
+
+  /** Parse ONE meta version dir ([[loadMeta]] resolves the latest;
+    * [[cleanupStale]] parses every survivor).
+    */
+  private def loadMetaAt(spark: SparkSession, metaDir: String): IvfPqMeta = {
     val df = spark.read.parquet(metaDir)
     val r = df.head()
     def intOr(c: String, d: Int) =
@@ -389,7 +406,7 @@ object IndexStore {
     spark.read.parquet(genDir(path, "codebooks", meta.gen)).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(genDir(path, "codebooks", gen))
     writeMeta(spark, path, meta.copy(gen = gen, baseVersion = served))
-    cleanupStale(spark, path, gen, dropDeltasUpTo = served)
+    cleanupStale(spark, path)
     live.size
   }
 

@@ -14,9 +14,23 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** The whitespace-run class [[tokens]] splits on, spelled explicitly:
+    * exactly Java's `\s` = `[ \t\n\x0B\f\r]`. Explicit because oracle
+    * engines disagree on the shorthand (RE2's `\s` OMITS `\x0B`, so a
+    * vertical tab would tokenize differently engine vs oracle — advisor
+    * r8); DuckDB token-split oracles interpolate [[TokenSplitRe]] so
+    * both sides compile the same class.
+    */
+  val TokenSplitRe = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** [[TokenSplitRe]] spelled for a DuckDB (RE2) oracle string —
+    * lowercase hex escape, single-backslash.
+    */
+  val DuckTokenSplitRe = """[ \t\n\x0b\f\r]+"""
+
   /** Whitespace tokens with empties dropped. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, TokenSplitRe), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -374,6 +388,26 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IPV4>"),
       PhoneRe, "<PHONE>")
+
+  /** [[redact]] with the per-document accounting a published-corpus data
+    * card reports (Dolma's attribute convention: every removal is
+    * counted, not silent): n_emails / n_ipv4s / n_phones plus the
+    * redacted text. Counts are taken at each CASCADE stage — emails on
+    * the raw text, IPv4s after email redaction, phones after both — so
+    * they are exactly the substitution counts of [[redact]]'s three
+    * replaces (a digit run inside an email never double-counts as a
+    * phone). Still one pure scan-side projection; Catalyst
+    * subexpression-eliminates the shared intermediate strings.
+    */
+  def redactionSignals(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IPV4>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailRe)).cast(org.apache.spark.sql.types.LongType),
+      "n_ipv4s" -> regexp_count(afterEmail, lit(Ipv4Re)).cast(org.apache.spark.sql.types.LongType),
+      "n_phones" -> regexp_count(afterIp, lit(PhoneRe)).cast(org.apache.spark.sql.types.LongType),
+      "redacted_text" -> regexp_replace(afterIp, PhoneRe, "<PHONE>"))
+  }
 
   // ------------------------------------------------- repetition signal
 

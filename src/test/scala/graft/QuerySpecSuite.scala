@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the [[QuerySpec.materializeCtes]] rewrite guard (advisor r8): the
+  * MATERIALIZED hint must land on every real CTE definition (the q170
+  * oracle depends on it for its 25x evaluation-strategy win) and NOWHERE
+  * else — not inside string literals, not on recursive CTE heads, not on
+  * anything mid-expression that merely looks like `name AS (`.
+  */
+class QuerySpecSuite extends AnyFunSuite {
+
+  private def m(sql: String) = QuerySpec.materializeCtes(sql)
+
+  test("rewrites CTE definitions after WITH and after commas") {
+    assert(m("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM b") ==
+      "WITH a AS MATERIALIZED (SELECT 1), b AS MATERIALIZED (SELECT 2) SELECT * FROM b")
+    assert(m("WITH a AS (SELECT 1),\nb AS (SELECT 2)\nSELECT * FROM a") ==
+      "WITH a AS MATERIALIZED (SELECT 1),\nb AS MATERIALIZED (SELECT 2)\nSELECT * FROM a")
+    // nested WITH inside a CTE body is itself a definition position
+    assert(m("WITH outer_x AS (WITH inner_y AS (SELECT 1) SELECT * FROM inner_y) SELECT 1")
+      .contains("inner_y AS MATERIALIZED ("))
+  }
+
+  test("skips recursive CTE heads, with and without a column list") {
+    // column list: the char before ` AS (` is `)` — never matched
+    val withCols = "WITH RECURSIVE reach(id, r) AS (SELECT 1, 2) SELECT * FROM reach"
+    assert(m(withCols) == withCols)
+    // no column list: matched but preceded by RECURSIVE, so left alone
+    val noCols = "WITH RECURSIVE reach AS (SELECT 1) SELECT * FROM reach"
+    assert(m(noCols) == noCols)
+  }
+
+  test("skips look-alikes inside expressions and string literals") {
+    // mid-expression: preceded by a word, not a definition boundary
+    val expr = "SELECT x FROM t WHERE y = foo AS (z)" // nonsense SQL, guard only
+    assert(m(expr) == expr)
+    // inside a string literal preceded by a non-boundary char
+    val lit = "WITH a AS (SELECT 'this b AS (c' AS s) SELECT * FROM a"
+    assert(m(lit) == "WITH a AS MATERIALIZED (SELECT 'this b AS (c' AS s) SELECT * FROM a")
+  }
+
+  test("every registered oracle still materializes at least its WITH-prologue CTEs") {
+    // invariant over the real suite: any oracle with a WITH clause gains
+    // at least one MATERIALIZED hint, and no oracle contains the
+    // rejected `RECURSIVE name AS MATERIALIZED (` form
+    SparkEntry.specs.flatMap(_.oracle).foreach { sql =>
+      if (sql.stripLeading().startsWith("WITH"))
+        assert(sql.contains("AS MATERIALIZED ("), sql.take(120))
+      assert(!sql.matches("(?s).*RECURSIVE\\s+\\w+ AS MATERIALIZED \\(.*"), sql.take(120))
+    }
+  }
+}

@@ -107,12 +107,14 @@ class BpeSpec extends SparkSpec {
     assert(v.values.toSeq.distinct.size == v.size)
   }
 
-  test("tokenizeCorpus: ordered ids, unseen-word fallback maps to char ids or UNK") {
+  test("tokenizeCorpus: ordered ids, unseen symbols fall back to byte ids (no UNK)") {
     val docs = Seq((1L, "ab ab"), (2L, "zb"), (3L, "")).toDF("doc_id", "text")
     val vocab = Seq(("ab", 3L)).toDF("word", "c")
     val merges = Bpe.trainFromCounts(vocab, nMerges = 2, minCount = 1)
-    val v = Bpe.vocabulary(vocab, merges).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Bpe.vocabulary(vocab, merges)
+    val v = ids.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bb = Bpe.byteBase(ids)
+    assert(bb == v.values.max + 1)
     val out = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, vocab)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getSeq[Long](1).toList).toMap
@@ -120,9 +122,39 @@ class BpeSpec extends SparkSpec {
     val abIds = Bpe.referenceEncode("ab", merges).map(v).toList
     assert(out(1L) == abIds ++ abIds) // word order preserved
     // unseen word "zb": falls back to chars; 'z' is outside the trained
-    // alphabet -> UNK (-1); 'b' and '</w>' resolve to their base ids
-    assert(out(2L) == List(-1L, v("b"), v(Bpe.EndOfWord)))
+    // alphabet -> its UTF-8 byte id (byteBase + 0x7A); 'b' and '</w>'
+    // resolve to their base ids. No -1 anywhere.
+    assert(out(2L) == List(bb + 'z'.toLong, v("b"), v(Bpe.EndOfWord)))
+    assert(out.values.flatten.forall(_ >= 0L))
     assert(!out.contains(3L)) // empty doc: no tokens, no row
+  }
+
+  test("byte fallback: multi-byte characters (CJK, non-BMP emoji) tokenize totally and round-trip") {
+    // robot emoji = U+1F916, one Spark/DuckDB "character", 4 UTF-8 bytes
+    val robot = "🤖"
+    val docs = Seq((1L, s"ab 你好${robot}é"), (2L, s"$robot $robot"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(vocab, nMerges = 2, minCount = 1)
+    val ids = Bpe.vocabulary(vocab, merges)
+    val bb = Bpe.byteBase(ids)
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, vocab)
+      .localCheckpoint()
+    val out = tok.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    // doc 2: one emoji word = 4 byte ids + </w>, twice
+    val emojiBytes = robot.getBytes("UTF-8").map(b => bb + (b & 0xff).toLong).toList
+    assert(emojiBytes.size == 4)
+    val v = ids.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(2L) == (emojiBytes :+ v(Bpe.EndOfWord)) ++ (emojiBytes :+ v(Bpe.EndOfWord)))
+    // doc 1's OOV word: 2 (CJK) * 3 + 4 (emoji) + 2 (e-acute) byte ids
+    assert(out(1L).count(_ >= bb) == 12)
+    assert(out.values.flatten.forall(_ >= 0L))
+    // detokenize inverts exactly, reassembling multi-byte chars from byte runs
+    val rebuilt = Bpe.detokenize(tok, ids).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rebuilt(1L) == s"ab 你好${robot}é")
+    assert(rebuilt(2L) == s"$robot $robot")
   }
 
   test("tokenizer store: round trip, loaded-path identity, meta-last commit, staleness fence") {
@@ -143,8 +175,57 @@ class BpeSpec extends SparkSpec {
     new java.io.File(s"$dir/meta_v000000099").mkdirs()
     assert(Bpe.readTokenizerMeta(spark, dir).corpusVersion == 5L)
     // a rewrite at a newer corpus version supersedes the old commit
+    val genV0 = Bpe.readTokenizerMeta(spark, dir).gen
     Bpe.writeTokenizer(spark, dir, counts, merges, corpusVersion = 7L)
     assert(Bpe.readTokenizerMeta(spark, dir).corpusVersion == 7L)
     assert(!Bpe.tokenizerStale(spark, dir, 7L))
+    // survivor-aware cleanup (advisor r8): the retained prior meta must
+    // keep its generation dirs THIS commit (a racing reader that resolved
+    // it still loads complete artifacts) and lose them at the NEXT one
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def entries() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    val genV1 = Bpe.readTokenizerMeta(spark, dir).gen
+    for (base <- Seq("merges", "enc", "ids")) {
+      assert(entries().contains(s"${base}_$genV1"))
+      assert(entries().contains(s"${base}_$genV0"),
+        s"retained prior meta dangles: ${base}_$genV0 was deleted")
+    }
+    Bpe.writeTokenizer(spark, dir, counts, merges, corpusVersion = 9L)
+    assert(!entries().contains(s"merges_$genV0"),
+      "unreferenced generation should be cleaned once its meta ages out")
+    assert(entries().contains(s"merges_$genV1")) // now the retained prior
+  }
+
+  test("syncTokenizer: no-op inside the train-lag budget, retrains past it or on a parameter change") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_tok_sync_lake")
+    val path = tmpDir("graft_tok_sync")
+    SnapshotStore.commit(spark, lake,
+      Seq((1L, "ab ab aaab"), (2L, "ab ba")).toDF("doc_id", "text"))
+    // first sync: nothing stored yet -> trains at v0
+    assert(Bpe.syncTokenizer(spark, lake, path, "text", nMerges = 3) == 0L)
+    val gen0 = Bpe.readTokenizerMeta(spark, path).gen
+    // corpus advances one snapshot: inside a lag budget of 1 -> no retrain
+    SnapshotStore.append(spark, lake, Seq((3L, "ba ba ab")).toDF("doc_id", "text"))
+    assert(Bpe.syncTokenizer(spark, lake, path, "text", nMerges = 3,
+      maxTrainLag = 1) == 0L)
+    assert(Bpe.readTokenizerMeta(spark, path).gen == gen0)
+    // past the budget -> retrains on the latest snapshot (fresh generation)
+    assert(Bpe.syncTokenizer(spark, lake, path, "text", nMerges = 3,
+      maxTrainLag = 0) == 1L)
+    val m1 = Bpe.readTokenizerMeta(spark, path)
+    assert(m1.corpusVersion == 1L && m1.gen != gen0)
+    // a parameter change retrains even when current (never silently
+    // serves a differently-sized vocabulary)
+    assert(Bpe.syncTokenizer(spark, lake, path, "text", nMerges = 2,
+      maxTrainLag = 5) == 1L)
+    assert(Bpe.readTokenizerMeta(spark, path).nMerges == 2)
+    // and a current, same-parameter store is a pure no-op
+    val gen2 = Bpe.readTokenizerMeta(spark, path).gen
+    assert(Bpe.syncTokenizer(spark, lake, path, "text", nMerges = 2,
+      maxTrainLag = 0) == 1L)
+    assert(Bpe.readTokenizerMeta(spark, path).gen == gen2)
   }
 }

@@ -15,6 +15,24 @@ class C4RulesSpec extends SparkSpec {
     row.schema.fieldNames.zip(row.toSeq).toMap
   }
 
+  test("lines are stripped before the rules: CRLF pages and trailing spaces survive (advisor r8)") {
+    // identical page, three physical spellings: clean LF, CRLF, trailing
+    // whitespace — the reference C4 implementation strips lines first,
+    // so all three must clean to the SAME text and pass the page gate
+    val body = Seq(
+      "This sentence is long enough and ends well.",
+      "Another full sentence that ends properly!",
+      "A third complete sentence closes the page?")
+    val lf = sig(body.mkString("\n"))
+    val crlf = sig(body.mkString("\r\n"))
+    val sloppy = sig(body.map(l => "  " + l + " \t").mkString("\n"))
+    assert(lf("clean_text") == body.mkString("\n"))
+    assert(crlf("clean_text") == lf("clean_text"))
+    assert(sloppy("clean_text") == lf("clean_text"))
+    assert(lf("page_keep") == 1 && crlf("page_keep") == 1 && sloppy("page_keep") == 1)
+    assert(crlf("n_kept") == 3L && sloppy("n_kept") == 3L)
+  }
+
   test("line rules: terminal punct, word floor, javascript — first-fail attribution") {
     val page = Seq(
       "This sentence is long enough and ends well.", // kept

@@ -210,9 +210,12 @@ class IndexStoreSpec extends SparkSpec {
       "embedding", k = 3, nprobe = 2).collect().toSet
     val cbBefore = IndexStore.loadCodebooks(spark, dir)
     assert(IndexStore.compactIvfPq(spark, dir) == 3)
-    // chain folded: no live deltas, dirs cleaned, served version unchanged
+    // chain folded: no LIVE deltas, served version unchanged. The delta
+    // DIRS survive this one commit — the retained prior meta still
+    // references them (advisor r8's survivor-aware cleanup); they are
+    // invisible to codes() already and age out with that meta at the
+    // next commit (pinned in the survivor-aware cleanup test).
     assert(IndexStore.deltaChainLength(spark, dir) == 0)
-    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("delta_codes_v")))
     val meta = IndexStore.loadMeta(spark, dir)
     assert(meta.source.contains((lake, 3)) && meta.trainedVersion.contains(0))
     // codes identical row-for-row; models bit-identical; search unchanged
@@ -251,6 +254,51 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.deltaChainLength(spark, dir) <= 1)
     assert(IndexStore.loadMeta(spark, dir).trainedVersion.contains(0))
     assert(IndexStore.codes(spark, dir).count() == emb.count())
+  }
+
+  test("survivor-aware cleanup: the retained prior meta keeps its generation and deltas (advisor r8)") {
+    import graft.connect.SnapshotStore
+    val lake = tmpDir("graft_idx_surv_lake")
+    val dir = tmpDir("graft_idx_surv")
+    SnapshotStore.commit(spark, lake, emb.filter($"vec_id" < 20))
+    IndexStore.writeIvfPq(SnapshotStore.read(spark, lake), "vec_id", "embedding",
+      dir, dim = 8, m = 4, ksub = 4, nlist = 4, source = Some((lake, 0)))
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" >= 20 && $"vec_id" < 30))
+    IndexStore.appendDeltaIvfPq(spark, lake, dir, "vec_id", "embedding")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def entries() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    val genBefore = IndexStore.loadMeta(spark, dir).gen
+    assert(entries().contains(s"codes_$genBefore"))
+    assert(entries().contains("delta_codes_v1"))
+    // a full rebuild commits a NEW generation; the retained prior meta
+    // must still resolve to COMPLETE artifacts: its generation dirs and
+    // its live delta window survive this commit (they age out with the
+    // meta itself at the NEXT commit) — advisor r8's dangling-pointer fix
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" >= 30))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val after = entries()
+    val genAfter = IndexStore.loadMeta(spark, dir).gen
+    assert(genAfter != genBefore)
+    for (base <- Seq("centroids", "codebooks", "codes")) {
+      assert(after.contains(s"${base}_$genAfter"), s"new gen $base missing")
+      assert(after.contains(s"${base}_$genBefore"),
+        s"retained prior meta dangles: ${base}_$genBefore was deleted")
+    }
+    assert(after.contains("delta_codes_v1"),
+      "retained prior meta's live delta window was deleted")
+    // next commit ages the old meta out — ITS generation goes with it
+    SnapshotStore.append(spark, lake, emb.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 100))
+    IndexStore.buildOrRefreshIvfPq(spark, lake, dir, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, nlist = 4)
+    val later = entries()
+    assert(!later.contains(s"codes_$genBefore"),
+      "unreferenced generation should be cleaned once its meta ages out")
+    assert(!later.contains("delta_codes_v1"))
+    assert(later.contains(s"codes_$genAfter")) // now the retained prior
   }
 
   test("meta commit is marker-gated: a torn meta version dir is invisible") {
