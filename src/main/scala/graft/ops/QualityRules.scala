@@ -208,8 +208,20 @@ object QualityRules {
       coalesce(aggregate(transform(dupLs, l => length(l).cast(LongType)),
         lit(0L), (a, x) => a + x), lit(0L)).as("dup_line_chars"))
     val allNs = (topNs ++ dupNs).distinct.sorted
-    // one (doc, n, pos, gram) explode feeding both the argmax and the
-    // coverage chain; gram token-chars = string length minus separators
+    // ONE (doc, n, pos, gram) explode behind ONE id-keyed exchange
+    // (round 9): every n-gram channel — per-(id, n, gram) occurrence
+    // counts, the per-(id, n) argmax, the coverage distinct, and the
+    // token-length join — clusters on keys that START with the id, so
+    // hash-partitioning by id alone satisfies all of them:
+    // EnsureRequirements inserts sorts, never further exchanges, and the
+    // one exchange is REUSED across the channels (the r8 shape paid a
+    // corpus×9 localCheckpoint write plus four channel-specific
+    // exchanges for the same answers; ScaleCheck's 4× growth moved
+    // 1.69×/1.51× → 1.16×/1.34× across two runs each). Occurrence counts
+    // come from a window over (id, n, gram) — identical numbers to the
+    // old groupBy, kept per occurrence so the coverage chain needs no
+    // join back.
+    import org.apache.spark.sql.expressions.Window
     val grams = base
       .withColumn("__n", explode(array(allNs.map(lit): _*)))
       .filter(size(col("__toks")) >= col("__n"))
@@ -220,14 +232,14 @@ object QualityRules {
         .as("__g"))
       .select(col(idCol), col("__n"), col("__g.pos").as("__pos"),
         col("__g.gram").as("__gram"))
-      .localCheckpoint()
-    val counts = grams.groupBy(col(idCol), col("__n"), col("__gram"))
-      .agg(count(lit(1)).as("__c"))
+      .repartition(col(idCol))
+    val counted = grams.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy(col(idCol), col("__n"), col("__gram"))))
     val gramChars = (g: Column, n: Column) => length(g).cast(LongType) - (n - 1)
     val topAggs = topNs.map(n =>
       coalesce(max(when(col("__n") === n, col("__chars"))), lit(0L))
         .as(s"top${n}_chars"))
-    val tops = counts.filter(col("__n").isin(topNs: _*))
+    val tops = counted.filter(col("__n").isin(topNs: _*))
       .groupBy(col(idCol), col("__n"))
       .agg(max(struct(col("__c"), col("__gram"))).as("__m"))
       .select(col(idCol), col("__n"),
@@ -236,16 +248,15 @@ object QualityRules {
       .groupBy(col(idCol)).agg(topAggs.head, topAggs.tail: _*)
     // coverage: occurrences of duplicated grams -> their token positions
     // (distinct — overlaps count once) -> token char lengths
-    val dupG = counts
+    val covered = counted
       .filter(col("__c") >= 2 && col("__n").isin(dupNs: _*))
-      .select(col(idCol), col("__n"), col("__gram"))
-    val covered = grams.join(dupG, Seq(idCol, "__n", "__gram"), "left_semi")
       .select(col(idCol), col("__n"),
         explode(sequence(col("__pos"), col("__pos") + col("__n") - 1)).as("__tp"))
       .distinct()
     val tokLens = base.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__tp", "__tok")))
       .select(col(idCol), col("__tp"), length(col("__tok")).cast(LongType).as("__len"))
+      .repartition(col(idCol))
     val dupAggs = dupNs.map(n =>
       coalesce(max(when(col("__n") === n, col("__chars"))), lit(0L))
         .as(s"dup${n}_chars"))
