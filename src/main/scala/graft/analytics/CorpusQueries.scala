@@ -1848,8 +1848,65 @@ object CorpusQueries {
       .orderBy("shard_id")
   }
 
+  // --------------------------------------------------------------- q185
+  // EOS-separated trainer windows with document boundaries — q177's
+  // packing in the PRODUCTION form (Curation.packTokenIdsWithEos): an
+  // end-of-text separator id (byteBase + 256, one past the byte space —
+  // the id layout layers [vocabulary | 256 bytes | specials]) appended
+  // to every document before packing, and each window carrying the
+  // 0-based offsets where documents BEGIN inside it (the boundary table
+  // an attention-masking loader consumes). The oracle re-roots the pack
+  // replay on EOS-appended per-doc id lists and derives each boundary as
+  // (doc offset - window start) exactly when the doc's fragment starts
+  // at its own offset — every window's ids AND starts hash-match as CSV
+  // scalars.
+  val q185 = QuerySpec.sql(
+    "q185_pack_windows_eos",
+    s"""WITH $duckBpeCtes,
+      |$duckTokenizeCtes,
+      |dle AS (SELECT m.doc_id,
+      |  list_append(flatten(list(m.tids ORDER BY m.wpos, m.spos)), nv.nv + 256) AS ids
+      |  FROM mapped m CROSS JOIN nv GROUP BY m.doc_id, nv.nv),
+      |dje AS (SELECT d.doc_id, d.source, l.ids, CAST(len(l.ids) AS BIGINT) AS n
+      |  FROM documents d JOIN dle l USING (doc_id)),
+      |ofse AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY source
+      |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  0) AS o FROM dje),
+      |winse AS (SELECT source, doc_id, o, n, ids, u.w AS w
+      |  FROM ofse, unnest(generate_series(CAST(o // $packMaxIds AS BIGINT),
+      |    CAST((o + n - 1) // $packMaxIds AS BIGINT))) AS u(w)),
+      |frge AS (SELECT source, w, o,
+      |  list_slice(ids, greatest(w * $packMaxIds - o, 0) + 1,
+      |    least((w + 1) * $packMaxIds - o, n)) AS fr,
+      |  CASE WHEN o >= w * $packMaxIds THEN o - w * $packMaxIds END AS ds
+      |  FROM winse),
+      |pke AS (SELECT source, w AS window_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  flatten(list(fr ORDER BY o)) AS ids,
+      |  list_filter(list(ds ORDER BY o), x -> x IS NOT NULL) AS starts
+      |  FROM frge GROUP BY source, w)
+      |SELECT source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv,
+      |  COALESCE(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)), ','), '') AS starts_csv
+      |FROM pke ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = bpeTrained(s, d)
+    val eos = Bpe.byteBase(Bpe.vocabulary(counts, merges)) + 256L
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    val withSrc = docs.select("doc_id", "source").join(tok, Seq("doc_id"))
+    Curation.packTokenIdsWithEos(withSrc, "doc_id", "source", "token_ids",
+      packMaxIds, eos)
+      .select(col("source"), col("window_id"), col("n_docs"), col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"),
+        concat_ws(",", transform(col("doc_starts"), x => x.cast("string")))
+          .as("starts_csv"))
+      .orderBy("source", "window_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184)
+    q168, q180, q181, q183, q184, q185)
 }

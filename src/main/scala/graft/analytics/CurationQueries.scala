@@ -486,6 +486,50 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q187
+  // Epoch MATERIALIZATION of the q103 mix plan (Sampling
+  // .materializeEpochs): the manifest's epochs factor turned into the
+  // actual repeated document stream a trainer reads — whole epochs
+  // unconditionally, the fractional remainder as an independent
+  // per-(epoch, doc) md5-threshold draw. The oracle recomputes the
+  // epochs factor with q103's exact IEEE chain (same weight constants,
+  // same divisions), unrolls generate_series(0, floor(epochs)), and
+  // replays the md5(epoch:id) < printf('%08x', floor(frac*2^32)) coin —
+  // every kept (doc, epoch) row hash-matches.
+  val q187 = QuerySpec.sql(
+    "q187_epoch_materialize",
+    s"""WITH c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |m AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN source IN (${q103Head.map(s => s"'$s'").mkString(", ")})
+      |         THEN 2.0/25.0 ELSE 1.0/25.0 END AS weight
+      |  FROM c),
+      |e AS (SELECT source,
+      |  (CAST($q103Budget AS DOUBLE) * weight) / CAST(n_tokens AS DOUBLE) AS epochs
+      |  FROM m),
+      |x AS (SELECT d.doc_id, d.source,
+      |  CAST(floor(e.epochs) AS BIGINT) AS fl, e.epochs - floor(e.epochs) AS fr
+      |  FROM documents d JOIN e USING (source)),
+      |r AS (SELECT doc_id, source, fl, fr, u.ep AS epoch
+      |  FROM x, unnest(generate_series(0, fl)) AS u(ep))
+      |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM r
+      |WHERE epoch < fl
+      |  OR substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    < printf('%08x', CAST(floor(fr * 4294967296) AS BIGINT))
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val manifest = Sampling.mixManifest(docs, "source", "text", q103Budget,
+      when(col("source").isin(q103Head: _*), lit(2.0 / 25.0))
+        .otherwise(lit(1.0 / 25.0)))
+    Sampling.materializeEpochs(docs.select("doc_id", "source"),
+      "doc_id", "source", manifest)
+      .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   // --------------------------------------------------------------- q104
   // Token-balanced shard layout manifest: nShards derives from the
   // corpus token total by integer ceiling division, shards assigned by
@@ -554,6 +598,33 @@ object CurationQueries {
   private val duckStops95 =
     TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private[analytics] val q95Cuts = Curation.thresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Build-once memo of the DEFAULT curation chain's stage frames on the
+    * standard (corpus = doc_id%97<>0, bench = %97=0) fixture split — the
+    * bpeTrained discipline: q95 (rows), q109 (funnel counts) and q182
+    * (the redaction composition's survivor set) consume ONE chain per
+    * (session, fixture content) instead of three. The expensive stage
+    * boundaries are localCheckpointed inside curationStages; results are
+    * byte-identical either way (the chain is deterministic).
+    */
+  private val stagesLock = new Object
+  private var stagesMemo: Map[(Int, String), Curation.CurationStages] = Map.empty
+  private[analytics] def defaultStages(s: SparkSession, d: String)
+      : Curation.CurationStages = {
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    stagesLock.synchronized {
+      stagesMemo.getOrElse(key, {
+        val docs = Tables.documents(s, d)
+        val st = Curation.curationStages(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", "source")
+        stagesMemo += key -> st
+        st
+      })
+    }
+  }
   // CTE chain replaying stages 1-4 (through k3) from relation `src` —
   // shared verbatim by q95's row-level gate, q109's per-source funnel
   // counts (src=corpus), and q118's rule-gated funnel (src=the
@@ -634,11 +705,7 @@ object CurationQueries {
       |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${q95Cuts(1)._2}' THEN 'val'
       |       ELSE 'test' END AS split
       |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    Curation.curateCorpus(
-      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", "source")
+    Curation.hashSplit(defaultStages(s, d).pruned, "doc_id")
       .select("doc_id", "source", "score", "tile", "split")
       .orderBy("doc_id")
   }
@@ -665,10 +732,9 @@ object CurationQueries {
       |LEFT JOIN cc USING (source) LEFT JOIN fc USING (source)
       |ORDER BY source""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    Curation.curationFunnel(
+    Curation.funnelFrom(
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", "source")
+      defaultStages(s, d), "source", lmEnabled = false)
       .orderBy("source")
   }
 
@@ -1146,5 +1212,5 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166, q170)
+    q131, q144, q145, q165, q166, q170, q187)
 }

@@ -343,22 +343,48 @@ object ExtractQueries {
       |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
       |       ELSE 'test' END AS split
       |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val cleaned = docs
+    Curation.hashSplit(c4Stages(s, d).pruned, "doc_id")
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
+  /** The q176 C4-cleaned corpus (doc_id, source, text, __pk page gate)
+    * on the standard fixture split — shared by q176 and q179.
+    */
+  private def c4Cleaned(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(97)) =!= 0)
       .select(col("doc_id"), col("source"), c4PageCol.as("page"))
       .select(col("doc_id"), col("source"), col("page"),
         C4Rules.cleanText(col("page")).as("text"))
       .select(col("doc_id"), col("source"), col("text"),
         C4Rules.pageKeep(col("page"), col("text"), c4BadWords).as("__pk"))
-    Curation.curateCorpus(
-      cleaned,
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", "source",
-      ruleGate = Some(col("__pk")),
-      lshHashes = 128, lshBands = 64)
-      .select("doc_id", "source", "score", "tile", "split")
-      .orderBy("doc_id")
+
+  /** Build-once memo of the C4-composed chain's stage frames (cleaned
+    * corpus, page gate as rule gate, high-recall 128x64 banding) — q176
+    * (rows) and q179 (the last-mile composition's survivor set) consume
+    * ONE chain per (session, fixture content); the CurationQueries
+    * defaultStages discipline.
+    */
+  private val c4StagesLock = new Object
+  private var c4StagesMemo: Map[(Int, String), Curation.CurationStages] = Map.empty
+  private def c4Stages(s: org.apache.spark.sql.SparkSession, d: String)
+      : Curation.CurationStages = {
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    c4StagesLock.synchronized {
+      c4StagesMemo.getOrElse(key, {
+        val st = Curation.curationStages(
+          c4Cleaned(s, d),
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", "source",
+          ruleGate = Some(col("__pk")),
+          lshHashes = 128, lshBands = 64)
+        c4StagesMemo += key -> st
+        st
+      })
+    }
   }
 
   /** ScaleCheck surface: per-doc C4 clean + page gate over the fixture
@@ -387,10 +413,13 @@ object ExtractQueries {
   // and hash-matches every cell.
   private val duckRepToks =
     s"list_filter(string_split_regex(page, '${TextOps.DuckTokenSplitRe}'), x -> x <> '')"
-  val q178 = QuerySpec.sql(
-    "q178_repetition_battery",
-    s"""WITH pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents),
-      |tk AS (SELECT doc_id, source, page, $duckRepToks AS toks FROM pg),
+  /** The battery replay from a relation `src` exposing (doc_id, source,
+    * page), ending at `rep` (all signal columns) — shared by q178 (the
+    * standalone receipt) and q186 (the battery composed as the funnel's
+    * stage-0b signal gate).
+    */
+  private def duckRepCtes(src: String): String =
+    s"""tk AS (SELECT doc_id, source, page, $duckRepToks AS toks FROM $src),
       |ln AS (SELECT doc_id, source,
       |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS n_chars,
       |  CAST(len(lt) AS BIGINT) AS n_lines,
@@ -435,15 +464,26 @@ object ExtractQueries {
       |  COALESCE(t.top4_chars, 0) AS top4_chars,
       |${(5 to 10).map(n =>
           s"  COALESCE(p.dup${n}_chars, 0) AS dup${n}_chars").mkString(",\n")}
-      |  FROM ln l LEFT JOIN tpv t USING (doc_id) LEFT JOIN dpv p USING (doc_id))
-      |SELECT *, CAST((dup_line_count * 100 <= n_lines * 30
+      |  FROM ln l LEFT JOIN tpv t USING (doc_id) LEFT JOIN dpv p USING (doc_id))""".stripMargin
+
+  /** The published-threshold gate over `rep`'s columns (exact integers —
+    * the engine's repetitionGate arithmetic verbatim).
+    */
+  private val duckRepGateSql: String =
+    s"""dup_line_count * 100 <= n_lines * 30
       |  AND dup_line_chars * 100 <= n_chars * 20
       |  AND top2_chars * 100 <= n_chars * 20
       |  AND top3_chars * 100 <= n_chars * 18
       |  AND top4_chars * 100 <= n_chars * 16
       |${Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10).map {
           case (n, pct) => s"  AND dup${n}_chars * 100 <= n_chars * $pct"
-        }.mkString("\n")}) AS INT) AS rep_pass
+        }.mkString("\n")}""".stripMargin
+
+  val q178 = QuerySpec.sql(
+    "q178_repetition_battery",
+    s"""WITH pg AS (SELECT doc_id, source, $duckC4Page AS page FROM documents),
+      |${duckRepCtes("pg")}
+      |SELECT *, CAST(($duckRepGateSql) AS INT) AS rep_pass
       |FROM rep ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val pages = docs.select(col("doc_id"), col("source"), c4PageCol.as("page"))
@@ -486,7 +526,8 @@ object ExtractQueries {
     val docs = Tables.documents(s, d)
     curatedTokenWindows(
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      prunedOverride = Some(c4Stages(s, d).pruned))
       .orderBy("source", "window_id")
   }
 
@@ -495,7 +536,8 @@ object ExtractQueries {
     */
   private[graft] def curatedTokenWindows(
       corpus: org.apache.spark.sql.DataFrame,
-      bench: org.apache.spark.sql.DataFrame)
+      bench: org.apache.spark.sql.DataFrame,
+      prunedOverride: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val cleaned = corpus
       .select(col("doc_id"), col("source"), c4PageCol.as("page"))
@@ -503,10 +545,10 @@ object ExtractQueries {
         C4Rules.cleanText(col("page")).as("text"))
       .select(col("doc_id"), col("source"), col("text"),
         C4Rules.pageKeep(col("page"), col("text"), c4BadWords).as("__pk"))
-    val pruned = Curation.curateCorpus(cleaned, bench,
+    val pruned = prunedOverride.getOrElse(Curation.curateCorpus(cleaned, bench,
       "doc_id", "text", "source",
       ruleGate = Some(col("__pk")),
-      lshHashes = 128, lshBands = 64)
+      lshHashes = 128, lshBands = 64))
     val sv = cleaned.select("doc_id", "source", "text")
       .join(pruned.select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint() // survivor corpus: word counts + tokenize + pack
@@ -564,10 +606,9 @@ object ExtractQueries {
       |FROM r2 ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-    val pruned = Curation.curateCorpus(
-      corpus,
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", "source")
+    // survivor set from the MEMOIZED default chain (one chain per
+    // session+fixture across q95/q109/q182 — the bpeTrained discipline)
+    val pruned = CurationQueries.defaultStages(s, d).pruned
     val planted = corpus
       .join(pruned.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), plantPiiCol.as("text"))
@@ -585,5 +626,58 @@ object ExtractQueries {
     Curation.redactStage(
       docs.select(col("doc_id"), plantPiiCol.as("text")), "text")
 
-  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179, q182)
+  // --------------------------------------------------------------- q186
+  // The Gopher repetition battery COMPOSED as the funnel's stage-0b
+  // signal gate (q178 pinned it standalone; this pins it in the
+  // pipeline): raw pages are gated by the full battery (whose n-gram
+  // signals need their own aggregation pass — the reason it is a
+  // signalGate id-frame, not a scan-side ruleGate Column), the
+  // survivors are C4 line-cleaned with the page gate as the scan-side
+  // rule gate, and the default curation chain runs on the cleaned text
+  // — the complete Gopher/C4 front door in one declarative plan. The
+  // oracle replays the battery (q178's shared CTEs), the gate, the
+  // clean, and the q95 chain from the doubly-gated corpus. Stage 2 runs
+  // at q176's high-recall 128x64 banding: the corpus is a SUBSET of
+  // q176's cleaned corpus (the battery only removes docs), so its
+  // measured fuzzy-zone pair distribution and the ~1e-8 per-pair miss
+  // bound carry over unchanged.
+  val q186 = QuerySpec.sql(
+    "q186_curation_repetition_gated",
+    s"""WITH ${duckC4Ctes("WHERE doc_id % 97 <> 0")},
+      |${duckRepCtes("pg")},
+      |repok AS (SELECT doc_id FROM rep WHERE $duckRepGateSql),
+      |corpus AS (SELECT c.doc_id, c.source, c.clean_text AS text FROM c4c c
+      |  JOIN repok USING (doc_id)
+      |  WHERE ${duckC4PageKeep("c.page", "c.clean_text")}),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pages = docs
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"), c4PageCol.as("page"))
+    val cleaned = pages
+      .select(col("doc_id"), col("source"), col("page"),
+        C4Rules.cleanText(col("page")).as("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        C4Rules.pageKeep(col("page"), col("text"), c4BadWords).as("__pk"))
+    val repOk = QualityRules.repetitionSignals(pages, "doc_id", "page")
+      .filter(QualityRules.repetitionGate)
+      .select("doc_id")
+    Curation.curateCorpus(
+      cleaned,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source",
+      ruleGate = Some(col("__pk")),
+      lshHashes = 128, lshBands = 64,
+      signalGate = Some(repOk))
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179, q182, q186)
 }

@@ -256,15 +256,30 @@ object Bpe {
       .withColumn("__syms", coalesce(col("syms"), initialSyms(col("word"))))
     val sym = withSyms.select(col(idCol), col("__wpos"),
       posexplode(col("__syms")).as(Seq("__spos", "token")))
+    // The aggregate carries SCALARS: the vocabulary id for hits (the
+    // overwhelmingly common path) and the raw symbol string only for
+    // misses — the byte expansion runs in the post-aggregate DOC-level
+    // projection, so no per-symbol array rides the exchange and the
+    // hot generate+join+aggregate stage stays small enough for
+    // whole-stage codegen (an inline per-symbol fallback pushed the
+    // generated consume past janino's 64 KB method limit, silently
+    // dropping the stage to interpreted mode — a measured +60% on
+    // q174 at sf0.1).
     sym.join(broadcast(ids), Seq("token"), "left")
-      .withColumn("__tids",
-        when(col("token_id").isNotNull, array(col("token_id")))
-          .otherwise(byteIds(col("token"), bb)))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(
-        struct(col("__wpos"), col("__spos"), col("__tids")))).as("__o"))
+      .agg(sort_array(collect_list(struct(col("__wpos"), col("__spos"),
+        col("token_id").as("__tid"),
+        when(col("token_id").isNull, col("token")).as("__fb")))).as("__o"))
       .select(col(idCol),
-        flatten(transform(col("__o"), e => e.getField("__tids"))).as("token_ids"))
+        // fast path: a doc with no fallback symbols maps 1:1 (no
+        // per-element array allocation, no flatten copy — the r8 cost);
+        // only docs that actually contain unseen symbols pay the
+        // byte-expansion flatten
+        when(!exists(col("__o"), e => e.getField("__tid").isNull),
+          transform(col("__o"), e => e.getField("__tid")))
+          .otherwise(flatten(transform(col("__o"),
+            e => when(e.getField("__tid").isNotNull, array(e.getField("__tid")))
+              .otherwise(byteIds(e.getField("__fb"), bb))))).as("token_ids"))
   }
 
   /** Invert [[tokenizeCorpus]]: token-id sequences back to

@@ -190,11 +190,12 @@ object Curation {
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
       lmFilter: Option[(DataFrame, Int, Int)] = None,
-      lshHashes: Int = 64, lshBands: Int = 16)
+      lshHashes: Int = 64, lshBands: Int = 16,
+      signalGate: Option[DataFrame] = None)
       : DataFrame =
     hashSplit(curationStages(docs, bench, idCol, textCol, sourceCol,
       nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic, lmFilter, lshHashes, lshBands).pruned,
+      ruleGate, semantic, lmFilter, lshHashes, lshBands, signalGate).pruned,
       idCol, weights)
 
   /** The stage-boundary frames of [[curateCorpus]] — one chain, two
@@ -226,13 +227,25 @@ object Curation {
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
       lmFilter: Option[(DataFrame, Int, Int)] = None,
-      lshHashes: Int = 64, lshBands: Int = 16)
+      lshHashes: Int = 64, lshBands: Int = 16,
+      signalGate: Option[DataFrame] = None)
       : CurationStages = {
     // Stage 0 is a pure scan-side filter: it fuses into the parquet scan
     // of the exact-dedup stage, so it is NOT checkpointed — the only
     // second consumer is the funnel's count, which re-runs one cheap
     // codegen'd pass rather than paying an executor-storage write.
-    val admitted = ruleGate.map(docs.filter).getOrElse(docs)
+    // Stage 0b (opt-in `signalGate`): a gate whose signals need their
+    // OWN aggregation pass and therefore can't be a scan-side Column —
+    // the Gopher repetition battery is the canonical case
+    // (QualityRules.repetitionSignals + repetitionGate: its n-gram
+    // channels shuffle). Callers pass the id frame of PASSING docs; it
+    // composes as one id-keyed (8-byte) semi-join before stage 1, and
+    // its count folds into the funnel's n_rules_kept — both gates are
+    // the published stacks' "stage 0: rules".
+    val predKept = ruleGate.map(docs.filter).getOrElse(docs)
+    val admitted = signalGate
+      .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
+      .getOrElse(predKept)
     val exactDeduped = Dedup.exact(admitted, idCol, Seq(textCol)).localCheckpoint()
     val exactKept = substrK match {
       case None => exactDeduped
@@ -334,11 +347,23 @@ object Curation {
       ruleGate: Option[Column] = None,
       semantic: Option[(DataFrame, String, Double)] = None,
       lmFilter: Option[(DataFrame, Int, Int)] = None,
-      lshHashes: Int = 64, lshBands: Int = 16)
-      : DataFrame = {
-    val st = curationStages(docs, bench, idCol, textCol, sourceCol,
-      nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
-      ruleGate, semantic, lmFilter, lshHashes, lshBands)
+      lshHashes: Int = 64, lshBands: Int = 16,
+      signalGate: Option[DataFrame] = None)
+      : DataFrame =
+    funnelFrom(docs,
+      curationStages(docs, bench, idCol, textCol, sourceCol,
+        nearDupThreshold, decontamK, nTiles, keepTiles, substrK, containment,
+        ruleGate, semantic, lmFilter, lshHashes, lshBands, signalGate),
+      sourceCol, lmEnabled = lmFilter.isDefined)
+
+  /** The funnel's count assembly over an EXISTING [[CurationStages]] —
+    * split from [[curationFunnel]] so a caller holding memoized stage
+    * frames (several gate queries share one chain per fixture — the
+    * build-once discipline) assembles the report without re-running the
+    * chain. Semantics are byte-identical: curationFunnel delegates here.
+    */
+  def funnelFrom(docs: DataFrame, st: CurationStages, sourceCol: String,
+      lmEnabled: Boolean): DataFrame = {
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
     val base = counts(docs, "n_in")
@@ -346,12 +371,12 @@ object Curation {
       .join(counts(st.exactKept, "n_exact_kept"), Seq(sourceCol), "left")
       .join(counts(st.nearKept, "n_neardup_kept"), Seq(sourceCol), "left")
       .join(counts(st.clean, "n_decontam_kept"), Seq(sourceCol), "left")
-    val withLm = lmFilter match {
-      case None => base
-      case Some(_) => base.join(counts(st.lmKept, "n_lm_kept"), Seq(sourceCol), "left")
-    }
-    val lmCols = lmFilter.map(_ =>
-      coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept")).toSeq
+    val withLm =
+      if (!lmEnabled) base
+      else base.join(counts(st.lmKept, "n_lm_kept"), Seq(sourceCol), "left")
+    val lmCols =
+      if (!lmEnabled) Seq.empty
+      else Seq(coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept"))
     withLm
       .join(counts(st.pruned, "n_final"), Seq(sourceCol), "left")
       .select(Seq(col(sourceCol), col("n_in"),
@@ -586,6 +611,57 @@ object Curation {
     sharded.repartition(n, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     shardManifest(sharded, textCol).orderBy("shard_id")
+  }
+
+  /** [[packTokenIds]] in the PRODUCTION trainer-input form (the GPT-2 /
+    * LLaMA pretraining packer): an `eosId` separator is appended to
+    * every document's sequence BEFORE packing — windows never glue two
+    * documents' tokens together without a boundary marker — and each
+    * window carries its `doc_starts` (0-based offsets where a document
+    * BEGINS inside the window), the boundary table an attention-masking
+    * data loader needs to stop cross-document attention without
+    * re-scanning for separators. Convention for `eosId`: one past the
+    * byte-id space, `Bpe.byteBase(vocab) + 256` — the id space layers
+    * as [vocabulary | 256 bytes | specials], collision-free by
+    * construction. Zero-token documents occupy no window (they carry no
+    * trainer signal; their EOS would be a lone separator).
+    *
+    * Exchange shape: identical to [[packTokenIds]] — doc-sized array
+    * fragments keyed by (group, window), one ordered aggregate per
+    * window; the boundary offsets ride the same aggregate (a doc
+    * contributes its start offset exactly when its fragment begins at
+    * the doc's own global offset).
+    */
+  def packTokenIdsWithEos(tokens: DataFrame, idCol: String, groupCol: String,
+      idsCol: String, maxTokens: Int, eosId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val m = lit(maxTokens.toLong)
+    tokens
+      .filter(size(col(idsCol)) > 0)
+      .withColumn("__ids", concat(col(idsCol), array(lit(eosId))))
+      .withColumn("__n", size(col("__ids")).cast(LongType))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__w", explode(sequence(
+        floor(col("__off") / m).cast(LongType),
+        floor((col("__off") + col("__n") - 1) / m).cast(LongType))))
+      .withColumn("__start", greatest(col("__w") * m - col("__off"), lit(0L)))
+      .withColumn("__endx", least((col("__w") + 1) * m - col("__off"), col("__n")))
+      .withColumn("__frag", slice(col("__ids"),
+        (col("__start") + 1).cast(IntegerType),
+        (col("__endx") - col("__start")).cast(IntegerType)))
+      .withColumn("__dstart",
+        when(col("__start") === 0, col("__off") - col("__w") * m))
+      .groupBy(col(groupCol), col("__w").as("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("__off"), col("__frag")))),
+          e => e.getField("__frag"))).as("token_ids"),
+        sort_array(collect_list(col("__dstart"))).as("doc_starts"))
+      .withColumn("n_ids", size(col("token_ids")).cast(LongType))
   }
 
   /** Deliver [[packTokenIds]] output as a VERSIONED, shard-partitioned

@@ -191,8 +191,16 @@ object Dedup {
     */
   def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
     val rowsPer = floor(size(col(sigCol)) / bands)
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b), concat_ws(",", slice(col(sigCol), lit(b) * rowsPer + 1, rowsPer)))): _*)
+    // ONE looped expression, not `bands` inlined copies: an array literal
+    // of per-band xxhash64(slice(...)) branches at bands=64 pushed the
+    // explode consumer's generated method past janino's 64 KB limit and
+    // the whole stage silently fell back to interpreted execution (the
+    // high-recall 128x64 funnel compositions hit it; 64x16 fit). The
+    // transform emits identical values — the band index is the same INT
+    // the literal was, so every xxhash64 input is bit-identical — in
+    // loop-shaped generated code whose size is band-count-independent.
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(col(sigCol), b * rowsPer + 1, rowsPer))))
     df.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 

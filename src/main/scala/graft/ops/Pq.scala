@@ -64,7 +64,14 @@ object Pq {
     var it = 0
     while (it < iters) {
       // one exploded frame: (subspace, assigned cell, sub-vector) for all
-      // m subspaces, one aggregate for every (subspace, cell, dim) mean
+      // m subspaces, one aggregate for every (subspace, cell, dim) mean.
+      // Known bounded fallback: at m*ksub >= ~256 the per-subspace
+      // assignCell literals push this explode's generated consume past
+      // janino's 64 KB method limit and the TRAINING stage runs
+      // interpreted. Accepted: training reads the bounded sample (KB-MB
+      // at any corpus scale), runs once per build, and the j-dependent
+      // centroid literals have no loop form; every SEARCH-path stage
+      // (encode, LUT, ADC) compiles.
       val perSub = sample.select(explode(array((0 until cb.m).map { j =>
         val sub = slice(col("__v"), j * dsub + 1, dsub)
         struct(lit(j).as("__j"), Ivf.assignCell(sub, cb.centroids(j)).as("__c"),

@@ -151,6 +151,40 @@ object Sampling {
         least(lit(1.0), epochs).as("sample_rate"), epochs.as("epochs"))
   }
 
+  /** MATERIALIZE the training mix a [[mixManifest]] plans: every document
+    * is repeated `epochs(source)` times — whole epochs unconditionally,
+    * the fractional remainder as a deterministic per-(epoch, doc)
+    * md5-threshold sample (so e.g. epochs = 2.3 repeats every doc twice
+    * and a uniform 30% of docs a third time; epochs = 0.4 is a plain
+    * 40% downsample). This is the step between "the manifest says source
+    * X needs 2.3 epochs" and the actual repeated stream a trainer reads
+    * (epoch-level upsampling per Hoffmann-style token budgeting).
+    *
+    * Determinism: the extra-epoch coin is `md5(epoch:id)` against the
+    * fraction's hex threshold — reproducible on any engine, and each
+    * epoch draws an INDEPENDENT uniform subset (the `epoch:` prefix —
+    * reusing the id hash alone would repeat the same docs every
+    * fractional epoch, biasing the mix). Scale shape: the manifest is
+    * source-cardinality-sized and broadcasts; replication is a scan-side
+    * explode bounded by ceil(epochs) — no shuffle at all.
+    *
+    * Output: input rows + `epoch` (0-based), one row per kept copy.
+    */
+  def materializeEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+      manifest: DataFrame): DataFrame = {
+    val m = manifest.select(col(sourceCol), col("epochs"))
+    docs.join(broadcast(m), Seq(sourceCol))
+      .withColumn("__full", floor(col("epochs")).cast(LongType))
+      .withColumn("__frac", col("epochs") - floor(col("epochs")))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      .filter(col("epoch") < col("__full") ||
+        substring(md5(concat_ws(":", col("epoch").cast(StringType),
+          col(idCol).cast(StringType))), 1, 8) <
+          format_string("%08x",
+            floor(col("__frac") * lit(4294967296.0)).cast(LongType)))
+      .drop("__full", "__frac", "epochs")
+  }
+
   /** Deterministic uniform top-n without replacement: the n rows with the
     * smallest id hash. A distributed TakeOrdered (per-partition top-n,
     * then merge) — no full sort, no full shuffle. Reproducible across

@@ -391,6 +391,34 @@ class CurationSpec extends SparkSpec {
     assert(e.length == 1 && e.head.getLong(4) == 4L)
   }
 
+  test("packTokenIdsWithEos: separator after every doc, boundary offsets per window") {
+    val toks = Seq(
+      (1L, "g1", Seq(10L, 11L, 12L)),       // +EOS -> 4 ids at offset 0
+      (2L, "g1", Seq(20L, 21L, 22L)),       // +EOS -> 4 ids at offset 4
+      (3L, "g1", Seq[Long]()),              // zero tokens: skipped entirely
+      (4L, "g1", Seq(30L, 31L, 32L, 33L, 34L, 35L)) // +EOS -> 7 ids at offset 8
+    ).toDF("doc_id", "grp", "ids")
+    val out = Curation.packTokenIdsWithEos(toks, "doc_id", "grp", "ids",
+      maxTokens = 4, eosId = 99L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Long](3).toList, r.getSeq[Long](4).toList,
+          r.getLong(5)))).toMap
+    // g1 stream: 10 11 12 99 | 20 21 22 99 | 30 31 32 33 | 34 35 99
+    assert(out(("g1", 0L)) == ((1L, List(10L, 11L, 12L, 99L), List(0L), 4L)))
+    assert(out(("g1", 1L)) == ((1L, List(20L, 21L, 22L, 99L), List(0L), 4L)))
+    // doc 4 spans windows 2 and 3: it STARTS in window 2 (offset 0), and
+    // window 3 (its continuation) has NO boundary — the masking loader
+    // sees one uninterrupted document there
+    assert(out(("g1", 2L)) == ((1L, List(30L, 31L, 32L, 33L), List(0L), 4L)))
+    assert(out(("g1", 3L)) == ((1L, List(34L, 35L, 99L), List.empty[Long], 3L)))
+    // mid-window boundary: two short docs in one window
+    val two = Seq((1L, "g", Seq(1L)), (2L, "g", Seq(2L))).toDF("doc_id", "grp", "ids")
+    val w0 = Curation.packTokenIdsWithEos(two, "doc_id", "grp", "ids",
+      maxTokens = 8, eosId = 99L).collect().head
+    assert(w0.getSeq[Long](3).toList == List(1L, 99L, 2L, 99L))
+    assert(w0.getSeq[Long](4).toList == List(0L, 2L)) // doc 2 starts at offset 2
+  }
+
   test("packTokenIds plan: two group-keyed exchanges, no token-level explode before the shuffle") {
     // the scale contract: the offset window shuffles on the GROUP key and
     // the assembly shuffles on (group, window) — doc-sized array

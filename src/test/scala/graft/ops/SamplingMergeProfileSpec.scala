@@ -114,6 +114,37 @@ class SamplingSpec extends SparkSpec {
     assert(got("books") == ((1L, 2L, 12.0 * (2.0 / 3.0), 1.0, 12.0 * (2.0 / 3.0) / 2.0)))
     assert(got("web") == ((2L, 8L, 12.0 * (1.0 / 3.0), 0.5, 0.5)))
   }
+
+  test("materializeEpochs: whole epochs unconditional, fractional epoch an independent deterministic draw") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) "a" else "b"))
+      .toDF("doc_id", "source")
+    val manifest = Seq(("a", 2.5), ("b", 0.4)).toDF("source", "epochs")
+    val out = Sampling.materializeEpochs(docs, "doc_id", "source", manifest)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    // source a (2.5 epochs): every doc has epochs 0 and 1; ~half get 2
+    val aDocs = (1L to 200L)
+    assert(aDocs.forall(d => byDoc(d).take(2) == List(0L, 1L)))
+    val aExtra = aDocs.count(d => byDoc(d).contains(2L))
+    assert(aExtra > 60 && aExtra < 140, s"fractional epoch ~50%, got $aExtra/200")
+    // source b (0.4 epochs): only epoch 0, for ~40% of docs
+    val bKept = (201L to 400L).filter(byDoc.contains)
+    assert(bKept.forall(d => byDoc(d) == List(0L)))
+    assert(bKept.size > 45 && bKept.size < 115, s"~40% kept, got ${bKept.size}/200")
+    // deterministic: a second run is identical
+    val out2 = Sampling.materializeEpochs(docs, "doc_id", "source", manifest)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    assert(out.sorted.toList == out2.sorted.toList)
+    // the fractional draws differ ACROSS epochs: epochs 3.5 must not
+    // repeat epoch-2's doc subset at epoch 3 (the epoch: prefix)
+    val m2 = Seq(("a", 2.5), ("b", 1.4)).toDF("source", "epochs")
+    val outB = Sampling.materializeEpochs(docs, "doc_id", "source", m2)
+      .filter(col("source") === "b").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val bEpoch1 = outB.filter(_._2 == 1L).map(_._1).toSet
+    assert(bEpoch1 != bKept.toSet, "per-epoch draws must be independent")
+  }
 }
 
 class MergeSpec extends SparkSpec {
