@@ -753,8 +753,16 @@ object Curation {
   def admitDelta(batch: DataFrame, corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, nearDupThreshold: Double = 0.5,
       containment: Option[Double] = None, decontamK: Int = 5,
-      ruleGate: Option[Column] = None): DeltaStages = {
-    val gateKept = ruleGate.map(batch.filter).getOrElse(batch)
+      ruleGate: Option[Column] = None,
+      signalGate: Option[DataFrame] = None): DeltaStages = {
+    // stage 0/0b, exactly as in curationStages: the scan-side predicate
+    // first, then the aggregated-signal id gate (e.g. the repetition
+    // battery) as one id-keyed semi-join — the batch analog of the
+    // funnel's rule stage
+    val predKept = ruleGate.map(batch.filter).getOrElse(batch)
+    val gateKept = signalGate
+      .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
+      .getOrElse(predKept)
     val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
     val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__kh")).distinct()
     val candIds = intraExact

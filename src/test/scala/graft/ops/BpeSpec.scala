@@ -157,6 +157,37 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt(2L) == s"$robot $robot")
   }
 
+  test("property: tokenize then detokenize round-trips random mixed-script text byte-exactly") {
+    // random words over ASCII + accented latin + CJK + non-BMP emoji,
+    // against a vocabulary trained on an UNRELATED tiny corpus — the
+    // harshest detok setting: almost every symbol rides the byte
+    // fallback, multi-byte characters split across byte tokens, and the
+    // round trip must still reproduce the whitespace-normalized input
+    // exactly (the q181r invariant, property-tested)
+    val rnd = new scala.util.Random(11)
+    val pool: IndexedSeq[String] =
+      ('a' to 'f').map(_.toString) ++ Seq("é", "ü", "ß", "你", "好", "界", "😀", "🤖", "𝔘")
+    def word() = Vector.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size))).mkString
+    val docs = (1L to 40L).map(i =>
+      (i, Vector.fill(1 + rnd.nextInt(8))(word()).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val vocab = Seq(("ab", 3L), ("face", 2L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(vocab, nMerges = 3, minCount = 1)
+    val ids = Bpe.vocabulary(vocab, merges)
+    val tok = Bpe.tokenizeCorpus(df, "doc_id", "text", merges, vocab)
+    val bb = Bpe.byteBase(ids)
+    val out = tok.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.values.flatten.forall(_ >= 0L), "no UNK, ever")
+    val rebuilt = Bpe.detokenize(tok, ids).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (i, text) =>
+      val norm = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt(i) == norm, s"doc $i round-trip drift")
+    }
+    // and the fallback genuinely fired (CJK/emoji are not trainable here)
+    assert(out.values.flatten.count(_ >= bb) > 100)
+  }
+
   test("tokenizer store: round trip, loaded-path identity, meta-last commit, staleness fence") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tok_store").toString
     val counts = Seq(("aaab", 2L), ("ab", 3L)).toDF("word", "c")

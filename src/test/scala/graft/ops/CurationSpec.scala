@@ -460,5 +460,15 @@ class CurationSpec extends SparkSpec {
     assert(st.exactKept.select("doc_id").as[Long].collect().toSet ==
       Set(2L, 4L, 5L, 6L, 7L))
     assert(st.admitted.select("doc_id").as[Long].collect().toSet == Set(2L, 7L))
+    // stage 0b parity with the funnel: an aggregated-signal gate (id
+    // frame of passing docs) drops before any dedup work — here it
+    // vetoes doc 7, so only 2 survives the same downstream stages
+    val repOk = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val gated = Curation.admitDelta(batch, corpus, bench, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5,
+      signalGate = Some(repOk))
+    assert(gated.gateKept.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(gated.admitted.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 }
