@@ -110,6 +110,13 @@ object Bench {
     spark.stop()
     println(line)
     println(s"GRAFT_BENCH_JSON: $line")
+    // VERDICT r9 #1: the driver keeps only the LAST 2000 chars of stdout;
+    // the full per-query line (~4 KB) can never fit in that window, so a
+    // totals-only line (<200 chars) must be the absolute last println.
+    val totals =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(totals)
+    println(s"GRAFT_BENCH_TOTALS: $totals")
     System.out.flush()
   }
 

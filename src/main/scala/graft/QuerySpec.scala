@@ -41,6 +41,14 @@ object QuerySpec {
     * hint), string literals / aliases mid-expression, and anything else
     * that merely LOOKS like a definition. QuerySpecSuite pins the
     * guard's accept/reject cases.
+    *
+    * Known accepted limitation (advisor r9): a non-CTE `name AS (` that
+    * FOLLOWS a comma is still rewritten — e.g. a multi-window
+    * `WINDOW w1 AS (...), w2 AS (...)` clause would break. No registered
+    * oracle uses a WINDOW clause (the suite invariant test re-checks
+    * every registered oracle each run); if one ever does, exclude
+    * matches whose preceding definition closes with `)` not followed by
+    * a CTE body, or inline the window specs.
     */
   private[graft] def materializeCtes(sql: String): String = {
     val re = """(\w+) AS \(""".r

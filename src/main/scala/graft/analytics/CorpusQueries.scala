@@ -730,8 +730,11 @@ object CorpusQueries {
   // corpus-version staleness fence.
   private val tokStoreLock = new Object
   private[analytics] def tokenizerStoreFixture(s: SparkSession, d: String): String = {
+    // content-fingerprinted dir (the windowsTableFixture staleness rule):
+    // a regenerated fixture must never serve a previous run's tokenizer
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tok_q180_" +
-      Integer.toHexString(d.hashCode)
+      Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(
+        LakeQueries.contentFingerprint(d, "documents.parquet").hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) tokStoreLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -1784,12 +1787,17 @@ object CorpusQueries {
   private val winLock = new Object
   private var winMemo: Map[(Int, String), String] = Map.empty
   private[analytics] def windowsTableFixture(s: SparkSession, d: String): String = {
-    val key = (System.identityHashCode(s),
-      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
+    val key = (System.identityHashCode(s), fp)
     winLock.synchronized {
       winMemo.getOrElse(key, {
+        // dir is keyed by the CONTENT fingerprint, not just the fixture
+        // path (advisor r9): with a path-only key, a regenerated fixture
+        // or changed tokenization would hit the constant (appId, batchId)
+        // idempotence skip and silently compare against stale windows
+        // from a previous JVM run
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_windows_q183_" +
-          Integer.toHexString(d.hashCode)
+          Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
         val (counts, merges) = bpeTrained(s, d)
         val docs = Tables.documents(s, d)
         val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)

@@ -290,7 +290,13 @@ object Bpe {
     * across byte tokens reassembles exactly; [[EndOfWord]] markers then
     * become the word separator. Bijective against the tokenizer by
     * construction (ids are unique per token string; byte ids are
-    * positional), which is what the q174r/q181r referees pin.
+    * positional) for text that does not itself contain the literal
+    * [[EndOfWord]] marker — the q174r/q181r referees pin marker-free
+    * corpora. Ids beyond the byte page (>= byteBase+256 — the special-id
+    * space [[Curation.packTokenIdsWithEos]] layers above it) FAIL the
+    * query rather than silently decoding as a wrapped byte: detokenize is
+    * defined on vocabulary+byte streams, and an EOS leaking in is a
+    * caller bug worth surfacing (advisor r9).
     */
   def detokenize(tok: DataFrame, ids: DataFrame, idCol: String = "doc_id",
       idsCol: String = "token_ids"): DataFrame = {
@@ -298,8 +304,11 @@ object Bpe {
     tok.select(col(idCol), posexplode(col(idsCol)).as(Seq("__pos", "__tid")))
       .join(broadcast(ids), col("__tid") === col("token_id"), "left")
       .withColumn("__bytes",
-        when(col("__tid") >= bb,
-          unhex(lpad(hex(col("__tid") - bb), 2, "0")))
+        when(col("__tid") >= bb + 256L,
+          unhex(raise_error(concat(lit("detokenize: id beyond byte page: "),
+            col("__tid").cast(org.apache.spark.sql.types.StringType)))))
+          .when(col("__tid") >= bb,
+            unhex(lpad(hex(col("__tid") - bb), 2, "0")))
           .otherwise(encode(col("token"), "UTF-8")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__pos"), col("__bytes")))).as("__o"))

@@ -668,7 +668,10 @@ object Curation {
     * lake table (VERDICT r8 #5 — the last mile between "windows exist in
     * a plan" and "a trainer's data loader reads them"): windows get a
     * token-balanced `shard_id` (`md5bucket(group:window) mod nShards`,
-    * `nShards = ceil(total_ids / targetIdsPerShard)` — the
+    * `nShards = ceil(total_ids / targetIdsPerShard)` on FIRST delivery,
+    * then persisted in the table's `shards_n` sidecar and reused by
+    * every later append so shard ids stay comparable across snapshots —
+    * the
     * [[assignShards]] arithmetic with the WINDOW's exact id count as the
     * weight and the (group, window) key as the hash input, so assignment
     * is reproducible from the rows alone on any engine), are exchanged
@@ -688,8 +691,35 @@ object Curation {
     import graft.connect.SnapshotStore
     require(targetIdsPerShard > 0, "target ids per shard must be positive")
     val spark = packed.sparkSession
-    val total = packed.agg(coalesce(sum(col("n_ids")), lit(0L))).head().getLong(0)
-    val nShards = math.max(1L, (total + targetIdsPerShard - 1) / targetIdsPerShard).toInt
+    // The shard MODULUS is a table property, not a batch property
+    // (advisor r9): deriving nShards from each batch's token total would
+    // give successive differently-sized appends different modulus spaces,
+    // making shard_id incomparable across snapshots and the whole-table
+    // manifest a mix of layouts. First delivery fixes the modulus from
+    // its own total and persists it as a write-once sidecar beside the
+    // snapshots; every later append reuses it (create-exclusive settles
+    // a concurrent first-delivery race to one winner).
+    val nShards = {
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(table, "shards_n")
+      def readN: Option[Int] = if (!fs.exists(p)) None else {
+        val in = fs.open(p)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        finally in.close()
+      }
+      readN.getOrElse {
+        val total = packed.agg(coalesce(sum(col("n_ids")), lit(0L))).head().getLong(0)
+        val n = math.max(1L, (total + targetIdsPerShard - 1) / targetIdsPerShard).toInt
+        try {
+          val out = fs.create(p, false) // exclusive: first writer wins
+          try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          n
+        } catch { case _: java.io.IOException => readN.getOrElse(n) }
+      }
+    }
     val bucket = conv(substring(md5(concat(
       col(groupCol).cast(StringType), lit(":"),
       col("window_id").cast(StringType))), 1, 8), 16, 10)

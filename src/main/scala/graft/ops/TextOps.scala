@@ -359,7 +359,10 @@ object TextOps {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+  // whitespace spelled explicitly inside the class (the [[TokenSplitRe]]
+  // discipline): `\s` differs engine vs oracle (RE2 omits \x0B), and this
+  // pattern is interpolated verbatim into the DuckDB q182 oracle
+  val PhoneRe = "\\+?[0-9][0-9() \\t\\n\\x0B\\f\\r.-]{7,}[0-9]"
 
   /** Canonical dedup key: Unicode NFC (native [[graft.functions.NfcNormalize]]
     * — crawled text mixes composed and decomposed forms of identical
