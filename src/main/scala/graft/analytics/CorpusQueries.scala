@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Bpe, Curation, Dedup, Pq, QualityRules, Similarity, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, Pq, QualityRules, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
@@ -1913,8 +1913,162 @@ object CorpusQueries {
       .orderBy("source", "window_id")
   }
 
+  // ---------------------------------------------------------- q188/q189
+  // The FULL trainer-ready composition (VERDICT r9 #1) — every last-mile
+  // piece round 9 built, composed end to end and read back from the lake:
+  //
+  //   corpus → mix manifest (q103's token-budget arithmetic)
+  //          → materializeEpochs (q187's repeated stream)
+  //          → tokenizeFromStore (the PERSISTED q180 tokenizer — not an
+  //            in-memory retrain; each distinct doc tokenizes ONCE and the
+  //            epoch stream joins the id lists, the 100 TB shape)
+  //          → packTokenIdsWithEos (q185's EOS + doc_starts windows,
+  //            window identity keyed by (epoch, doc_id) — see below)
+  //          → deliverTokenWindows (q183's txn-stamped shard delivery,
+  //            delivered TWICE: the rerun-idempotence receipt)
+  //
+  // and q188 hash-matches the DELIVERED SNAPSHOT (ids AND doc_starts AND
+  // shard assignment) against one DuckDB replay of the whole chain;
+  // q189 pins the served per-shard manifest off the same snapshot.
+  //
+  // WINDOW IDENTITY (pinned here, per VERDICT r9 #8): inside a group the
+  // pack order key is (epoch, doc_id) — a struct ordering, epochs first —
+  // so window_id is a pure function of the materialized mix, independent
+  // of arrival order, and a redelivered epoch stream reproduces byte-
+  // identical windows (which is what makes the txn-skip idempotence
+  // MEANINGFUL: the second delivery would re-derive the same rows). The
+  // q103 mix oversamples head sources (epochs > 1), so this fixture
+  // genuinely packs multi-epoch streams; empty-token docs carry no
+  // trainer signal and occupy no window (inner join to the id lists —
+  // same convention as q185).
+  private val trainerLock = new Object
+  private var trainerMemo: Map[(Int, String), String] = Map.empty
+  private[analytics] def trainerDeliveryFixture(s: SparkSession, d: String): String = {
+    val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
+    val key = (System.identityHashCode(s), fp)
+    trainerLock.synchronized {
+      trainerMemo.getOrElse(key, {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_trainer_q188_" +
+          Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
+        val docs = Tables.documents(s, d)
+        val store = tokenizerStoreFixture(s, d)
+        val manifest = Sampling.mixManifest(docs, "source", "text",
+          CurationQueries.q103Budget,
+          when(col("source").isin(CurationQueries.q103Head: _*), lit(2.0 / 25.0))
+            .otherwise(lit(1.0 / 25.0)))
+        val epochs = Sampling.materializeEpochs(docs.select("doc_id", "source"),
+          "doc_id", "source", manifest)
+        val tok = Bpe.tokenizeFromStore(s, store, docs, "doc_id", "text")
+        // EOS id from the STORE's id table (byteBase + 256 — the
+        // [vocabulary | 256 bytes | specials] layering), not from an
+        // in-memory retrain: the delivered artifact must be a pure
+        // function of the persisted tokenizer
+        val eos = Bpe.byteBase(s.read.parquet(
+          s"$store/ids_${Bpe.readTokenizerMeta(s, store).gen}")) + 256L
+        val stream = epochs.join(tok, Seq("doc_id"))
+          .withColumn("__ekey", struct(col("epoch"), col("doc_id")))
+        val packed = Curation.packTokenIdsWithEos(stream, "__ekey", "source",
+          "token_ids", packMaxIds, eos).localCheckpoint()
+        Curation.deliverTokenWindows(packed, "source", dir,
+          windowsShardTarget, "graft_q188", batchId = 1L)
+        Curation.deliverTokenWindows(packed, "source", dir,
+          windowsShardTarget, "graft_q188", batchId = 1L)
+        trainerMemo += key -> dir
+        dir
+      })
+    }
+  }
+  /** q103's mix arithmetic + q187's epoch materialization as CTEs ending
+    * at `eps(doc_id, source, epoch)` — the oracle's repeated stream.
+    */
+  private def duckEpochCtes: String =
+    s"""mc AS (SELECT source,
+      |  CAST(SUM(len($duckBpeToks)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |me AS (SELECT source,
+      |  (CAST(${CurationQueries.q103Budget} AS DOUBLE) *
+      |    CASE WHEN source IN (${CurationQueries.q103Head.map(s => s"'$s'").mkString(", ")})
+      |         THEN 2.0/25.0 ELSE 1.0/25.0 END) / CAST(n_tokens AS DOUBLE) AS epochs
+      |  FROM mc),
+      |mx AS (SELECT d.doc_id, d.source,
+      |  CAST(floor(e.epochs) AS BIGINT) AS fl, e.epochs - floor(e.epochs) AS fr
+      |  FROM documents d JOIN me e USING (source)),
+      |eps AS (SELECT doc_id, source, CAST(u.ep AS BIGINT) AS epoch
+      |  FROM mx, unnest(generate_series(0, fl)) AS u(ep)
+      |  WHERE u.ep < fl
+      |    OR substring(md5(CAST(u.ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      < printf('%08x', CAST(floor(fr * 4294967296) AS BIGINT)))""".stripMargin
+  /** The trainer-chain replay: per-doc EOS-appended id lists joined to
+    * the epoch stream, offsets over (epoch, doc_id) within source, q185's
+    * window slicing + boundary rule, then q183's shard arithmetic —
+    * ending at `shd8(shard_id, source, window_id, n_docs, ids, starts)`.
+    */
+  private def duckTrainerCtes: String =
+    s"""$duckBpeCtes,
+      |$duckTokenizeCtes,
+      |$duckEpochCtes,
+      |dle8 AS (SELECT m.doc_id,
+      |  list_append(flatten(list(m.tids ORDER BY m.wpos, m.spos)), nv.nv + 256) AS ids
+      |  FROM mapped m CROSS JOIN nv GROUP BY m.doc_id, nv.nv),
+      |edoc AS (SELECT e.source, e.epoch, e.doc_id, l.ids,
+      |  CAST(len(l.ids) AS BIGINT) AS n
+      |  FROM eps e JOIN dle8 l USING (doc_id)),
+      |ofs8 AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY source
+      |  ORDER BY epoch, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  0) AS o FROM edoc),
+      |wins8 AS (SELECT source, epoch, doc_id, o, n, ids, u.w AS w
+      |  FROM ofs8, unnest(generate_series(CAST(o // $packMaxIds AS BIGINT),
+      |    CAST((o + n - 1) // $packMaxIds AS BIGINT))) AS u(w)),
+      |frg8 AS (SELECT source, w, o,
+      |  list_slice(ids, greatest(w * $packMaxIds - o, 0) + 1,
+      |    least((w + 1) * $packMaxIds - o, n)) AS fr,
+      |  CASE WHEN o >= w * $packMaxIds THEN o - w * $packMaxIds END AS ds
+      |  FROM wins8),
+      |pk8 AS (SELECT source, w AS window_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  flatten(list(fr ORDER BY o)) AS ids,
+      |  list_filter(list(ds ORDER BY o), x -> x IS NOT NULL) AS starts
+      |  FROM frg8 GROUP BY source, w),
+      |tot8 AS (SELECT CAST(SUM(len(ids)) AS BIGINT) AS total FROM pk8),
+      |shd8 AS (SELECT source, window_id, n_docs, ids, starts,
+      |  CAST(('0x' || substring(md5(source || ':' || CAST(window_id AS VARCHAR)), 1, 8))::UBIGINT
+      |    % (SELECT (total + $windowsShardTarget - 1) // $windowsShardTarget FROM tot8) AS BIGINT)
+      |    AS shard_id
+      |  FROM pk8)""".stripMargin
+  val q188 = QuerySpec.sql(
+    "q188_trainer_delivery",
+    s"""WITH $duckTrainerCtes
+      |SELECT shard_id, source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv,
+      |  COALESCE(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)), ','), '') AS starts_csv
+      |FROM shd8 ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    graft.connect.SnapshotStore.read(s, trainerDeliveryFixture(s, d))
+      .select(col("shard_id"), col("source"), col("window_id"), col("n_docs"),
+        col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"),
+        concat_ws(",", transform(col("doc_starts"), x => x.cast("string")))
+          .as("starts_csv"))
+      .orderBy("source", "window_id")
+  }
+  val q189 = QuerySpec.sql(
+    "q189_trainer_shard_manifest",
+    s"""WITH $duckTrainerCtes
+      |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(ids)) AS BIGINT) AS n_ids
+      |FROM shd8 GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, d) =>
+    graft.connect.SnapshotStore.read(s, trainerDeliveryFixture(s, d))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_ids")).as("n_ids"))
+      .orderBy("shard_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185)
+    q168, q180, q181, q183, q184, q185, q188, q189)
 }

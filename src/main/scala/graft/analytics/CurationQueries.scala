@@ -462,8 +462,8 @@ object CurationQueries {
   // cross-engine; both sides write the weights as the same 2.0/25.0 /
   // 1.0/25.0 constant expressions so even the literals constant-fold
   // to identical doubles.
-  private val q103Budget = 40000L
-  private val q103Head = (0 to 4).map(i => s"src$i")
+  private[analytics] val q103Budget = 40000L
+  private[analytics] val q103Head = (0 to 4).map(i => s"src$i")
   val q103 = QuerySpec.sql(
     "q103_mix_manifest",
     s"""WITH c AS (

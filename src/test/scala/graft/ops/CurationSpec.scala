@@ -419,6 +419,53 @@ class CurationSpec extends SparkSpec {
     assert(w0.getSeq[Long](4).toList == List(0L, 2L)) // doc 2 starts at offset 2
   }
 
+  test("deliverTokenWindows: shard modulus fixed at first delivery, reused by later appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_deliver_nshards").toString + "/t"
+    // first delivery: 4 windows x 5 ids = 20 ids, target 10 -> nShards = 2
+    def packed(winIds: Seq[Long]) = winIds.map(w =>
+      ("g", w, 1L, Seq.fill(5)(w), 5L))
+      .toDF("source", "window_id", "n_docs", "token_ids", "n_ids")
+    Curation.deliverTokenWindows(packed(Seq(0L, 1L, 2L, 3L)), "source", dir,
+      targetIdsPerShard = 10L, appId = "t", batchId = 1L)
+    // second, much larger delivery: batch-derived modulus would be 10;
+    // the persisted one must stay 2 so shard ids stay comparable
+    Curation.deliverTokenWindows(packed(100L to 119L), "source", dir,
+      targetIdsPerShard = 10L, appId = "t", batchId = 2L)
+    val rows = graft.connect.SnapshotStore.read(spark, dir)
+      .select("window_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 24)
+    assert(rows.values.forall(s => s >= 0 && s < 2), rows.toString)
+    // assignment is the md5 arithmetic under the FIRST modulus for every row
+    val expected = graft.connect.SnapshotStore.read(spark, dir)
+      .select(col("window_id"),
+        pmod(conv(substring(md5(concat(col("source"), lit(":"),
+          col("window_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == expected)
+  }
+
+  test("packTokenIdsWithEos: (epoch, doc) struct key orders epochs before docs") {
+    // the ARCHITECTURE packing-key convention: a multi-epoch stream packs
+    // in (epoch, doc_id) order, so epoch 0's docs all precede epoch 1's —
+    // window identity is a pure function of the materialized mix
+    val stream = Seq(
+      (1L, 0L, "g", Seq(10L, 11L)),
+      (2L, 0L, "g", Seq(20L, 21L)),
+      (1L, 1L, "g", Seq(10L, 11L))
+    ).toDF("doc_id", "epoch", "grp", "ids")
+      .withColumn("__ekey", struct(col("epoch"), col("doc_id")))
+    val out = Curation.packTokenIdsWithEos(stream, "__ekey", "grp", "ids",
+      maxTokens = 6, eosId = 99L)
+      .orderBy("window_id").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](3).toList))
+    // stream: (e0,d1) 10 11 99 | (e0,d2) 20 21 99 | (e1,d1) 10 11 99
+    assert(out.toList == List(
+      0L -> List(10L, 11L, 99L, 20L, 21L, 99L),
+      1L -> List(10L, 11L, 99L)))
+  }
+
   test("packTokenIds plan: two group-keyed exchanges, no token-level explode before the shuffle") {
     // the scale contract: the offset window shuffles on the GROUP key and
     // the assembly shuffles on (group, window) — doc-sized array
