@@ -216,6 +216,29 @@ object ScaleCheck {
       run("pack_token_ids",
         ops.Curation.packTokenIds(tok1, "doc_id", "source", "token_ids", 512),
         ops.Curation.packTokenIds(tokN, "doc_id", "source", "token_ids", 512))
+      // the q188 trainer composition (mix -> epochs -> tokenize ->
+      // EOS-pack): tokenizer pre-trained (like the PQ codebooks); the
+      // token budget scales with the corpus so per-source epochs stay
+      // constant and the materialized stream grows with the blow-up —
+      // every stage is trend-checked standalone, this row pins the
+      // composition.
+      run("trainer_windows",
+        analytics.CorpusQueries.scaleTrainerWindows(docs1, 40000L, merges1, counts1),
+        analytics.CorpusQueries.scaleTrainerWindows(docsN,
+          40000L * factor, merges1, countsN))
+      // the q183 delivery WRITE path (VERDICT r9 #6): windows packed
+      // outside the timer; timed = shard assignment + the SnapshotStore
+      // txn append + the manifest read-back, each side to a fresh table
+      val packed1 = ops.Curation.packTokenIds(tok1, "doc_id", "source",
+        "token_ids", 512).localCheckpoint()
+      val packedN = ops.Curation.packTokenIds(tokN, "doc_id", "source",
+        "token_ids", 512).localCheckpoint()
+      val deliverBase = java.nio.file.Files.createTempDirectory("graft_scale_deliver")
+      run("token_windows_delivery",
+        ops.Curation.deliverTokenWindows(packed1, "source", s"$deliverBase/t1",
+          20000L, "scale", 1L),
+        ops.Curation.deliverTokenWindows(packedN, "source", s"$deliverBase/tN",
+          20000L, "scale", 1L))
     }
     // Embedding decontamination: corpus up, benchmark fixed (the
     // realistic growth mode, like bm25/pq above); candidates are
@@ -326,6 +349,27 @@ object ScaleCheck {
         nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5,
         ruleGate = gate).admitted
       run("admit_delta", admit(docs1), admit(docsNd))
+      // stored-signature admission (VERDICT r9 #2's "done" row): corpus
+      // FIXED, store pre-built outside the timer, DELTA grows — per-run
+      // cost must be delta-bounded (signatures computed for the batch
+      // only; corpus hashes/sigs READ from the store). Fresh store per
+      // side so the first side's extension can't pollute the second.
+      if (only.forall("admit_delta_stored".contains)) {
+        val corpusFixed = corpusOf(docs1).localCheckpoint()
+        val benchFixed = benchOf(docs1).localCheckpoint()
+        val storeBase = java.nio.file.Files.createTempDirectory("graft_scale_admstore")
+        ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/s1")
+        ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/sN")
+        run("admit_delta_stored",
+          ops.Curation.admitDeltaStored(batchOf(docs1), benchFixed,
+            s"$storeBase/s1", "doc_id", "text", nearDupThreshold = 0.5,
+            containment = Some(0.8), decontamK = 5, ruleGate = gate,
+            appId = "scale", batchId = 1L).admitted,
+          ops.Curation.admitDeltaStored(batchOf(docsNd), benchFixed,
+            s"$storeBase/sN", "doc_id", "text", nearDupThreshold = 0.5,
+            containment = Some(0.8), decontamK = 5, ruleGate = gate,
+            appId = "scale", batchId = 1L).admitted)
+      }
     }
     // JL-projection recall: corpus up, probe set fixed (the realistic
     // growth mode, like bm25/pq) — both rankings are broadcast crosses of
@@ -367,6 +411,11 @@ object ScaleCheck {
     run("pii_redact",
       analytics.ExtractQueries.scaleRedact(docs1),
       analytics.ExtractQueries.scaleRedact(docsN))
+    // Full pre-release scrub (PII + secrets, eight regex stages): same
+    // scan-side-projection argument, pins the constant factor.
+    run("secrets_scrub",
+      analytics.ExtractQueries.scaleScrub(docs1),
+      analytics.ExtractQueries.scaleScrub(docsN))
     // Gopher repetition battery: line signals scan-side; the n-gram
     // signals run one (doc, n) position-explode with doc-scoped
     // exchange keys — per-doc work is corpus-independent, so linear.
@@ -405,6 +454,16 @@ object ScaleCheck {
         lmFilter = Some((ref1, 3, 2)))
       run("curate_corpus_full_lm", full(docs1), full(docsNd))
     }
+    // The q186 composition — repetition battery as the funnel's stage-0b
+    // signal gate over C4-cleaned pages (VERDICT r9 #6: the round-9 chain
+    // had no ScaleCheck row). Rotated blow-up: vowel rotation is a
+    // character bijection, so every repetition signal (duplicate lines,
+    // top-n-gram chars, coverage) is invariant per copy — each copy gates
+    // exactly like the original — while copies stay mutually distinct for
+    // the downstream dedup stages. Bench fixed (eval sets don't grow).
+    run("battery_gated_funnel",
+      analytics.ExtractQueries.batteryGatedFunnel(train(docs1), bench(docs1)),
+      analytics.ExtractQueries.batteryGatedFunnel(train(docsNd), bench(docs1)))
     // Binary-Hamming ANN: probe set fixed, corpus up (the bm25/pq growth
     // mode). Stage 1 streams 2-long codes against broadcast probe codes;
     // stage 2 reranks a fixed |probes|*shortlist candidate set — the

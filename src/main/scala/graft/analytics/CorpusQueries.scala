@@ -2067,6 +2067,28 @@ object CorpusQueries {
       .orderBy("shard_id")
   }
 
+  /** The q188 chain over an explicit corpus (mix → epochs → tokenize →
+    * EOS-pack), tokenizer supplied pre-trained — ScaleCheck's trainer-
+    * composition row. `budget` scales with the corpus (production: the
+    * token budget tracks what's available), keeping per-source epochs
+    * constant so the materialized stream grows with the blow-up.
+    */
+  private[graft] def scaleTrainerWindows(docs: org.apache.spark.sql.DataFrame,
+      budget: Long, merges: Seq[graft.ops.Bpe.Merge],
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val manifest = Sampling.mixManifest(docs, "source", "text", budget,
+      when(col("source").isin(CurationQueries.q103Head: _*), lit(2.0 / 25.0))
+        .otherwise(lit(1.0 / 25.0)))
+    val epochs = Sampling.materializeEpochs(docs.select("doc_id", "source"),
+      "doc_id", "source", manifest)
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    val eos = Bpe.byteBase(Bpe.vocabulary(counts, merges)) + 256L
+    val stream = epochs.join(tok, Seq("doc_id"))
+      .withColumn("__ekey", struct(col("epoch"), col("doc_id")))
+    Curation.packTokenIdsWithEos(stream, "__ekey", "source", "token_ids",
+      packMaxIds, eos)
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,

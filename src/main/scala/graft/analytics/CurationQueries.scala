@@ -1070,6 +1070,50 @@ object CurationQueries {
     admitStages(s, d).admitted.select("doc_id", "source").orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q190
+  // Stored-signature admission (Curation.admitDeltaStored — VERDICT r9
+  // #2): the SAME delivery as q144, but the corpus side is a persisted
+  // admission-signature store (one-time initAdmissionStore scan; per-run
+  // cost is delta-sized) instead of a per-run corpus rescan. The oracle
+  // is q144's replay VERBATIM — stored xxhash64/MinHash values are
+  // bit-identical to recomputed ones, so the stored path must reproduce
+  // the recompute path's admitted set exactly. The fixture admits with a
+  // txn-stamped (appId, batchId); reruns within a session time-travel to
+  // the commit's parent state (replay pinning), so the entry is
+  // rerun-stable by construction. q190r additionally pins two-delivery
+  // store EXTENSION against engine recomputation.
+  private val admStoreLock = new Object
+  private[analytics] def admissionStoreFixture(s: SparkSession, d: String): String = {
+    val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190_" +
+      Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
+    admStoreLock.synchronized {
+      if (graft.connect.SnapshotStore.latestVersion(s, dir) < 0) {
+        val docs = Tables.documents(s, d)
+        Curation.initAdmissionStore(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", dir)
+      }
+    }
+    dir
+  }
+  val q190 = QuerySpec.sql(
+    "q190_stored_admission",
+    s"""WITH $deltaCtes
+      |SELECT doc_id, source FROM adm ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.admitDeltaStored(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id"), col("text")),
+      admissionStoreFixture(s, d),
+      "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+      decontamK = 5,
+      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)),
+      appId = "graft_q190", batchId = 1L)
+      .admitted.select("doc_id", "source").orderBy("doc_id")
+  }
+
   val q145 = QuerySpec.sql(
     "q145_delta_funnel",
     s"""WITH $deltaCtes
@@ -1212,5 +1256,5 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166, q170, q187)
+    q131, q144, q145, q165, q166, q170, q187, q190)
 }

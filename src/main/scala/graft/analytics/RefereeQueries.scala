@@ -633,7 +633,58 @@ object RefereeQueries {
     report(symDiff(merged, direct) :+ outOfEnvelope)
   }
 
+  // ------------------------------------------------------ q190 referee
+  // Stored-admission EXTENSION equivalence: two successive deliveries
+  // through the persisted signature store must admit exactly what the
+  // recompute path admits — delivery 1 against the corpus, delivery 2
+  // against corpus ∪ delivery-1's admissions (the store extension is the
+  // only mechanism carrying that union; a wrong/missing/duplicated
+  // extension changes delivery 2's admitted set). Then a REPLAYED
+  // delivery 2 (same appId/batchId) must return the identical admitted
+  // set without growing the store — the time-travel replay-pinning
+  // receipt (reading latest would exact-drop every doc against its own
+  // stored copy).
+  val q190r = QuerySpec.refereeCheck("q190r_stored_admission_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val batchA = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+    val batchB = docs.filter(
+      pmod(col("doc_id"), lit(3)) === 0 && pmod(col("doc_id"), lit(6)) =!= 0)
+    val gate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_admstore_q190r")
+      .toString + "/store"
+    graft.ops.Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    def stored(b: DataFrame, batchId: Long) = graft.ops.Curation.admitDeltaStored(
+      b, bench, dir, "doc_id", "text", nearDupThreshold = 0.5,
+      containment = Some(0.8), decontamK = 5, ruleGate = gate,
+      appId = "graft_q190r", batchId = batchId)
+      .admitted.select("doc_id", "source")
+    def recomputed(b: DataFrame, corp: DataFrame) = graft.ops.Curation.admitDelta(
+      b, corp, bench, "doc_id", "text", nearDupThreshold = 0.5,
+      containment = Some(0.8), decontamK = 5, ruleGate = gate)
+      .admitted
+    val sA = stored(batchA, 1L).localCheckpoint()
+    val sB = stored(batchB, 2L).localCheckpoint()
+    val rA = recomputed(batchA, corpus).localCheckpoint()
+    val rB = recomputed(batchB,
+      corpus.unionByName(rA.select(col("doc_id"), col("text"))))
+      .select("doc_id", "source")
+    val vBefore = graft.connect.SnapshotStore.latestVersion(s, dir)
+    val sBreplay = stored(batchB, 2L) // replayed delivery
+    val vAfter = graft.connect.SnapshotStore.latestVersion(s, dir)
+    val grewOnReplay =
+      if (vAfter != vBefore) Seq("store_grew_on_replay").toDF("violation")
+      else Seq.empty[String].toDF("violation")
+    report(symDiff(sA, rA.select("doc_id", "source")) ++
+      symDiff(sB, rB) ++ symDiff(sBreplay, sB) :+ grewOnReplay)
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r, q181r)
+    q180r, q181r, q190r)
 }

@@ -563,6 +563,23 @@ object Curation {
       .withColumn(textCol, sig("redacted_text"))
   }
 
+  /** Credential-material scrub stage (VERDICT r9 #4): PEM private-key
+    * blocks, AWS-style key ids, long base64/hex token runs — the secrets
+    * half of a published corpus's pre-release scrub, with per-document
+    * counts over [[TextOps.secretSignals]]. Composes after [[redactStage]]
+    * (PII first, secrets on its output) for the full scrub; same pure
+    * scan-side projection shape, `textCol` replaced in place.
+    */
+  def redactSecretsStage(docs: DataFrame, textCol: String): DataFrame = {
+    val sig = TextOps.secretSignals(col(textCol)).toMap
+    docs
+      .withColumn("n_privkeys", sig("n_privkeys"))
+      .withColumn("n_awskeys", sig("n_awskeys"))
+      .withColumn("n_b64tokens", sig("n_b64tokens"))
+      .withColumn("n_hextokens", sig("n_hextokens"))
+      .withColumn(textCol, sig("redacted_text"))
+  }
+
   // ------------------------------------------------------ shard layout
 
   /** Token-balanced training-shard assignment: `shard_id =
@@ -774,9 +791,9 @@ object Curation {
     *     corpus doc survives as the larger side);
     *  3. benchmark decontamination ([[Dedup.contaminationOverlap]]).
     *
-    * The corpus is consumed as-is (hashes/signatures recomputed per run;
-    * pair with a persisted signature store as in the streaming gate to
-    * amortize across runs). Batch-sized frames are checkpointed at stage
+    * The corpus is consumed as-is (hashes/signatures recomputed per run —
+    * [[admitDeltaStored]] is the amortized form that reads and extends a
+    * persisted signature store instead). Batch-sized frames are checkpointed at stage
     * boundaries; corpus-sized data moves only through the 8-byte
     * candidate channels of the cross operators.
     */
@@ -831,5 +848,141 @@ object Curation {
       textCol, shingleK = decontamK).select(col(idCol))
     DeltaStages(gateKept, exactKept, nearKept,
       nearKept.join(contaminated, Seq(idCol), "left_anti"))
+  }
+
+  // ------------------------------------- persisted admission signatures
+
+  /** Per-document admission signatures — the store row shape:
+    * (idCol, textCol, kh = xxhash64(text), sig = MinHash). Both values
+    * are deterministic integer arithmetic, so a stored row is
+    * bit-identical to a recomputed one (parquet round-trips longs
+    * exactly) — the property that lets [[admitDeltaStored]] substitute
+    * the store for the per-delivery corpus rescan.
+    */
+  private def admissionSignatures(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        xxhash64(col(textCol)).as("kh"),
+        graft.functions.GraftFunctions.minhash_sigs(
+          Dedup.shingles(col(textCol), shingleK), lit(numHashes)).as("sig"))
+  }
+
+  /** Create (or fully replace) the lake-resident admission-signature
+    * store from a curated corpus: ONE corpus scan computes xxhash64 +
+    * MinHash per document and commits (idCol, textCol, kh, sig) as a
+    * [[graft.connect.SnapshotStore]] table — the batch generalization of
+    * the streaming gate's seen-store
+    * ([[graft.streaming.NearDupFilter]]), with the lake layer's
+    * crash-safety and txn-stamped appends in place of the plain-parquet
+    * swap protocol. Returns the committed version.
+    */
+  def initAdmissionStore(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 64, shingleK: Int = 3): Int =
+    graft.connect.SnapshotStore.commit(corpus.sparkSession, table,
+      admissionSignatures(corpus, idCol, textCol, numHashes, shingleK))
+
+  /** [[admitDelta]] against a PERSISTED admission store instead of a
+    * corpus frame (VERDICT r9 #2): the per-delivery cost drops from
+    * corpus-sized (recompute xxhash64 + MinHash over the whole corpus
+    * every run — the dominant recurring cost of daily admission at
+    * 100 TB) to delta-sized (batch signatures computed once; corpus
+    * hashes/signatures/texts READ from the store, and only
+    * candidate-sized text ever leaves it). Admitted documents extend the
+    * store through a txn-stamped idempotent append — a crash-retried or
+    * scheduler-rerun delivery with the same (appId, batchId) is
+    * recognized and skipped, so the store tracks the curated corpus
+    * exactly once per delivery.
+    *
+    * Stage semantics are [[admitDelta]]'s verbatim (same operators, the
+    * corpus sides fed from the store) — bit-identical to the recompute
+    * path by signature determinism; the q190 gate entry pins it against
+    * the q144 oracle and the q190r referee pins two-delivery store
+    * extension against engine recomputation.
+    */
+  def admitDeltaStored(batch: DataFrame, bench: DataFrame, table: String,
+      idCol: String, textCol: String, nearDupThreshold: Double = 0.5,
+      containment: Option[Double] = None, decontamK: Int = 5,
+      ruleGate: Option[Column] = None,
+      signalGate: Option[DataFrame] = None,
+      appId: String = "graft_admission", batchId: Long = 0L,
+      extendStore: Boolean = true): DeltaStages = {
+    import graft.connect.SnapshotStore
+    val spark = batch.sparkSession
+    // Replay pinning: a crash-retried/scheduler-rerun delivery whose
+    // (appId, batchId) ALREADY committed must not admit against a store
+    // that contains its own rows (every batch doc would exact-match its
+    // stored copy and the rerun would return an empty admission). Time
+    // travel makes the rerun bit-identical instead: read the store AS OF
+    // that commit's PARENT — the exact state the original run saw — and
+    // let appendIdempotent skip the re-extension. (Caveat: a vacuum that
+    // dropped the parent pointer makes such a replay unresolvable; keep
+    // the retention window longer than the scheduler's retry horizon.)
+    val replayParent = SnapshotStore.committedVersions(spark, table)
+      .flatMap { v =>
+        val s = SnapshotStore.snapshot(spark, table, v)
+        if (s.txn.contains((appId, batchId))) Some(s.parent) else None
+      }.headOption.filter(_ => extendStore)
+    val store = replayParent
+      .map(p => SnapshotStore.read(spark, table, p))
+      .getOrElse(SnapshotStore.read(spark, table))
+      .localCheckpoint()
+    val predKept = ruleGate.map(batch.filter).getOrElse(batch)
+    val gateKept = signalGate
+      .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
+      .getOrElse(predKept)
+    val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
+    // cross exact dedup: candidate nomination over STORED 8-byte hashes,
+    // text compared only for candidate rows (read from the store)
+    val corpusHashes = store.select(col("kh").as("__kh")).distinct()
+    val candIds = intraExact
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"))
+      .join(corpusHashes, Seq("__kh"), "left_semi")
+      .select(col(idCol))
+    val candRows = intraExact.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"),
+        col(textCol).as("__bt"))
+    val confirmed = candRows
+      .join(store.select(col("kh").as("__kh"), col(textCol).as("__ct")),
+        Seq("__kh"))
+      .filter(col("__bt") === col("__ct"))
+      .select(col(idCol)).distinct()
+    val exactKept = intraExact.join(confirmed, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val intraPairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
+      numHashes = 64, bands = 16, shingleK = 3, threshold = nearDupThreshold)
+    val intraNear = Dedup.dropNearDups(exactKept, intraPairs, idCol)
+      .localCheckpoint()
+    // cross near-dups: the corpus side's signatures come from the store —
+    // banding reads (id, sig), verify reads candidate-only (id, text)
+    val crossDup = Dedup.crossNearDupsFrom(intraNear,
+      store.select(col(idCol), col("sig")),
+      store.select(col(idCol), col(textCol)),
+      idCol, textCol, numHashes = 64, bands = 16, shingleK = 3,
+      threshold = nearDupThreshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val afterCross = intraNear.join(crossDup, Seq(idCol), "left_anti")
+    val nearKept = (containment match {
+      case None => afterCross
+      case Some(t) =>
+        val base = afterCross.localCheckpoint()
+        val contained = Dedup.crossOverlapPairs(base,
+          store.select(col(idCol), col(textCol)), idCol, textCol,
+          shingleK = 3, threshold = t)
+          .filter(col("n_a") <= col("n_b"))
+          .select(col("id_a").as(idCol)).distinct()
+        base.join(contained, Seq(idCol), "left_anti")
+    }).localCheckpoint()
+    val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol,
+      textCol, shingleK = decontamK).select(col(idCol))
+    val admitted = nearKept.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint() // evaluated BEFORE the store extension below
+    if (extendStore)
+      SnapshotStore.appendIdempotent(spark, table,
+        admissionSignatures(admitted.select(col(idCol), col(textCol)),
+          idCol, textCol, numHashes = 64, shingleK = 3),
+        appId, batchId)
+    DeltaStages(gateKept, exactKept, nearKept, admitted)
   }
 }

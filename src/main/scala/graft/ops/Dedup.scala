@@ -280,10 +280,28 @@ object Dedup {
     */
   def crossNearDups(left: DataFrame, right: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    crossNearDupsFrom(left,
+      minHashSignatures(right, idCol, textCol, numHashes, shingleK),
+      right.select(col(idCol), col(textCol)),
+      idCol, textCol, numHashes, bands, shingleK, threshold)
+
+  /** [[crossNearDups]] against a PRE-SIGNED right side — the persisted
+    * admission-store path ([[graft.ops.Curation.admitDeltaStored]]): the
+    * historical corpus's MinHash signatures load from the store instead
+    * of being recomputed per delivery (signatures are deterministic longs,
+    * so the stored and recomputed paths are bit-identical — the q190r
+    * referee pins it). `rightSigs` is (idCol, sig); `rightTexts`
+    * (idCol, textCol) supplies candidate-only text for the exact verify.
+    */
+  def crossNearDupsFrom(left: DataFrame, rightSigs: DataFrame,
+      rightTexts: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    val right = rightTexts
     val lB = lshBuckets(minHashSignatures(left, idCol, textCol, numHashes, shingleK),
       idCol, "sig", bands).withColumnRenamed(idCol, "id_a")
-    val rB = lshBuckets(minHashSignatures(right, idCol, textCol, numHashes, shingleK),
+    val rB = lshBuckets(rightSigs.select(col(idCol), col("sig")),
       idCol, "sig", bands).withColumnRenamed(idCol, "id_b")
     val pairs = lB.join(rB, Seq("band", "band_hash"))
       .select("id_a", "id_b").distinct().localCheckpoint()

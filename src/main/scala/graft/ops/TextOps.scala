@@ -412,6 +412,47 @@ object TextOps {
       "redacted_text" -> regexp_replace(afterIp, PhoneRe, "<PHONE>"))
   }
 
+  // ------------------------------------------------- secrets redaction
+
+  /** Credential-material patterns (VERDICT r9 #4 — the Dolma/RefinedWeb
+    * scrub list goes past PII): PEM private-key blocks, AWS-style access
+    * key ids, and long base64/hex token runs — all PUBLIC formats (RFC
+    * 7468 PEM framing; the AKIA prefix + 16 uppercase-alnum shape AWS
+    * documents; entropy-run heuristics every published secret scanner
+    * ships). Same engine-portability discipline as the PII set: explicit
+    * classes, bounded/greedy quantifiers with identical Java-regex and
+    * RE2 semantics, `\b` only against non-word neighbors — the DuckDB
+    * oracle interpolates these constants verbatim.
+    *
+    * CASCADE ORDER is load-bearing: PEM bodies are base64, and any hex
+    * run is also base64-alphabet — blocks first, then AKIA ids, then
+    * base64 runs, then hex runs, so each secret is counted exactly once
+    * at the earliest stage that owns it.
+    */
+  val PrivKeyRe: String =
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\\n\\r]*-----END [A-Z ]*PRIVATE KEY-----"
+  val AwsKeyRe: String = "\\bAKIA[0-9A-Z]{16}\\b"
+  val B64TokenRe: String = "\\b[A-Za-z0-9+/]{40,}={0,2}"
+  val HexTokenRe: String = "\\b[0-9a-fA-F]{32,}\\b"
+
+  /** Scan-side credential scrubbing with per-document counts, staged like
+    * [[redactionSignals]] (each count is exactly that stage's
+    * substitution count under the cascade order above). Composes after
+    * the PII cascade for the full pre-release scrub
+    * ([[Curation.redactSecretsStage]]). Pure projection — zero shuffle.
+    */
+  def secretSignals(text: Column): Seq[(String, Column)] = {
+    val afterKey = regexp_replace(text, PrivKeyRe, "<PRIVKEY>")
+    val afterAws = regexp_replace(afterKey, AwsKeyRe, "<AWSKEY>")
+    val afterB64 = regexp_replace(afterAws, B64TokenRe, "<B64TOKEN>")
+    Seq(
+      "n_privkeys" -> regexp_count(text, lit(PrivKeyRe)).cast(org.apache.spark.sql.types.LongType),
+      "n_awskeys" -> regexp_count(afterKey, lit(AwsKeyRe)).cast(org.apache.spark.sql.types.LongType),
+      "n_b64tokens" -> regexp_count(afterAws, lit(B64TokenRe)).cast(org.apache.spark.sql.types.LongType),
+      "n_hextokens" -> regexp_count(afterB64, lit(HexTokenRe)).cast(org.apache.spark.sql.types.LongType),
+      "redacted_text" -> regexp_replace(afterB64, HexTokenRe, "<HEXTOKEN>"))
+  }
+
   // ------------------------------------------------- repetition signal
 
   /** Fraction of duplicated n-grams (1 - distinct/total) — the

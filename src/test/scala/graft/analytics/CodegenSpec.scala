@@ -1,0 +1,48 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-stage-codegen receipt for the widest queries (VERDICT r9 #7):
+  * round 9 found TWO janino 64 KB overflows (the byte-fallback tokenize
+  * aggregate, the 64-band lshBuckets literal) that had been silently
+  * running INTERPRETED — Spark's default `spark.sql.codegen.fallback=true`
+  * swallows the compile error and quietly drops the stage to the slow
+  * path (+60% measured on q174). This suite pins the fix permanently:
+  * the widest query plans execute end-to-end with fallback DISABLED, so
+  * any future expression that pushes a generated method past the janino
+  * limit fails the suite instead of shipping a silent 1.6x regression.
+  *
+  * Scope: the heaviest/widest compositions by bench cost plus every
+  * query that previously overflowed. Queries built on driver-looped
+  * training (BPE merge training, PQ/IVF k-means) keep their documented
+  * driver loops — the loop bodies are themselves Spark jobs covered
+  * here via the consumers (q174/q179/q188 tokenize under the trained
+  * artifacts).
+  */
+class CodegenSpec extends SparkSpec {
+
+  private val widest = Set(
+    "q109_curation_funnel", "q114_curation_funnel_full",
+    "q144_delta_admission", "q145_delta_funnel",
+    "q170_curation_funnel_full_lm", "q172_curation_extracted",
+    "q174_bpe_tokenize", "q178_repetition_battery",
+    "q179_curated_token_windows", "q181_bpe_tokenize_oov",
+    "q185_pack_windows_eos", "q186_curation_repetition_gated",
+    "q188_trainer_delivery", "q190_stored_admission",
+    "q191_scrubbed_corpus")
+
+  SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
+    test(s"${q.name} compiles every stage with codegen fallback disabled") {
+      val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try q.fn(spark, sf).write.format("noop").mode("overwrite").save()
+      finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    }
+  }
+
+  test("codegen sweep covers every intended query") {
+    val names = SparkEntry.specs.map(_.name).toSet
+    val missing = widest.diff(names)
+    assert(missing.isEmpty, s"sweep names drifted from registry: $missing")
+  }
+}
