@@ -276,6 +276,32 @@ object ScaleCheck {
         ops.Multimodal.imageNearDups(media(docs1), "asset_id", "payload", 3),
         ops.Multimodal.imageNearDups(media(docsN), "asset_id", "payload", 3))
     }
+    // Audio perceptual dedup: synthesize 256-sample PCM WAVs (the q192
+    // waveform) with a per-id-copy sample STRIDE — lag-difference energies
+    // are invariant to constant level shifts (diffs cancel the offset), so
+    // verbatim copies would fingerprint identically across copies and the
+    // pair set would output-explode; varying the stride keeps per-copy
+    // near-dup groups with copies mutually distinct (the image_neardups
+    // argument, modality-adjusted).
+    locally {
+      val wavHeaderHex =
+        "524946462401000057415645666D74201000000001000100401F0000401F0000010008006461746100010000"
+      def media(df: DataFrame) = {
+        val copy = expr("doc_id div 1000000")
+        val base = pmod(col("doc_id"), lit(1000000L))
+        val pcm = transform(sequence(lit(0), lit(255)), j =>
+          pmod(pmod(base, lit(25)) * 37 + j * (lit(11) + copy * 2), lit(151)) + 10 +
+            when(j === pmod(base, lit(256)), 80).otherwise(0))
+        df.select(col("doc_id").as("asset_id"),
+          concat(unhex(lit(wavHeaderHex)),
+            unhex(concat_ws("", transform(pcm,
+              p => lpad(hex(p.cast(org.apache.spark.sql.types.LongType)), 2, "0")))))
+            .as("payload"))
+      }
+      run("audio_neardups",
+        ops.Multimodal.audioNearDups(media(docs1), "asset_id", "payload", 3),
+        ops.Multimodal.audioNearDups(media(docsN), "asset_id", "payload", 3))
+    }
     // PageRank: fixed 10 iterations, id-shifted copies each with their
     // own modular 3-out-degree graph (disjoint components) — per-round
     // cost is the data-proportional part, rounds fixed, so linear.

@@ -2067,6 +2067,82 @@ object CorpusQueries {
       .orderBy("shard_id")
   }
 
+  // ---------------------------------------------------------- q192/q193
+  // Audio perceptual fingerprint + near-dup dedup (VERDICT r9 #5 — audio
+  // had metadata only; this is the q137 discipline on the third
+  // modality): REAL 8-bit mono PCM WAV payloads are synthesized in pure
+  // Column code (constant 44-byte RIFF header + 256 sample bytes from
+  // doc_id arithmetic: a shared per-group waveform plus one perturbed
+  // sample per doc — the q173 planting discipline), decoded by the
+  // native AudioFingerprint parser, fingerprinted scan-side
+  // (chromaprint-style: 16 time frames x 4 lag-difference bands,
+  // above-mean votes, 63 bits — integer-exact by construction), and
+  // banded into Hamming<=3 pairs. The oracle never sees the bytes — it
+  // recomputes every sample from the same arithmetic (the 128 midpoint
+  // cancels in |sample diffs|, so it works on the unsigned values
+  // directly), replays the frame/band/vote recipe in SQL, and
+  // brute-forces ALL pairs; the 16-bit-band pigeonhole (dist<=3 => one
+  // of four bands equal) makes the banding invisible to the result.
+  // A parser bug, a frame-boundary drift, or a banding recall gap all
+  // hash-fail. q192 pins the signatures; q193 the pair set (800 pairs
+  // at sf0.01, planted same-group near-dups at every distance 0..3).
+  private val wavHeaderHex =
+    "524946462401000057415645666D74201000000001000100401F0000401F0000010008006461746100010000"
+  private def wavSampleCol: org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(255)), j =>
+      pmod(pmod(col("doc_id"), lit(25)) * 37 + j * 11, lit(151)) + 10 +
+        when(j === pmod(col("doc_id"), lit(256)), 80).otherwise(0))
+  private def wavPayloadCol: org.apache.spark.sql.Column =
+    concat(unhex(lit(wavHeaderHex)),
+      unhex(concat_ws("", transform(wavSampleCol,
+        p => lpad(hex(p.cast(LongType)), 2, "0")))))
+  private def duckAudioCtes: String =
+    s"""smp AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j,
+      |  CAST((doc_id % 25 * 37 + u.j * 11) % 151 + 10
+      |    + CASE WHEN u.j = doc_id % 256 THEN 80 ELSE 0 END AS BIGINT) AS v
+      |  FROM documents, unnest(generate_series(0, 255)) AS u(j)),
+      |ks AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS t(bk, k)),
+      |en AS (SELECT a.doc_id, ks.bk, a.j // 16 AS f,
+      |  CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS e
+      |  FROM smp a CROSS JOIN ks
+      |  JOIN smp b ON b.doc_id = a.doc_id AND b.j = a.j - ks.k
+      |  WHERE (a.j % 16) >= ks.k
+      |  GROUP BY 1, 2, 3),
+      |tote AS (SELECT doc_id, bk, CAST(SUM(e) AS BIGINT) AS t FROM en GROUP BY 1, 2),
+      |fph AS (SELECT en.doc_id,
+      |  bit_or(CASE WHEN en.bk * 16 + en.f < 63 AND 16 * en.e > tote.t
+      |    THEN CAST(1 AS BIGINT) << CAST(en.bk * 16 + en.f AS INT)
+      |    ELSE CAST(0 AS BIGINT) END) AS sig
+      |  FROM en JOIN tote USING (doc_id, bk) GROUP BY en.doc_id)""".stripMargin
+  val q192 = QuerySpec.sql(
+    "q192_audio_fingerprints",
+    s"""WITH $duckAudioCtes
+      |SELECT doc_id, sig FROM fph ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // q137 discipline: spread the one-row-group scan BEFORE payloads
+    // exist; synth + decode + fingerprint all run post-exchange scan-side
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), wavPayloadCol.as("payload"))
+      .select(col("doc_id"),
+        graft.ops.Multimodal.audioFingerprint(col("payload")).as("sig"))
+      .orderBy("doc_id")
+  }
+  val q193 = QuerySpec.sql(
+    "q193_audio_neardups",
+    s"""WITH $duckAudioCtes
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+      |FROM fph a JOIN fph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val media = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("asset_id"), wavPayloadCol.as("payload"))
+    graft.ops.Multimodal.audioNearDups(media, "asset_id", "payload", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType).as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The q188 chain over an explicit corpus (mix → epochs → tokenize →
     * EOS-pack), tokenizer supplied pre-trained — ScaleCheck's trainer-
     * composition row. `budget` scales with the corpus (production: the
@@ -2092,5 +2168,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193)
 }

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** `audio_fingerprint(payload)` -> bigint: a chromaprint-style perceptual
+  * fingerprint of integer-PCM WAV audio — the audio analog of
+  * [[ImageAHash]] (VERDICT r9 #5: WAV/AVI had metadata only; audio is
+  * the third modality a multimodal corpus dedups).
+  *
+  * Chromaprint (the AcoustID fingerprinter, Lalinský 2010) hashes a
+  * time-frequency energy image with per-cell comparison filters. A
+  * faithful port needs an FFT whose float butterflies no external engine
+  * replays bit-for-bit, so this recipe keeps the STRUCTURE (time frames x
+  * frequency-ish bands -> threshold votes -> packed bits) but builds the
+  * energy image from exact integer arithmetic:
+  *
+  *  1. decode channel 0 of the PCM stream to signed samples `v[0..n)`
+  *     (8-bit: `byte - 128`; 16-bit: signed little-endian — first channel
+  *     only: dedup cares about content identity, not the mix),
+  *  2. cut the stream into 16 equal time FRAMES by the [[ImageAHash]]
+  *     block rule: frame f covers `[floor(f n / 16), floor((f+1) n / 16))`
+  *     (every sample lands in exactly one frame; short tails merge by the
+  *     floor arithmetic),
+  *  3. per frame, four BAND energies as lag-difference sums
+  *     `E_k(f) = sum |v[j] - v[j-k]|` over in-frame j (j - k inside the
+  *     frame too), lags k in {1, 2, 4, 8} — difference filters are crude
+  *     high/mid/low-pass responses (the lag-k energy is the spectral mass
+  *     away from period k, the same information a filterbank row carries),
+  *     integer-exact and order-independent,
+  *  4. bit `16 b + f` (band b = index of k, frame f) is set iff
+  *     `16 * E_k(f) > sum_f E_k(f)` — the aHash strict above-average vote
+  *     per band, exact integers only.
+  *
+  * Bits 0..62 only — bit 63 (band 3, frame 15) still votes into its
+  * band's mean but stays clear, keeping the signature non-negative so
+  * DuckDB's checked `<<` can replay it (the [[ImageAHash]] rule). Similar
+  * audio (a changed sample run, light noise, re-levels that preserve
+  * shape) lands within a few Hamming bits;
+  * [[graft.ops.Multimodal.audioNearDups]] bands the signature 16 bits at
+  * a time so distance <= 3 pairs are found without an n^2 scan (the
+  * pigeonhole rule: 3 flipped bits leave >= 1 of 4 bands equal).
+  *
+  * Null for null / non-PCM-WAV / zero-sample payloads. Scan-side
+  * (CodegenFallback: the per-sample loop dwarfs the virtual call) — audio
+  * bytes never reach an exchange, only the 8-byte signature shuffles.
+  */
+case class AudioFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"audio_fingerprint expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(payload: Any): Any =
+    AudioFingerprint.compute(payload.asInstanceOf[Array[Byte]]) match {
+      case Some(sig) => sig
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_fingerprint"
+}
+
+object AudioFingerprint {
+
+  private val Lags = Array(1, 2, 4, 8)
+
+  /** Channel-0 signed samples of an integer-PCM WAV, or None if not
+    * parseable (same chunk walk as [[WavHeaders]]; kept separate because
+    * the meta expression never materializes the sample array).
+    */
+  private[functions] def samples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b == null || b.length < 44) return None
+    def tag(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    def le32(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+        ((b(i + 3) & 0xff) << 24)
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    if (!(tag(0) == "RIFF" && tag(8) == "WAVE")) return None
+    var i = 12
+    var channels = 0; var bits = 0
+    var fmtSeen = false
+    while (i + 8 <= b.length) {
+      val t = tag(i)
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      t match {
+        case "fmt " =>
+          if (len < 16 || le16(i + 8) != 1) return None // integer PCM only
+          channels = le16(i + 10)
+          bits = le16(i + 22)
+          if (channels <= 0 || (bits != 8 && bits != 16)) return None
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return None
+          val bytesPer = bits / 8
+          val stride = bytesPer * channels
+          val n = len / stride
+          if (n <= 0) return None
+          val out = new Array[Int](n)
+          var s = 0
+          var j = i + 8
+          while (s < n) {
+            out(s) =
+              if (bits == 8) (b(j) & 0xff) - 128
+              else (b(j) & 0xff) | (b(j + 1) << 8) // sign from high byte
+            s += 1
+            j += stride
+          }
+          return Some(out)
+        case _ => ()
+      }
+      i += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  /** Plain-JVM fingerprint used by both the expression and tests. */
+  def compute(payload: Array[Byte]): Option[Long] =
+    samples(payload).map { v =>
+      val n = v.length
+      val e = Array.ofDim[Long](4, 16)
+      var f = 0
+      while (f < 16) {
+        val f0 = f * n / 16
+        val f1 = (f + 1) * n / 16
+        var b = 0
+        while (b < 4) {
+          val k = Lags(b)
+          var acc = 0L
+          var j = f0 + k
+          while (j < f1) { acc += math.abs(v(j) - v(j - k)); j += 1 }
+          e(b)(f) = acc
+          b += 1
+        }
+        f += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 4) {
+        var t = 0L
+        var ff = 0
+        while (ff < 16) { t += e(b)(ff); ff += 1 }
+        ff = 0
+        while (ff < 16) {
+          val bit = 16 * b + ff
+          if (bit < 63 && 16L * e(b)(ff) > t) sig |= 1L << bit
+          ff += 1
+        }
+        b += 1
+      }
+      sig
+    }
+}

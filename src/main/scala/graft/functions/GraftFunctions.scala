@@ -45,6 +45,8 @@ object GraftFunctions {
         "image_ahash", exprs => ImageAHash(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "audio_fingerprint", exprs => AudioFingerprint(exprs(0)), "scala_udf")
     }
   }
 
@@ -123,6 +125,12 @@ object GraftFunctions {
     */
   def image_ahash(payload: Column): Column =
     call_function("image_ahash", payload)
+
+  /** Chromaprint-style integer-exact WAV fingerprint (see
+    * [[AudioFingerprint]]). Requires `register(spark)` on the session.
+    */
+  def audio_fingerprint(payload: Column): Column =
+    call_function("audio_fingerprint", payload)
 
   /** Unicode NFC canonical composition (see [[NfcNormalize]]). Requires
     * `register(spark)` on the session.

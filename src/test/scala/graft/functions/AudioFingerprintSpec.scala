@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Chromaprint-style WAV fingerprint: bit-level checks against a plain
+  * hand-rolled reimplementation on hand-built WAVs (8-bit mono, 16-bit
+  * stereo — channel-0 rule), parser rejection of non-PCM payloads, and
+  * banding-vs-brute-force equivalence for dist <= 3 (the pigeonhole
+  * recall rule [[Multimodal.audioNearDups]] relies on).
+  */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Hand-built integer-PCM WAV (interleaved samples given per frame). */
+  private def wav(bits: Int, channels: Int, interleaved: Seq[Int]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val data = interleaved.flatMap { v =>
+      if (bits == 8) Seq(v.toByte) else le16(v & 0xffff).toSeq
+    }.toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(8000) ++ le32(8000 * bytesPer * channels) ++
+      le16(bytesPer * channels) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  /** Independent referee: the documented recipe, recomputed naively from
+    * the signed channel-0 samples.
+    */
+  private def referee(v: Array[Int]): Long = {
+    val lags = Array(1, 2, 4, 8)
+    var sig = 0L
+    for (b <- 0 until 4) {
+      val k = lags(b)
+      val e = (0 until 16).map { f =>
+        val (f0, f1) = (f * v.length / 16, (f + 1) * v.length / 16)
+        (f0 + k until f1).map(j => math.abs(v(j) - v(j - k)).toLong).sum
+      }
+      val t = e.sum
+      for (f <- 0 until 16; bit = 16 * b + f
+           if bit < 63 && 16L * e(f) > t) sig |= 1L << bit
+    }
+    sig
+  }
+
+  test("8-bit mono: recipe matches the referee bit for bit") {
+    val u = Array.tabulate(256)(j => (j * 37 + j * j % 53) % 200 + 20)
+    val got = AudioFingerprint.compute(wav(8, 1, u.toSeq)).get
+    assert(got == referee(u.map(_ - 128)), f"sig $got%016x")
+    assert(got >= 0L, "bit 63 must stay clear")
+  }
+
+  test("16-bit stereo: channel 0 only, signed samples") {
+    val left = Array.tabulate(200)(j => (j * 131) % 9000 - 4500)
+    val right = Array.tabulate(200)(_ => 12345) // must be ignored
+    val inter = (0 until 200).flatMap(j => Seq(left(j), right(j)))
+    val got = AudioFingerprint.compute(wav(16, 2, inter)).get
+    assert(got == referee(left))
+    // a different right channel cannot change the fingerprint
+    val inter2 = (0 until 200).flatMap(j => Seq(left(j), -7))
+    assert(AudioFingerprint.compute(wav(16, 2, inter2)).get == got)
+  }
+
+  test("non-WAV, float-PCM, and empty-data payloads fingerprint to null") {
+    assert(AudioFingerprint.compute("not audio at all".getBytes).isEmpty)
+    val floatFmt = wav(16, 1, Seq.fill(32)(5))
+    floatFmt(20) = 3 // wFormatTag = IEEE float
+    assert(AudioFingerprint.compute(floatFmt).isEmpty)
+    assert(AudioFingerprint.compute(wav(8, 1, Seq.empty)).isEmpty)
+  }
+
+  test("audioNearDups banding equals brute force at dist <= 3") {
+    // planted groups: same base waveform per group, one perturbed sample
+    // per member (the q192/q193 fixture shape, smaller)
+    val rows = (0L until 120L).map { id =>
+      val samples = Array.tabulate(256)(j =>
+        ((id % 10) * 37 + j * 11) % 151 + 10 +
+          (if (j == (id % 256)) 80 else 0))
+      (id, wav(8, 1, samples.map(_.toInt).toSeq))
+    }
+    val df = rows.toDF("asset_id", "payload")
+    val banded = Multimodal.audioNearDups(df, "asset_id", "payload", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = rows.map { case (id, p) => id -> AudioFingerprint.compute(p).get }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture must plant near-dups")
+  }
+}
