@@ -900,6 +900,13 @@ object Curation {
     * path by signature determinism; the q190 gate entry pins it against
     * the q144 oracle and the q190r referee pins two-delivery store
     * extension against engine recomputation.
+    *
+    * Residual corpus-sized cost: the OPT-IN containment stage still
+    * shingle-explodes the store's text per delivery
+    * ([[Dedup.crossOverlapPairs]] builds postings from text) — the
+    * exact-dup and near-dup stages, which every delivery runs, are the
+    * ones the store amortizes. Persisting rare-shingle postings is the
+    * natural extension if containment becomes a default stage.
     */
   def admitDeltaStored(batch: DataFrame, bench: DataFrame, table: String,
       idCol: String, textCol: String, nearDupThreshold: Double = 0.5,
