@@ -442,6 +442,13 @@ object ScaleCheck {
     run("secrets_scrub",
       analytics.ExtractQueries.scaleScrub(docs1),
       analytics.ExtractQueries.scaleScrub(docsN))
+    // License/provenance/canary audit: six regex extractions + the
+    // classification CASE — scan-side, pins the constant factor.
+    locally {
+      def audit(df: DataFrame) = df.select(col("doc_id") +:
+        ops.TextOps.licenseSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      run("license_audit", audit(docs1), audit(docsN))
+    }
     // Gopher repetition battery: line signals scan-side; the n-gram
     // signals run one (doc, n) position-explode with doc-scoped
     // exchange keys — per-doc work is corpus-independent, so linear.

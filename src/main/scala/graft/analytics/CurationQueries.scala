@@ -1052,15 +1052,30 @@ object CurationQueries {
       |adm AS (SELECT * FROM n3 WHERE doc_id NOT IN
       |  (SELECT DISTINCT s5.doc_id FROM s5 JOIN b5 USING (sh)))""".stripMargin
 
+  // build-once memo (the defaultStages/bpeTrained discipline): q144 and
+  // q145 are two VIEWS of one DeltaStages chain — rows and stage counts —
+  // so they consume one admission build per (session, fixture content)
+  // instead of two (~7.5 s of identical checkpointed stages each at
+  // sf0.1; results byte-identical either way, admission is deterministic)
+  private val admitLock = new Object
+  private var admitMemo: Map[(Int, String), Curation.DeltaStages] = Map.empty
   private def admitStages(s: SparkSession, d: String): Curation.DeltaStages = {
-    val docs = Tables.documents(s, d)
-    Curation.admitDelta(
-      docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(col("doc_id"), col("text")),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id"), col("text")),
-      "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
-      decontamK = 5,
-      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)))
+    val key = (System.identityHashCode(s),
+      LakeQueries.contentFingerprint(d, "documents.parquet"))
+    admitLock.synchronized {
+      admitMemo.getOrElse(key, {
+        val docs = Tables.documents(s, d)
+        val st = Curation.admitDelta(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(col("doc_id"), col("text")),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id"), col("text")),
+          "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+          decontamK = 5,
+          ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)))
+        admitMemo += key -> st
+        st
+      })
+    }
   }
 
   val q144 = QuerySpec.sql(

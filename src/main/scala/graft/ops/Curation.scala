@@ -931,10 +931,15 @@ object Curation {
         val s = SnapshotStore.snapshot(spark, table, v)
         if (s.txn.contains((appId, batchId))) Some(s.parent) else None
       }.headOption.filter(_ => extendStore)
+    // NOT checkpointed: the store is already at-rest parquet, and each
+    // consumer below reads a DIFFERENT projection — kh-only for the hash
+    // gate, (id, sig) for banding, candidate-only text for verifies.
+    // Materializing the whole frame would copy the corpus text per
+    // delivery and defeat exactly the columnar pruning that makes the
+    // stored path delta-cost at 100 TB.
     val store = replayParent
       .map(p => SnapshotStore.read(spark, table, p))
       .getOrElse(SnapshotStore.read(spark, table))
-      .localCheckpoint()
     val predKept = ruleGate.map(batch.filter).getOrElse(batch)
     val gateKept = signalGate
       .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
