@@ -744,7 +744,13 @@ object Curation {
     val sharded = packed.withColumn("shard_id", pmod(bucket, lit(nShards.toLong)))
       .repartition(nShards, col("shard_id"))
     if (SnapshotStore.latestVersion(spark, table) < 0)
-      scala.util.Try(SnapshotStore.commit(spark, table, sharded.limit(0)))
+      // shard_id is a stats column: the manifest records each file's
+      // [min, max] shard box, so a trainer's one-shard read
+      // ([[readTokenShard]]) plans only the files that can hold it —
+      // file skipping before the scan exists, on top of parquet's own
+      // row-group stats. Appends inherit the stats columns.
+      scala.util.Try(SnapshotStore.commit(spark, table, sharded.limit(0),
+        statsCols = Seq("shard_id")))
       // a lost v0 race means someone else created the table — proceed
     SnapshotStore.appendIdempotent(spark, table, sharded, appId, batchId)
     SnapshotStore.read(spark, table)
@@ -752,6 +758,31 @@ object Curation {
       .agg(count(lit(1)).as("n_windows"),
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_ids")).as("n_ids"))
+  }
+
+  /** The trainer-side read of a delivered windows table: ONE shard,
+    * planned from the manifest's shard_id stats boxes — files whose
+    * [min, max] box excludes the shard are never opened (each delivery
+    * exchanges by shard before writing, so boxes are tight and a shard
+    * touches ~1/nShards of the files). Returns (windows of the shard,
+    * filesRead, filesTotal) — the skipping receipt a loader can assert.
+    * Tables created before shard stats existed degrade to a full scan
+    * plus the same filter (prunedRead keeps statless files).
+    */
+  def readTokenShard(spark: org.apache.spark.sql.SparkSession, table: String,
+      shardId: Long, version: Int = -1): (DataFrame, Int, Int) = {
+    import graft.connect.SnapshotStore
+    val v = if (version >= 0) version
+      else SnapshotStore.latestVersion(spark, table)
+    if (SnapshotStore.snapshot(spark, table, v).statsCols.contains("shard_id"))
+      SnapshotStore.prunedRead(spark, table, "shard_id",
+        shardId.toDouble, shardId.toDouble, v)
+    else { // pre-stats table: full scan + filter, no skipping
+      val m = SnapshotStore.manifest(spark, table, v)
+      val total = m.count().toInt
+      (SnapshotStore.read(spark, table, v).filter(col("shard_id") === shardId),
+        total, total)
+    }
   }
 
   // ------------------------------------------- incremental admission

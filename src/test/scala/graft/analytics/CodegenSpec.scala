@@ -12,8 +12,9 @@ import graft.{SparkEntry, SparkSpec}
   * any future expression that pushes a generated method past the janino
   * limit fails the suite instead of shipping a silent 1.6x regression.
   *
-  * Scope: the heaviest/widest compositions by bench cost plus every
-  * query that previously overflowed. Queries built on driver-looped
+  * Scope: the heaviest/widest compositions by bench cost, every query
+  * that previously overflowed, and the wide scan-side transform/decode
+  * stages. Queries built on driver-looped
   * training (BPE merge training, PQ/IVF k-means) keep their documented
   * driver loops — the loop bodies are themselves Spark jobs covered
   * here via the consumers (q174/q179/q188 tokenize under the trained
@@ -29,7 +30,12 @@ class CodegenSpec extends SparkSpec {
     "q179_curated_token_windows", "q181_bpe_tokenize_oov",
     "q185_pack_windows_eos", "q186_curation_repetition_gated",
     "q188_trainer_delivery", "q190_stored_admission",
-    "q191_scrubbed_corpus")
+    "q191_scrubbed_corpus",
+    // wide scan-side transform/decode stages (256-element loops, payload
+    // synth + native parse, six-regex audits) — loop-shaped codegen whose
+    // size must stay input-width-independent
+    "q137_image_neardups", "q192_audio_fingerprints",
+    "q193_audio_neardups", "q194_license_audit")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {

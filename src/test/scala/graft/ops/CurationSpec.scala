@@ -446,6 +446,29 @@ class CurationSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("readTokenShard: manifest stats skip files; contents equal the filtered read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_read").toString + "/t"
+    // windows across several shards, delivered twice (append after create
+    // so the manifest holds multiple file generations)
+    def packed(winIds: Seq[Long]) = winIds.map(w =>
+      ("g", w, 1L, Seq.fill(4)(w), 4L))
+      .toDF("source", "window_id", "n_docs", "token_ids", "n_ids")
+    Curation.deliverTokenWindows(packed(0L to 19L), "source", dir,
+      targetIdsPerShard = 20L, appId = "t", batchId = 1L) // nShards = 4
+    Curation.deliverTokenWindows(packed(100L to 119L), "source", dir,
+      targetIdsPerShard = 20L, appId = "t", batchId = 2L)
+    val all = graft.connect.SnapshotStore.read(spark, dir)
+    val shards = all.select("shard_id").distinct().collect().map(_.getLong(0))
+    shards.foreach { sh =>
+      val (df, read, total) = Curation.readTokenShard(spark, dir, sh)
+      assert(read < total, s"shard $sh read all $total files — no skipping")
+      val want = all.filter(col("shard_id") === sh)
+        .select("window_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = df.select("window_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"shard $sh contents")
+    }
+  }
+
   test("packTokenIdsWithEos: (epoch, doc) struct key orders epochs before docs") {
     // the ARCHITECTURE packing-key convention: a multi-epoch stream packs
     // in (epoch, doc_id) order, so epoch 0's docs all precede epoch 1's —
