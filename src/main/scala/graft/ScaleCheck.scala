@@ -302,6 +302,32 @@ object ScaleCheck {
         ops.Multimodal.audioNearDups(media(docs1), "asset_id", "payload", 3),
         ops.Multimodal.audioNearDups(media(docsN), "asset_id", "payload", 3))
     }
+    // Video near-dup over sampled-frame tables: 3 PGM frames per asset
+    // (the q195 pixel formula), per-copy pattern stride for the
+    // image_neardups reason (aHash is mean-shift-invariant). Groups are
+    // doc%50 (q195's planting): at fixed group COUNT per-group candidate
+    // work is quadratic in SF, so the group modulus is sized to keep the
+    // sf0.1 baseline's density moderate — the blow-up then measures
+    // copy growth, which is the trend this row pins.
+    locally {
+      def frames(df: DataFrame) = {
+        val copy = expr("doc_id div 1000000")
+        val base = pmod(col("doc_id"), lit(1000000L))
+        val f = col("frame_idx")
+        val pix = transform(sequence(lit(0), lit(63)), i =>
+          pmod(pmod(base, lit(50)) * 37 + f * 17 + i * (lit(11) + copy * 2), lit(151)) + 10 +
+            when(f === pmod(base, lit(3)) && i === pmod(base, lit(64)), 80).otherwise(0))
+        df.select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("frame_idx"))
+          .select(col("doc_id").as("asset_id"), col("frame_idx"),
+            concat(lit("P5\n8 8\n255\n").cast(org.apache.spark.sql.types.BinaryType),
+              unhex(concat_ws("", transform(pix,
+                p => lpad(hex(p.cast(org.apache.spark.sql.types.LongType)), 2, "0")))))
+              .as("payload"))
+      }
+      run("video_neardups",
+        ops.Multimodal.videoNearDups(frames(docs1), "asset_id", "frame_idx", "payload", 3),
+        ops.Multimodal.videoNearDups(frames(docsN), "asset_id", "frame_idx", "payload", 3))
+    }
     // PageRank: fixed 10 iterations, id-shifted copies each with their
     // own modular 3-out-degree graph (disjoint components) — per-round
     // cost is the data-proportional part, rounds fixed, so linear.

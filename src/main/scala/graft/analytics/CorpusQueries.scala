@@ -2217,6 +2217,60 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q195
+  // Video perceptual near-dups over a SAMPLED-FRAME table — the fourth
+  // modality's dedup, on the frame-extraction output shape (q85 plans
+  // which frames to sample; a decoder materializes (asset, frame_idx,
+  // payload) rows; this dedups them): every doc contributes 3 real 8x8
+  // PGM frames (q137's pixel arithmetic varied by frame index; a shared
+  // per-group clip plus ONE perturbed pixel in ONE frame per doc — the
+  // q173 planting discipline), frames aHash scan-side, signatures are
+  // the aligned hash sequences, candidates come from shared (frame
+  // position, 16-bit band) buckets, and the verify is TOTAL Hamming
+  // across aligned frames. The oracle recomputes every pixel, replays
+  // the per-frame aHash recipe, and brute-forces ALL pairs — the
+  // per-frame pigeonhole (total <= 3 => some frame <= 1 bit => 3 of its
+  // 4 bands equal) makes the banding invisible to the result.
+  private def videoFramesDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val f = col("frame_idx")
+    val pix = transform(sequence(lit(0), lit(63)), i =>
+      pmod(pmod(col("doc_id"), lit(50)) * 37 + f * 17 + i * 11, lit(151)) + 10 +
+        when(f === pmod(col("doc_id"), lit(3)) && i === pmod(col("doc_id"), lit(64)),
+          80).otherwise(0))
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("frame_idx"))
+      .select(col("doc_id").as("asset_id"), col("frame_idx"),
+        concat(lit("P5\n8 8\n255\n").cast(BinaryType),
+          unhex(concat_ws("", transform(pix,
+            p => lpad(hex(p.cast(LongType)), 2, "0"))))).as("payload"))
+  }
+  val q195 = QuerySpec.sql(
+    "q195_video_neardups",
+    """WITH vpx AS (
+      |  SELECT doc_id, CAST(fr.f AS BIGINT) AS f, CAST(u.i AS BIGINT) AS i,
+      |    CAST((doc_id % 50 * 37 + fr.f * 17 + u.i * 11) % 151 + 10
+      |      + CASE WHEN fr.f = doc_id % 3 AND u.i = doc_id % 64 THEN 80 ELSE 0 END AS BIGINT) AS p
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) fr
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) u),
+      |vs AS (SELECT doc_id, f, SUM(p) AS sp FROM vpx GROUP BY doc_id, f),
+      |vh AS (SELECT vpx.doc_id, vpx.f,
+      |    bit_or(CASE WHEN i < 63 AND 64 * p > sp
+      |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS sig
+      |  FROM vpx JOIN vs USING (doc_id, f) GROUP BY vpx.doc_id, vpx.f),
+      |vd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(bit_count(xor(a.sig, b.sig))) AS BIGINT) AS dist
+      |  FROM vh a JOIN vh b ON a.doc_id < b.doc_id AND a.f = b.f
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dist FROM vd WHERE dist <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.ops.Multimodal.videoNearDups(videoFramesDf(s, d),
+      "asset_id", "frame_idx", "payload", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The q188 chain over an explicit corpus (mix → epochs → tokenize →
     * EOS-pack), tokenizer supplied pre-trained — ScaleCheck's trainer-
     * composition row. `budget` scales with the corpus (production: the
@@ -2242,5 +2296,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195)
 }

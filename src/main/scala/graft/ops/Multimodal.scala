@@ -357,6 +357,77 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Per-asset VIDEO signature from a frame table — the frame-extraction
+    * output shape ([[frameSampleIndices]] plans which frames to extract;
+    * a decoder materializes (asset, frame_idx, frame payload) rows; this
+    * hashes them): each sampled frame aHashes scan-side, undecodable
+    * frames drop, and the signature is the frame-index-ordered hash
+    * SEQUENCE — videos are near-dups when their aligned frames are
+    * near-dups, which survives re-encodes/level shifts exactly as
+    * [[imageNearDups]] does per frame. Output: (id, sigs: array<bigint>,
+    * n_frames). Frame payloads never ride the exchange — the per-asset
+    * aggregate carries 8-byte hashes only.
+    */
+  def videoSignatures(frames: DataFrame, idCol: String, idxCol: String,
+      payloadCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(frames.sparkSession)
+    frames
+      .select(col(idCol).as("id"), col(idxCol).as("__ix"),
+        aHash(col(payloadCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("__ix"), col("__h")))),
+        e => e.getField("__h")).as("sigs"))
+      .withColumn("n_frames", size(col("sigs")))
+  }
+
+  /** Perceptual near-duplicate VIDEO pairs over a sampled-frame table:
+    * candidates come from shared (frame position, 16-bit band) buckets —
+    * the [[imageNearDups]] banding applied PER ALIGNED FRAME — and the
+    * verify is the TOTAL Hamming distance across aligned frames.
+    * Pigeonhole recall: a pair within total distance D over k frames has
+    * some frame within floor(D/k) bits, and that frame surfaces the pair
+    * whenever floor(D/k) <= 3 (one of its four bands is untouched) — so
+    * the default maxDist = 3 is guaranteed at ANY frame count, and up to
+    * 4k-1 at k frames. Pairs with different frame counts never compare
+    * (different sampling = not alignable; resample first). Only hash
+    * sequences shuffle, never frames.
+    */
+  def videoNearDups(frames: DataFrame, idCol: String, idxCol: String,
+      payloadCol: String, maxDist: Int = 3): DataFrame = {
+    val sigs = videoSignatures(frames, idCol, idxCol, payloadCol)
+      .localCheckpoint() // per-asset hash rows, consumed by banding + verify
+    // ids-only candidate channel (the Dedup exchange discipline): the
+    // per-(pos, band) self-join carries two 8-byte ids — never the hash
+    // ARRAYS, which would otherwise ride every one of up to 4*k
+    // duplicated bucket matches per pair — and dedups before the verify
+    // joins the per-asset signatures back in once per side.
+    val banded = sigs
+      .select(col("id"), posexplode(col("sigs")).as(Seq("pos", "__h")))
+      .select(col("id"), col("pos"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("__h"), b * 16).bitwiseAND(0xFFFFL)))
+          .as(Seq("band", "band_val")))
+    val cand = banded.select(col("band"), col("band_val"), col("pos"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_val"), col("pos"),
+        col("id").as("id_b")), Seq("band", "band_val", "pos"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sigs").as("sig_a"),
+        col("n_frames").as("nf_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sigs").as("sig_b"),
+        col("n_frames").as("nf_b")), Seq("id_b"))
+      .filter(col("nf_a") === col("nf_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+          lit(0L), (acc, d) => acc + d).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Chromaprint-style WAV fingerprint column (see
     * [[graft.functions.AudioFingerprint]]).
     */

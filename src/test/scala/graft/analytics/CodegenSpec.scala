@@ -35,7 +35,7 @@ class CodegenSpec extends SparkSpec {
     // synth + native parse, six-regex audits) — loop-shaped codegen whose
     // size must stay input-width-independent
     "q137_image_neardups", "q192_audio_fingerprints",
-    "q193_audio_neardups", "q194_license_audit")
+    "q193_audio_neardups", "q194_license_audit", "q195_video_neardups")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {

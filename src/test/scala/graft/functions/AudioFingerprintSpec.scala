@@ -98,3 +98,54 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must plant near-dups")
   }
 }
+
+/** Video near-dup over sampled-frame tables: banding==brute-force,
+  * frame-count isolation, and undecodable-frame drop.
+  */
+class VideoNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pgm(pix: Array[Int]): Array[Byte] =
+    "P5\n8 8\n255\n".getBytes ++ pix.map(_.toByte)
+
+  private def frameRows(ids: Seq[Long], nFrames: Int = 3): Seq[(Long, Int, Array[Byte])] =
+    for (id <- ids; f <- 0 until nFrames) yield {
+      val pix = Array.tabulate(64)(i =>
+        (((id % 10) * 37 + f * 17 + i * 11) % 151 + 10 +
+          (if (f == id % 3 && i == (id % 64)) 80 else 0)).toInt)
+      (id, f, pgm(pix))
+    }
+
+  test("videoNearDups banding equals brute force at total dist <= 3") {
+    val rows = frameRows(0L until 80L)
+    val df = rows.toDF("asset_id", "frame_idx", "payload")
+    val banded = Multimodal.videoNearDups(df, "asset_id", "frame_idx", "payload", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)
+      .map(r => ImageAHash.compute(r._3).get)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = sigs(a).zip(sigs(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture must plant near-dups")
+  }
+
+  test("different frame counts never pair; undecodable frames drop") {
+    // asset 1: 3 identical-recipe frames; asset 2: the SAME first two
+    // frames only — aligned prefixes match bit-for-bit, but the counts
+    // differ, so no pair may emerge
+    val a1 = frameRows(Seq(100L)).map { case (_, f, p) => (1L, f, p) }
+    val a2 = a1.take(2).map { case (_, f, p) => (2L, f, p) }
+    val df = (a1 ++ a2).toDF("asset_id", "frame_idx", "payload")
+    assert(Multimodal.videoNearDups(df, "asset_id", "frame_idx", "payload", 200).isEmpty)
+    // a garbage frame drops: asset 3 = asset 1's frames plus junk -> still
+    // 3 decodable frames, so it pairs with asset 1 at distance 0
+    val a3 = a1.map { case (_, f, p) => (3L, f, p) } :+ ((3L, 9, "junk".getBytes))
+    val df2 = (a1 ++ a3).toDF("asset_id", "frame_idx", "payload")
+    val got = Multimodal.videoNearDups(df2, "asset_id", "frame_idx", "payload", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 0L)))
+  }
+}
