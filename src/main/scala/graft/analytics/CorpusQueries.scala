@@ -2052,6 +2052,35 @@ object CorpusQueries {
           .as("starts_csv"))
       .orderBy("source", "window_id")
   }
+  // q196: the trainer's actual MOUNT — one shard of the delivered table,
+  // read through the manifest-stats-pruned path (Curation.readTokenShard;
+  // files whose shard box excludes the target are never opened — the
+  // skipping receipt itself is spec-pinned, the CONTENTS are gated here).
+  // Deterministic shard choice: the smallest occupied shard id, resolved
+  // identically by both engines.
+  val q196 = QuerySpec.sql(
+    "q196_trainer_shard_read",
+    s"""WITH $duckTrainerCtes,
+      |ms AS (SELECT MIN(shard_id) AS m FROM shd8)
+      |SELECT shard_id, source, CAST(window_id AS BIGINT) AS window_id, n_docs,
+      |  CAST(len(ids) AS BIGINT) AS n_ids,
+      |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv,
+      |  COALESCE(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)), ','), '') AS starts_csv
+      |FROM shd8 CROSS JOIN ms WHERE shard_id = ms.m
+      |ORDER BY source, window_id""".stripMargin) { (s, d) =>
+    val table = trainerDeliveryFixture(s, d)
+    val minShard = graft.connect.SnapshotStore.read(s, table)
+      .agg(min(col("shard_id"))).head().getLong(0)
+    Curation.readTokenShard(s, table, minShard)._1
+      .select(col("shard_id"), col("source"), col("window_id"), col("n_docs"),
+        col("n_ids"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"),
+        concat_ws(",", transform(col("doc_starts"), x => x.cast("string")))
+          .as("starts_csv"))
+      .orderBy("source", "window_id")
+  }
+
   val q189 = QuerySpec.sql(
     "q189_trainer_shard_manifest",
     s"""WITH $duckTrainerCtes
@@ -2296,5 +2325,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196)
 }
