@@ -1100,7 +1100,7 @@ object CurationQueries {
   private val admStoreLock = new Object
   private[analytics] def admissionStoreFixture(s: SparkSession, d: String): String = {
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190_" +
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190p_" +
       Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
     admStoreLock.synchronized {
       if (graft.connect.SnapshotStore.latestVersion(s, dir) < 0) {

@@ -900,6 +900,39 @@ object Curation {
           Dedup.shingles(col(textCol), shingleK), lit(numHashes)).as("sig"))
   }
 
+  /** Per-document rare-shingle postings — the containment stage's
+    * candidate channel: one (id, h = xxhash64(shingle)) row per DISTINCT
+    * shingle per doc (shingles() windows are distinct by construction).
+    */
+  private def admissionPostings(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), shingleK)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("h"))
+  }
+
+  /** Suffix of the sibling postings table beside an admission store. */
+  private def postingsTable(table: String): String = s"${table}_postings"
+
+  /** Read `table` pinned for exactly-once replay: if `pin` and an
+    * (appId, batchId) txn already committed, read AS OF that commit's
+    * PARENT — the state the original run saw — else read latest.
+    */
+  private def readPinned(spark: org.apache.spark.sql.SparkSession,
+      table: String, appId: String,
+      batchId: Long, pin: Boolean): DataFrame = {
+    import graft.connect.SnapshotStore
+    SnapshotStore.committedVersions(spark, table)
+      .flatMap { v =>
+        val s = SnapshotStore.snapshot(spark, table, v)
+        if (s.txn.contains((appId, batchId))) Some(s.parent) else None
+      }.headOption.filter(_ => pin)
+      .map(p => SnapshotStore.read(spark, table, p))
+      .getOrElse(SnapshotStore.read(spark, table))
+  }
+
   /** Create (or fully replace) the lake-resident admission-signature
     * store from a curated corpus: ONE corpus scan computes xxhash64 +
     * MinHash per document and commits (idCol, textCol, kh, sig) as a
@@ -907,12 +940,20 @@ object Curation {
     * the streaming gate's seen-store
     * ([[graft.streaming.NearDupFilter]]), with the lake layer's
     * crash-safety and txn-stamped appends in place of the plain-parquet
-    * swap protocol. Returns the committed version.
+    * swap protocol. A SIBLING `<table>_postings` table additionally
+    * persists the rare-shingle posting channel ((id, h) rows), so the
+    * containment stage's df table and candidate join also run at delta
+    * cost — without it every delivery re-explodes the corpus text
+    * (the round-9 residual). Returns the committed main version.
     */
   def initAdmissionStore(corpus: DataFrame, idCol: String, textCol: String,
-      table: String, numHashes: Int = 64, shingleK: Int = 3): Int =
-    graft.connect.SnapshotStore.commit(corpus.sparkSession, table,
+      table: String, numHashes: Int = 64, shingleK: Int = 3): Int = {
+    val v = graft.connect.SnapshotStore.commit(corpus.sparkSession, table,
       admissionSignatures(corpus, idCol, textCol, numHashes, shingleK))
+    graft.connect.SnapshotStore.commit(corpus.sparkSession, postingsTable(table),
+      admissionPostings(corpus, idCol, textCol, shingleK))
+    v
+  }
 
   /** [[admitDelta]] against a PERSISTED admission store instead of a
     * corpus frame (VERDICT r9 #2): the per-delivery cost drops from
@@ -932,12 +973,11 @@ object Curation {
     * the q144 oracle and the q190r referee pins two-delivery store
     * extension against engine recomputation.
     *
-    * Residual corpus-sized cost: the OPT-IN containment stage still
-    * shingle-explodes the store's text per delivery
-    * ([[Dedup.crossOverlapPairs]] builds postings from text) — the
-    * exact-dup and near-dup stages, which every delivery runs, are the
-    * ones the store amortizes. Persisting rare-shingle postings is the
-    * natural extension if containment becomes a default stage.
+    * The OPT-IN containment stage reads its rare-shingle posting channel
+    * from the sibling `<table>_postings` table
+    * ([[Dedup.crossOverlapPairsFrom]]) — no per-delivery corpus shingle
+    * explode; stores created before the postings sibling existed degrade
+    * to the text path with identical results.
     */
   def admitDeltaStored(batch: DataFrame, bench: DataFrame, table: String,
       idCol: String, textCol: String, nearDupThreshold: Double = 0.5,
@@ -957,20 +997,13 @@ object Curation {
     // let appendIdempotent skip the re-extension. (Caveat: a vacuum that
     // dropped the parent pointer makes such a replay unresolvable; keep
     // the retention window longer than the scheduler's retry horizon.)
-    val replayParent = SnapshotStore.committedVersions(spark, table)
-      .flatMap { v =>
-        val s = SnapshotStore.snapshot(spark, table, v)
-        if (s.txn.contains((appId, batchId))) Some(s.parent) else None
-      }.headOption.filter(_ => extendStore)
     // NOT checkpointed: the store is already at-rest parquet, and each
     // consumer below reads a DIFFERENT projection — kh-only for the hash
     // gate, (id, sig) for banding, candidate-only text for verifies.
     // Materializing the whole frame would copy the corpus text per
     // delivery and defeat exactly the columnar pruning that makes the
     // stored path delta-cost at 100 TB.
-    val store = replayParent
-      .map(p => SnapshotStore.read(spark, table, p))
-      .getOrElse(SnapshotStore.read(spark, table))
+    val store = readPinned(spark, table, appId, batchId, extendStore)
     val predKept = ruleGate.map(batch.filter).getOrElse(batch)
     val gateKept = signalGate
       .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
@@ -1010,9 +1043,20 @@ object Curation {
       case None => afterCross
       case Some(t) =>
         val base = afterCross.localCheckpoint()
-        val contained = Dedup.crossOverlapPairs(base,
-          store.select(col(idCol), col(textCol)), idCol, textCol,
-          shingleK = 3, threshold = t)
+        // containment candidates from STORED postings when the sibling
+        // table exists (init wrote it; pre-postings stores degrade to
+        // re-exploding the store's text — same results either way, the
+        // verify compares actual candidate shingles in both paths)
+        val pt = postingsTable(table)
+        val contained = (if (SnapshotStore.latestVersion(spark, pt) >= 0)
+          Dedup.crossOverlapPairsFrom(base,
+            readPinned(spark, pt, appId, batchId, extendStore),
+            store.select(col(idCol), col(textCol)), idCol, textCol,
+            shingleK = 3, threshold = t)
+        else
+          Dedup.crossOverlapPairs(base,
+            store.select(col(idCol), col(textCol)), idCol, textCol,
+            shingleK = 3, threshold = t))
           .filter(col("n_a") <= col("n_b"))
           .select(col("id_a").as(idCol)).distinct()
         base.join(contained, Seq(idCol), "left_anti")
@@ -1021,11 +1065,20 @@ object Curation {
       textCol, shingleK = decontamK).select(col(idCol))
     val admitted = nearKept.join(contaminated, Seq(idCol), "left_anti")
       .localCheckpoint() // evaluated BEFORE the store extension below
-    if (extendStore)
+    if (extendStore) {
       SnapshotStore.appendIdempotent(spark, table,
         admissionSignatures(admitted.select(col(idCol), col(textCol)),
           idCol, textCol, numHashes = 64, shingleK = 3),
         appId, batchId)
+      // keep the posting channel complete (only when the sibling exists —
+      // a pre-postings store stays consistent with its degrade path)
+      val pt = postingsTable(table)
+      if (SnapshotStore.latestVersion(spark, pt) >= 0)
+        SnapshotStore.appendIdempotent(spark, pt,
+          admissionPostings(admitted.select(col(idCol), col(textCol)),
+            idCol, textCol, shingleK = 3),
+          appId, batchId)
+    }
     DeltaStages(gateKept, exactKept, nearKept, admitted)
   }
 }

@@ -977,14 +977,35 @@ object Dedup {
     */
   def crossOverlapPairs(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, threshold: Double = 0.8,
+      dfCap: Int = 1000): DataFrame =
+    crossOverlapPairsFrom(left,
+      right.select(col(idCol).as("__id"),
+          explode(shingles(col(textCol), shingleK)).as("__s"))
+        .select(col("__id").as(idCol), xxhash64(col("__s")).as("h")),
+      right.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleK, threshold, dfCap)
+
+  /** [[crossOverlapPairs]] against PRE-COMPUTED right-side postings —
+    * the persisted admission-store path: the historical corpus's
+    * rare-shingle posting channel ((id, h = xxhash64(shingle)) rows,
+    * distinct per doc) loads from the store instead of re-exploding the
+    * corpus text per delivery. The VERIFY still compares actual shingle
+    * STRINGS of candidate docs (text read from `rightTexts`,
+    * candidate-sized), so a hash collision costs a candidate, never
+    * correctness — stored and recomputed paths are bit-identical.
+    */
+  def crossOverlapPairsFrom(left: DataFrame, rightPostings: DataFrame,
+      rightTexts: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
       dfCap: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(left.sparkSession)
+    val right = rightTexts
     def posting(df: DataFrame) = df
       .select(col(idCol).as("__id"),
         explode(shingles(col(textCol), shingleK)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
     val lPost = posting(left)
-    val rPost = posting(right)
+    val rPost = rightPostings.select(col(idCol).as("__id"), col("h").as("__h"))
     // df over BOTH sides; >= 2 alone cannot prune (a cross pair needs one
     // occurrence per side, and within-side dups don't pair), but the
     // dfCap bound is what keeps per-key fan-out executor-sized
