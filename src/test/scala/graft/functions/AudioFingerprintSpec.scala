@@ -149,3 +149,68 @@ class VideoNearDupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 0L)))
   }
 }
+
+/** Property coverage: the native fingerprint equals an independent naive
+  * recompute across random PCM shapes (bits, channels, lengths, sample
+  * values) — scalatestplus bridge unavailable offline, Gen driven by
+  * hand (the NamesSpec discipline).
+  */
+class AudioFingerprintPropertySpec extends graft.SparkSpec {
+
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def wav(bits: Int, channels: Int, interleaved: Seq[Int]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val data = interleaved.flatMap { v =>
+      if (bits == 8) Seq(v.toByte) else le16(v & 0xffff).toSeq
+    }.toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(8000) ++ le32(8000 * bytesPer * channels) ++
+      le16(bytesPer * channels) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+  private def referee(v: Array[Int]): Long = {
+    val lags = Array(1, 2, 4, 8)
+    var sig = 0L
+    for (b <- 0 until 4) {
+      val k = lags(b)
+      val e = (0 until 16).map { f =>
+        val (f0, f1) = (f * v.length / 16, (f + 1) * v.length / 16)
+        (f0 + k until f1).map(j => math.abs(v(j) - v(j - k)).toLong).sum
+      }
+      val t = e.sum
+      for (f <- 0 until 16; bit = 16 * b + f
+           if bit < 63 && 16L * e(f) > t) sig |= 1L << bit
+    }
+    sig
+  }
+
+  test("property: fingerprint == referee over random PCM shapes") {
+    val gen = for {
+      bits <- Gen.oneOf(8, 16)
+      channels <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 400)
+      samples <- Gen.listOfN(n * channels,
+        if (bits == 8) Gen.choose(0, 255) else Gen.choose(-32768, 32767))
+    } yield (bits, channels, n, samples)
+    var seed = Seed(7L)
+    (1 to 200).foreach { _ =>
+      val (bits, channels, n, samples) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val payload = wav(bits, channels, samples)
+      val ch0 = (0 until n).map(j =>
+        if (bits == 8) samples(j * channels) - 128 else samples(j * channels)).toArray
+      val got = AudioFingerprint.compute(payload)
+      assert(got.contains(referee(ch0)),
+        s"bits=$bits ch=$channels n=$n -> $got")
+      assert(got.get >= 0L, "bit 63 must stay clear")
+    }
+  }
+}

@@ -157,6 +157,27 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt(2L) == s"$robot $robot")
   }
 
+  test("detokenize fails loudly on ids beyond the byte page (specials leak)") {
+    // an EOS/special id (>= byteBase + 256) reaching detokenize is a
+    // caller bug — a packed window leaked into a doc-stream decode. The
+    // advisor-r9 guard must FAIL the query, not silently decode the id
+    // modulo 256 as a wrapped byte.
+    val vocab = Seq(("ab", 3L)).toDF("word", "c")
+    val merges = Bpe.trainFromCounts(vocab, nMerges = 1, minCount = 1)
+    val ids = Bpe.vocabulary(vocab, merges)
+    val eos = Bpe.byteBase(ids) + 256L
+    val leaked = Seq((1L, Seq(eos))).toDF("doc_id", "token_ids")
+    val e = intercept[Exception] { Bpe.detokenize(leaked, ids).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("beyond byte page")),
+      s"wrong failure: ${e.getMessage}")
+    // a VALID byte id inside the page still decodes (guard is strict >=)
+    val inPage = Seq((1L, Seq(Bpe.byteBase(ids) + 'a'.toLong)))
+      .toDF("doc_id", "token_ids")
+    assert(Bpe.detokenize(inPage, ids).collect().head.getString(1) == "a")
+  }
+
   test("property: tokenize then detokenize round-trips random mixed-script text byte-exactly") {
     // random words over ASCII + accented latin + CJK + non-BMP emoji,
     // against a vocabulary trained on an UNRELATED tiny corpus — the
