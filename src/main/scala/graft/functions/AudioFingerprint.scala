@@ -94,7 +94,11 @@ object AudioFingerprint {
     while (i + 8 <= b.length) {
       val t = tag(i)
       val len = le32(i + 4)
-      if (len < 0 || i + 8 + len > b.length) return None
+      // overflow-safe bound (advisor r10): `i + 8 + len` wraps negative for
+      // len near 2^31 and would pass a direct `> b.length` test, then drive
+      // a multi-GB allocation below; the subtraction form can't overflow
+      // because the loop condition guarantees b.length - i - 8 >= 0
+      if (len < 0 || len > b.length - i - 8) return None
       t match {
         case "fmt " =>
           if (len < 16 || le16(i + 8) != 1) return None // integer PCM only

@@ -26,7 +26,9 @@ object AviHeaders {
     while (i + 8 <= b.length) {
       val t = tag(b, i)
       val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return null
+      // subtraction form: `i + 8 + len` overflows Int for len near 2^31
+      // and would pass a direct comparison (advisor r10)
+      if (len < 0 || len > b.length - i - 8) return null
       if (t == "LIST" && len >= 4 && tag(b, i + 8) == "hdrl") {
         // scan the hdrl list's children for the avih chunk
         var j = i + 12
@@ -34,7 +36,7 @@ object AviHeaders {
         while (j + 8 <= end) {
           val ct = tag(b, j)
           val clen = le32(b, j + 4)
-          if (clen < 0 || j + 8 + clen > end) return null
+          if (clen < 0 || clen > end - j - 8) return null // same overflow-safe form
           if (ct == "avih") {
             if (clen < 40) return null
             val usPerFrame = le32(b, j + 8)

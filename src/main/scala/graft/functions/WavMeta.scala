@@ -32,7 +32,9 @@ object WavHeaders {
     while (i + 8 <= b.length) {
       val t = tag(b, i)
       val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return null
+      // subtraction form: `i + 8 + len` overflows Int for len near 2^31
+      // and would pass a direct comparison (advisor r10)
+      if (len < 0 || len > b.length - i - 8) return null
       t match {
         case "fmt " =>
           if (len < 16 || le16(b, i + 8) != 1) return null // integer PCM only

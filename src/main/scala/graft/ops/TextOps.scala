@@ -432,6 +432,14 @@ object TextOps {
   val PrivKeyRe: String =
     "-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\\n\\r]*-----END [A-Z ]*PRIVATE KEY-----"
   val AwsKeyRe: String = "\\bAKIA[0-9A-Z]{16}\\b"
+  // Documented edge (advisor r10): the leading \b is inert when the run
+  // starts with '+'/'/' (the match then begins at the first alnum, leaving
+  // those lead chars unredacted), and there is no trailing boundary, so a
+  // 41-char run inside a longer word still matches. Both engines share
+  // the pattern verbatim, so this is a redaction-strength choice, not an
+  // oracle risk; a full fix needs a capture-group anchor whose REPLACE
+  // backreference syntax differs between Spark ($1) and DuckDB (\1) — out
+  // of the shared-SQL subset the scrub oracles rely on.
   val B64TokenRe: String = "\\b[A-Za-z0-9+/]{40,}={0,2}"
   val HexTokenRe: String = "\\b[0-9a-fA-F]{32,}\\b"
 
@@ -484,10 +492,13 @@ object TextOps {
 
   /** Scan-side license/provenance signals: first SPDX id, first CC mark,
     * dated-copyright count, rights-reserved flag, canary GUID, and the
-    * derived `license_class` (restricted > permissive > copyleft >
-    * unknown, in THAT precedence — an NC/ND mark or a bare
-    * all-rights-reserved notice restricts regardless of other marks).
-    * Pure projection, zero shuffle; every rule replays in the oracle.
+    * derived `license_class`. Precedence (the policy LicenseSignalsSpec
+    * pins): an NC/ND CC mark restricts regardless of other marks; next
+    * an explicit grant classifies (permissive, then copyleft); an
+    * all-rights-reserved notice restricts only when NO explicit grant is
+    * present (a boilerplate footer must not override a real SPDX id);
+    * else unknown. Pure projection, zero shuffle; every rule replays in
+    * the oracle.
     */
   def licenseSignals(text: Column): Seq[(String, Column)] = {
     val spdx = regexp_extract(text, SpdxRe, 1)

@@ -77,6 +77,33 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(AudioFingerprint.compute(wav(8, 1, Seq.empty)).isEmpty)
   }
 
+  test("adversarial chunk lengths fingerprint to null, never crash") {
+    // A crafted 'data' length near 2^31 used to wrap `i + 8 + len`
+    // negative, pass the bounds check, and attempt a multi-GB allocation
+    // (advisor r10). Every malformed shape must return None, not throw.
+    val header = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val hugeData = header ++ "data".getBytes ++ le32(0x7FFFFFF6) ++
+      Array.fill(8)(1.toByte)
+    assert(AudioFingerprint.compute(hugeData).isEmpty)
+    assert(WavHeaders.parse(hugeData) == null)
+    // huge length on a NON-data chunk: the skip `i += 8 + len` went
+    // negative before the fix
+    val hugeSkip = header ++ "LIST".getBytes ++ le32(0x7FFFFFF0) ++
+      Array.fill(8)(0.toByte)
+    assert(AudioFingerprint.compute(hugeSkip).isEmpty)
+    assert(WavHeaders.parse(hugeSkip) == null)
+    // AVI: huge outer chunk and huge hdrl child length
+    val aviHuge = "RIFF".getBytes ++ le32(0x7FFFFFF0) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(0x7FFFFFE0) ++ "hdrl".getBytes
+    assert(AviHeaders.parse(aviHuge) == null)
+    val aviChild = "RIFF".getBytes ++ le32(64) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(20) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le32(0x7FFFFFE0) ++ Array.fill(8)(0.toByte)
+    assert(AviHeaders.parse(aviChild) == null)
+  }
+
   test("audioNearDups banding equals brute force at dist <= 3") {
     // planted groups: same base waveform per group, one perturbed sample
     // per member (the q192/q193 fixture shape, smaller)
