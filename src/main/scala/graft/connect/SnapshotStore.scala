@@ -424,6 +424,49 @@ object SnapshotStore {
     else { append(spark, table, df, txn = Some((appId, batchId))); true }
   }
 
+  /** The version a REPLAY of (appId, batchId) must read: the txn commit's
+    * PARENT — the exact state the original run saw. None when the txn
+    * never committed (first run: read latest). Raises loudly (VERDICT r10
+    * #3) instead of silently degrading when [[vacuum]] has made the
+    * replay unresolvable, in either shape:
+    *
+    *  - the txn's own pointer was dropped (its watermark survives in the
+    *    sidecar, so the commit is KNOWN to have happened, but which state
+    *    it saw is gone) — before this guard a replay would read LATEST
+    *    and, for an admission store, exact-drop every batch doc against
+    *    its own stored copy: an empty result with no error;
+    *  - the pointer survives but its parent's pointer was dropped.
+    *
+    * The watermark check is conservative by design: `batchId <=
+    * watermark` is exactly [[appendIdempotent]]'s already-committed
+    * test, so any replay the append path would skip resolves or raises
+    * here — never reads a state that contains its own rows.
+    */
+  def replayParent(spark: SparkSession, table: String,
+      appId: String, batchId: Long): Option[Int] = {
+    val live = committedVersions(spark, table)
+    live.flatMap { v =>
+      val s = snapshot(spark, table, v)
+      if (s.txn.contains((appId, batchId))) Some(s) else None
+    }.headOption match {
+      case Some(s) =>
+        if (s.parent >= 0 && !live.contains(s.parent))
+          throw new IllegalStateException(
+            s"replay of ($appId, $batchId) on $table needs parent version " +
+              s"${s.parent}, which was vacuumed — keep the retention window " +
+              "longer than the scheduler's retry horizon")
+        Some(s.parent)
+      case None =>
+        if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+          throw new IllegalStateException(
+            s"($appId, $batchId) already committed on $table but its pointer " +
+              "was vacuumed: the pre-commit state a replay must read is " +
+              "unrecoverable (reading latest would compare every row against " +
+              "its own stored copy)")
+        None
+    }
+  }
+
   // -------------------------------------------------------------- reads
 
   private def filePaths(spark: SparkSession, m: DataFrame): Seq[String] =
@@ -713,7 +756,8 @@ object SnapshotStore {
     * windows).
     */
   def vacuum(spark: SparkSession, table: String, keepFrom: Int,
-      retainMs: Long = DefaultVacuumRetainMs): Int = {
+      retainMs: Long = DefaultVacuumRetainMs,
+      dropReplayPins: Boolean = false): Int = {
     val fs = fsOf(spark, table)
     val latest = latestVersion(spark, table)
     require(keepFrom >= 0 && keepFrom <= latest, s"keepFrom out of range 0..$latest")
@@ -722,6 +766,19 @@ object SnapshotStore {
     def retained(modTime: Long): Boolean = retainMs > 0 && modTime >= cutoff
     val kept = committedVersions(spark, table).filter(_ >= keepFrom)
       .map(snapshot(spark, table, _))
+    // Replay-pin retention check (VERDICT r10 #3): a SURVIVING txn commit
+    // is replayable only while its parent pointer survives ([[replayParent]]
+    // reads the parent — the state the original run saw). Refuse a keepFrom
+    // that would orphan one unless the caller explicitly accepts breaking
+    // those replays. (Txns on versions dropped ENTIRELY are folded into the
+    // watermark sidecar below; their replays raise in replayParent.)
+    val orphaned = kept.filter(s =>
+      s.txn.nonEmpty && s.parent >= 0 && s.parent < keepFrom)
+    require(dropReplayPins || orphaned.isEmpty,
+      s"vacuum(keepFrom=$keepFrom) would drop the parent versions of " +
+        s"replayable txn commits ${orphaned.map(s => s"v${s.version}=${s.txn.get}").mkString(", ")} " +
+        s"on $table; lower keepFrom to ${orphaned.map(_.parent).min} or pass " +
+        "dropReplayPins = true to break those replays deliberately")
     val referenced = kept.flatMap(s =>
         filePaths(spark, spark.read.parquet(s.manifestDir))).toSet
     val keptManifests = kept.map(_.manifestDir.split('/').last).toSet

@@ -419,6 +419,49 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ops == "create" +: Seq.fill(6)("append"))
   }
 
+  test("vacuum refuses to orphan replay pins; forced vacuum makes replayParent raise") {
+    val t = mkTable("snap-replay-pins")
+    SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))
+    assert(SnapshotStore.appendIdempotent(spark, t,
+      docs(30).filter($"id" >= 10 && $"id" < 20), "appA", 1L)) // v1, parent 0
+    assert(SnapshotStore.appendIdempotent(spark, t,
+      docs(30).filter($"id" >= 20), "appA", 2L)) // v2, parent 1
+    // first run of a NEVER-committed batch resolves to None (read latest)
+    assert(SnapshotStore.replayParent(spark, t, "appA", 3L).isEmpty)
+    // a live txn's replay reads its parent
+    assert(SnapshotStore.replayParent(spark, t, "appA", 2L).contains(1))
+    // ANY keepFrom > 0 here orphans a surviving txn's parent (v1's parent
+    // is v0, v2's is v1) — the retention check refuses both
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(spark, t, keepFrom = 1, retainMs = 0)
+    }
+    assert(e.getMessage.contains("dropReplayPins"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(spark, t, keepFrom = 2, retainMs = 0)
+    }
+    // forced through: (appA, 1)'s parent v0 is gone -> its replay raises;
+    // (appA, 2)'s parent v1 survives -> its replay still resolves
+    SnapshotStore.vacuum(spark, t, keepFrom = 1, retainMs = 0,
+      dropReplayPins = true)
+    intercept[IllegalStateException] {
+      SnapshotStore.replayParent(spark, t, "appA", 1L)
+    }
+    assert(SnapshotStore.replayParent(spark, t, "appA", 2L).contains(1))
+    // forcing keepFrom = 2 drops v1 entirely: (appA, 1)'s watermark
+    // survives in the sidecar so its replay still RAISES (never silently
+    // reads a state containing its own rows), and (appA, 2) now raises too
+    SnapshotStore.vacuum(spark, t, keepFrom = 2, retainMs = 0,
+      dropReplayPins = true)
+    intercept[IllegalStateException] {
+      SnapshotStore.replayParent(spark, t, "appA", 1L)
+    }
+    intercept[IllegalStateException] {
+      SnapshotStore.replayParent(spark, t, "appA", 2L)
+    }
+    // non-replay reads are unaffected
+    assert(SnapshotStore.read(spark, t).count() == 30)
+  }
+
   test("concurrent commit on the same version: second writer loses") {
     val t = mkTable("snap-race")
     SnapshotStore.commit(spark, t, docs(10), statsCols = Seq("id"))

