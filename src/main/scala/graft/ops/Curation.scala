@@ -1010,6 +1010,31 @@ object Curation {
     v
   }
 
+  /** Maintenance companion to the admission store (VERDICT r10 #7):
+    * every delivery appends one small file set to the main table and its
+    * postings sibling, so after months of daily batches each store read
+    * pays an ever-growing listing + small-file scan. This folds the small
+    * files of BOTH tables through [[graft.connect.SnapshotStore.compact]]
+    * — a rewrite-only commit that changes no rows and drops no pointers,
+    * so every replay pin ([[graft.connect.SnapshotStore.replayParent]])
+    * keeps resolving: pinned replays read pre-compaction versions whose
+    * manifests still reference the original files (compaction never
+    * deletes; only [[graft.connect.SnapshotStore.vacuum]] does, and it
+    * has its own retention check). Returns the new (main, postings)
+    * versions; a postings version of -1 means no sibling exists.
+    */
+  def compactAdmissionStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, smallBytes: Long = 64L << 20,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    import graft.connect.SnapshotStore
+    val v = SnapshotStore.compact(spark, table, smallBytes, targetBytes)
+    val pt = postingsTable(table)
+    val pv = if (SnapshotStore.latestVersion(spark, pt) >= 0)
+      SnapshotStore.compact(spark, pt, smallBytes, targetBytes)
+    else -1
+    (v, pv)
+  }
+
   /** [[admitDelta]] against a PERSISTED admission store instead of a
     * corpus frame (VERDICT r9 #2): the per-delivery cost drops from
     * corpus-sized (recompute xxhash64 + MinHash over the whole corpus

@@ -603,6 +603,48 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("postings"))
   }
 
+  test("admission store compaction: deliveries compact without breaking replay pins") {
+    val (corpus, bench, _) = admissionFixture
+    val dir = tmpDir("admstore-compact") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    def deliver(batchId: Long, rows: (Long, String)*) =
+      Curation.admitDeltaStored(rows.toDF("doc_id", "text"), bench, dir,
+        "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+        appId = "compactSpec", batchId = batchId)
+        .admitted.select("doc_id").as[Long].collect().toSet
+    assert(deliver(1L,
+      11L -> "first wave doc about mountains and rivers flowing north") == Set(11L))
+    assert(deliver(2L,
+      12L -> "second wave doc regarding deserts and dunes shifting east") == Set(12L))
+    assert(deliver(3L,
+      13L -> "third wave doc concerning forests and canopies spreading wide") == Set(13L))
+    import graft.connect.SnapshotStore
+    def nFiles(t: String) =
+      SnapshotStore.manifest(spark, t, SnapshotStore.latestVersion(spark, t)).count()
+    val (filesBefore, postBefore) = (nFiles(dir), nFiles(s"${dir}_postings"))
+    val content = SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    // fold everything (tiny test files are all "small")
+    val (v, pv) = Curation.compactAdmissionStore(spark, dir,
+      smallBytes = Long.MaxValue)
+    assert(v >= 0 && pv >= 0)
+    assert(nFiles(dir) < filesBefore && nFiles(s"${dir}_postings") < postBefore)
+    // rewrite-only: rows unchanged on both tables
+    assert(SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == content)
+    // a REPLAY of delivery 2 still resolves its pre-commit pin and does
+    // not grow the store (the q190r discipline, post-compaction)
+    val vBefore = SnapshotStore.latestVersion(spark, dir)
+    assert(deliver(2L,
+      12L -> "second wave doc regarding deserts and dunes shifting east") == Set(12L))
+    assert(SnapshotStore.latestVersion(spark, dir) == vBefore)
+    // the compacted POSTINGS channel still feeds containment: a doc
+    // contained in delivery 2's admission drops, a novel one lands
+    assert(deliver(4L,
+      14L -> "deserts and dunes shifting",
+      15L -> "wholly unrelated topic on astronomy telescopes observing") == Set(15L))
+  }
+
   test("admitDeltaStored replay after a forced vacuum raises, never returns empty") {
     val (corpus, bench, batch) = admissionFixture
     val dir = tmpDir("admstore-vacuum") + "/store"
