@@ -422,6 +422,24 @@ object ScaleCheck {
             containment = Some(0.8), decontamK = 5, ruleGate = gate,
             appId = "scale", batchId = 1L).admitted)
       }
+      // unified streaming gate against the SAME store kind (VERDICT r10
+      // #1's "done" row): store fixed (built from the 1x corpus outside
+      // the timer), trigger delta grows — per-trigger cost must stay
+      // delta-bounded plus one broadcast-probed pass over stored
+      // signatures (the store side never shuffles).
+      if (only.forall("stream_gate_stored".contains)) {
+        val corpusFixed = corpusOf(docs1).localCheckpoint()
+        val storeBase = java.nio.file.Files.createTempDirectory("graft_scale_sgstore")
+        ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/g1")
+        ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/gN")
+        run("stream_gate_stored",
+          graft.streaming.NearDupFilter.processBatchStored(batchOf(docs1),
+            s"$storeBase/g1", "doc_id", "text", threshold = 0.8,
+            appId = "scale", batchId = 1L),
+          graft.streaming.NearDupFilter.processBatchStored(batchOf(docsNd),
+            s"$storeBase/gN", "doc_id", "text", threshold = 0.8,
+            appId = "scale", batchId = 1L))
+      }
     }
     // JL-projection recall: corpus up, probe set fixed (the realistic
     // growth mode, like bm25/pq) — both rankings are broadcast crosses of

@@ -1005,9 +1005,12 @@ object CurationQueries {
   // channels are invisible to the result by the verify-stage argument.
   // q144 gates the admitted ROWS; q145 gates the funnel COUNTS off the
   // same CTE chain (engine side: the same DeltaStages instance shape).
-  private def deltaCtes: String =
-    s"""bat AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
-      |cor AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+  // parameterized on the batch/corpus populations so q197's interleaved
+  // two-gate sequence can replay the SAME chain with the streaming leg's
+  // deliveries folded into the corpus side
+  private[analytics] def deltaCtesFor(batSql: String, corSql: String): String =
+    s"""bat AS ($batSql),
+      |cor AS ($corSql),
       |ben AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
       |${LlmQueries.gopherSignalCtes("bat", "g")},
       |b0 AS (SELECT bat.doc_id, bat.source, bat.text FROM bat
@@ -1051,6 +1054,10 @@ object CurationQueries {
       |b5 AS (SELECT DISTINCT unnest(${duckShK95(5)}) AS sh FROM tb5),
       |adm AS (SELECT * FROM n3 WHERE doc_id NOT IN
       |  (SELECT DISTINCT s5.doc_id FROM s5 JOIN b5 USING (sh)))""".stripMargin
+
+  private def deltaCtes: String = deltaCtesFor(
+    "SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
 
   // build-once memo (the defaultStages/bpeTrained discipline): q144 and
   // q145 are two VIEWS of one DeltaStages chain — rows and stage counts —
@@ -1127,6 +1134,148 @@ object CurationQueries {
       ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)),
       appId = "graft_q190", batchId = 1L)
       .admitted.select("doc_id", "source").orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q197
+  // UNIFIED two-gate admission (VERDICT r10 #1): ONE lake-resident
+  // admission store consumed and extended by BOTH gates, exercised as the
+  // full interleaved sequence a production corpus actually sees —
+  //
+  //   init(corpus) → STREAMING leg 1 (real multi-batch run, 2 triggers,
+  //   NearDupFilter.processBatchStored at jaccard >= 0.8; every row
+  //   enters the store as SEEN) → BATCH delivery (admitDeltaStored, the
+  //   full q144 stage stack, corpus side = store = corpus ∪ leg-1 rows)
+  //   → STREAMING leg 2 (sees corpus ∪ leg-1 rows ∪ batch admissions).
+  //
+  // The oracle replays the whole interleave in one DuckDB query: leg 1's
+  // closed form (reject iff a corpus near-dup at ANY id — the store is
+  // settled prior content — or a smaller-id near-dup within the leg),
+  // the q144 chain verbatim with the corpus CTE swapped to
+  // corpus ∪ leg-1, and leg 2's closed form over the tri-source seen
+  // set. A missed store extension by either gate, a banding recall gap,
+  // or a wrong seen-set for ANY stage hash-fails the whole entry.
+  private def withStreamingPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+  private def q197Jac(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat($a.sh, $b.sh))) >= 0.8""".stripMargin
+  val q197 = QuerySpec.sql(
+    "q197_unified_admission",
+    s"""WITH s1d AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 0),
+      |s2d AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 2),
+      |corb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |ts1 AS (SELECT doc_id, $duckToks95 AS toks FROM s1d),
+      |us1 AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM ts1),
+      |tcb AS (SELECT doc_id, $duckToks95 AS toks FROM corb),
+      |ucb AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM tcb),
+      |rj1 AS (
+      |  SELECT DISTINCT a.doc_id FROM us1 a CROSS JOIN ucb c
+      |  WHERE ${q197Jac("a", "c")}
+      |  UNION
+      |  SELECT DISTINCT b.doc_id FROM us1 a JOIN us1 b ON a.doc_id < b.doc_id
+      |  WHERE ${q197Jac("a", "b")}),
+      |ad1 AS (SELECT doc_id FROM s1d
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM rj1)),
+      |${deltaCtesFor(
+        "SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 1",
+        "SELECT doc_id, text FROM corb UNION ALL SELECT doc_id, text FROM s1d")},
+      |se2 AS (SELECT doc_id, text FROM corb
+      |  UNION ALL SELECT doc_id, text FROM s1d
+      |  UNION ALL SELECT doc_id, text FROM adm),
+      |ts2 AS (SELECT doc_id, $duckToks95 AS toks FROM s2d),
+      |us2 AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM ts2),
+      |te2 AS (SELECT doc_id, $duckToks95 AS toks FROM se2),
+      |ue2 AS (SELECT doc_id, ${duckShK95(3)} AS sh FROM te2),
+      |rj2 AS (
+      |  SELECT DISTINCT a.doc_id FROM us2 a CROSS JOIN ue2 c
+      |  WHERE ${q197Jac("a", "c")}
+      |  UNION
+      |  SELECT DISTINCT b.doc_id FROM us2 a JOIN us2 b ON a.doc_id < b.doc_id
+      |  WHERE ${q197Jac("a", "b")}),
+      |ad2 AS (SELECT doc_id FROM s2d
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM rj2))
+      |SELECT doc_id, gate FROM (
+      |  SELECT doc_id, 's1' AS gate FROM ad1
+      |  UNION ALL SELECT doc_id, 'batch' AS gate FROM adm
+      |  UNION ALL SELECT doc_id, 's2' AS gate FROM ad2)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import java.nio.file.{Files, Path}
+    val docs = Tables.documents(s, d)
+    val third = pmod(col("doc_id"), lit(3)) === 0
+    val sub = pmod(expr("doc_id div 3"), lit(3))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    // input chunk fixtures (2 id-range files per leg, ascending mtimes) —
+    // pure functions of the source, cached per sf dir like q108's
+    def chunkDir(leg: Int): String = {
+      val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_q197_leg${leg}_" +
+        Integer.toHexString(d.hashCode)
+      val marker = Path.of(inDir, "_complete")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(Path.of(inDir))
+        val legDf = docs.filter(third && sub === (if (leg == 1) 0 else 2))
+          .select("doc_id", "text")
+        val maxId = legDf.agg(max("doc_id")).head().getLong(0)
+        (0 until 2).foreach { k =>
+          val slice = legDf.filter(floor(col("doc_id") * 2 / (maxId + 1)) === k)
+          val tmp = Files.createTempDirectory("graft_q197_slice").toString
+          slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Path.of(tmp)).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = Path.of(inDir, f"chunk_$k%02d.parquet")
+          Files.move(part, dest)
+          dest.toFile.setLastModified(1000000000000L + k * 60000L)
+        }
+        Files.writeString(marker, "ok")
+      }
+      inDir
+    }
+    // the store is per-RUN (the sequence must start from exactly corpus)
+    val store = Files.createTempDirectory("graft_q197_store").toString + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", store)
+    def streamLeg(leg: Int, appId: String): org.apache.spark.sql.DataFrame = {
+      val inDir = chunkDir(leg)
+      val outDir = Files.createTempDirectory(s"graft_q197_out$leg").toString
+      val ckpt = Files.createTempDirectory(s"graft_q197_ckpt$leg").toString
+      val schema = s.read.parquet(s"$inDir/chunk_00.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      withStreamingPartitions(s, 8) {
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.streaming.NearDupFilter
+              .processBatchStored(batch, store, "doc_id", "text",
+                threshold = 0.8, appId = appId, batchId = batchId)
+              .select("doc_id")
+              .write.mode("append").parquet(outDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir)
+    }
+    val ad1 = streamLeg(1, "graft_q197_s1")
+    val batchAdm = Curation.admitDeltaStored(
+      docs.filter(third && sub === 1), bench, store,
+      "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+      decontamK = 5,
+      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)),
+      appId = "graft_q197_b", batchId = 1L).admitted
+    val ad2 = streamLeg(2, "graft_q197_s2")
+    ad1.select(col("doc_id"), lit("s1").as("gate"))
+      .unionByName(batchAdm.select(col("doc_id"), lit("batch").as("gate")))
+      .unionByName(ad2.select(col("doc_id"), lit("s2").as("gate")))
+      .orderBy("doc_id")
   }
 
   val q145 = QuerySpec.sql(
@@ -1271,5 +1420,5 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166, q170, q187, q190)
+    q131, q144, q145, q165, q166, q170, q187, q190, q197)
 }

@@ -895,7 +895,7 @@ object Curation {
     * exactly) — the property that lets [[admitDeltaStored]] substitute
     * the store for the per-delivery corpus rescan.
     */
-  private def admissionSignatures(df: DataFrame, idCol: String,
+  private[graft] def admissionSignatures(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.filter(col(textCol).isNotNull)
@@ -909,7 +909,7 @@ object Curation {
     * candidate channel: one (id, h = xxhash64(shingle)) row per DISTINCT
     * shingle per doc (shingles() windows are distinct by construction).
     */
-  private def admissionPostings(df: DataFrame, idCol: String,
+  private[graft] def admissionPostings(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.filter(col(textCol).isNotNull)
@@ -919,7 +919,7 @@ object Curation {
   }
 
   /** Suffix of the sibling postings table beside an admission store. */
-  private def postingsTable(table: String): String = s"${table}_postings"
+  private[graft] def postingsTable(table: String): String = s"${table}_postings"
 
   /** Read `table` pinned for exactly-once replay: if `pin` and an
     * (appId, batchId) txn already committed, read AS OF that commit's
@@ -964,7 +964,7 @@ object Curation {
     * before the sidecar existed (those were always built with the
     * defaults, so consumers fall back to 64/16/3).
     */
-  private[ops] def readAdmissionMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readAdmissionMeta(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[(Int, Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(table, "admission_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -198,4 +198,62 @@ class StreamingSpec extends SparkSpec {
     assert(admit(a) == Set(10L))  // arrives first, admitted (cannot retract)
     assert(admit(b) == Set(3L))   // smaller id: the seen.id < new.id guard protects it
   }
+
+  test("processBatchStored: one store serves both gates, replays pin, postings extend") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.connect.SnapshotStore
+    import graft.ops.Curation
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river today"),
+      (101L, "unrelated corpus material about query planning and exchanges")
+    ).toDF("doc_id", "text")
+    val bench = Seq((999L, "held out benchmark phrase")).toDF("doc_id", "text")
+    val dir = tmpDir("unified-store") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    def stream(batchId: Long, rows: (Long, String)*): Set[Long] =
+      NearDupFilter.processBatchStored(rows.toDF("doc_id", "text"), dir,
+        "doc_id", "text", threshold = 0.5, appId = "unifiedSpec", batchId = batchId)
+        .select("doc_id").as[Long].collect().toSet
+    // streaming leg 1: 1 near-dups a LARGER-id corpus doc (100) -> rejected
+    // against the settled store regardless of id; 2 is novel -> admitted
+    assert(stream(1L,
+      1L -> "the quick brown fox jumps over the lazy dog near the river tonight",
+      2L -> "fresh streaming content on watermark semantics entirely") == Set(2L))
+    // batch leg on the SAME store: a near-dup of streaming doc 2 must be
+    // seen (the unification point) and dropped; a novel doc admitted
+    val st = Curation.admitDeltaStored(Seq(
+      (10L, "fresh streaming content on watermark semantics entirely now"),
+      (11L, "wholly new batch material regarding broadcast thresholds")
+    ).toDF("doc_id", "text"), bench, dir, "doc_id", "text",
+      nearDupThreshold = 0.5, appId = "unifiedSpecBatch", batchId = 1L)
+    assert(st.admitted.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // streaming leg 2 sees the batch admission: a near-dup of batch doc 11
+    // is rejected, proving the flow back into the streaming gate
+    assert(stream(2L,
+      20L -> "wholly new batch material regarding broadcast thresholds here",
+      21L -> "and a final novel streaming document about state stores") == Set(21L))
+    // replay of streaming batch 1 pins the pre-commit state: identical
+    // admitted set, no store growth (rejected doc 1 was stored as SEEN and
+    // must not self-match on the replay)
+    val v = SnapshotStore.latestVersion(spark, dir)
+    assert(stream(1L,
+      1L -> "the quick brown fox jumps over the lazy dog near the river tonight",
+      2L -> "fresh streaming content on watermark semantics entirely") == Set(2L))
+    assert(SnapshotStore.latestVersion(spark, dir) == v)
+    // SEEN semantics: rejected doc 1's text entered the store, so an exact
+    // re-delivery under a new id is rejected too
+    assert(stream(3L,
+      30L -> "the quick brown fox jumps over the lazy dog near the river tonight")
+      == Set.empty)
+    // the postings sibling grew with the main table (containment channel
+    // complete over streaming-delivered docs)
+    val pt = dir + "_postings"
+    val storedIds = SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val postIds = SnapshotStore.read(spark, pt)
+      .select("doc_id").as[Long].collect().toSet
+    assert(storedIds == postIds)
+    assert(Set(1L, 2L, 11L, 20L, 21L, 30L).subsetOf(storedIds))
+  }
 }
