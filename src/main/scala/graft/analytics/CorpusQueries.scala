@@ -2300,6 +2300,75 @@ object CorpusQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- q198
+  // Resampled video near-dups (VERDICT r10 #4): the most common real
+  // video duplicate is a RE-ENCODE sampled at a different rate, which
+  // fixed-position alignment can never pair. Fixture: each doc is a clip
+  // of 2 content frames sampled at rate r = 1 or 2 (so 2 or 4 physical
+  // frames; frame j shows content floor(j/r)), same-group docs share the
+  // content with ONE perturbed pixel per doc (the q195 planting), and
+  // every 5th doc carries an extra UNDECODABLE frame (exercising the
+  // drop-then-rank path). Both rates resample to k = 2 canonical
+  // positions (rank floor(p*n/k) over decoded frames), so a clip and its
+  // double-rate copy land on identical content frames and pair at the
+  // perturbation distance. The oracle recomputes every pixel, replays
+  // aHash, applies the SAME rank arithmetic, and brute-forces all pairs
+  // — the two-half pigeonhole (dist <= 3, k = 2 => best frame <= 1 flip
+  // => one untouched 32-bit half) makes the banding invisible.
+  private def videoRateFramesDf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val g = pmod(col("doc_id"), lit(25))
+    val base = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__r", pmod(expr("doc_id div 25"), lit(2)) + 1)
+    val pix = transform(sequence(lit(0), lit(63)), i =>
+      pmod(g * 37 + col("__c") * 17 + i * 11, lit(151)) + 10 +
+        when(col("__c") === pmod(col("doc_id"), lit(2)) &&
+          i === pmod(col("doc_id"), lit(64)), 80).otherwise(0))
+    val real = base
+      .withColumn("frame_idx", explode(sequence(lit(0), col("__r") * 2 - 1)))
+      .withColumn("__c", expr("frame_idx div __r"))
+      .select(col("doc_id").as("asset_id"), col("frame_idx"),
+        concat(lit("P5\n8 8\n255\n").cast(BinaryType),
+          unhex(concat_ws("", transform(pix,
+            p => lpad(hex(p.cast(LongType)), 2, "0"))))).as("payload"))
+    val junk = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id").as("asset_id"), (col("__r") * 2).as("frame_idx"),
+        lit("JUNK").cast(BinaryType).as("payload"))
+    real.unionByName(junk)
+  }
+  val q198 = QuerySpec.sql(
+    "q198_video_resampled_neardups",
+    """WITH par AS (SELECT doc_id, doc_id % 25 AS g,
+      |    1 + (doc_id // 25) % 2 AS r FROM documents),
+      |vfr AS (SELECT doc_id, g, r, CAST(u.j AS BIGINT) AS j
+      |  FROM par, unnest(generate_series(0, 2 * r - 1)) AS u(j)),
+      |vpx8 AS (SELECT doc_id, j, CAST(u.i AS BIGINT) AS i,
+      |    CAST((g * 37 + (j // r) * 17 + u.i * 11) % 151 + 10
+      |      + CASE WHEN (j // r) = doc_id % 2 AND u.i = doc_id % 64
+      |        THEN 80 ELSE 0 END AS BIGINT) AS p
+      |  FROM vfr CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) u),
+      |vs8 AS (SELECT doc_id, j, SUM(p) AS sp FROM vpx8 GROUP BY doc_id, j),
+      |vh8 AS (SELECT vpx8.doc_id, vpx8.j,
+      |    bit_or(CASE WHEN i < 63 AND 64 * p > sp
+      |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS sig
+      |  FROM vpx8 JOIN vs8 USING (doc_id, j) GROUP BY vpx8.doc_id, vpx8.j),
+      |nfr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM vh8 GROUP BY doc_id),
+      |sel AS (SELECT f.doc_id, CAST(u.p AS BIGINT) AS pos, f.sig
+      |  FROM vh8 f JOIN nfr USING (doc_id),
+      |    unnest(generate_series(0, 1)) AS u(p)
+      |  WHERE f.j = (u.p * nf) // 2),
+      |vd8 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(bit_count(xor(a.sig, b.sig))) AS BIGINT) AS dist
+      |  FROM sel a JOIN sel b ON a.doc_id < b.doc_id AND a.pos = b.pos
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dist FROM vd8 WHERE dist <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.ops.Multimodal.videoNearDupsResampled(videoRateFramesDf(s, d),
+      "asset_id", "frame_idx", "payload", k = 2, maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The q188 chain over an explicit corpus (mix → epochs → tokenize →
     * EOS-pack), tokenizer supplied pre-trained — ScaleCheck's trainer-
     * composition row. `budget` scales with the corpus (production: the
@@ -2325,5 +2394,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198)
 }

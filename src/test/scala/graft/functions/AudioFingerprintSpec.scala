@@ -175,6 +175,69 @@ class VideoNearDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 3L, 0L)))
   }
+
+  test("mid-sequence undecodable drops never shift alignment (idx-set gate)") {
+    // advisor r10: A drops frame 0, B drops frame 2 — both keep 2
+    // decodable frames, so the old post-drop-position gate compared
+    // non-corresponding frames; the index-set gate refuses the pair
+    val base = frameRows(Seq(100L)) // (id, f, payload) for f = 0..2
+    val a = base.collect { case (_, f, p) if f >= 1 => (1L, f, p) } :+
+      ((1L, 0, "junk".getBytes))
+    val b = base.collect { case (_, f, p) if f <= 1 => (2L, f, p) } :+
+      ((2L, 2, "junk".getBytes))
+    val df = (a ++ b).toDF("asset_id", "frame_idx", "payload")
+    assert(Multimodal.videoNearDups(df, "asset_id", "frame_idx", "payload", 10000).isEmpty)
+  }
+
+  test("resampled dedup pairs different-rate copies; selection matches referee") {
+    def content(c: Int): Array[Int] = Array.tabulate(64)(i =>
+      ((c * 17 + i * 11) % 151 + 10))
+    // asset 10: 3 frames at rate 1; asset 11: the same clip at rate 2
+    // (every content frame twice); asset 12: rate 2 with a mid-sequence
+    // undecodable frame (rank-shifted selection, still deterministic);
+    // asset 13: unrelated content
+    val rows =
+      (0 until 3).map(f => (10L, f, pgm(content(f)))) ++
+      (0 until 6).map(f => (11L, f, pgm(content(f / 2)))) ++
+      (0 until 6).map(f => if (f == 3) (12L, f, "junk".getBytes)
+        else (12L, f, pgm(content(f / 2)))) ++
+      (0 until 3).map(f => (13L, f, pgm(content(f + 40))))
+    val df = rows.toDF("asset_id", "frame_idx", "payload")
+    val k = 3
+    val got = Multimodal.videoNearDupsResampled(df, "asset_id", "frame_idx",
+      "payload", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // referee: decode/hash per frame, drop undecodables, order by idx,
+    // take ranks floor(p * n / k), brute-force all pairs — banding must
+    // equal brute force inside its dist <= 3 pigeonhole guarantee
+    val sigs = rows.groupBy(_._1).view.mapValues { fr =>
+      val hs = fr.sortBy(_._2).flatMap(r => ImageAHash.compute(r._3))
+      (0 until k).map(p => hs(p * hs.length / k))
+    }.toMap
+    val brute = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      d = sigs(x).zip(sigs(y)).map { case (u, v) => java.lang.Long.bitCount(u ^ v).toLong }.sum
+      if d <= 3
+    } yield (x, y, d)).toSet
+    assert(got == brute)
+    // the different-rate copy pairs at distance 0 — the round's point
+    assert(got.contains((10L, 11L, 0L)))
+    // the unrelated asset (distance ~190) pairs with nothing
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("density cap drops over-dense buckets; default cap leaves results intact") {
+    // 12 bit-identical assets: every bucket holds all 12 -> a cap of 5
+    // suppresses the whole (degenerate) pair set; the default cap keeps
+    // all 66 pairs
+    val rows = for (id <- 0L until 12L; f <- 0 until 3)
+      yield (id, f, pgm(Array.tabulate(64)(i => (i * 7) % 151 + 10)))
+    val df = rows.toDF("asset_id", "frame_idx", "payload")
+    assert(Multimodal.videoNearDups(df, "asset_id", "frame_idx", "payload",
+      3, bucketCap = 5).isEmpty)
+    assert(Multimodal.videoNearDups(df, "asset_id", "frame_idx", "payload", 3)
+      .count() == 66)
+  }
 }
 
 /** Property coverage: the native fingerprint equals an independent naive
