@@ -570,15 +570,14 @@ object Curation {
     * (PII first, secrets on its output) for the full scrub; same pure
     * scan-side projection shape, `textCol` replaced in place.
     */
-  def redactSecretsStage(docs: DataFrame, textCol: String): DataFrame = {
-    val sig = TextOps.secretSignals(col(textCol)).toMap
-    docs
-      .withColumn("n_privkeys", sig("n_privkeys"))
-      .withColumn("n_awskeys", sig("n_awskeys"))
-      .withColumn("n_b64tokens", sig("n_b64tokens"))
-      .withColumn("n_hextokens", sig("n_hextokens"))
-      .withColumn(textCol, sig("redacted_text"))
-  }
+  def redactSecretsStage(docs: DataFrame, textCol: String): DataFrame =
+    // every per-stage count column in cascade order, then the scrubbed
+    // text replaces textCol — generic over the signal list so a new
+    // pattern stage lands here without a code change
+    TextOps.secretSignals(col(textCol)).foldLeft(docs) {
+      case (df, ("redacted_text", c)) => df.withColumn(textCol, c)
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
 
   // ------------------------------------------------------ shard layout
 

@@ -424,14 +424,29 @@ object TextOps {
     * RE2 semantics, `\b` only against non-word neighbors — the DuckDB
     * oracle interpolates these constants verbatim.
     *
-    * CASCADE ORDER is load-bearing: PEM bodies are base64, and any hex
-    * run is also base64-alphabet — blocks first, then AKIA ids, then
-    * base64 runs, then hex runs, so each secret is counted exactly once
-    * at the earliest stage that owns it.
+    * CASCADE ORDER is load-bearing: PEM bodies are base64, GitHub token
+    * tails are alphanumeric, JWT segments are base64url, Slack tokens
+    * embed hex runs, and any hex run is also base64-alphabet — blocks
+    * first, then the PREFIXED shapes (AKIA, gh*_, eyJ…, xox*-), then the
+    * generic base64 and hex runs, so each secret is counted exactly once
+    * at the earliest, most specific stage that owns it.
     */
   val PrivKeyRe: String =
     "-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\\n\\r]*-----END [A-Z ]*PRIVATE KEY-----"
   val AwsKeyRe: String = "\\bAKIA[0-9A-Z]{16}\\b"
+  // GitHub token family (VERDICT r10 #6 — the Dolma-class scrub shapes
+  // past round 10's list): the documented gh<kind>_ prefixes (personal,
+  // oauth, user-to-server, server-to-server, refresh) + >= 36
+  // alphanumeric tail. JWTs are three dot-joined base64url segments whose
+  // header always starts 'eyJ' ('{"' in base64); the signature segment
+  // may be empty (alg "none" tokens end in '.'). Slack tokens are
+  // xox<kind>- followed by dash-joined alphanumeric runs — no trailing \b
+  // (the class includes '-', where \b is inert; same documented edge as
+  // B64TokenRe). All three stay in the Java-regex/RE2 shared subset.
+  val GithubTokenRe: String = "\\bgh[pousr]_[A-Za-z0-9]{36,}\\b"
+  val JwtRe: String =
+    "\\beyJ[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]*"
+  val SlackTokenRe: String = "\\bxox[baprs]-[A-Za-z0-9-]{10,}"
   // Documented edge (advisor r10): the leading \b is inert when the run
   // starts with '+'/'/' (the match then begins at the first alnum, leaving
   // those lead chars unredacted), and there is no trailing boundary, so a
@@ -452,12 +467,19 @@ object TextOps {
   def secretSignals(text: Column): Seq[(String, Column)] = {
     val afterKey = regexp_replace(text, PrivKeyRe, "<PRIVKEY>")
     val afterAws = regexp_replace(afterKey, AwsKeyRe, "<AWSKEY>")
-    val afterB64 = regexp_replace(afterAws, B64TokenRe, "<B64TOKEN>")
+    val afterGh = regexp_replace(afterAws, GithubTokenRe, "<GHTOKEN>")
+    val afterJwt = regexp_replace(afterGh, JwtRe, "<JWT>")
+    val afterSlack = regexp_replace(afterJwt, SlackTokenRe, "<SLACKTOKEN>")
+    val afterB64 = regexp_replace(afterSlack, B64TokenRe, "<B64TOKEN>")
+    def n(c: Column) = c.cast(org.apache.spark.sql.types.LongType)
     Seq(
-      "n_privkeys" -> regexp_count(text, lit(PrivKeyRe)).cast(org.apache.spark.sql.types.LongType),
-      "n_awskeys" -> regexp_count(afterKey, lit(AwsKeyRe)).cast(org.apache.spark.sql.types.LongType),
-      "n_b64tokens" -> regexp_count(afterAws, lit(B64TokenRe)).cast(org.apache.spark.sql.types.LongType),
-      "n_hextokens" -> regexp_count(afterB64, lit(HexTokenRe)).cast(org.apache.spark.sql.types.LongType),
+      "n_privkeys" -> n(regexp_count(text, lit(PrivKeyRe))),
+      "n_awskeys" -> n(regexp_count(afterKey, lit(AwsKeyRe))),
+      "n_ghtokens" -> n(regexp_count(afterAws, lit(GithubTokenRe))),
+      "n_jwts" -> n(regexp_count(afterGh, lit(JwtRe))),
+      "n_slacktokens" -> n(regexp_count(afterJwt, lit(SlackTokenRe))),
+      "n_b64tokens" -> n(regexp_count(afterSlack, lit(B64TokenRe))),
+      "n_hextokens" -> n(regexp_count(afterB64, lit(HexTokenRe))),
       "redacted_text" -> regexp_replace(afterB64, HexTokenRe, "<HEXTOKEN>"))
   }
 
