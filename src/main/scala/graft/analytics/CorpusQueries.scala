@@ -2246,6 +2246,74 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q199
+  // License-gated curation (VERDICT r10 #10 — q194's audit COMPOSED as
+  // the funnel's provenance stage): the corpus carries q194's planted
+  // license footers and canary strings, the rule gate drops every doc
+  // classified 'restricted' (NC/ND mark, or rights-reserved with no
+  // explicit grant) or carrying a canary GUID, and the default curation
+  // chain runs on the survivors — provenance filtering as curateCorpus
+  // stage 0, the shape The Stack/Dolma document. The oracle replays the
+  // plant, every signal extraction, the class-precedence CASE, the gate,
+  // and the full q95 stage chain from the gated corpus. Stage 2 runs at
+  // the high-recall 128x64 banding (the q176/q186 discipline: shared
+  // footers shift pair similarity upward, so the funnel composition uses
+  // the banding whose ~1e-8 per-pair miss bound holds at the 0.5
+  // threshold regardless of the shifted distribution).
+  val q199 = QuerySpec.sql(
+    "q199_license_gated_funnel",
+    s"""WITH lft AS (SELECT doc_id, source, text ||
+      |  (CASE CAST(doc_id % 7 AS INT)
+      |${licenseFooters.zipWithIndex.map { case (f, i) =>
+           s"    WHEN $i THEN '${f.replace("'", "''").replace("\n", "' || chr(10) || '")}'"
+         }.mkString("\n")}
+      |  END) ||
+      |  (CASE WHEN doc_id % 53 = 0 THEN chr(10) ||
+      |    '${canaryPrefix.stripPrefix("\n").replace("'", "''")}' ||
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+      |  ELSE '' END) AS text
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |lsg AS (SELECT doc_id,
+      |  regexp_extract(text, '${TextOps.SpdxRe}', 1) AS spdx_id,
+      |  regexp_extract(text, '${TextOps.CcMarkRe}') AS cc_mark,
+      |  CAST(len(regexp_extract_all(text, '${TextOps.RightsReservedRe}')) > 0 AS INT) AS rights_reserved,
+      |  regexp_extract(text, '${TextOps.CanaryRe}', 1) AS canary_guid
+      |  FROM lft),
+      |lcl AS (SELECT doc_id,
+      |  CASE WHEN cc_mark LIKE '%NC%' OR cc_mark LIKE '%ND%' THEN 'restricted'
+      |    WHEN spdx_id IN (${TextOps.PermissiveSpdx.map(s => s"'$s'").mkString(", ")})
+      |      OR cc_mark IN ('CC BY', 'CC-BY', 'CC 0', 'CC-0') THEN 'permissive'
+      |    WHEN ${TextOps.CopyleftSpdxPrefixes.map(p => s"spdx_id LIKE '$p%'").mkString(" OR ")}
+      |      OR cc_mark LIKE '%SA%' THEN 'copyleft'
+      |    WHEN rights_reserved = 1 THEN 'restricted'
+      |    ELSE 'unknown' END AS license_class, canary_guid
+      |  FROM lsg),
+      |corpus AS (SELECT f.doc_id, f.source, f.text FROM lft f JOIN lcl USING (doc_id)
+      |  WHERE license_class <> 'restricted' AND canary_guid = ''),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"), licensePlantCol.as("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val sig = TextOps.licenseSignals(col("text")).toMap
+    Curation.curateCorpus(corpus, bench, "doc_id", "text", "source",
+      ruleGate = Some(sig("license_class") =!= "restricted" &&
+        sig("canary_guid") === ""),
+      lshHashes = 128, lshBands = 64)
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q195
   // Video perceptual near-dups over a SAMPLED-FRAME table — the fourth
   // modality's dedup, on the frame-extraction output shape (q85 plans
@@ -2394,5 +2462,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199)
 }
