@@ -1105,7 +1105,7 @@ object CurationQueries {
   // rerun-stable by construction. q190r additionally pins two-delivery
   // store EXTENSION against engine recomputation.
   private val admStoreLock = new Object
-  private[analytics] def admissionStoreFixture(s: SparkSession, d: String): String = {
+  private[graft] def admissionStoreFixture(s: SparkSession, d: String): String = {
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190p_" +
       Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)

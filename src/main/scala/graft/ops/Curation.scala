@@ -832,9 +832,14 @@ object Curation {
       containment: Option[Double] = None, decontamK: Int = 5,
       ruleGate: Option[Column] = None,
       signalGate: Option[DataFrame] = None,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DeltaStages = {
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      eager: Boolean = true): DeltaStages = {
     require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    // eager = false keeps the full lineage visible (no checkpoints) so
+    // PlanPrints can fingerprint the chain's INTERIOR stages (VERDICT r10
+    // #9); production runs stay eager — the frames are consumed multiply
+    def ckpt(df: DataFrame): DataFrame = if (eager) df.localCheckpoint() else df
     // stage 0/0b, exactly as in curationStages: the scan-side predicate
     // first, then the aggregated-signal id gate (e.g. the repetition
     // battery) as one id-keyed semi-join — the batch analog of the
@@ -843,7 +848,7 @@ object Curation {
     val gateKept = signalGate
       .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
       .getOrElse(predKept)
-    val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
+    val intraExact = ckpt(Dedup.exact(gateKept, idCol, Seq(textCol)))
     val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__kh")).distinct()
     val candIds = intraExact
       .select(col(idCol), xxhash64(col(textCol)).as("__kh"))
@@ -857,28 +862,26 @@ object Curation {
         col(textCol).as("__ct")), Seq("__kh"))
       .filter(col("__bt") === col("__ct"))
       .select(col(idCol)).distinct()
-    val exactKept = intraExact.join(confirmed, Seq(idCol), "left_anti")
-      .localCheckpoint()
+    val exactKept = ckpt(intraExact.join(confirmed, Seq(idCol), "left_anti"))
     val intraPairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = numHashes, bands = bands, shingleK = shingleK,
       threshold = nearDupThreshold)
-    val intraNear = Dedup.dropNearDups(exactKept, intraPairs, idCol)
-      .localCheckpoint()
+    val intraNear = ckpt(Dedup.dropNearDups(exactKept, intraPairs, idCol))
     val crossDup = Dedup.crossNearDups(intraNear, corpus, idCol, textCol,
       numHashes = numHashes, bands = bands, shingleK = shingleK,
       threshold = nearDupThreshold)
       .select(col("id_a").as(idCol)).distinct()
     val afterCross = intraNear.join(crossDup, Seq(idCol), "left_anti")
-    val nearKept = (containment match {
+    val nearKept = ckpt(containment match {
       case None => afterCross
       case Some(t) =>
-        val base = afterCross.localCheckpoint()
+        val base = ckpt(afterCross)
         val contained = Dedup.crossOverlapPairs(base, corpus, idCol, textCol,
           shingleK = shingleK, threshold = t)
           .filter(col("n_a") <= col("n_b"))
           .select(col("id_a").as(idCol)).distinct()
         base.join(contained, Seq(idCol), "left_anti")
-    }).localCheckpoint()
+    })
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol,
       textCol, shingleK = decontamK).select(col(idCol))
     DeltaStages(gateKept, exactKept, nearKept,
@@ -1064,9 +1067,12 @@ object Curation {
       ruleGate: Option[Column] = None,
       signalGate: Option[DataFrame] = None,
       appId: String = "graft_admission", batchId: Long = 0L,
-      extendStore: Boolean = true): DeltaStages = {
+      extendStore: Boolean = true, eager: Boolean = true): DeltaStages = {
     import graft.connect.SnapshotStore
     val spark = batch.sparkSession
+    // eager = false: no checkpoints, full lineage for interior plan
+    // fingerprints (VERDICT r10 #9) — pair with extendStore = false
+    def ckpt(df: DataFrame): DataFrame = if (eager) df.localCheckpoint() else df
     // Replay pinning: a crash-retried/scheduler-rerun delivery whose
     // (appId, batchId) ALREADY committed must not admit against a store
     // that contains its own rows (every batch doc would exact-match its
@@ -1103,7 +1109,7 @@ object Curation {
     val gateKept = signalGate
       .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
       .getOrElse(predKept)
-    val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
+    val intraExact = ckpt(Dedup.exact(gateKept, idCol, Seq(textCol)))
     // cross exact dedup: candidate nomination over STORED 8-byte hashes,
     // text compared only for candidate rows (read from the store)
     val corpusHashes = store.select(col("kh").as("__kh")).distinct()
@@ -1119,13 +1125,11 @@ object Curation {
         Seq("__kh"))
       .filter(col("__bt") === col("__ct"))
       .select(col(idCol)).distinct()
-    val exactKept = intraExact.join(confirmed, Seq(idCol), "left_anti")
-      .localCheckpoint()
+    val exactKept = ckpt(intraExact.join(confirmed, Seq(idCol), "left_anti"))
     val intraPairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
       numHashes = numHashes, bands = bands, shingleK = shingleK,
       threshold = nearDupThreshold)
-    val intraNear = Dedup.dropNearDups(exactKept, intraPairs, idCol)
-      .localCheckpoint()
+    val intraNear = ckpt(Dedup.dropNearDups(exactKept, intraPairs, idCol))
     // cross near-dups: the corpus side's signatures come from the store —
     // banding reads (id, sig), verify reads candidate-only (id, text)
     val crossDup = Dedup.crossNearDupsFrom(intraNear,
@@ -1135,10 +1139,10 @@ object Curation {
       shingleK = shingleK, threshold = nearDupThreshold)
       .select(col("id_a").as(idCol)).distinct()
     val afterCross = intraNear.join(crossDup, Seq(idCol), "left_anti")
-    val nearKept = (containment match {
+    val nearKept = ckpt(containment match {
       case None => afterCross
       case Some(t) =>
-        val base = afterCross.localCheckpoint()
+        val base = ckpt(afterCross)
         // containment candidates from STORED postings when the sibling
         // table exists (init wrote it; pre-postings stores degrade to
         // re-exploding the store's text — same results either way, the
@@ -1156,11 +1160,11 @@ object Curation {
           .filter(col("n_a") <= col("n_b"))
           .select(col("id_a").as(idCol)).distinct()
         base.join(contained, Seq(idCol), "left_anti")
-    }).localCheckpoint()
+    })
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol,
       textCol, shingleK = decontamK).select(col(idCol))
-    val admitted = nearKept.join(contaminated, Seq(idCol), "left_anti")
-      .localCheckpoint() // evaluated BEFORE the store extension below
+    val admitted = ckpt(nearKept.join(contaminated, Seq(idCol), "left_anti"))
+    // ^ evaluated BEFORE the store extension below (when eager)
     if (extendStore) {
       SnapshotStore.appendIdempotent(spark, table,
         admissionSignatures(admitted.select(col(idCol), col(textCol)),

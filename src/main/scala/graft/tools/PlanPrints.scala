@@ -27,6 +27,15 @@ import graft.GraftSession
   * within-line ordering while still catching real drift (operator,
   * strategy, filter, or column-SET changes). PLANS_DUMP.txt keeps the
   * readable, order-preserving form for human diffing.
+  *
+  * Besides the query surface, the admission chains' INTERIOR stages are
+  * fingerprinted directly (VERDICT r10 #9): q144/q190 checkpoint their
+  * stage boundaries, so their registered plans truncate at ops=5-ish and
+  * PLANS_SHA never saw the heavy interior shapes. The chains are rebuilt
+  * here with `eager = false` (no checkpoints, full lineage; the stored
+  * chain additionally with `extendStore = false` so fingerprinting never
+  * mutates the fixture store) and each DeltaStages frame gets its own
+  * `q144_interior:*` / `q190_interior:*` row.
   */
 object PlanPrints {
   def main(args: Array[String]): Unit = {
@@ -37,10 +46,11 @@ object PlanPrints {
     val sha = java.security.MessageDigest.getInstance("SHA-1")
     val lines = new StringBuilder
     val dump = new StringBuilder
-    graft.SparkEntry.specs.filterNot(_.referee).sortBy(_.name).foreach { q =>
+
+    def fingerprint(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       val res =
         try {
-          val p = q.fn(spark, sf).queryExecution.explainString(
+          val p = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           val norm0 = p.linesIterator.map { l =>
             l.replaceAll("#\\d+L?", "")
@@ -72,13 +82,47 @@ object PlanPrints {
             .mkString("\n")
           val h = sha.digest(hashForm.getBytes("UTF-8")).map("%02x".format(_)).mkString
           val nOps = "\\(\\d+\\) ".r.findAllIn(norm).size
-          dump.append(s"\n======== ${q.name} ========\n").append(norm).append("\n")
-          f"${q.name}%-34s ${h.take(16)} ops=$nOps"
+          dump.append(s"\n======== $name ========\n").append(norm).append("\n")
+          f"$name%-34s ${h.take(16)} ops=$nOps"
         } catch {
-          case e: Throwable => f"${q.name}%-34s ERROR ${e.getMessage.take(60)}"
+          case e: Throwable =>
+            f"$name%-34s ERROR ${Option(e.getMessage).getOrElse(e.toString).take(60)}"
         }
       lines.append(res).append("\n")
     }
+
+    graft.SparkEntry.specs.filterNot(_.referee).sortBy(_.name).foreach { q =>
+      fingerprint(q.name, q.fn(spark, sf))
+    }
+
+    // admission-chain interiors (checkpoint-free rebuilds of the q144 and
+    // q190 configurations — same populations, thresholds, and gates)
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.ops.{Curation, QualityRules}
+      val docs = graft.analytics.Tables.documents(spark, sf)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val gate = Some(QualityRules.gate(col("text"), minStopHits = 1))
+      val recompute = Curation.admitDelta(batch, corpus, bench, "doc_id",
+        "text", nearDupThreshold = 0.5, containment = Some(0.8),
+        decontamK = 5, ruleGate = gate, eager = false)
+      val stored = Curation.admitDeltaStored(batch, bench,
+        graft.analytics.CurationQueries.admissionStoreFixture(spark, sf),
+        "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+        decontamK = 5, ruleGate = gate, extendStore = false, eager = false)
+      for ((tag, st) <- Seq("q144_interior" -> recompute, "q190_interior" -> stored);
+           (stage, df) <- Seq("exact" -> st.exactKept, "near" -> st.nearKept,
+             "admitted" -> st.admitted))
+        fingerprint(s"$tag:$stage", df)
+    } catch {
+      case e: Throwable =>
+        lines.append(f"admission_interiors ERROR ${e.getMessage.take(60)}\n")
+    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS_SHA.txt"),
       lines.toString)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS_DUMP.txt"),
