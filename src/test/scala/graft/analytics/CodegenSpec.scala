@@ -35,7 +35,8 @@ class CodegenSpec extends SparkSpec {
     // synth + native parse, six-regex audits) — loop-shaped codegen whose
     // size must stay input-width-independent
     "q137_image_neardups", "q192_audio_fingerprints",
-    "q193_audio_neardups", "q194_license_audit", "q195_video_neardups")
+    "q193_audio_neardups", "q194_license_audit", "q195_video_neardups",
+    "q198_video_resampled_neardups", "q199_license_gated_funnel")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {
