@@ -1037,6 +1037,47 @@ object Curation {
     (v, pv)
   }
 
+  /** Retention-policy vacuum for the admission store (the lifecycle
+    * companion of [[compactAdmissionStore]]): keep the LAST
+    * `keepReplayableBatches` txn-stamped deliveries replayable — their
+    * pinned parent versions survive — and drop everything older on both
+    * the main table and the postings sibling. Replays of deliveries
+    * older than the window RAISE loudly
+    * ([[graft.connect.SnapshotStore.replayParent]] — their watermarks
+    * survive, so appendIdempotent still skips re-appends; only the
+    * pinned pre-commit READ is gone), which is this policy's contract:
+    * size the window to the scheduler's retry horizon. Compaction
+    * commits between deliveries are dropped or kept as the window
+    * dictates; reads of LATEST are never affected. Returns data files
+    * deleted (main, postings).
+    */
+  def vacuumAdmissionStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, keepReplayableBatches: Int,
+      retainMs: Long = graft.connect.SnapshotStore.DefaultVacuumRetainMs)
+      : (Int, Int) = {
+    import graft.connect.SnapshotStore
+    require(keepReplayableBatches >= 1, "keep at least one replayable batch")
+    def vac(t: String): Int = {
+      if (SnapshotStore.latestVersion(spark, t) < 0) return 0
+      val snaps = SnapshotStore.committedVersions(spark, t)
+        .map(SnapshotStore.snapshot(spark, t, _))
+      val lastTxns = snaps.filter(_.txn.nonEmpty)
+        .sortBy(_.version).takeRight(keepReplayableBatches)
+      // keepFrom = the oldest pinned parent of the protected deliveries
+      // (the whole suffix from there up survives, so each protected txn
+      // and its parent are both resolvable); with no txn commits yet,
+      // keep only the latest version
+      val keepFrom = lastTxns.map(_.parent).filter(_ >= 0) match {
+        case Seq() => snaps.map(_.version).max
+        case ps => ps.min
+      }
+      // deliveries OLDER than the window lose their pins by design
+      SnapshotStore.vacuum(spark, t, keepFrom, retainMs,
+        dropReplayPins = true)
+    }
+    (vac(table), vac(postingsTable(table)))
+  }
+
   /** [[admitDelta]] against a PERSISTED admission store instead of a
     * corpus frame (VERDICT r9 #2): the per-delivery cost drops from
     * corpus-sized (recompute xxhash64 + MinHash over the whole corpus

@@ -645,6 +645,52 @@ class CurationSpec extends SparkSpec {
       15L -> "wholly unrelated topic on astronomy telescopes observing") == Set(15L))
   }
 
+  test("vacuumAdmissionStore: last-N deliveries stay replayable, older pins raise") {
+    val (corpus, bench, _) = admissionFixture
+    val dir = tmpDir("admstore-policy") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    def deliver(batchId: Long, rows: (Long, String)*) =
+      Curation.admitDeltaStored(rows.toDF("doc_id", "text"), bench, dir,
+        "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+        appId = "polSpec", batchId = batchId)
+        .admitted.select("doc_id").as[Long].collect().toSet
+    val b1 = 21L -> "first delivery about glaciers calving into fjords"
+    val b2 = 22L -> "second delivery concerning volcanic ash dispersal maps"
+    val b3 = 23L -> "third delivery regarding tidal resonance in estuaries"
+    val b4 = 24L -> "fourth delivery about aquifer recharge in karst basins"
+    assert(deliver(1L, b1) == Set(21L))
+    assert(deliver(2L, b2) == Set(22L))
+    assert(deliver(3L, b3) == Set(23L))
+    // pointer-only pass: append-only manifests reference every original
+    // file from the kept versions, so nothing is deletable yet — the
+    // policy still drops the out-of-window pins
+    assert(Curation.vacuumAdmissionStore(spark, dir,
+      keepReplayableBatches = 2, retainMs = 0) == ((0, 0)))
+    // deliveries 2 and 3 replay bit-identically against their pins
+    assert(deliver(2L, b2) == Set(22L))
+    assert(deliver(3L, b3) == Set(23L))
+    // delivery 1's pin is outside the window: loud error, and its
+    // watermark still blocks a re-append (the store must not grow)
+    import graft.connect.SnapshotStore
+    val v = SnapshotStore.latestVersion(spark, dir)
+    intercept[IllegalStateException] { deliver(1L, b1) }
+    assert(SnapshotStore.latestVersion(spark, dir) == v)
+    // the real maintenance cadence — compact, deliver, vacuum: the
+    // protected delivery's parent is now the compacted version, so the
+    // pre-compaction small files fall out of every kept manifest and
+    // physical deletion finally happens
+    Curation.compactAdmissionStore(spark, dir, smallBytes = Long.MaxValue)
+    assert(deliver(4L, b4) == Set(24L))
+    val (delMain, delPost) = Curation.vacuumAdmissionStore(spark, dir,
+      keepReplayableBatches = 1, retainMs = 0)
+    assert(delMain > 0 && delPost > 0)
+    assert(deliver(4L, b4) == Set(24L)) // still replayable
+    intercept[IllegalStateException] { deliver(3L, b3) } // outside window
+    // latest reads are unaffected: all four admissions present
+    assert(Set(21L, 22L, 23L, 24L).subsetOf(SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet))
+  }
+
   test("admitDeltaStored replay after a forced vacuum raises, never returns empty") {
     val (corpus, bench, batch) = admissionFixture
     val dir = tmpDir("admstore-vacuum") + "/store"
