@@ -43,11 +43,21 @@ object ScaleCheck {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Receipt artifact (the BENCH_FULL discipline): every emitted line
+    // also lands in a JSONL file — /tmp by default so ad-hoc subset runs
+    // can't clobber the committed receipt; the round-end full run sets
+    // SPARK_GRAFT_SCALE_OUT=/root/repo/SCALECHECK.json explicitly. A
+    // committed receipt lets a reviewer see every operator's measured
+    // growth without re-running the ~40-minute sweep.
+    val receipt = new StringBuilder
     def run(name: String, small: => DataFrame, big: => DataFrame): Unit = {
       if (only.forall(name.contains)) {
         val t1 = time(small); val tN = time(big)
         val ratio = tN / t1
-        println(f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}""")
+        val line =
+          f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}"""
+        println(line)
+        receipt.append(line).append("\n")
       }
     }
 
@@ -570,6 +580,11 @@ object ScaleCheck {
         ops.IndexStore.searchIvfPq(spark, dirN, probes1, "vec_id", "embedding",
           k = 3, nprobe = 3))
     }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/SCALECHECK.json")),
+      receipt.toString)
+    catch { case e: Throwable => System.err.println(s"[scale] artifact write failed: $e") }
     spark.stop()
   }
 }
