@@ -589,6 +589,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q200
+  // Contamination ATTRIBUTION (the decontamination report published
+  // beside the drop list): one row per (train doc, bench doc) pair
+  // sharing >= 1 distinct word bigram — which eval document hit which
+  // training document, the distinct-shared-gram count, and a
+  // deterministic lexicographic sample of the shared grams. Same
+  // broadcast shape as q76 with the bench id carried through; the
+  // sample participates in the hash, so gram CONTENT (not just counts)
+  // is gated.
+  val q200 = QuerySpec.sql(
+    "q200_contamination_report",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 97 <> 0
+      |), b AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 97 = 0
+      |), ts AS (
+      |  SELECT doc_id, unnest(${duckShinglesK(2)}) AS sh FROM t
+      |), bs AS (
+      |  SELECT DISTINCT doc_id AS bench_id, unnest(${duckShinglesK(2)}) AS sh FROM b)
+      |SELECT ts.doc_id AS doc_id, bs.bench_id AS bench_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |  array_to_string(list_slice(list_sort(list(ts.sh)), 1, 3), chr(2)) AS shared_sample
+      |FROM ts JOIN bs ON ts.sh = bs.sh
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationReport(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text")),
+      "doc_id", "text", "bench_id", shingleK = 2, sampleGrams = 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
   val q77 = QuerySpec.sql(
     "q77_repetition",
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents)
@@ -1668,5 +1702,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134, q159, q173)
+    q130, q134, q159, q173, q200)
 }

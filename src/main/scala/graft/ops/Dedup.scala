@@ -535,6 +535,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Contamination ATTRIBUTION — the decontamination REPORT a pipeline
+    * publishes beside the drop list (the GPT-3/Dolma appendix shape):
+    * not just "doc X is contaminated" but WHICH benchmark document hit
+    * it, how many distinct k-grams they share, and a deterministic
+    * sample of the shared grams a reviewer can eyeball. One row per
+    * (train doc, bench doc) pair sharing >= 1 distinct k-shingle:
+    * (idCol, benchIdCol, n_shared, shared_sample = the
+    * lexicographically-first `sampleGrams` shared shingles, joined by
+    * chr(2) — one level above the intra-gram chr(1) word separator,
+    * so the sample is unambiguous and deterministic on any engine).
+    *
+    * Scale shape: identical to [[contaminationOverlap]] with the bench
+    * id carried through — the (bench_id, shingle) pairs are still
+    * benchmark-sized and BROADCAST, the corpus's exploded shingles never
+    * shuffle, and the only exchange is the (doc, bench) aggregate. The
+    * sample aggregates distinct shared grams per pair; bounded by the
+    * bench doc's own shingle count, so the aggregate state is
+    * benchmark-sized per pair, never corpus-sized.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchIdCol: String, shingleK: Int = 5,
+      sampleGrams: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val tSh = train.select(col(idCol),
+      explode(shingles(col(textCol), shingleK)).as("__sh"))
+    val bSh = bench.select(col(benchIdCol),
+        explode(shingles(col(textCol), shingleK)).as("__sh"))
+      .distinct()
+    tSh.join(broadcast(bSh), "__sh")
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared"),
+        concat_ws("\u0002",
+          slice(sort_array(collect_list(col("__sh"))), 1, sampleGrams))
+          .as("shared_sample"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB shape of
     * [[contaminationOverlap]]: instead of broadcasting the benchmark
     * shingle SET into a join, the bench side aggregates into a few-KB

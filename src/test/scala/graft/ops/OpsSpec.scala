@@ -150,6 +150,30 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
   }
 
+  test("contaminationReport attributes hits per bench doc with a sorted gram sample") {
+    val train = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "the quick red fox")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown cat"),
+      (101L, "red fox running")).toDF("bench_id", "text")
+    val got = Dedup.contaminationReport(train, bench, "doc_id", "text",
+      "bench_id", shingleK = 2, sampleGrams = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    val S = ""; val G = ""
+    // doc1 x bench100: "the quick" + "quick brown" (sample sorted:
+    // q < t); doc3 x bench100: "the quick"; doc3 x bench101: "red fox";
+    // doc2 hits nothing
+    assert(got == Map(
+      (1L, 100L) -> ((2L, s"quick${S}brown$G" + s"the${S}quick")),
+      (3L, 100L) -> ((1L, s"the${S}quick")),
+      (3L, 101L) -> ((1L, s"red${S}fox"))))
+    // the bench side stays broadcast with the id carried through
+    val plan = Dedup.contaminationReport(train, bench, "doc_id", "text",
+      "bench_id", 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val a = one(TextOps.fingerprint(col("t")), "a b c")
     val b = one(TextOps.fingerprint(col("t")), "c b a")
