@@ -4,7 +4,7 @@ import graft.QuerySpec
 import graft.ops.{Bpe, Curation, Dedup, Pq, QualityRules, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType}
 
 /** Round-6 corpus-curation surfaces: paragraph-granularity dedup, DSIR
   * importance weights, encoding audits, BPE merge-pair counting, the
@@ -658,6 +658,49 @@ object CorpusQueries {
           coalesce(col("token_ids"), array().cast("array<bigint>")),
           x => x.cast("string"))).as("ids_csv"))
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q201
+  // Tokenizer FERTILITY audit — the per-source compression report every
+  // tokenizer card publishes (chars per token by domain: a tokenizer
+  // trained on one distribution "spends" more tokens per character on
+  // others, directly inflating that source's training cost): per-source
+  // doc/token/char totals and the chars-per-token ratio over the SAME
+  // trained-tokenizer chain q174 pins per document. Exchange shape: the
+  // per-doc tokenization's one doc-keyed aggregate, then a
+  // source-cardinality aggregate — nothing new shuffles.
+  val q201 = QuerySpec.sql(
+    "q201_tokenizer_fertility",
+    s"""WITH $duckBpeCtes,
+      |$duckTokenizeCtes,
+      |agf AS (SELECT doc_id, CAST(len(flatten(list(tids ORDER BY wpos, spos))) AS BIGINT) AS n_toks
+      |  FROM mapped GROUP BY doc_id),
+      |pd AS (SELECT d.source, COALESCE(a.n_toks, 0) AS n_toks,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars
+      |  FROM documents d LEFT JOIN agf a USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CASE WHEN SUM(n_toks) > 0
+      |    THEN CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE)
+      |    ELSE 0.0 END AS chars_per_token
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (counts, merges) = bpeTrained(s, d)
+    val tok = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges, counts)
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast(LongType).as("__nc"))
+      .join(tok, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("token_ids")).cast(LongType)), lit(0L))
+          .as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0,
+          col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .orderBy("source")
   }
 
   // --------------------------------------------------------------- q177
@@ -2462,5 +2505,5 @@ object CorpusQueries {
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201)
 }
