@@ -825,6 +825,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q202
+  // QUALITY-aware canonical selection (Dedup.dropNearDupsBy): per
+  // near-dup cluster keep the LONGEST member (token count, ties to min
+  // id) instead of the min id — the keep-the-most-complete-copy policy a
+  // production dedup wants when crawl order is arbitrary. The oracle
+  // replays q71's exact component closure, scores every member, and
+  // picks the argmax per cluster with the same tie rule; survivors
+  // hash-match end to end (a wrong canonical changes the kept set, not
+  // just an ordering).
+  val q202 = QuerySpec.sql(
+    "q202_quality_canonical_dedup",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, $duckShingles3 AS sh FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |), pr AS (
+      |  SELECT id_a, id_b FROM p WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+      |), rec AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.id
+      |  ) SELECT * FROM reach
+      |), ccl AS (
+      |  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM rec GROUP BY id
+      |), mem AS (
+      |  SELECT ccl.id AS doc_id, ccl.cluster_id,
+      |    CAST(len(t.toks) AS BIGINT) AS score
+      |  FROM ccl JOIN t ON t.doc_id = ccl.id
+      |), lose AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (
+      |      PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM mem) WHERE rk > 1)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM lose)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+    Dedup.dropNearDupsBy(docs, pairs, "doc_id",
+      TextOps.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q72
   // Semantic (embedding-space) dedup clusters: q56's LSH-blocked cosine
   // pair graph collapsed to exact connected components — composition of
@@ -1702,5 +1755,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134, q159, q173, q200)
+    q130, q134, q159, q173, q200, q202)
 }

@@ -640,6 +640,35 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** [[dropNearDups]] with a QUALITY-aware canonical: per near-dup
+    * cluster keep the member with the HIGHEST `scoreCol` (ties break to
+    * the smallest id — fully deterministic), not the smallest id. The
+    * policy real pipelines want: min-id keeps whichever copy crawled
+    * first, while a quality score (token count, Gopher score, LM
+    * perplexity tile) keeps the most complete / cleanest copy of the
+    * duplicated content. Docs outside every cluster survive untouched.
+    *
+    * Exchange shape: the component labels (id-keyed, [[connectedComponents]])
+    * join the score projection, and the per-cluster argmax is one
+    * row_number window over cluster-sized groups — cluster cardinality
+    * is near-dup-cluster-sized by construction, never corpus-sized, so
+    * the window never sees a giant partition unless the corpus is one
+    * giant near-dup cluster (in which case THAT is the finding).
+    */
+  def dropNearDupsBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs) // (id, cluster_id), members only
+    val members = docs.select(col(idCol).as("id"), scoreCol.as("__sc"))
+      .join(cc, Seq("id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__sc").desc, col("id").asc)
+    val losers = members
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rk") > 1).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   // ------------------------------------------------ substring-span dedup
 
   /** Substring-level exact dedup (Lee et al. 2022, arXiv:2107.06499 —
