@@ -654,6 +654,8 @@ object Dedup {
     * is near-dup-cluster-sized by construction, never corpus-sized, so
     * the window never sees a giant partition unless the corpus is one
     * giant near-dup cluster (in which case THAT is the finding).
+    * `scoreCol` must be non-null for cluster members (engines order
+    * nulls differently under DESC; coalesce a default first).
     */
   def dropNearDupsBy(docs: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: Column): DataFrame = {
