@@ -161,6 +161,45 @@ object ScaleCheck {
       ops.TextOps.bm25TopK(train(docsNd),
         bench(docs1).withColumnRenamed("doc_id", "query_id"),
         "doc_id", "text", "query_id", "text", 5))
+    // Hybrid RRF retrieval: corpus up, query set fixed (the bm25_topk
+    // growth mode) — the dense side is the deliberate broadcast cross
+    // over a FIXED probe set, so growth tracks the corpus scan; the
+    // fusion joins are ranked-list-sized, invariant in corpus size.
+    locally {
+      def queries(df: DataFrame) = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(ops.TextOps.tokens(col("text")), 1, 5)).as("text"))
+      def probes(df: DataFrame) = df.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def corpusV(df: DataFrame) = df.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      run("hybrid_rrf",
+        ops.Retrieval.hybridTopK(train(docs1), corpusV(emb1), queries(docs1),
+          probes(emb1), "doc_id", "text", "query_id", "text", "embedding",
+          k = 5, kPerList = 10),
+        ops.Retrieval.hybridTopK(train(docsN), corpusV(embN), queries(docs1),
+          probes(emb1), "doc_id", "text", "query_id", "text", "embedding",
+          k = 5, kPerList = 10))
+    }
+    // Card scrub + script profile: pure scan-side projections — the row
+    // documents they stay ~linear (regex fold cost per row is constant).
+    def cardScrub(df: DataFrame) = df.select(col("doc_id") +:
+      ops.Privacy.paymentCardSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    run("card_scrub", cardScrub(docs1), cardScrub(docsN))
+    def scriptProf(df: DataFrame) = df.select(col("doc_id") +:
+      ops.TextOps.scriptSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    run("script_profile", scriptProf(docs1), scriptProf(docsN))
+    // Packing audit: two partial-aggregated corpus aggregates.
+    run("packing_efficiency",
+      ops.Curation.packingEfficiency(docs1, "source", "text", 512, 64),
+      ops.Curation.packingEfficiency(docsN, "source", "text", 512, 64))
+    // Cluster-balanced sampling: k-means training is sample-bounded
+    // (MaxSeedSample driver pull + per-(cell,dim) mean aggregates),
+    // assignment is a scan-side argmax, the cap one cluster-keyed
+    // exchange of id pairs — growth should track the scan.
+    run("cluster_sample",
+      ops.Similarity.clusterBalancedSample(emb1, "vec_id", "embedding", 8, 40),
+      ops.Similarity.clusterBalancedSample(embN, "vec_id", "embedding", 8, 40))
     // Paragraph dedup: verbatim copies would make every paragraph a
     // cross-copy duplicate (degenerate 100% candidate density) — the
     // rotated blow-up keeps per-copy duplicate structure instead.

@@ -2502,8 +2502,48 @@ object CorpusQueries {
       packMaxIds, eos)
   }
 
+  // --------------------------------------------------------------- q207
+  // Packing-efficiency audit (Curation.packingEfficiency): where do the
+  // tokens go under each batching policy at seqLen=64 — concat packing
+  // (q177's shape: padding only in final partial windows), naive
+  // pad-per-doc SFT batching (truncation above 64, padding below), and
+  // width-16 length-bucketed padding. The report a trainer reads before
+  // choosing a policy. All integer arithmetic off two corpus aggregates;
+  // utilization is the single double division, replayed verbatim.
+  private val q207L = 64
+  private val q207W = 16
+  val q207 = QuerySpec.sql(
+    "q207_packing_efficiency",
+    s"""WITH per AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n
+      |  FROM documents),
+      |e AS (SELECT source, n, least(n, $q207L) AS kept,
+      |  least(CAST(floor(CAST(n + ${q207W - 1} AS DOUBLE) / CAST($q207W AS DOUBLE)) AS BIGINT) * $q207W, $q207L) AS plen
+      |  FROM per WHERE n > 0),
+      |flat AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sn,
+      |  CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS sk,
+      |  CAST(COALESCE(SUM(plen), 0) AS BIGINT) AS sp FROM e),
+      |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS gn FROM e GROUP BY source),
+      |cc AS (SELECT
+      |  CAST(COALESCE(SUM(CAST(floor(CAST(gn + ${q207L - 1} AS DOUBLE) / CAST($q207L AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS cs,
+      |  CAST(COALESCE(SUM(gn), 0) AS BIGINT) AS ct FROM g)
+      |SELECT policy, n_sequences, n_tokens_kept, n_pad, n_truncated,
+      |  CASE WHEN cap > 0 THEN CAST(n_tokens_kept AS DOUBLE) / CAST(cap AS DOUBLE) ELSE 0.0 END AS utilization
+      |FROM (
+      |  SELECT 'bucket_pad' AS policy, cnt AS n_sequences, sk AS n_tokens_kept,
+      |    sp - sk AS n_pad, sn - sk AS n_truncated, sp AS cap FROM flat
+      |  UNION ALL
+      |  SELECT 'concat_pack', cs, ct, cs * $q207L - ct, CAST(0 AS BIGINT), cs * $q207L FROM flat CROSS JOIN cc
+      |  UNION ALL
+      |  SELECT 'pad_per_doc', cnt, sk, cnt * $q207L - sk, sn - sk, cnt * $q207L FROM flat)
+      |ORDER BY policy""".stripMargin) { (s, d) =>
+    Curation.packingEfficiency(Tables.documents(s, d), "source", "text",
+      seqLen = q207L, bucketWidth = q207W)
+  }
+
   val all: Seq[QuerySpec] = Seq(q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
-    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201)
+    q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
+    q207)
 }

@@ -1418,7 +1418,69 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q206
+  // Epoch-capped water-filling allocation (Sampling.mixWaterfill): the
+  // q103 manifest's budget*weight targets made FEASIBLE under a
+  // repetition cap — oversubscribed sources cap at maxEpochs×tokens and
+  // their unabsorbed budget redistributes over the rest by weight,
+  // repeated to convergence (the Muennighoff 2023 data-constrained
+  // regime; with this fixture's budget/cap the cascade runs 3 rounds and
+  // caps 8 of 20 sources). The oracle unrolls the rounds as CTEs (the
+  // q132 BPE-chain discipline — rounds after convergence are no-ops);
+  // every sum is an ordered list_reduce fold with +0.0 identity terms,
+  // exactly the engine's source-ordered folds, so all doubles match
+  // bit-for-bit.
+  private val q206Budget = 50000L
+  private val q206MaxE = "2.5" // shared literal: Scala and SQL parse alike
+  private val q206Rounds = 12
+  private val q206W =
+    "CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1 AS DOUBLE)"
+  val q206 = QuerySpec.sql(
+    "q206_mix_waterfill", {
+      def wsFold(it: String) =
+        s"(SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN 0.0 ELSE w END ORDER BY source)), (x, y) -> x + y) FROM $it)"
+      def remFold(it: String) =
+        s"CAST($q206Budget AS DOUBLE) - (SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN fin ELSE 0.0 END ORDER BY source)), (x, y) -> x + y) FROM $it)"
+      val capCond =
+        s"ws > 0 AND rem * w / ws > $q206MaxE * CAST(n_tokens AS DOUBLE)"
+      val rounds = (1 to q206Rounds).map { k =>
+        s"""a$k AS (SELECT ${wsFold(s"it${k - 1}")} AS ws, ${remFold(s"it${k - 1}")} AS rem),
+          |it$k AS (SELECT source, n_docs, n_tokens, w,
+          |  capped OR ($capCond) AS capped,
+          |  CASE WHEN capped THEN fin
+          |       WHEN $capCond THEN $q206MaxE * CAST(n_tokens AS DOUBLE)
+          |       ELSE 0.0 END AS fin,
+          |  CASE WHEN capped THEN rnd WHEN $capCond THEN $k ELSE 0 END AS rnd
+          |  FROM it${k - 1} CROSS JOIN a$k)""".stripMargin
+      }.mkString(",\n")
+      val target =
+        "CASE WHEN capped THEN fin WHEN ws > 0 THEN rem * w / ws ELSE 0.0 END"
+      s"""WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |  $q206W AS w
+        |  FROM documents GROUP BY source),
+        |it0 AS (SELECT source, n_docs, n_tokens, w,
+        |  FALSE AS capped, 0.0 AS fin, 0 AS rnd FROM m),
+        |$rounds,
+        |af AS (SELECT ${wsFold(s"it$q206Rounds")} AS ws, ${remFold(s"it$q206Rounds")} AS rem)
+        |SELECT source, n_docs, n_tokens, w AS weight,
+        |  $target AS target_tokens,
+        |  CASE WHEN n_tokens > 0 THEN ($target) / CAST(n_tokens AS DOUBLE)
+        |       ELSE 0.0 END AS epochs,
+        |  CAST(capped AS INT) AS capped,
+        |  CAST(rnd AS INT) AS capped_round
+        |FROM it$q206Rounds CROSS JOIN af ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    Sampling.mixWaterfill(Tables.documents(s, d), "source", "text",
+      q206Budget,
+      (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4 + 1)
+        .cast("double"),
+      maxEpochs = 2.5, maxRounds = q206Rounds)
+      .withColumn("capped", col("capped").cast("int"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166, q170, q187, q190, q197)
+    q131, q144, q145, q165, q166, q170, q187, q190, q197, q206)
 }

@@ -812,6 +812,96 @@ object ExtractQueries {
       .select("doc_id", "source", "score", "tile", "split")
   }
 
+  // --------------------------------------------------------------- q210
+  // The COMPLETE release scrub with payment instruments: cards FIRST
+  // (Curation.redactCardsStage — the Luhn-gated PAN scrub must precede
+  // the generic phone stage, whose any-9+-digit-run pattern would eat
+  // every PAN), then the PII cascade, then the credential cascade. The
+  // plant gives every corpus doc one card from a 5-shape rotation (four
+  // Luhn-valid incl. dashed/spaced/15-digit, one invalid), plus q182's
+  // PII triple, an AKIA key and a bare hex token — so the oracle replay
+  // pins the two live cross-stage interactions: the INVALID card
+  // survives the card stage and is eaten by the phone stage (n_phones
+  // = 2 on those docs), and the <CARD> placeholder never perturbs any
+  // later pattern. Counts at every stage, all patterns shared verbatim.
+  private val q210Cards = Seq(
+    "4111111111111111", "4111-1111-1111-1111", "378282246310005",
+    "6011 1111 1111 1117", "4111111111111112")
+  private val cardPlant =
+    " || ' card ' || (" +
+      q210Cards.map(c => s"'$c'").mkString("[", ", ", "]") +
+      ")[CAST(doc_id % 5 AS INT) + 1] || ' key AKIA' || " +
+      "upper(lpad(hex(doc_id), 16, '0')) || ' sig ' || " +
+      "md5('c' || CAST(doc_id AS VARCHAR)) || ' end'"
+  private def plantCardsCol(base: Column): Column = concat(base,
+    lit(" card "), element_at(array(q210Cards.map(lit): _*),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+    lit(" key AKIA"), upper(lpad(hex(col("doc_id")), 16, "0")),
+    lit(" sig "), md5(concat(lit("c"), col("doc_id").cast("string"))),
+    lit(" end"))
+  val q210 = QuerySpec.sql(
+    "q210_release_scrub",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |sv AS (SELECT doc_id, source, text || '$piiPlant$cardPlant AS text
+      |  FROM corpus),
+      |c0 AS (SELECT doc_id, source, text,
+      |  regexp_extract_all(text, '${graft.ops.Privacy.CardCandidateRe}') AS cands FROM sv),
+      |c1 AS (SELECT *, list_filter(cands,
+      |  x -> ${LlmQueries.duckLuhn("regexp_replace(x, '[ -]', '', 'g')")}) AS valid FROM c0),
+      |c2 AS (SELECT doc_id, source,
+      |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
+      |  list_reduce(list_prepend(text, list_sort(list_distinct(valid))),
+      |    (a, x) -> replace(a, x, '<CARD>')) AS t0 FROM c1),
+      |r1 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t0, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+      |  regexp_replace(t0, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS t1 FROM c2),
+      |r2 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t1, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ipv4s,
+      |  regexp_replace(t1, '${TextOps.Ipv4Re}', '<IPV4>', 'g') AS t2 FROM r1),
+      |r3 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t2, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(t2, '${TextOps.PhoneRe}', '<PHONE>', 'g') AS t3 FROM r2),
+      |s1 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t3, '${TextOps.PrivKeyRe}')) AS BIGINT) AS n_privkeys,
+      |  regexp_replace(t3, '${TextOps.PrivKeyRe}', '<PRIVKEY>', 'g') AS t4 FROM r3),
+      |s2 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t4, '${TextOps.AwsKeyRe}')) AS BIGINT) AS n_awskeys,
+      |  regexp_replace(t4, '${TextOps.AwsKeyRe}', '<AWSKEY>', 'g') AS t5 FROM s1),
+      |s3 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t5, '${TextOps.GithubTokenRe}')) AS BIGINT) AS n_ghtokens,
+      |  regexp_replace(t5, '${TextOps.GithubTokenRe}', '<GHTOKEN>', 'g') AS t6 FROM s2),
+      |s4 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t6, '${TextOps.JwtRe}')) AS BIGINT) AS n_jwts,
+      |  regexp_replace(t6, '${TextOps.JwtRe}', '<JWT>', 'g') AS t7 FROM s3),
+      |s5 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t7, '${TextOps.SlackTokenRe}')) AS BIGINT) AS n_slacktokens,
+      |  regexp_replace(t7, '${TextOps.SlackTokenRe}', '<SLACKTOKEN>', 'g') AS t8 FROM s4),
+      |s6 AS (SELECT *,
+      |  CAST(len(regexp_extract_all(t8, '${TextOps.B64TokenRe}')) AS BIGINT) AS n_b64tokens,
+      |  regexp_replace(t8, '${TextOps.B64TokenRe}', '<B64TOKEN>', 'g') AS t9 FROM s5)
+      |SELECT doc_id, source, n_card_candidates, n_cards_valid,
+      |  n_emails, n_ipv4s, n_phones, n_privkeys, n_awskeys, n_ghtokens,
+      |  n_jwts, n_slacktokens, n_b64tokens,
+      |  CAST(len(regexp_extract_all(t9, '${TextOps.HexTokenRe}')) AS BIGINT) AS n_hextokens,
+      |  regexp_replace(t9, '${TextOps.HexTokenRe}', '<HEXTOKEN>', 'g') AS redacted_text
+      |FROM s6 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val planted = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        plantCardsCol(plantPiiCol).as("text"))
+    Curation.redactSecretsStage(
+      Curation.redactStage(
+        Curation.redactCardsStage(planted, "text"), "text"), "text")
+      .select(col("doc_id"), col("source"), col("n_card_candidates"),
+        col("n_cards_valid"), col("n_emails"), col("n_ipv4s"),
+        col("n_phones"), col("n_privkeys"), col("n_awskeys"),
+        col("n_ghtokens"), col("n_jwts"), col("n_slacktokens"),
+        col("n_b64tokens"), col("n_hextokens"),
+        col("text").as("redacted_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179, q182, q186,
-    q191)
+    q191, q210)
 }

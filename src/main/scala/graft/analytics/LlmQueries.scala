@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1751,9 +1751,219 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q203
+  // Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009,
+  // the Elasticsearch/Vespa hybrid-search default): BM25 top-10 (q102's
+  // exact chain, deeper list) fused with dense cosine top-10 over the
+  // embeddings table (ids align 1:1 with documents), fused top-5 per
+  // query. Ranks are exact integers; each fused score is two IEEE
+  // divisions added in fixed ranker order (sparse + dense), so the
+  // oracle replays scores bit-for-bit.
+  private val q203KPer = 10
+  val q203 = QuerySpec.sql(
+    "q203_hybrid_rrf",
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 97 = 0),
+      |toks AS (SELECT doc_id, unnest($duckToks) AS term FROM c),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS avgdl),
+      |qt AS (SELECT query_id, unnest(list_distinct(list_slice($duckToks, 1, 5))) AS term FROM q),
+      |per AS (SELECT qt.query_id, tf.doc_id, tf.term,
+      |  ((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |     (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) AS sc
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+      |agg AS (SELECT query_id, doc_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)), (a, x) -> a + x) AS score
+      |  FROM per GROUP BY query_id, doc_id),
+      |sr AS (SELECT query_id, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM agg),
+      |stop AS (SELECT query_id, doc_id, rank FROM sr WHERE rank <= $q203KPer),
+      |en AS (SELECT vec_id, embedding AS e,
+      |  sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
+      |dp AS (SELECT p.vec_id AS query_id, b.vec_id AS doc_id,
+      |  CASE WHEN p.nm * b.nm > 0
+      |    THEN ${duckDot("p.e", "b.e")} / (p.nm * b.nm)
+      |    ELSE 0.0 END AS sim
+      |  FROM en p JOIN en b ON p.vec_id % 97 = 0 AND b.vec_id % 97 <> 0),
+      |dr AS (SELECT query_id, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank FROM dp),
+      |dtop AS (SELECT query_id, doc_id, rank FROM dr WHERE rank <= $q203KPer),
+      |keys AS (SELECT query_id, doc_id FROM stop UNION SELECT query_id, doc_id FROM dtop),
+      |f AS (SELECT k.query_id, k.doc_id, s.rank AS rs, dn.rank AS rd
+      |  FROM keys k LEFT JOIN stop s USING (query_id, doc_id)
+      |  LEFT JOIN dtop dn USING (query_id, doc_id)),
+      |sc2 AS (SELECT query_id, doc_id,
+      |  COALESCE(1.0 / CAST(60 + rs AS DOUBLE), 0.0)
+      |    + COALESCE(1.0 / CAST(60 + rd AS DOUBLE), 0.0) AS rrf_score,
+      |  (CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN rd IS NOT NULL THEN 1 ELSE 0 END) AS n_lists FROM f),
+      |fr AS (SELECT query_id, doc_id, n_lists, rrf_score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM sc2)
+      |SELECT query_id, doc_id, CAST(n_lists AS INT) AS n_lists, rrf_score,
+      |  CAST(rank AS INT) AS rank
+      |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    Retrieval.hybridTopK(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text")),
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "doc_id", "text", "query_id", "text", "embedding",
+      k = 5, kPerList = q203KPer)
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------------------------- q204
+  // Luhn-validated payment-card scrub (Privacy.paymentCardSignals): the
+  // fixture has no PANs, so each document gets one planted reference —
+  // four Luhn-valid shapes (plain, dashed, 15-digit Amex, spaced
+  // Discover) and two invalid ones (wrong check digit; 14 random
+  // digits) — and the oracle replays candidate extraction, the mod-10
+  // fold over normalized digits, and the sorted value-wise redaction
+  // fold. Everything is integer arithmetic + string ops: full
+  // hash-match.
+  private val q204Cards = Seq(
+    "4111111111111111", "4111-1111-1111-1111", "378282246310005",
+    "6011 1111 1111 1117", "4111111111111112", "12345678901234")
+  private[analytics] def duckLuhn(ds: String): String =
+    s"""(length($ds) BETWEEN 13 AND 19 AND
+      |    list_sum(list_transform(generate_series(1, length(reverse($ds))), i ->
+      |      CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2*CAST(substring(reverse($ds), i, 1) AS INT) > 9
+      |             THEN 2*CAST(substring(reverse($ds), i, 1) AS INT) - 9
+      |             ELSE 2*CAST(substring(reverse($ds), i, 1) AS INT) END
+      |      ELSE CAST(substring(reverse($ds), i, 1) AS INT) END)) % 10 = 0)""".stripMargin
+  val q204 = QuerySpec.sql(
+    "q204_card_redaction",
+    s"""WITH pl AS (SELECT doc_id,
+      |  text || ' ref ' || (${q204Cards.map(c => s"'$c'").mkString("[", ", ", "]")})[CAST(doc_id % 6 AS INT) + 1] AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |  regexp_extract_all(text, '${Privacy.CardCandidateRe}') AS cands FROM pl),
+      |v AS (SELECT doc_id, text, cands,
+      |  list_filter(cands, x -> ${duckLuhn("regexp_replace(x, '[ -]', '', 'g')")}) AS valid
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
+      |  list_reduce(list_prepend(text, list_sort(list_distinct(valid))),
+      |    (a, x) -> replace(a, x, '<CARD>')) AS redacted_text
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" ref "),
+        element_at(array(q204Cards.map(lit): _*),
+          (pmod(col("doc_id"), lit(6)) + 1).cast("int"))).as("text"))
+    planted.select(col("doc_id") +:
+      Privacy.paymentCardSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q205
+  // Unicode-script profile (TextOps.scriptSignals) — the CCNet/mC4-style
+  // script routing + mixed-script impurity gate. The fixture is pure
+  // ASCII, so scripts are planted deterministically from the lang
+  // column (translate is char-for-char identical on both engines):
+  // zh docs swap vowels for Han characters (CJK-dominant, consonants
+  // stay Latin → mixed), es docs get Cyrillic а/о homoglyphs (the
+  // classic spoofing shape), fr docs get Greek ε. Counts use the q31
+  // inverse-class technique with literal BMP ranges shared verbatim.
+  private val q205Plant =
+    "CASE WHEN lang = 'zh' THEN translate(text, 'aeiou', '的一是不了') " +
+      "WHEN lang = 'es' THEN translate(text, 'ao', 'ао') " +
+      "WHEN lang = 'fr' THEN translate(text, 'e', 'ε') ELSE text END"
+  val q205 = QuerySpec.sql(
+    "q205_script_profile",
+    {
+      val counts = TextOps.ScriptClasses.map { case (n, cls) =>
+        n -> s"CAST(length(text) - length(regexp_replace(text, '[$cls]', '', 'g')) AS BIGINT)"
+      }
+      val names = counts.map { case (n, e) => s"$e AS n_$n" }.mkString(",\n      |  ")
+      val totalE = counts.map(c => s"n_${c._1}").mkString(" + ")
+      val mxE = s"greatest(${counts.map(c => s"n_${c._1}").mkString(", ")})"
+      val mainCase = "CASE WHEN mx = 0 THEN 'none' " +
+        counts.map { case (n, _) => s"WHEN n_$n = mx THEN '$n'" }.mkString(" ") +
+        " END"
+      s"""WITH pl AS (SELECT doc_id, lang, $q205Plant AS text FROM documents),
+        |cnt AS (SELECT doc_id, lang,
+        |  $names
+        |  FROM pl),
+        |m AS (SELECT *, $totalE AS n_script_chars, $mxE AS mx FROM cnt)
+        |SELECT doc_id, lang, ${counts.map(c => s"n_${c._1}").mkString(", ")},
+        |  n_script_chars, $mainCase AS main_script,
+        |  CAST(20 * (n_script_chars - mx) > n_script_chars AS INT) AS mixed_script
+        |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      when(col("lang") === "zh", translate(col("text"), "aeiou", "的一是不了"))
+        .when(col("lang") === "es", translate(col("text"), "ao", "ао"))
+        .when(col("lang") === "fr", translate(col("text"), "e", "ε"))
+        .otherwise(col("text")).as("text"))
+    val sigs = TextOps.scriptSignals(col("text")).map {
+      case ("mixed_script", c) => c.cast("int").as("mixed_script")
+      case (n, c) => c.as(n)
+    }
+    planted.select(col("doc_id") +: col("lang") +: sigs: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q208
+  // Cluster-balanced subsampling (Similarity.clusterBalancedSample —
+  // SSL-prototypes/DataComp cluster pruning with exact cap bookkeeping):
+  // k-means over the embeddings, every cluster capped at 40 members by
+  // the deterministic md5 order. Centroids are data-adaptive floats (the
+  // k-means++ seeding and mean updates have no DuckDB twin), so the
+  // entry is rows-only; q208r replays the assignment argmax through an
+  // independent plan shape and pins the cap bookkeeping in-gate.
+  val q208 = QuerySpec.rowsOnly("q208_cluster_balanced_sample") { (s, d) =>
+    Similarity.clusterBalancedSample(Tables.embeddings(s, d), "vec_id",
+      "embedding", nlist = 8, capPerCluster = 40, iters = 2)
+      .orderBy("vec_id")
+  }
+
+  // --------------------------------------------------------------- q209
+  // kNN label-agreement eval (Similarity.knnLabelEval) — the intrinsic
+  // embedding-quality probe: per probe vector, how many of its top-5
+  // exact-cosine neighbors share its label, and the rank of the first
+  // that does. The oracle replays the brute-force ranking (q203's dense
+  // CTE) and the all-integer per-probe aggregation.
+  val q209 = QuerySpec.sql(
+    "q209_knn_label_eval",
+    s"""WITH en AS (SELECT vec_id, label, embedding AS e,
+      |  sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
+      |dp AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+      |  b.vec_id AS neighbor_id, b.label AS nl,
+      |  CASE WHEN p.nm * b.nm > 0
+      |    THEN ${duckDot("p.e", "b.e")} / (p.nm * b.nm)
+      |    ELSE 0.0 END AS sim
+      |  FROM en p JOIN en b ON p.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+      |r AS (SELECT probe_id, probe_label, nl,
+      |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM dp),
+      |top AS (SELECT * FROM r WHERE rank <= 5)
+      |SELECT probe_id, probe_label,
+      |  CAST(SUM(CASE WHEN nl = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+      |  CAST(COALESCE(MIN(CASE WHEN nl = probe_label THEN rank END), 0) AS INT) AS first_match_rank
+      |FROM top GROUP BY probe_id, probe_label
+      |ORDER BY probe_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnLabelEval(
+      emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+      "vec_id", "embedding", "label", k = 5)
+      .orderBy("probe_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134, q159, q173, q200, q202)
+    q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209)
 }

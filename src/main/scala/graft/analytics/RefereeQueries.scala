@@ -684,7 +684,49 @@ object RefereeQueries {
       symDiff(sB, rB) ++ symDiff(sBreplay, sB) :+ grewOnReplay)
   }
 
+  // ----------------------------------------------------- q208 referee
+  // Cluster-balanced sampling (q208 is rows-only: k-means centroids are
+  // data-adaptive floats). Three independent checks, engine-side:
+  // (1) the scan-side assignCell argmax (array_position over a score
+  //     array) against an exploded-rows + window row_number argmax over
+  //     the SAME float_dot scores — two plan shapes, one arithmetic, so
+  //     any drift in the array path (ordering, tie-break, literal
+  //     broadcast) shows as a disagreement row;
+  // (2) exact cap bookkeeping: per-cluster kept count must equal
+  //     min(cluster size, cap) — an over-drop or over-keep is a row;
+  // (3) membership: every kept (id, cluster) pair must exist in the full
+  //     assignment — a kept row with a drifted cluster id is a row.
+  val q208r = QuerySpec.refereeCheck("q208r_cluster_sample_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import graft.ops.Ivf
+    val emb = Tables.embeddings(s, d)
+    val nlist = 8
+    val cap = 40
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", nlist, iters = 2)
+    val assigned = emb.select(col("vec_id"),
+      Ivf.assignCell(col("embedding"), centroids).as("cluster_id"))
+    // (1) independent-shape argmax: explode (cell, score), rank by
+    // (score desc, cell asc) — row 1 must be assignCell's first-max cell
+    val scored = emb.select(col("vec_id"), posexplode(array(
+      centroids.map(c => graft.functions.GraftFunctions.float_dot(
+        col("embedding"), typedlit(c))): _*)).as(Seq("cell", "score")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val refAssign = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cell").cast(IntegerType).as("cluster_id"))
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist, cap, iters = 2)
+    val counts = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_all"))
+      .join(kept.groupBy("cluster_id").agg(count(lit(1)).as("n_kept")),
+        Seq("cluster_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+    val capBad = counts.filter(col("n_kept") =!= least(col("n_all"), lit(cap.toLong)))
+    val orphan = kept.join(assigned, Seq("vec_id", "cluster_id"), "left_anti")
+    report(symDiff(assigned, refAssign) ++ Seq(capBad, orphan))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r, q181r, q190r)
+    q180r, q181r, q190r, q208r)
 }

@@ -579,6 +579,21 @@ object Curation {
       case (df, (name, c)) => df.withColumn(name, c)
     }
 
+  /** Payment-card scrub stage ([[graft.ops.Privacy.paymentCardSignals]] —
+    * Luhn-validated PANs replaced value-wise). ORDER IS LOAD-BEARING and
+    * OPPOSITE to the other two stages' composition: cards must run
+    * BEFORE [[redactStage]], because the generic phone pattern
+    * ([[TextOps.PhoneRe]] — any 9+-char digit run) would eat every PAN
+    * first and the card stage would see nothing. Most-specific-first is
+    * the same principle the secrets cascade applies internally. Same
+    * pure scan-side projection shape, `textCol` replaced in place.
+    */
+  def redactCardsStage(docs: DataFrame, textCol: String): DataFrame =
+    Privacy.paymentCardSignals(col(textCol)).foldLeft(docs) {
+      case (df, ("redacted_text", c)) => df.withColumn(textCol, c)
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+
   // ------------------------------------------------------ shard layout
 
   /** Token-balanced training-shard assignment: `shard_id =
@@ -678,6 +693,86 @@ object Curation {
           e => e.getField("__frag"))).as("token_ids"),
         sort_array(collect_list(col("__dstart"))).as("doc_starts"))
       .withColumn("n_ids", size(col("token_ids")).cast(LongType))
+  }
+
+  /** Packing-efficiency audit — the report a trainer reads BEFORE picking
+    * a batching policy: for a given sequence length, how many sequences
+    * does each policy emit, and where do the tokens go (kept / padding /
+    * truncated)? Policies audited, on whitespace token counts (the same
+    * cheap planner currency as [[Sampling.mixManifest]]):
+    *
+    *  - `concat_pack` — documents laid end-to-end per `sourceCol` group
+    *    and cut into fixed windows ([[packTokenIds]]'s shape): zero
+    *    truncation, padding only in each group's final partial window;
+    *  - `pad_per_doc` — one document per sequence, padded to `seqLen`,
+    *    overflow truncated (the naive SFT batcher);
+    *  - `bucket_pad` — one document per sequence, padded only to the
+    *    next `bucketWidth` multiple (capped at `seqLen`) — the
+    *    length-bucketed batcher that trades ragged batches for less
+    *    padding.
+    *
+    * Everything is exact integer arithmetic off two corpus aggregates
+    * (one flat, one per-source — both collapse map-side); `utilization`
+    * (kept / capacity) is the single double division, so an external
+    * engine replays the report bit-for-bit. Ceilings are computed as
+    * `floor((x + d - 1) / d)` over doubles on both engines — exact to
+    * 2^53, far past any real token total.
+    *
+    * Output: (policy, n_sequences, n_tokens_kept, n_pad, n_truncated,
+    * utilization), one row per policy. Token-free documents occupy no
+    * sequence under any policy (they carry no trainer signal).
+    */
+  def packingEfficiency(docs: DataFrame, sourceCol: String, textCol: String,
+      seqLen: Int, bucketWidth: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(bucketWidth > 0 && bucketWidth <= seqLen,
+      "bucketWidth must be in [1, seqLen]")
+    val L = lit(seqLen.toLong)
+    val W = lit(bucketWidth.toLong)
+    def ceilDiv(x: Column, d: Column): Column =
+      floor((x + d - lit(1L)).cast(DoubleType) / d.cast(DoubleType))
+        .cast(LongType)
+    val per = docs
+      .select(col(sourceCol),
+        TextOps.tokenCount(col(textCol)).cast(LongType).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__kept", least(col("__n"), L))
+      .withColumn("__plen", least(ceilDiv(col("__n"), W) * W, L))
+    val flat = per.agg(
+      count(lit(1)).as("__cnt"),
+      coalesce(sum(col("__n")), lit(0L)).as("__sn"),
+      coalesce(sum(col("__kept")), lit(0L)).as("__sk"),
+      coalesce(sum(col("__plen")), lit(0L)).as("__sp"))
+    val concat = per.groupBy(col(sourceCol))
+      .agg(sum(col("__n")).as("__gn"))
+      .agg(coalesce(sum(ceilDiv(col("__gn"), L)), lit(0L)).as("__cs"),
+        coalesce(sum(col("__gn")), lit(0L)).as("__ct"))
+    def util(kept: Column, capacity: Column): Column =
+      when(capacity > 0,
+        kept.cast(DoubleType) / capacity.cast(DoubleType)).otherwise(lit(0.0))
+    flat.crossJoin(concat) // two 1-row frames
+      .select(explode(array(
+        struct(lit("bucket_pad").as("policy"),
+          col("__cnt").as("n_sequences"),
+          col("__sk").as("n_tokens_kept"),
+          (col("__sp") - col("__sk")).as("n_pad"),
+          (col("__sn") - col("__sk")).as("n_truncated"),
+          util(col("__sk"), col("__sp")).as("utilization")),
+        struct(lit("concat_pack").as("policy"),
+          col("__cs").as("n_sequences"),
+          col("__ct").as("n_tokens_kept"),
+          (col("__cs") * L - col("__ct")).as("n_pad"),
+          lit(0L).as("n_truncated"),
+          util(col("__ct"), col("__cs") * L).as("utilization")),
+        struct(lit("pad_per_doc").as("policy"),
+          col("__cnt").as("n_sequences"),
+          col("__sk").as("n_tokens_kept"),
+          (col("__cnt") * L - col("__sk")).as("n_pad"),
+          (col("__sn") - col("__sk")).as("n_truncated"),
+          util(col("__sk"), col("__cnt") * L).as("utilization"))))
+        .as("r"))
+      .select(col("r.*"))
+      .orderBy("policy")
   }
 
   /** Deliver [[packTokenIds]] output as a VERSIONED, shard-partitioned

@@ -47,4 +47,60 @@ object Privacy {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
+
+  // ------------------------------------------ payment-card detection
+
+  /** Payment-card candidate shape: 13–19 digits, each optionally
+    * followed by one space or dash (the two separator conventions PANs
+    * print with), word-bounded at both digit ends. Matching alone is NOT
+    * detection — most 16-digit runs are ids, not cards; the published
+    * discipline (every PCI scanner, Dolma's scrub list) is regex
+    * candidates THEN Luhn mod-10 validation ([[luhnValid]]), which
+    * rejects ~90% of random digit runs. The pattern stays in the
+    * Java-regex/RE2 shared subset and is interpolated verbatim into the
+    * oracle. Documented edge: a digit run longer than 19 never matches
+    * anywhere inside (the trailing \b cannot sit between digits) — a
+    * 20+-digit run is an id, not a PAN, by ISO/IEC 7812 length rules.
+    */
+  val CardCandidateRe: String = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn (ISO/IEC 7812 mod-10) check over a digits-only string column:
+    * from the RIGHT, double every second digit, subtract 9 when the
+    * double exceeds 9, and require the total ≡ 0 (mod 10); length must
+    * be a valid PAN length (13–19). Pure integer arithmetic over a
+    * scan-side fold — bit-portable to any engine, no float anywhere.
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(
+      transform(sequence(lit(1), length(rev)), i => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    length(digits).between(13, 19) && pmod(total, lit(10)) === 0
+  }
+
+  /** Scan-side payment-card scrub with per-document accounting (the
+    * [[TextOps.redactionSignals]] convention): candidate count,
+    * Luhn-valid count, and the text with every occurrence of each valid
+    * candidate replaced by `<CARD>`. Replacement is VALUE-wise over the
+    * sorted distinct valid candidates (identical strings are identically
+    * valid, so value-wise replacement is consistent), which keeps the
+    * whole operator a pure projection — no shuffle — and lets an
+    * external engine replay the fold verbatim. Validation normalizes
+    * separators out ([ -]) before the Luhn fold; redaction replaces the
+    * candidate AS MATCHED, separators included.
+    */
+  def paymentCardSignals(text: Column): Seq[(String, Column)] = {
+    val cands = regexp_extract_all(text, lit(CardCandidateRe), lit(0))
+    val valid = filter(cands,
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+    Seq(
+      "n_card_candidates" -> size(cands).cast("long"),
+      "n_cards_valid" -> size(valid).cast("long"),
+      "redacted_text" -> aggregate(array_sort(array_distinct(valid)), text,
+        (acc, c) => replace(acc, c, lit("<CARD>"))))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hybrid retrieval fusion — the RAG-corpus-prep / eval-harness operator
+  * that combines a LEXICAL ranker (BM25 — [[TextOps.bm25TopK]]) with a
+  * DENSE ranker (embedding cosine — [[Similarity.bruteForceTopK]] or any
+  * ANN variant) into one ranking per query.
+  *
+  * The combiner is Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+  * SIGIR 2009): score(d) = Σ_r 1 / (k + rank_r(d)) over the rankers r
+  * that retrieved d. RRF is the published default for hybrid search
+  * (Elasticsearch/OpenSearch/Vespa all ship it) because it needs no
+  * score calibration between rankers — only ranks, which makes it
+  * engine-portable too: ranks are exact integers, each reciprocal is one
+  * IEEE double division, and the fusion sum folds in fixed ranker order,
+  * so an external engine replays fused scores bit-for-bit.
+  *
+  * Scale shape: inputs are ranked lists (n_queries × k rows), orders of
+  * magnitude smaller than the corpus that produced them — the fusion
+  * joins are (query, doc)-keyed exchanges over list-sized frames, never
+  * corpus-sized; the per-query top-k window partitions by query. The
+  * expensive parts (BM25 scoring, ANN search) stay in their own
+  * operators with their own documented scale shapes.
+  */
+object Retrieval {
+
+  /** Fuse ranked lists with Reciprocal Rank Fusion. Each input must carry
+    * (queryCol, docCol, rankCol) with rank 1-based; candidates missing
+    * from a list contribute nothing for that list (the published
+    * convention). Returns the fused per-query top-`k`:
+    * (queryCol, docCol, n_lists, rrf_score, rank).
+    *
+    * Determinism: the fusion sum is a FIXED-ORDER fold over ranker index
+    * (reduce over the input sequence), each term `1.0 / (kRrf + rank)` —
+    * integer add, one double division — so scores are bit-identical on
+    * any IEEE engine replaying the same order. Final ties break by doc id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && kRrf > 0, "k and kRrf must be positive")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryCol), col(docCol),
+        col(rankCol).cast(IntegerType).as(s"__r$i"))
+    }
+    // candidate set = union of all lists' (query, doc) pairs; each list
+    // then left-joins its rank back on — list-sized exchanges only
+    val keys = tagged.map(_.select(col(queryCol), col(docCol)))
+      .reduce(_ unionByName _).distinct()
+    val joined = tagged.foldLeft(keys)((acc, t) =>
+      acc.join(t, Seq(queryCol, docCol), "left"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(kRrf) + col(s"__r$i")).cast(DoubleType), lit(0.0)))
+      .reduce(_ + _) // fixed ranker-order fold — bit-exact cross-engine
+    val nLists = rankings.indices
+      .map(i => when(col(s"__r$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(docCol).asc)
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("n_lists", nLists.cast(IntegerType))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(docCol), col("n_lists"),
+        col("rrf_score"), col("rank"))
+  }
+
+  /** The standard two-ranker hybrid: BM25 over text + brute-force cosine
+    * over embeddings, RRF-fused. `queries` carries (qidCol, qTextCol);
+    * `probeVecs` carries (qidCol, vecCol) for the same query ids; the
+    * corpus sides are keyed by `idCol`. Per-ranker depth `kPerList`
+    * (fusion literature retrieves deeper than it returns; 2–5× the final
+    * k is typical), fused depth `k`.
+    */
+  def hybridTopK(corpusText: DataFrame, corpusVecs: DataFrame,
+      queries: DataFrame, probeVecs: DataFrame, idCol: String,
+      textCol: String, qidCol: String, qTextCol: String, vecCol: String,
+      k: Int, kPerList: Int, kRrf: Int = 60): DataFrame = {
+    val sparse = TextOps.bm25TopK(corpusText, queries, idCol, textCol,
+      qidCol, qTextCol, k = kPerList)
+      .select(col(qidCol), col(idCol), col("rank"))
+    val dense = Similarity.bruteForceTopK(
+      probeVecs.select(col(qidCol).as(idCol), col(vecCol)), corpusVecs,
+      idCol, vecCol, k = kPerList)
+      .select(col("probe_id").as(qidCol), col("neighbor_id").as(idCol),
+        col("rank"))
+    rrfFuse(Seq(sparse, dense), qidCol, idCol, "rank", k = k, kRrf = kRrf)
+  }
+}

@@ -185,6 +185,101 @@ object Sampling {
       .drop("__full", "__frac", "epochs")
   }
 
+  /** Epoch-capped token-budget allocation by water-filling — the step
+    * [[mixManifest]] cannot express: a manifest's `budget * weight`
+    * target is INFEASIBLE when a high-weight source is too small to
+    * supply it under a repetition cap (published mixes cap epochs
+    * because repeating a small source too often measurably hurts the
+    * model — the Muennighoff et al. 2023 "data-constrained scaling"
+    * regime; LLaMA-class data cards list per-source epochs for exactly
+    * this reason). The standard resolution is water-filling: cap the
+    * oversubscribed sources at `maxEpochs × n_tokens`, redistribute the
+    * budget they couldn't absorb over the remaining sources in
+    * proportion to their weights, and repeat until no source exceeds its
+    * cap (each round caps ≥ 1 source, so ≤ #sources rounds; rounds after
+    * convergence are no-ops, which is what lets a fixed `maxRounds`
+    * unrolling replay it).
+    *
+    * Engine-portability: every round's weight sum and used-budget sum
+    * fold over ALL sources in source-name order with `+ 0.0` identity
+    * terms for the non-participating ones (adding 0.0 is exact for
+    * finite IEEE doubles, and the fixed fold order makes the partial
+    * sums bit-identical to an external engine's ordered list_reduce);
+    * allocations are `rem * w / wsum` — two IEEE ops in fixed order. The
+    * cap comparison therefore agrees bit-for-bit cross-engine, and so
+    * does every derived value.
+    *
+    * Shape at 100 TB: ONE distributed corpus aggregate (partial-agg
+    * collapses to source cardinality before the exchange); the plan loop
+    * itself is driver arithmetic over the collected manifest — bounded
+    * by source cardinality, the same discipline as [[temperatureMix]] —
+    * and the result is a broadcast-sized plan frame whose `epochs`
+    * column feeds [[materializeEpochs]] directly.
+    *
+    * Output, one row per source: (sourceCol, n_docs, n_tokens, weight,
+    * target_tokens, epochs, capped, capped_round) — `capped_round` is
+    * the 1-based round that capped the source, 0 if never capped.
+    */
+  def mixWaterfill(docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, weight: Column, maxEpochs: Double,
+      maxRounds: Int = 12): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    require(maxEpochs > 0.0, "epoch cap must be positive")
+    require(maxRounds >= 1, "need at least one round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextOps.tokenCount(col(textCol)).cast(LongType))
+          .as("n_tokens"))
+      .select(col(sourceCol).cast(StringType), col("n_docs"),
+        col("n_tokens"), weight.cast(DoubleType).as("weight"))
+      .collect() // manifest-sized: one row per source
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1) // the fold order everything below depends on
+    require(m.nonEmpty, "mixWaterfill needs at least one row")
+    val n = m.length
+    val capped = Array.fill(n)(false)
+    val fin = Array.fill(n)(0.0)
+    val rnd = Array.fill(n)(0)
+    val budget = budgetTokens.toDouble
+    // source-ordered folds with identity terms — the oracle-replayable sums
+    def wsum: Double =
+      m.indices.foldLeft(0.0)((a, i) => a + (if (capped(i)) 0.0 else m(i)._4))
+    def used: Double =
+      m.indices.foldLeft(0.0)((a, i) => a + (if (capped(i)) fin(i) else 0.0))
+    var k = 1
+    var converged = false
+    while (k <= maxRounds && !converged) {
+      val ws = wsum
+      val rem = budget - used
+      // snapshot semantics: every cap decision this round reads the SAME
+      // (ws, rem) — the unrolled-CTE replay's per-round scalar
+      val newly = m.indices.filter(i => !capped(i) && ws > 0.0 &&
+        rem * m(i)._4 / ws > maxEpochs * m(i)._3.toDouble)
+      if (newly.isEmpty) converged = true
+      else newly.foreach { i =>
+        capped(i) = true
+        fin(i) = maxEpochs * m(i)._3.toDouble
+        rnd(i) = k
+      }
+      k += 1
+    }
+    val fws = wsum
+    val frem = budget - used
+    val rows = m.indices.map { i =>
+      val (src, nd, nt, w) = m(i)
+      val target =
+        if (capped(i)) fin(i)
+        else if (fws > 0.0) frem * w / fws
+        else 0.0
+      val epochs = if (nt > 0) target / nt.toDouble else 0.0
+      (src, nd, nt, w, target, epochs, capped(i), rnd(i))
+    }
+    rows.toDF(sourceCol, "n_docs", "n_tokens", "weight", "target_tokens",
+      "epochs", "capped", "capped_round")
+  }
+
   /** Deterministic uniform top-n without replacement: the n rows with the
     * smallest id hash. A distributed TakeOrdered (per-partition top-n,
     * then merge) — no full sort, no full shuffle. Reproducible across

@@ -505,4 +505,69 @@ object Similarity {
     df.join(manifest.select(col("cluster_id").as(s"__keep_$idCol")),
       col(idCol) === col(s"__keep_$idCol"), "left_semi")
   }
+
+  // ------------------------------------- cluster-balanced subsampling
+
+  /** Diversity-preserving subsampling by embedding cluster — the
+    * published pruning recipe between random sampling (loses rare
+    * modes) and SemDeDup (only removes near-identical points): k-means
+    * the corpus into `nlist` clusters ([[Ivf.trainCentroids]] — the
+    * SAME centroids machinery the IVF index uses), then cap every
+    * cluster at `capPerCluster` members, chosen deterministically by id
+    * hash ([[Sampling.cappedPerGroup]]'s md5 order — reproducible on
+    * any engine). Dense regions (boilerplate-heavy modes) shrink to the
+    * cap; rare modes survive whole. This is the "SSL prototypes" /
+    * DataComp cluster-pruning shape (Sorscher et al. 2022 use distance
+    * to the prototype; the cap variant keeps the bookkeeping exact).
+    *
+    * Scale shape: centroids are a driver-side array (nlist × dim,
+    * broadcast into the scan-side [[Ivf.assignCell]] argmax — no
+    * shuffle to assign); the cap's window runs per cluster behind ONE
+    * cluster-keyed exchange of (id, cluster) pairs — vectors never
+    * shuffle. Returns (idCol, cluster_id) of the kept rows.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, capPerCluster: Int, iters: Int = 2): DataFrame = {
+    require(nlist > 0 && capPerCluster > 0, "nlist and cap must be positive")
+    val centroids = Ivf.trainCentroids(df, idCol, vecCol, nlist, iters)
+    val assigned = df.select(col(idCol),
+      Ivf.assignCell(col(vecCol), centroids).as("cluster_id"))
+    Sampling.cappedPerGroup(assigned, "cluster_id", idCol, capPerCluster)
+  }
+
+  // ------------------------------------------- embedding-quality eval
+
+  /** kNN label-agreement report — the standard intrinsic eval of an
+    * embedding table that carries labels (the "kNN probe" every
+    * representation-learning paper tables): for each probe vector, rank
+    * the rest of the corpus by exact cosine and report how the probe's
+    * label agrees with its top-k neighborhood. Output per probe:
+    * (probe_id, probe_label, n_same_label — same-label neighbors in the
+    * top k, first_match_rank — rank of the nearest same-label neighbor,
+    * 0 when none in the top k). All-integer output over the exact
+    * ranking, so an external engine replays it bit-for-bit; aggregate
+    * accuracy@1 / precision@k are one GROUP BY away and stay rational.
+    *
+    * Scale shape: the ranking is [[bruteForceTopK]]'s deliberate
+    * broadcast cross (bounded probe set broadcasts, corpus streams);
+    * the label joins move (id, label) pairs only.
+    */
+  def knnLabelEval(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val ranked = bruteForceTopK(
+      probes.select(col(idCol), col(vecCol)),
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+    ranked
+      .join(probes.select(col(idCol).as("probe_id"),
+        col(labelCol).as("probe_label")), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(
+        sum(when(col("__nl") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_same_label"),
+        coalesce(min(when(col("__nl") === col("probe_label"), col("rank"))),
+          lit(0)).cast(org.apache.spark.sql.types.IntegerType)
+          .as("first_match_rank"))
+  }
 }

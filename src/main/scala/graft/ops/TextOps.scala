@@ -545,6 +545,58 @@ object TextOps {
         .otherwise("unknown"))
   }
 
+  // -------------------------------------------- Unicode script profile
+
+  /** Script character classes for [[scriptSignals]] — BMP ranges of the
+    * scripts a multilingual web pipeline routes on (CCNet/mC4 partition
+    * corpora by language, and script is the cheap, model-free first cut;
+    * mixed-script text is a classic spam/SEO signal). Ranges are embedded
+    * as LITERAL characters, not \\u escapes, because the escape syntax
+    * differs between Java regex and RE2 while a literal BMP character in
+    * a class means the same thing in both — the oracle interpolates
+    * these class bodies verbatim. Latin excludes U+00D7/U+00F7 (the
+    * multiplication/division signs sitting inside the Latin-1 letter
+    * block). Order is the [[scriptSignals]] tie-break precedence.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> ("A-Za-zÀ-ÖØ-öø-ɏ"),
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ",
+    "hebrew" -> "֐-׿",
+    "cjk" -> "一-鿿぀-ヿ", // Han + hiragana/katakana
+    "hangul" -> "가-힣",
+    "devanagari" -> "ऀ-ॿ")
+
+  /** Per-script character counts plus the routing decision: `n_<script>`
+    * for each [[ScriptClasses]] entry, `n_script_chars` (their sum),
+    * `main_script` (the FIRST class in precedence order attaining the
+    * maximum count; 'none' when no script character occurs), and
+    * `mixed_script` — true when more than 5% of script characters fall
+    * outside the main script (the CCNet-style impurity gate; the 5%
+    * threshold is compared in exact integer arithmetic,
+    * `20 * others > total`, so no float enters the decision). Counts via
+    * the q31 inverse-class technique (`length - length(strip(class))`),
+    * one pure scan-side projection — zero shuffle, and every expression
+    * replays verbatim in an external engine.
+    */
+  def scriptSignals(text: Column): Seq[(String, Column)] = {
+    val L = org.apache.spark.sql.types.LongType
+    val counts = ScriptClasses.map { case (name, cls) =>
+      name -> (length(text) - length(regexp_replace(text, s"[$cls]", "")))
+        .cast(L)
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    val mx = greatest(counts.map(_._2): _*)
+    val main = counts.reverse.foldLeft(lit("none")) { case (acc, (name, c)) =>
+      when(mx > 0 && c === mx, lit(name)).otherwise(acc)
+    }
+    counts.map { case (n, c) => s"n_$n" -> c } ++ Seq(
+      "n_script_chars" -> total,
+      "main_script" -> main,
+      "mixed_script" -> (lit(20) * (total - mx) > total))
+  }
+
   // ------------------------------------------------- repetition signal
 
   /** Fraction of duplicated n-grams (1 - distinct/total) — the

@@ -199,7 +199,17 @@ class PlanSpec extends SparkSpec {
       "q163_projection_recall",
       // q167's stage 1 is the same deliberate broadcast-cross class: the
       // bounded probe CODE set broadcasts, the corpus streams codes only
-      "q167_hamming_topk")
+      "q167_hamming_topk",
+      // q203's dense ranker is the q37-class broadcast cross (bounded
+      // probe set broadcasts, corpus streams vectors) and its sparse
+      // ranker inherits q102's 1-row stats broadcast
+      "q203_hybrid_rrf",
+      // q126-class: the flat and per-source 1-row aggregates combined by
+      // a 1-row broadcast for the three policy rows
+      "q207_packing_efficiency",
+      // q37-class: the kNN eval's exact ranking IS the deliberate
+      // broadcast cross (bounded probe set broadcasts, corpus streams)
+      "q209_knn_label_eval")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

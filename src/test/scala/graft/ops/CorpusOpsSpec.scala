@@ -201,3 +201,68 @@ class LicenseSignalsSpec extends SparkSpec {
     assert(n == 3L)
   }
 }
+
+/** Unicode-script profile: per-script counts, precedence tie-break, the
+  * integer-arithmetic 5% impurity gate — the policy q205's oracle
+  * replays, pinned on hand-countable strings.
+  */
+class ScriptSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def profile(texts: String*): Seq[Map[String, Any]] = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cols = TextOps.scriptSignals(col("text"))
+    val names = cols.map(_._1)
+    df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").collect()
+      .map(r => names.map(n => n -> r.getAs[Any](n)).toMap).toSeq
+  }
+
+  test("pure-Latin text: latin-dominant, not mixed, punctuation uncounted") {
+    val out = profile("Hello, world! 42")
+    assert(out(0)("n_latin") == 10L)
+    assert(out(0)("n_script_chars") == 10L) // digits/punct/space are no script
+    assert(out(0)("main_script") == "latin")
+    assert(out(0)("mixed_script") == false)
+  }
+
+  test("per-script counts are exact on a hand-built polyglot string") {
+    val out = profile("abc Ωμε где عرب אבג 中文か 한글 देव")
+    assert(out(0)("n_latin") == 3L)
+    assert(out(0)("n_greek") == 3L)
+    assert(out(0)("n_cyrillic") == 3L)
+    assert(out(0)("n_arabic") == 3L)
+    assert(out(0)("n_hebrew") == 3L)
+    assert(out(0)("n_cjk") == 3L) // two Han + one hiragana
+    assert(out(0)("n_hangul") == 2L)
+    assert(out(0)("n_devanagari") == 3L)
+    assert(out(0)("n_script_chars") == 23L)
+    // tie at 3 between latin/greek/cyrillic/arabic/hebrew/cjk/devanagari:
+    // precedence order picks latin
+    assert(out(0)("main_script") == "latin")
+    assert(out(0)("mixed_script") == true)
+  }
+
+  test("the 5% impurity gate is integer-exact at the boundary") {
+    // 19 latin + 1 cyrillic = 5% exactly -> NOT mixed (strict >)
+    val exactly5 = "a" * 19 + "б"
+    // 18 latin + 1 cyrillic ~ 5.26% -> mixed
+    val over5 = "a" * 18 + "б"
+    val out = profile(exactly5, over5)
+    assert(out(0)("mixed_script") == false)
+    assert(out(1)("mixed_script") == true)
+    assert(out.map(_("main_script")) == Seq("latin", "latin"))
+  }
+
+  test("no script characters at all routes to 'none'") {
+    val out = profile("12345 !?. ", "")
+    assert(out(0)("main_script") == "none" && out(0)("mixed_script") == false)
+    assert(out(1)("main_script") == "none")
+  }
+
+  test("Latin-1 letters count as latin; multiplication sign does not") {
+    val out = profile("café × naïve")
+    assert(out(0)("n_latin") == 9L) // é, ï included; × excluded
+    assert(out(0)("main_script") == "latin")
+  }
+}

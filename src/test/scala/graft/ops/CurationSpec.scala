@@ -719,3 +719,65 @@ class CurationSpec extends SparkSpec {
     }
   }
 }
+
+/** Packing-efficiency audit (q207): hand-computed token bookkeeping for
+  * the three policies at seqLen=8, bucketWidth=4.
+  */
+class PackingEfficiencySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hand-computed report: concat vs pad-per-doc vs bucket-pad") {
+    // tokens per doc: g1 -> 3, 10; g2 -> 8; plus an empty doc (no policy seats it)
+    val df = Seq(
+      ("g1", "a b c"), ("g1", (1 to 10).map(_ => "t").mkString(" ")),
+      ("g2", "x x x x x x x x"), ("g2", ""))
+      .toDF("source", "text")
+    val out = Curation.packingEfficiency(df, "source", "text",
+      seqLen = 8, bucketWidth = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // concat: g1 = 13 tokens -> 2 windows (16 cap, 3 pad); g2 = 8 -> 1 window, 0 pad
+    assert(out("concat_pack") == (("concat_pack", 3L, 21L, 3L, 0L, 21.0 / 24.0)))
+    // pad_per_doc: 3 docs; kept = 3 + 8 + 8 = 19 (10 truncates to 8); pad = 24-19=5; trunc 2
+    assert(out("pad_per_doc") == (("pad_per_doc", 3L, 19L, 5L, 2L, 19.0 / 24.0)))
+    // bucket_pad: plen = 4, 8, 8 -> cap 20; pad = 20-19 = 1; trunc 2
+    assert(out("bucket_pad") == (("bucket_pad", 3L, 19L, 1L, 2L, 19.0 / 20.0)))
+  }
+
+  test("empty corpus yields three zero rows, not a crash") {
+    val df = Seq.empty[(String, String)].toDF("source", "text")
+    val out = Curation.packingEfficiency(df, "source", "text", 8, 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r._2 == 0L && r._6 == 0.0))
+  }
+}
+
+/** Card-stage composition order (q210): PANs must be scrubbed BEFORE the
+  * generic phone stage or the phone pattern eats them.
+  */
+class RedactCardsStageSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val doc = Seq((1L, "pay 6011 1111 1111 1117 call +1 (555) 123-4567 ok"))
+
+  test("cards-first: the PAN becomes <CARD>, the phone number <PHONE>") {
+    val df = doc.toDF("doc_id", "text")
+    val out = Curation.redactStage(
+      Curation.redactCardsStage(df, "text"), "text")
+      .select("n_card_candidates", "n_cards_valid", "n_phones", "text")
+      .as[(Long, Long, Long, String)].head()
+    assert(out._1 == 1L && out._2 == 1L && out._3 == 1L)
+    assert(out._4 == "pay <CARD> call <PHONE> ok")
+  }
+
+  test("phones-first destroys the PAN — the ordering the stage doc forbids") {
+    val df = doc.toDF("doc_id", "text")
+    val out = Curation.redactCardsStage(
+      Curation.redactStage(df, "text"), "text")
+      .select("n_cards_valid").as[Long].head()
+    assert(out == 0L, "generic phone redaction must have eaten the PAN")
+  }
+}

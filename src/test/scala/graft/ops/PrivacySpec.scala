@@ -34,4 +34,60 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(v == Set(("b", 2, 1L), ("b", 3, 1L)))
   }
+
+  // reference Luhn for the property check
+  private def luhnRef(ds: String): Boolean = {
+    val sum = ds.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+    }.sum
+    ds.length >= 13 && ds.length <= 19 && sum % 10 == 0
+  }
+
+  test("luhnValid agrees with the reference mod-10 over known PANs and noise") {
+    val cases = Seq(
+      "4111111111111111" -> true, // Visa test number
+      "378282246310005" -> true, // 15-digit Amex
+      "6011111111111117" -> true, // Discover
+      "4111111111111112" -> false, // wrong check digit
+      "12345678901234" -> false, // random 14
+      "869972521242198" -> luhnRef("869972521242198"), // arbitrary
+      "123456789012" -> false, // 12 digits: below PAN length floor
+      "12345678901234567890" -> false) // 20 digits: above ceiling
+    val df = cases.map(_._1).toDF("d")
+    val got = df.select(col("d"), Privacy.luhnValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, want) =>
+      assert(got(d) == want, s"$d: expected $want")
+      if (d.length >= 13 && d.length <= 19)
+        assert(got(d) == luhnRef(d), s"$d disagrees with reference")
+    }
+  }
+
+  test("paymentCardSignals: candidates, Luhn gate, separator shapes, value-wise redaction") {
+    val df = Seq(
+      // valid plain, valid dashed (same PAN), invalid check digit
+      "pay 4111111111111111 or 4111-1111-1111-1111 not 4111111111111112",
+      // spaced Discover (valid) + a 14-digit non-card + a 22-digit id (never a candidate)
+      "card 6011 1111 1111 1117 ref 12345678901234 id 1234567890123456789012",
+      "no numbers here").toDF("text")
+    val out = df.select(Privacy.paymentCardSignals(col("text"))
+      .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((3L, 2L,
+      "pay <CARD> or <CARD> not 4111111111111112")))
+    assert(out(1)._1 == 2L && out(1)._2 == 1L)
+    assert(out(1)._3.contains("<CARD>") && out(1)._3.contains("12345678901234")
+      && out(1)._3.contains("1234567890123456789012"))
+    assert(out(2) == ((0L, 0L, "no numbers here")))
+  }
+
+  test("paymentCardSignals redacts repeated occurrences of the same PAN") {
+    val t = "a 4111111111111111 b 4111111111111111 c"
+    val out = Seq(t).toDF("text")
+      .select(Privacy.paymentCardSignals(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, String)].head()
+    assert(out == ((2L, 2L, "a <CARD> b <CARD> c")))
+  }
 }

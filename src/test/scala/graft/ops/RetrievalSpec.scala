@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: hand-computed two-list fusion, missing entries contribute nothing") {
+    // query 1: list A ranks docs 10,11,12; list B ranks 11,10,13
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "d", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3)).toDF("q", "d", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "q", "d", "rank", k = 4, kRrf = 60)
+      .orderBy("rank")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    def s(r: Int) = 1.0 / (60 + r)
+    // doc 10: 1/61 + 1/62; doc 11: 1/62 + 1/61 (same sum, fixed fold order);
+    // tie breaks by doc id -> 10 before 11; then 12 (A only), 13 (B only)
+    assert(out.map(_._2).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(out(0)._4 == s(1) + s(2) && out(1)._4 == s(2) + s(1))
+    assert(out(0)._3 == 2 && out(2)._3 == 1 && out(3)._3 == 1)
+    assert(out(2)._4 == s(3) && out(3)._4 == s(3))
+    assert(out.map(_._5).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse keeps queries independent and honors k") {
+    val a = Seq((1L, 10L, 1), (2L, 20L, 1), (2L, 21L, 2)).toDF("q", "d", "rank")
+    val b = Seq((2L, 21L, 1)).toDF("q", "d", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "q", "d", "rank", k = 1)
+      .orderBy("q")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(out.length == 2)
+    assert(out(0)._1 == 1L && out(0)._2 == 10L)
+    // query 2: doc 21 appears in both lists -> beats doc 20
+    assert(out(1)._1 == 2L && out(1)._2 == 21L && out(1)._3 == 2)
+  }
+
+  test("hybridTopK fuses BM25 and cosine rankings over the fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+    val out = Retrieval.hybridTopK(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      queries,
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "doc_id", "text", "query_id", "text", "embedding",
+      k = 5, kPerList = 10).cache()
+    val nq = queries.count()
+    assert(out.count() == nq * 5, "every query fills its fused top-5")
+    // fused output never surfaces a doc outside the union of the lists,
+    // and a doc in BOTH lists must outrank one of equal single-list rank
+    val perQ = out.groupBy("query_id").agg(countDistinct("doc_id").as("n"))
+      .as[(Long, Long)].collect()
+    assert(perQ.forall(_._2 == 5), "fused lists are duplicate-free per query")
+    // ranks are exactly 1..5 per query
+    val ranks = out.groupBy("query_id")
+      .agg(sort_array(collect_list(col("rank"))).as("r"))
+      .select("r").as[Seq[Int]].collect()
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4, 5)))
+    out.unpersist()
+  }
+}
+
+/** kNN label-agreement eval: hand-computed neighborhoods. */
+class KnnLabelEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-probe same-label counts and first-match rank, hand-checked") {
+    // probe p (label 1) at (1,0); corpus: a (label 1) at (1, 0.1),
+    // b (label 2) at (0.9, 0), c (label 1) at (0, 1)
+    val probes = Seq((100L, Seq(1f, 0f), 1)).toDF("id", "v", "lab")
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f), 1), (2L, Seq(0.9f, 0f), 2), (3L, Seq(0f, 1f), 1))
+      .toDF("id", "v", "lab")
+    val out = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab", k = 2)
+      .as[(Long, Int, Long, Int)].collect()
+    // top-2 by cosine: b (sim 1.0) and a (sim ~0.995); first same-label at rank 2
+    assert(out.toSeq == Seq((100L, 1, 1L, 2)))
+    val out3 = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab", k = 3)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out3.toSeq == Seq((100L, 1, 2L, 2)))
+  }
+
+  test("probe with no same-label neighbor in top-k reports rank 0") {
+    val probes = Seq((100L, Seq(1f, 0f), 9)).toDF("id", "v", "lab")
+    val corpus = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(0.5f, 0.5f), 2))
+      .toDF("id", "v", "lab")
+    val out = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab", k = 2)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.toSeq == Seq((100L, 9, 0L, 0)))
+  }
+}
+
+/** Cluster-balanced subsampling: cap bookkeeping and membership. */
+class ClusterBalancedSampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("caps bite exactly: kept per cluster = min(size, cap); members stay assigned") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", 4, iters = 2)
+    val assigned = emb.select(col("vec_id"),
+      Ivf.assignCell(col("embedding"), centroids).as("cluster_id"))
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist = 4, capPerCluster = 5, iters = 2)
+    val sizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptSizes = kept.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.exists(_ > 5), "fixture must exceed the cap somewhere")
+    sizes.foreach { case (c, n) =>
+      assert(keptSizes.getOrElse(c, 0L) == math.min(n, 5L), s"cluster $c")
+    }
+    // kept rows keep their true cluster assignment
+    assert(kept.join(assigned, Seq("vec_id", "cluster_id"), "left_anti").count() == 0)
+    // deterministic across invocations
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist = 4, capPerCluster = 5, iters = 2)
+    assert(kept.exceptAll(again).count() == 0 && again.exceptAll(kept).count() == 0)
+  }
+}

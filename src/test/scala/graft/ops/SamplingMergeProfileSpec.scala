@@ -313,3 +313,74 @@ class ProfileSpec extends SparkSpec {
     assert(shifted == Map(5.0 -> 2L))
   }
 }
+
+/** Epoch-capped water-filling (q206): the cascade semantics pinned on a
+  * hand-computed redistribution the fixture's 20 sources can't isolate.
+  */
+class MixWaterfillSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // three sources: a=10 tokens (1 doc of 10), b=100, c=1000; equal weights
+  private def corpus = {
+    def doc(src: String, n: Int, id: Long) = (id, src, Seq.fill(n)("w").mkString(" "))
+    Seq(doc("a", 10, 1), doc("b", 100, 2), doc("c", 500, 3), doc("c", 500, 4))
+      .toDF("id", "source", "text")
+  }
+
+  test("hand-computed two-round cascade: caps, redistribution, rounds") {
+    // budget 600, cap 2 epochs, equal weight 1: round 1 allocates 200
+    // each -> a caps at 20 (200 > 2*10), b caps at 200 = 2*100 is NOT
+    // > 200 -> only a caps. round 2: rem = 580 over b,c -> 290 each;
+    // b caps at 200 (290 > 200). round 3: rem = 380 all to c (380 < 2000).
+    val out = Sampling.mixWaterfill(corpus, "source", "text",
+      budgetTokens = 600, weight = lit(1.0), maxEpochs = 2.0)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double, Boolean, Int)]
+      .collect()
+    assert(out(0) == (("a", 1L, 10L, 1.0, 20.0, 2.0, true, 1)))
+    assert(out(1) == (("b", 1L, 100L, 1.0, 200.0, 2.0, true, 2)))
+    assert(out(2)._1 == "c" && !out(2)._7 && out(2)._8 == 0)
+    assert(out(2)._5 == 380.0 && out(2)._6 == 380.0 / 1000.0)
+  }
+
+  test("no caps when the budget fits: plain proportional split") {
+    val out = Sampling.mixWaterfill(corpus, "source", "text",
+      budgetTokens = 300, weight = lit(1.0), maxEpochs = 10.0)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double, Boolean, Int)]
+      .collect()
+    assert(out.forall(r => !r._7 && r._8 == 0))
+    assert(out.map(_._5).toSeq == Seq(100.0, 100.0, 100.0))
+  }
+
+  test("everything caps: leftover budget is reported, not invented") {
+    val out = Sampling.mixWaterfill(corpus, "source", "text",
+      budgetTokens = 100000, weight = lit(1.0), maxEpochs = 1.5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double, Boolean, Int)]
+      .collect()
+    assert(out.forall(_._7))
+    assert(out.map(_._5).sum == 1.5 * 1110) // 1.5 epochs of every source
+    assert(out.forall(_._6 == 1.5))
+  }
+
+  test("zero-weight sources get nothing and never cap") {
+    val out = Sampling.mixWaterfill(corpus, "source", "text",
+      budgetTokens = 600, weight = when(col("source") === "c", 0.0).otherwise(1.0),
+      maxEpochs = 40.0) // cap 400 for a: the 300/300 split stays uncapped
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double, Boolean, Int)]
+      .collect()
+    assert(out(2)._5 == 0.0 && !out(2)._7)
+    assert(out(0)._5 == 300.0 && out(1)._5 == 300.0)
+  }
+
+  test("epochs column feeds materializeEpochs directly") {
+    val plan = Sampling.mixWaterfill(corpus, "source", "text",
+      budgetTokens = 600, weight = lit(1.0), maxEpochs = 2.0)
+    val mat = Sampling.materializeEpochs(corpus, "id", "source", plan)
+    // source a capped at exactly 2.0 epochs -> its doc appears exactly twice
+    assert(mat.filter(col("source") === "a").count() == 2L)
+  }
+}
