@@ -2357,6 +2357,53 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q212
+  // Script-gated curation (the CCNet/mC4 routing stage COMPOSED as the
+  // funnel's rule gate): the corpus carries q205's planted scripts
+  // (zh docs get Han vowels, es Cyrillic homoglyphs, fr Greek ε), the
+  // gate keeps only latin-dominant docs below the 5% mixed-script
+  // impurity bar — the monolingual-pipeline admission rule — and the
+  // default curation chain runs on the survivors. Surviving docs (en/de)
+  // carry UNCHANGED text, so the dedup stages behave exactly as q95's
+  // on that subset and the default banding's recall argument holds. The
+  // oracle replays the plant, all eight class counts, the precedence
+  // argmax, the integer impurity gate, and the full q95 stage chain.
+  val q212 = QuerySpec.sql(
+    "q212_script_gated_funnel",
+    {
+      val counts = LlmQueries.duckScriptCounts
+      val names = counts.map { case (n, e) => s"$e AS n_$n" }.mkString(",\n      |  ")
+      val totalE = counts.map(c => s"n_${c._1}").mkString(" + ")
+      val mxE = s"greatest(${counts.map(c => s"n_${c._1}").mkString(", ")})"
+      s"""WITH spl AS (SELECT doc_id, source, ${LlmQueries.q205Plant} AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |scg AS (SELECT doc_id,
+        |  $names
+        |  FROM spl),
+        |scm AS (SELECT doc_id, $totalE AS tot, $mxE AS mx, n_latin FROM scg),
+        |corpus AS (SELECT s.doc_id, s.source, s.text
+        |  FROM spl s JOIN scm USING (doc_id)
+        |  WHERE mx > 0 AND n_latin = mx AND NOT (20 * (tot - mx) > tot)),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |${CurationQueries.q95ChainCtes("corpus")}
+        |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k3 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val planted = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        LlmQueries.scriptPlantCol.as("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val sig = TextOps.scriptSignals(col("text")).toMap
+    Curation.curateCorpus(planted, bench, "doc_id", "text", "source",
+      ruleGate = Some(sig("main_script") === "latin" && !sig("mixed_script")))
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q195
   // Video perceptual near-dups over a SAMPLED-FRAME table — the fourth
   // modality's dedup, on the frame-extraction output shape (q85 plans
@@ -2545,5 +2592,5 @@ object CorpusQueries {
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
-    q207)
+    q207, q212)
 }

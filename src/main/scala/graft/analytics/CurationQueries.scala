@@ -1435,52 +1435,95 @@ object CurationQueries {
   private val q206Rounds = 12
   private val q206W =
     "CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1 AS DOUBLE)"
+  /** The waterfill replay as a WITH-body fragment, ending at
+    * `it{q206Rounds}` (per-source state) and `af` (final scalars) —
+    * shared by q206 (the plan itself) and q211 (the plan driving epoch
+    * materialization).
+    */
+  private def q206Ctes: String = {
+    def wsFold(it: String) =
+      s"(SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN 0.0 ELSE w END ORDER BY source)), (x, y) -> x + y) FROM $it)"
+    def remFold(it: String) =
+      s"CAST($q206Budget AS DOUBLE) - (SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN fin ELSE 0.0 END ORDER BY source)), (x, y) -> x + y) FROM $it)"
+    val capCond =
+      s"ws > 0 AND rem * w / ws > $q206MaxE * CAST(n_tokens AS DOUBLE)"
+    val rounds = (1 to q206Rounds).map { k =>
+      s"""a$k AS (SELECT ${wsFold(s"it${k - 1}")} AS ws, ${remFold(s"it${k - 1}")} AS rem),
+        |it$k AS (SELECT source, n_docs, n_tokens, w,
+        |  capped OR ($capCond) AS capped,
+        |  CASE WHEN capped THEN fin
+        |       WHEN $capCond THEN $q206MaxE * CAST(n_tokens AS DOUBLE)
+        |       ELSE 0.0 END AS fin,
+        |  CASE WHEN capped THEN rnd WHEN $capCond THEN $k ELSE 0 END AS rnd
+        |  FROM it${k - 1} CROSS JOIN a$k)""".stripMargin
+    }.mkString(",\n")
+    s"""m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+      |  $q206W AS w
+      |  FROM documents GROUP BY source),
+      |it0 AS (SELECT source, n_docs, n_tokens, w,
+      |  FALSE AS capped, 0.0 AS fin, 0 AS rnd FROM m),
+      |$rounds,
+      |af AS (SELECT ${wsFold(s"it$q206Rounds")} AS ws, ${remFold(s"it$q206Rounds")} AS rem)""".stripMargin
+  }
+  private val q206Target =
+    "CASE WHEN capped THEN fin WHEN ws > 0 THEN rem * w / ws ELSE 0.0 END"
+  private def q206WeightCol =
+    (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4 + 1)
+      .cast("double")
   val q206 = QuerySpec.sql(
-    "q206_mix_waterfill", {
-      def wsFold(it: String) =
-        s"(SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN 0.0 ELSE w END ORDER BY source)), (x, y) -> x + y) FROM $it)"
-      def remFold(it: String) =
-        s"CAST($q206Budget AS DOUBLE) - (SELECT list_reduce(list_prepend(0.0, list(CASE WHEN capped THEN fin ELSE 0.0 END ORDER BY source)), (x, y) -> x + y) FROM $it)"
-      val capCond =
-        s"ws > 0 AND rem * w / ws > $q206MaxE * CAST(n_tokens AS DOUBLE)"
-      val rounds = (1 to q206Rounds).map { k =>
-        s"""a$k AS (SELECT ${wsFold(s"it${k - 1}")} AS ws, ${remFold(s"it${k - 1}")} AS rem),
-          |it$k AS (SELECT source, n_docs, n_tokens, w,
-          |  capped OR ($capCond) AS capped,
-          |  CASE WHEN capped THEN fin
-          |       WHEN $capCond THEN $q206MaxE * CAST(n_tokens AS DOUBLE)
-          |       ELSE 0.0 END AS fin,
-          |  CASE WHEN capped THEN rnd WHEN $capCond THEN $k ELSE 0 END AS rnd
-          |  FROM it${k - 1} CROSS JOIN a$k)""".stripMargin
-      }.mkString(",\n")
-      val target =
-        "CASE WHEN capped THEN fin WHEN ws > 0 THEN rem * w / ws ELSE 0.0 END"
-      s"""WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(len(list_filter(string_split_regex(text, '${TextOps.DuckTokenSplitRe}'), x -> x <> ''))) AS BIGINT) AS n_tokens,
-        |  $q206W AS w
-        |  FROM documents GROUP BY source),
-        |it0 AS (SELECT source, n_docs, n_tokens, w,
-        |  FALSE AS capped, 0.0 AS fin, 0 AS rnd FROM m),
-        |$rounds,
-        |af AS (SELECT ${wsFold(s"it$q206Rounds")} AS ws, ${remFold(s"it$q206Rounds")} AS rem)
-        |SELECT source, n_docs, n_tokens, w AS weight,
-        |  $target AS target_tokens,
-        |  CASE WHEN n_tokens > 0 THEN ($target) / CAST(n_tokens AS DOUBLE)
-        |       ELSE 0.0 END AS epochs,
-        |  CAST(capped AS INT) AS capped,
-        |  CAST(rnd AS INT) AS capped_round
-        |FROM it$q206Rounds CROSS JOIN af ORDER BY source""".stripMargin
-    }) { (s, d) =>
+    "q206_mix_waterfill",
+    s"""WITH $q206Ctes
+      |SELECT source, n_docs, n_tokens, w AS weight,
+      |  $q206Target AS target_tokens,
+      |  CASE WHEN n_tokens > 0 THEN ($q206Target) / CAST(n_tokens AS DOUBLE)
+      |       ELSE 0.0 END AS epochs,
+      |  CAST(capped AS INT) AS capped,
+      |  CAST(rnd AS INT) AS capped_round
+      |FROM it$q206Rounds CROSS JOIN af ORDER BY source""".stripMargin) { (s, d) =>
     Sampling.mixWaterfill(Tables.documents(s, d), "source", "text",
-      q206Budget,
-      (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4 + 1)
-        .cast("double"),
-      maxEpochs = 2.5, maxRounds = q206Rounds)
+      q206Budget, q206WeightCol, maxEpochs = 2.5, maxRounds = q206Rounds)
       .withColumn("capped", col("capped").cast("int"))
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q211
+  // The waterfill plan DRIVING the trainer stream (q187's composition
+  // with the feasible plan instead of the naive manifest): mixWaterfill
+  // caps the oversubscribed sources at 2.5 epochs, and
+  // materializeEpochs turns each source's final epochs factor into the
+  // actual repeated (doc, epoch) stream — whole epochs unconditionally,
+  // the fractional remainder as the md5(epoch:id) threshold draw. The
+  // oracle splices the q206 round-replay into q187's explode replay, so
+  // the feasibility cascade and the repetition coin are BOTH replayed
+  // end to end; every kept (doc, epoch) row hash-matches.
+  val q211 = QuerySpec.sql(
+    "q211_waterfill_epochs",
+    s"""WITH $q206Ctes,
+      |e AS (SELECT source,
+      |  CASE WHEN n_tokens > 0 THEN ($q206Target) / CAST(n_tokens AS DOUBLE)
+      |       ELSE 0.0 END AS epochs
+      |  FROM it$q206Rounds CROSS JOIN af),
+      |x AS (SELECT d.doc_id, d.source,
+      |  CAST(floor(e.epochs) AS BIGINT) AS fl, e.epochs - floor(e.epochs) AS fr
+      |  FROM documents d JOIN e USING (source)),
+      |r AS (SELECT doc_id, source, fl, fr, u.ep AS epoch
+      |  FROM x, unnest(generate_series(0, fl)) AS u(ep))
+      |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM r
+      |WHERE epoch < fl
+      |  OR substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    < printf('%08x', CAST(floor(fr * 4294967296) AS BIGINT))
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val plan = Sampling.mixWaterfill(docs, "source", "text", q206Budget,
+      q206WeightCol, maxEpochs = 2.5, maxRounds = q206Rounds)
+    Sampling.materializeEpochs(docs.select("doc_id", "source"),
+      "doc_id", "source", plan)
+      .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val all: Seq[QuerySpec] = Seq(q63, q64, q65, q66, q67, q68, q69, q74, q82,
     q87, q88, q92, q93, q95, q96, q97, q99, q103, q104, q109, q114, q118,
-    q131, q144, q145, q165, q166, q170, q187, q190, q197, q206)
+    q131, q144, q145, q165, q166, q170, q187, q190, q197, q206, q211)
 }

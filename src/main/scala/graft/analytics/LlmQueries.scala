@@ -1876,16 +1876,27 @@ object LlmQueries {
   // stay Latin → mixed), es docs get Cyrillic а/о homoglyphs (the
   // classic spoofing shape), fr docs get Greek ε. Counts use the q31
   // inverse-class technique with literal BMP ranges shared verbatim.
-  private val q205Plant =
+  private[analytics] val q205Plant =
     "CASE WHEN lang = 'zh' THEN translate(text, 'aeiou', '的一是不了') " +
       "WHEN lang = 'es' THEN translate(text, 'ao', 'ао') " +
       "WHEN lang = 'fr' THEN translate(text, 'e', 'ε') ELSE text END"
+  /** The q205 plant as a Column (shared with the q212 gated funnel). */
+  private[analytics] def scriptPlantCol: org.apache.spark.sql.Column =
+    when(col("lang") === "zh", translate(col("text"), "aeiou", "的一是不了"))
+      .when(col("lang") === "es", translate(col("text"), "ao", "ао"))
+      .when(col("lang") === "fr", translate(col("text"), "e", "ε"))
+      .otherwise(col("text"))
+  /** DuckDB per-script count fragments over a `text` column (mirrors
+    * TextOps.scriptSignals' inverse-class counts; shared by q205/q212).
+    */
+  private[analytics] def duckScriptCounts: Seq[(String, String)] =
+    TextOps.ScriptClasses.map { case (n, cls) =>
+      n -> s"CAST(length(text) - length(regexp_replace(text, '[$cls]', '', 'g')) AS BIGINT)"
+    }
   val q205 = QuerySpec.sql(
     "q205_script_profile",
     {
-      val counts = TextOps.ScriptClasses.map { case (n, cls) =>
-        n -> s"CAST(length(text) - length(regexp_replace(text, '[$cls]', '', 'g')) AS BIGINT)"
-      }
+      val counts = duckScriptCounts
       val names = counts.map { case (n, e) => s"$e AS n_$n" }.mkString(",\n      |  ")
       val totalE = counts.map(c => s"n_${c._1}").mkString(" + ")
       val mxE = s"greatest(${counts.map(c => s"n_${c._1}").mkString(", ")})"
@@ -1903,10 +1914,7 @@ object LlmQueries {
         |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
     val planted = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-      when(col("lang") === "zh", translate(col("text"), "aeiou", "的一是不了"))
-        .when(col("lang") === "es", translate(col("text"), "ao", "ао"))
-        .when(col("lang") === "fr", translate(col("text"), "e", "ε"))
-        .otherwise(col("text")).as("text"))
+      scriptPlantCol.as("text"))
     val sigs = TextOps.scriptSignals(col("text")).map {
       case ("mixed_script", c) => c.cast("int").as("mixed_script")
       case (n, c) => c.as(n)
