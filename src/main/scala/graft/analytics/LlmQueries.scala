@@ -1937,6 +1937,20 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q213
+  // Prototype-distance pruning (Similarity.prototypePrune — the
+  // difficulty-aware half of the cluster-pruning family: q208 caps
+  // uniformly, this keeps the members FARTHEST from their prototype,
+  // the Sorscher et al. 2022 policy). Rows-only like q208 (data-adaptive
+  // centroids); q213r independently recomputes assignment, per-member
+  // centroid cosine, and the full keep set through an exploded-rows +
+  // window plan shape.
+  val q213 = QuerySpec.rowsOnly("q213_prototype_prune") { (s, d) =>
+    Similarity.prototypePrune(Tables.embeddings(s, d), "vec_id",
+      "embedding", nlist = 8, capPerCluster = 40, iters = 2)
+      .orderBy("vec_id")
+  }
+
   // --------------------------------------------------------------- q209
   // kNN label-agreement eval (Similarity.knnLabelEval) — the intrinsic
   // embedding-quality probe: per probe vector, how many of its top-5
@@ -1973,5 +1987,5 @@ object LlmQueries {
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
-    q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209)
+    q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209, q213)
 }

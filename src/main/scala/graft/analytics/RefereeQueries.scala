@@ -726,7 +726,51 @@ object RefereeQueries {
     report(symDiff(assigned, refAssign) ++ Seq(capBad, orphan))
   }
 
+  // ----------------------------------------------------- q213 referee
+  // Prototype-distance pruning: the keep set is a pure function of
+  // (assignment, per-member centroid cosine, the (cos asc, id asc)
+  // rank). The referee recomputes ALL of it through the exploded-rows
+  // shape — per-(vec, cell) float_dot rows give the assignment argmax
+  // AND, filtered to the assigned cell, the centroid cosine via the
+  // same cosineNative arithmetic — then re-ranks and symDiffs the full
+  // keep set (cap bookkeeping, tie-breaks, and cosine drift all
+  // surface as rows).
+  val q213r = QuerySpec.refereeCheck("q213r_prototype_prune_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import graft.ops.Ivf
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val nlist = 8
+    val cap = 40
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", nlist, iters = 2)
+    val native = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      nlist, cap, iters = 2)
+    val scored = emb.select(col("vec_id"), posexplode(array(
+      centroids.map(c => graft.functions.GraftFunctions.float_dot(
+        col("embedding"), typedlit(c))): _*)).as(Seq("cell", "score")))
+    val wArg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val refAssign = scored.withColumn("__rn", row_number().over(wArg))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cell").cast(IntegerType).as("cluster_id"))
+    val cosRows = emb.select(col("vec_id"), posexplode(array(
+      centroids.map(c =>
+        Similarity.cosineNative(col("embedding"), typedlit(c))): _*))
+      .as(Seq("cell", "ccos")))
+    val withCos = refAssign
+      .join(cosRows, refAssign("cluster_id") === cosRows("cell") &&
+        refAssign("vec_id") === cosRows("vec_id"))
+      .select(refAssign("vec_id"), col("cluster_id"),
+        col("ccos").as("centroid_cos"))
+    val wKeep = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+    val refKept = withCos.withColumn("__rn", row_number().over(wKeep))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+    report(symDiff(native, refKept))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r, q181r, q190r, q208r)
+    q180r, q181r, q190r, q208r, q213r)
 }

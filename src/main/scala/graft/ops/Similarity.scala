@@ -535,6 +535,41 @@ object Similarity {
     Sampling.cappedPerGroup(assigned, "cluster_id", idCol, capPerCluster)
   }
 
+  /** Prototype-distance cluster pruning — the difficulty-aware variant
+    * of [[clusterBalancedSample]] (Sorscher et al. 2022, "Beyond neural
+    * scaling laws": keep the examples FARTHEST from their cluster
+    * prototype; easy/prototypical examples are the most redundant):
+    * same k-means cells, but each cluster keeps its `capPerCluster`
+    * members with the LOWEST cosine to their own centroid (ties by id).
+    * Cosine to the centroid literal is the same [[cosineNative]]
+    * arithmetic the referee recomputes, so the keep decision is
+    * deterministic and engine-consistent.
+    *
+    * Scale shape: identical to [[clusterBalancedSample]] — centroids
+    * broadcast into scan-side dots, ONE cluster-keyed exchange of
+    * (id, cluster, cos) triples, the per-cluster rank window runs on
+    * 16-byte rows. Returns (idCol, cluster_id, centroid_cos) of the
+    * kept rows.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, capPerCluster: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist > 0 && capPerCluster > 0, "nlist and cap must be positive")
+    val centroids = Ivf.trainCentroids(df, idCol, vecCol, nlist, iters)
+    val cosArr = array(centroids.map(c =>
+      cosineNative(col(vecCol), typedlit(c))): _*)
+    val assigned = df.select(col(idCol),
+      Ivf.assignCell(col(vecCol), centroids).as("cluster_id"),
+      cosArr.as("__cs"))
+      .withColumn("centroid_cos", element_at(col("__cs"), col("cluster_id") + 1))
+      .drop("__cs")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+    assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capPerCluster)
+      .drop("__rn")
+  }
+
   // ------------------------------------------- embedding-quality eval
 
   /** kNN label-agreement report — the standard intrinsic eval of an

@@ -123,3 +123,43 @@ class ClusterBalancedSampleSpec extends SparkSpec {
     assert(kept.exceptAll(again).count() == 0 && again.exceptAll(kept).count() == 0)
   }
 }
+
+/** Prototype-distance pruning: keeps the farthest-from-centroid members. */
+class PrototypePruneSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("keeps exactly min(size, cap) per cluster, preferring LOW centroid cosine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val kept = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      nlist = 4, capPerCluster = 5, iters = 2).cache()
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", 4, iters = 2)
+    val assigned = emb.select(col("vec_id"),
+      Ivf.assignCell(col("embedding"), centroids).as("cluster_id"),
+      element_at(array(centroids.map(c =>
+        Similarity.cosineNative(col("embedding"), typedlit(c))): _*),
+        Ivf.assignCell(col("embedding"), centroids) + 1).as("ccos"))
+    val sizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptRows = kept.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val keptByCluster = keptRows.groupBy(_._2)
+    sizes.foreach { case (c, n) =>
+      assert(keptByCluster.get(c).map(_.length).getOrElse(0) == math.min(n, 5L).toInt,
+        s"cluster $c")
+    }
+    // every kept member's (cos, id) is <= every dropped member's in its cluster
+    val allRows = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val keptIds = keptRows.map(_._1).toSet
+    allRows.groupBy(_._2).foreach { case (c, members) =>
+      val (k, d) = members.partition(m => keptIds.contains(m._1))
+      if (k.nonEmpty && d.nonEmpty) {
+        val kMax = k.map(m => (m._3, m._1)).max
+        val dMin = d.map(m => (m._3, m._1)).min
+        assert(Ordering[(Double, Long)].lteq(kMax, dMin),
+          s"cluster $c kept a closer member than one it dropped")
+      }
+    }
+    kept.unpersist()
+  }
+}
