@@ -819,26 +819,43 @@ object ExtractQueries {
   // every PAN), then the PII cascade, then the credential cascade. The
   // plant gives every corpus doc one card from a 5-shape rotation (four
   // Luhn-valid incl. dashed/spaced/15-digit, one invalid), plus q182's
-  // PII triple, an AKIA key and a bare hex token — so the oracle replay
-  // pins the two live cross-stage interactions: the INVALID card
-  // survives the card stage and is eaten by the phone stage (n_phones
-  // = 2 on those docs), and the <CARD> placeholder never perturbs any
-  // later pattern. Counts at every stage, all patterns shared verbatim.
+  // PII triple, an AKIA key and a hex token — so the oracle replay pins
+  // the live cross-stage interactions: the INVALID card survives the
+  // card stage and is eaten by the phone stage (n_phones = 2 on those
+  // docs, 1 elsewhere), and the <CARD> placeholder never perturbs any
+  // later pattern. The secrets-stage plants are deliberately shaped to
+  // SURVIVE the earlier phone stage so their counts pin at exactly 1
+  // per doc: the AKIA tail maps md5 digits to letters (letters-only —
+  // no digit run for PhoneRe to eat; an lpad(hex(doc_id)) tail would
+  // lead with 12+ zeros and be destroyed before AwsKeyRe ever ran),
+  // and the hex token interleaves an 'f' every 3 md5 chars (still
+  // [0-9a-f]{32}, but digit runs are capped at 3 < PhoneRe's 9-char
+  // floor). Counts at every stage, all patterns shared verbatim.
   private val q210Cards = Seq(
     "4111111111111111", "4111-1111-1111-1111", "378282246310005",
     "6011 1111 1111 1117", "4111111111111112")
+  private val q210HexBlocksSql = (0 until 8)
+    .map(i => s"substring(md5('c' || CAST(doc_id AS VARCHAR)), ${3 * i + 1}, 3)")
+    .mkString(" || 'f' || ")
   private val cardPlant =
     " || ' card ' || (" +
       q210Cards.map(c => s"'$c'").mkString("[", ", ", "]") +
       ")[CAST(doc_id % 5 AS INT) + 1] || ' key AKIA' || " +
-      "upper(lpad(hex(doc_id), 16, '0')) || ' sig ' || " +
-      "md5('c' || CAST(doc_id AS VARCHAR)) || ' end'"
-  private def plantCardsCol(base: Column): Column = concat(base,
-    lit(" card "), element_at(array(q210Cards.map(lit): _*),
-      (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
-    lit(" key AKIA"), upper(lpad(hex(col("doc_id")), 16, "0")),
-    lit(" sig "), md5(concat(lit("c"), col("doc_id").cast("string"))),
-    lit(" end"))
+      "upper(translate(substring(md5('k' || CAST(doc_id AS VARCHAR)), 1, 16), " +
+      "'0123456789', 'ghjklmnpqr')) || ' sig ' || " +
+      s"$q210HexBlocksSql || 'f' || ' end'"
+  private def plantCardsCol(base: Column): Column = {
+    val hexBlocks = (0 until 8).flatMap(i => Seq(
+      substring(md5(concat(lit("c"), col("doc_id").cast("string"))), 3 * i + 1, 3),
+      lit("f")))
+    concat((base +:
+      lit(" card ") +: element_at(array(q210Cards.map(lit): _*),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")) +:
+      lit(" key AKIA") +:
+      upper(translate(substring(md5(concat(lit("k"), col("doc_id").cast("string"))), 1, 16),
+        "0123456789", "ghjklmnpqr")) +:
+      lit(" sig ") +: hexBlocks) :+ lit(" end"): _*)
+  }
   val q210 = QuerySpec.sql(
     "q210_release_scrub",
     s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),

@@ -58,9 +58,15 @@ object Privacy {
     * candidates THEN Luhn mod-10 validation ([[luhnValid]]), which
     * rejects ~90% of random digit runs. The pattern stays in the
     * Java-regex/RE2 shared subset and is interpolated verbatim into the
-    * oracle. Documented edge: a digit run longer than 19 never matches
-    * anywhere inside (the trailing \b cannot sit between digits) — a
-    * 20+-digit run is an id, not a PAN, by ISO/IEC 7812 length rules.
+    * oracle. Documented edges: an UNSEPARATED digit run longer than 19
+    * never matches anywhere inside (the trailing \b cannot sit between
+    * digits) — a 20+-digit bare run is an id, not a PAN, by ISO/IEC 7812
+    * length rules. A SEPARATOR-formatted longer run, however, can yield
+    * a 13–19-digit sub-candidate ending at the word boundary before a
+    * separator (e.g. the first four groups of a 20-digit dashed id);
+    * the Luhn gate still applies to it, and both engines share the
+    * pattern verbatim, so this is a detection-precision trade, not an
+    * oracle risk.
     */
   val CardCandidateRe: String = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
 
@@ -92,6 +98,15 @@ object Privacy {
     * external engine replay the fold verbatim. Validation normalizes
     * separators out ([ -]) before the Luhn fold; redaction replaces the
     * candidate AS MATCHED, separators included.
+    *
+    * Documented edge (the [[TextOps.B64TokenRe]] class of trade): the
+    * value-wise replace has no boundary guard, so a valid PAN string
+    * occurring as a SUBSTRING of a longer, Luhn-rejected digit run is
+    * redacted inside that run (over-redaction of a non-card id — the
+    * conservative direction for a scrub). A boundary-anchored
+    * replacement needs lookarounds or capture-group backreferences,
+    * both outside the Java-regex/RE2 shared subset the scrub oracles
+    * rely on; both engines replay the value-wise fold identically.
     */
   def paymentCardSignals(text: Column): Seq[(String, Column)] = {
     val cands = regexp_extract_all(text, lit(CardCandidateRe), lit(0))

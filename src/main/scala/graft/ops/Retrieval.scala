@@ -85,9 +85,13 @@ object Retrieval {
     val sparse = TextOps.bm25TopK(corpusText, queries, idCol, textCol,
       qidCol, qTextCol, k = kPerList)
       .select(col(qidCol), col(idCol), col("rank"))
+    // excludeSelf = false: query ids live in their own namespace — a
+    // corpus doc whose id numerically equals a query id is a regular
+    // candidate, not a self-match (the BM25 side never excluded it, and
+    // an asymmetric exclusion would silently skew the fusion)
     val dense = Similarity.bruteForceTopK(
       probeVecs.select(col(qidCol).as(idCol), col(vecCol)), corpusVecs,
-      idCol, vecCol, k = kPerList)
+      idCol, vecCol, k = kPerList, excludeSelf = false)
       .select(col("probe_id").as(qidCol), col("neighbor_id").as(idCol),
         col("rank"))
     rrfFuse(Seq(sparse, dense), qidCol, idCol, "rank", k = k, kRrf = kRrf)

@@ -267,6 +267,19 @@ object Sampling {
     }
     val fws = wsum
     val frem = budget - used
+    // A plan that still violates the cap after maxRounds must FAIL, not
+    // ship: each round caps >= 1 source, so rounds <= #sources always
+    // converges — running out means maxRounds was set below the cascade
+    // depth, and silently returning over-cap epochs would cause exactly
+    // the over-repetition the cap exists to prevent.
+    val violators = m.indices.filter(i => !capped(i) && fws > 0.0 &&
+      frem * m(i)._4 / fws > maxEpochs * m(i)._3.toDouble)
+    if (violators.nonEmpty)
+      throw new IllegalStateException(
+        s"mixWaterfill did not converge in $maxRounds rounds: sources " +
+          violators.map(i => m(i)._1).mkString(", ") +
+          s" still exceed the $maxEpochs-epoch cap — raise maxRounds " +
+          s"(<= ${m.length} rounds always suffice)")
     val rows = m.indices.map { i =>
       val (src, nd, nt, w) = m(i)
       val target =

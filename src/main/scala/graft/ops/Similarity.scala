@@ -67,19 +67,26 @@ object Similarity {
 
   /** Exact top-k neighbours for each probe row.
     * probes/corpus: (idCol, vecCol). Returns (probe_id, neighbor_id, sim, rank).
-    * Excludes self-matches. Probe side is broadcast — the corpus never
+    * `excludeSelf` (default true) drops pairs whose probe and neighbor
+    * ids are EQUAL — right when probes are drawn from the corpus itself
+    * (the dedup/eval shape, where a row trivially matching itself is
+    * noise), wrong when probe ids live in a DIFFERENT namespace that may
+    * numerically collide with corpus ids (the [[Retrieval.hybridTopK]]
+    * shape passes false). Probe side is broadcast — the corpus never
     * moves; ranking shuffles only (probe_id, neighbor_id, sim) triples.
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(probes.sparkSession)
     val p = withNorm(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
       "__pv", "__pn")
     val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "__cv", "__cn")
-    val scored = c.crossJoin(broadcast(p))
-      .filter(col("probe_id") =!= col("neighbor_id"))
+    val paired = c.crossJoin(broadcast(p))
+    val scored = (if (excludeSelf)
+        paired.filter(col("probe_id") =!= col("neighbor_id"))
+      else paired)
       .select(col("probe_id"), col("neighbor_id"), pairSim.as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -554,15 +561,33 @@ object Similarity {
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, capPerCluster: Int, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import GraftFunctions.float_dot
     require(nlist > 0 && capPerCluster > 0, "nlist and cap must be positive")
     val centroids = Ivf.trainCentroids(df, idCol, vecCol, nlist, iters)
-    val cosArr = array(centroids.map(c =>
-      cosineNative(col(vecCol), typedlit(c))): _*)
-    val assigned = df.select(col(idCol),
-      Ivf.assignCell(col(vecCol), centroids).as("cluster_id"),
-      cosArr.as("__cs"))
-      .withColumn("centroid_cos", element_at(col("__cs"), col("cluster_id") + 1))
-      .drop("__cs")
+    // ONE dot per (row, centroid), shared by the assignment argmax
+    // (assignCell's exact expression over the same array) and the kept
+    // cell's cosine; the row self-norm computes once and centroid norms
+    // are driver-side literals replaying float_dot's exact fold
+    // (double-accumulated double(x)·double(x) in index order), so
+    // centroid_cos is bit-identical to cosineNative — the property the
+    // q213r referee (which recomputes via cosineNative) pins in-gate.
+    // A naive per-centroid cosineNative would cost ~3× the float work
+    // (nlist extra dots + nlist redundant self-norms) per corpus row.
+    val cNorms = centroids.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))).toSeq
+    val dots = array(centroids.map(c => float_dot(col(vecCol), typedlit(c))): _*)
+    val assigned = df.select(col(idCol), dots.as("__d"),
+        sqrt(float_dot(col(vecCol), col(vecCol))).as("__nv"))
+      .withColumn("cluster_id",
+        (array_position(col("__d"), array_max(col("__d"))) - 1)
+          .cast(IntegerType))
+      .withColumn("__nc", element_at(typedlit(cNorms), col("cluster_id") + 1))
+      .withColumn("centroid_cos",
+        when(col("__nv") * col("__nc") > 0,
+          element_at(col("__d"), col("cluster_id") + 1) /
+            (col("__nv") * col("__nc")))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("cluster_id"), col("centroid_cos"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("centroid_cos").asc, col(idCol).asc)
     assigned.withColumn("__rn", row_number().over(w))

@@ -376,6 +376,18 @@ class MixWaterfillSpec extends SparkSpec {
     assert(out(0)._5 == 300.0 && out(1)._5 == 300.0)
   }
 
+  test("exhausting maxRounds with cap violations outstanding fails loudly") {
+    // budget 600 / cap 2.0 needs two cap rounds (a then b); maxRounds = 1
+    // leaves b over-cap after the final redistribution -> must throw,
+    // never ship an over-repetition plan
+    val e = intercept[IllegalStateException] {
+      Sampling.mixWaterfill(corpus, "source", "text",
+        budgetTokens = 600, weight = lit(1.0), maxEpochs = 2.0, maxRounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("epochs column feeds materializeEpochs directly") {
     val plan = Sampling.mixWaterfill(corpus, "source", "text",
       budgetTokens = 600, weight = lit(1.0), maxEpochs = 2.0)
