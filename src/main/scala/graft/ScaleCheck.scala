@@ -43,6 +43,19 @@ object ScaleCheck {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // MIN-of-N per side + a per-row contention spread (VERDICT r11 #1 —
+    // the bench's median/min spread marker, ported here: single-shot
+    // t1/tN pairs could not be adjudicated as variance vs regression
+    // without a manual re-run). Each side is timed `reps` times; the
+    // reported t1/tN are the minima (the least-contended measurements of
+    // a deterministic workload — contention inflates, never deflates),
+    // and `spread` is the worse side's sorted-middle/min ratio: ~1.0-1.1
+    // on a quiet host, >= ~1.3 flags the row as contended. Frames are
+    // by-name, so each rep re-evaluates the expression — rows whose
+    // evaluation mutates external state pass rowReps = 1 (or build
+    // fresh targets per evaluation) so later reps can't time a replay
+    // skip path instead of the operator.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     // Receipt artifact (the BENCH_FULL discipline): every emitted line
     // also lands in a JSONL file — /tmp by default so ad-hoc subset runs
     // can't clobber the committed receipt; the round-end full run sets
@@ -50,12 +63,20 @@ object ScaleCheck {
     // committed receipt lets a reviewer see every operator's measured
     // growth without re-running the ~40-minute sweep.
     val receipt = new StringBuilder
-    def run(name: String, small: => DataFrame, big: => DataFrame): Unit = {
+    def run(name: String, small: => DataFrame, big: => DataFrame,
+        rowReps: Int = reps): Unit = {
       if (only.forall(name.contains)) {
-        val t1 = time(small); val tN = time(big)
+        val ts1 = (1 to rowReps).map(_ => time(small))
+        val tsN = (1 to rowReps).map(_ => time(big))
+        def spr(ts: Seq[Double]) = {
+          val s = ts.sorted
+          if (s.head > 0) s(s.size / 2) / s.head else 1.0
+        }
+        val t1 = ts1.min; val tN = tsN.min
+        val spread = math.max(spr(ts1), spr(tsN))
         val ratio = tN / t1
         val line =
-          f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d}"""
+          f"""{"op":"$name","t1":$t1%.2f,"t$factor%d":$tN%.2f,"growth":$ratio%.2f,"factor":$factor%d,"reps":$rowReps%d,"spread":$spread%.3f}"""
         println(line)
         receipt.append(line).append("\n")
       }
@@ -282,11 +303,15 @@ object ScaleCheck {
         "token_ids", 512).localCheckpoint()
       val packedN = ops.Curation.packTokenIds(tokN, "doc_id", "source",
         "token_ids", 512).localCheckpoint()
-      val deliverBase = java.nio.file.Files.createTempDirectory("graft_scale_deliver")
+      // fresh table per EVALUATION (not per run): deliveries are
+      // replay-pinned per (appId, batchId), so a second rep against the
+      // same table would time the replay skip path, not the delivery
+      def freshDeliverDir() = java.nio.file.Files
+        .createTempDirectory("graft_scale_deliver").toString + "/t"
       run("token_windows_delivery",
-        ops.Curation.deliverTokenWindows(packed1, "source", s"$deliverBase/t1",
+        ops.Curation.deliverTokenWindows(packed1, "source", freshDeliverDir(),
           20000L, "scale", 1L),
-        ops.Curation.deliverTokenWindows(packedN, "source", s"$deliverBase/tN",
+        ops.Curation.deliverTokenWindows(packedN, "source", freshDeliverDir(),
           20000L, "scale", 1L))
     }
     // Embedding decontamination: corpus up, benchmark fixed (the
@@ -461,6 +486,8 @@ object ScaleCheck {
         val storeBase = java.nio.file.Files.createTempDirectory("graft_scale_admstore")
         ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/s1")
         ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/sN")
+        // rowReps = 1: delivery extends the store, so a second rep would
+        // time the (appId, batchId) replay skip path, not the admission
         run("admit_delta_stored",
           ops.Curation.admitDeltaStored(batchOf(docs1), benchFixed,
             s"$storeBase/s1", "doc_id", "text", nearDupThreshold = 0.5,
@@ -469,7 +496,8 @@ object ScaleCheck {
           ops.Curation.admitDeltaStored(batchOf(docsNd), benchFixed,
             s"$storeBase/sN", "doc_id", "text", nearDupThreshold = 0.5,
             containment = Some(0.8), decontamK = 5, ruleGate = gate,
-            appId = "scale", batchId = 1L).admitted)
+            appId = "scale", batchId = 1L).admitted,
+          rowReps = 1)
       }
       // unified streaming gate against the SAME store kind (VERDICT r10
       // #1's "done" row): store fixed (built from the 1x corpus outside
@@ -481,13 +509,15 @@ object ScaleCheck {
         val storeBase = java.nio.file.Files.createTempDirectory("graft_scale_sgstore")
         ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/g1")
         ops.Curation.initAdmissionStore(corpusFixed, "doc_id", "text", s"$storeBase/gN")
+        // rowReps = 1: same replay-pinned-store argument as admit_delta_stored
         run("stream_gate_stored",
           graft.streaming.NearDupFilter.processBatchStored(batchOf(docs1),
             s"$storeBase/g1", "doc_id", "text", threshold = 0.8,
             appId = "scale", batchId = 1L),
           graft.streaming.NearDupFilter.processBatchStored(batchOf(docsNd),
             s"$storeBase/gN", "doc_id", "text", threshold = 0.8,
-            appId = "scale", batchId = 1L))
+            appId = "scale", batchId = 1L),
+          rowReps = 1)
       }
     }
     // JL-projection recall: corpus up, probe set fixed (the realistic
@@ -535,6 +565,11 @@ object ScaleCheck {
     run("secrets_scrub",
       analytics.ExtractQueries.scaleScrub(docs1),
       analytics.ExtractQueries.scaleScrub(docsN))
+    // Complete release scrub (q210's card→PII→secrets chain, counts via
+    // the one-traversal delta accounting): scan-side, pins the constant.
+    run("release_scrub",
+      analytics.ExtractQueries.scaleReleaseScrub(docs1),
+      analytics.ExtractQueries.scaleReleaseScrub(docsN))
     // License/provenance/canary audit: six regex extractions + the
     // classification CASE — scan-side, pins the constant factor.
     locally {

@@ -1204,6 +1204,20 @@ object CurationQueries {
       |  UNION ALL SELECT doc_id, 'batch' AS gate FROM adm
       |  UNION ALL SELECT doc_id, 's2' AS gate FROM ad2)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    unifiedAdmissionRun(s, d, crashLeg2 = false)._1
+  }
+
+  /** The q197 interleaved two-gate sequence, extracted so q197r can run
+    * it twice — clean, and with leg 2's FIRST micro-batch killed right
+    * after its store append and replayed from the checkpoint (the crash
+    * window `replayParent` + `appendIdempotent` exist for). Returns the
+    * gate-labeled admission frame plus the run's store path (q197r
+    * compares final store versions: a replay that re-appends would
+    * leave the crashed store one version ahead).
+    */
+  private val q197ChunkLock = new Object
+  private[analytics] def unifiedAdmissionRun(s: SparkSession, d: String,
+      crashLeg2: Boolean): (org.apache.spark.sql.DataFrame, String) = {
     import java.nio.file.{Files, Path}
     val docs = Tables.documents(s, d)
     val third = pmod(col("doc_id"), lit(3)) === 0
@@ -1213,8 +1227,9 @@ object CurationQueries {
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id"), col("text"))
     // input chunk fixtures (2 id-range files per leg, ascending mtimes) —
-    // pure functions of the source, cached per sf dir like q108's
-    def chunkDir(leg: Int): String = {
+    // pure functions of the source, cached per sf dir like q108's;
+    // lock-guarded: q197 and q197r's two runs race the marker otherwise
+    def chunkDir(leg: Int): String = q197ChunkLock.synchronized {
       val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_q197_leg${leg}_" +
         Integer.toHexString(d.hashCode)
       val marker = Path.of(inDir, "_complete")
@@ -1240,42 +1255,57 @@ object CurationQueries {
     // the store is per-RUN (the sequence must start from exactly corpus)
     val store = Files.createTempDirectory("graft_q197_store").toString + "/store"
     Curation.initAdmissionStore(corpus, "doc_id", "text", store)
-    def streamLeg(leg: Int, appId: String): org.apache.spark.sql.DataFrame = {
+    def streamLeg(leg: Int, appId: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
       val inDir = chunkDir(leg)
       val outDir = Files.createTempDirectory(s"graft_q197_out$leg").toString
       val ckpt = Files.createTempDirectory(s"graft_q197_ckpt$leg").toString
       val schema = s.read.parquet(s"$inDir/chunk_00.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-      withStreamingPartitions(s, 8) {
+      // survives across the restart below: the injected crash fires once
+      @volatile var injected = false
+      def runOnce(): Unit = withStreamingPartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            graft.streaming.NearDupFilter
+            val admitted = graft.streaming.NearDupFilter
               .processBatchStored(batch, store, "doc_id", "text",
                 threshold = 0.8, appId = appId, batchId = batchId)
               .select("doc_id")
-              .write.mode("append").parquet(outDir)
+            // crash window: the store append committed, the sink write
+            // and the streaming commit log did NOT — the restart must
+            // replay this batch against the pinned pre-append state
+            if (crash && batchId == 0L && !injected) {
+              injected = true
+              throw new RuntimeException("q197r injected crash after store append")
+            }
+            admitted.write.mode("append").parquet(outDir)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
+      try runOnce()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if crash && injected =>
+          runOnce() // restart from the same checkpoint: batch 0 replays
+      }
       s.read.parquet(outDir)
     }
-    val ad1 = streamLeg(1, "graft_q197_s1")
+    val ad1 = streamLeg(1, "graft_q197_s1", crash = false)
     val batchAdm = Curation.admitDeltaStored(
       docs.filter(third && sub === 1), bench, store,
       "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
       decontamK = 5,
       ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)),
       appId = "graft_q197_b", batchId = 1L).admitted
-    val ad2 = streamLeg(2, "graft_q197_s2")
-    ad1.select(col("doc_id"), lit("s1").as("gate"))
+    val ad2 = streamLeg(2, "graft_q197_s2", crash = crashLeg2)
+    (ad1.select(col("doc_id"), lit("s1").as("gate"))
       .unionByName(batchAdm.select(col("doc_id"), lit("batch").as("gate")))
       .unionByName(ad2.select(col("doc_id"), lit("s2").as("gate")))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), store)
   }
 
   val q145 = QuerySpec.sql(

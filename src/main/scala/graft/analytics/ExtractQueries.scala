@@ -735,6 +735,19 @@ object ExtractQueries {
         docs.select(col("doc_id"),
           plantSecretsCol(plantPiiCol).as("text")), "text"), "text")
 
+  /** ScaleCheck surface: the COMPLETE release scrub (q210's shape —
+    * Luhn-gated cards, then PII, then secrets; eleven staged patterns)
+    * per doc, counts derived by the one-traversal delta accounting
+    * (VERDICT r11 #3). Pure scan-side projection, ~1x expected.
+    */
+  private[graft] def scaleReleaseScrub(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Curation.redactSecretsStage(
+      Curation.redactStage(
+        Curation.redactCardsStage(
+          docs.select(col("doc_id"),
+            plantCardsCol(plantPiiCol).as("text")), "text"), "text"), "text")
+
   // --------------------------------------------------------------- q186
   // The Gopher repetition battery COMPOSED as the funnel's stage-0b
   // signal gate (q178 pinned it standalone; this pins it in the
@@ -868,8 +881,9 @@ object ExtractQueries {
       |c2 AS (SELECT doc_id, source,
       |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
       |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
-      |  list_reduce(list_prepend(text, list_sort(list_distinct(valid))),
-      |    (a, x) -> replace(a, x, '<CARD>')) AS t0 FROM c1),
+      |  list_reduce(list_prepend(text, list_sort(list_transform(list_distinct(valid),
+      |    x -> lpad(CAST(length(x) AS VARCHAR), 2, '0') || x), 'DESC')),
+      |    (a, kx) -> replace(a, kx[3:], '<CARD>')) AS t0 FROM c1),
       |r1 AS (SELECT *,
       |  CAST(len(regexp_extract_all(t0, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
       |  regexp_replace(t0, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS t1 FROM c2),

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
-import graft.ops.{Dedup, LangProfile, Pq, Similarity, TextOps}
+import graft.ops.{Dedup, LangProfile, Pq, Retrieval, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -770,7 +770,114 @@ object RefereeQueries {
     report(symDiff(native, refKept))
   }
 
+  // ----------------------------------------------------- q197 referee
+  // Crash-replay of the unified two-gate admission (VERDICT r11 next #6:
+  // q197 exercises clean legs; the RECOVERY path was spec-tested but not
+  // gate-refereed). The sequence runs twice on fresh stores: clean, and
+  // with leg 2's first micro-batch KILLED in the window where the store
+  // append committed but the streaming commit log did not — the restart
+  // replays that batch, which must read the pinned pre-append state
+  // (SnapshotStore.replayParent) and skip the re-append
+  // (appendIdempotent). Any drift in the admitted set OR a store that
+  // grew on replay (version drift between the two runs) is a violation
+  // row and hash-fails the gate.
+  val q197r = QuerySpec.refereeCheck("q197r_unified_replay_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import s.implicits._
+    val (clean, storeA) = CurationQueries.unifiedAdmissionRun(s, d, crashLeg2 = false)
+    val (crashed, storeB) = CurationQueries.unifiedAdmissionRun(s, d, crashLeg2 = true)
+    val va = graft.connect.SnapshotStore.latestVersion(s, storeA)
+    val vb = graft.connect.SnapshotStore.latestVersion(s, storeB)
+    val verDrift =
+      if (va != vb)
+        Seq(s"store_version_drift_clean${va}_crashed$vb").toDF("violation")
+      else Seq.empty[String].toDF("violation")
+    report(symDiff(clean, crashed) :+ verDrift)
+  }
+
+  // ----------------------------------------------------- q214 referee
+  // ANN-backed hybrid fusion (q214 is rows-only: the IVF-PQ index is
+  // data-adaptive). The referee pins the FUSION ARITHMETIC: it rebuilds
+  // the two component ranked lists exactly as the operator does (same
+  // BM25 call, same index search — both deterministic over the cached
+  // fixture), then fuses them through an INDEPENDENT aggregate plan
+  // shape — union of per-list reciprocal terms, groupBy sum — instead of
+  // the operator's key-union + rank-join fold. Bit-exactness argument:
+  // a (query, doc) pair has at most two terms, IEEE addition is
+  // commutative (group order cannot perturb bits), and the operator's
+  // `term + 0.0` identity for single-list docs is exact — so any drift
+  // in scores, n_lists, or the (score desc, doc asc) rank surfaces as a
+  // symDiff row.
+  val q214r = QuerySpec.refereeCheck("q214r_hybrid_indexed_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val corpusText = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+    val probeVecs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = LlmQueries.subsetIvfPqFixture(s, d, 97)
+    val native = Retrieval.hybridTopKIndexed(corpusText, idx, queries,
+      probeVecs, "doc_id", "text", "query_id", "text", "embedding",
+      k = 5, kPerList = 10, nprobe = 4)
+    val sparse = TextOps.bm25TopK(corpusText, queries, "doc_id", "text",
+      "query_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = graft.ops.IndexStore.searchIvfPq(s, idx, probeVecs,
+      "query_id", "embedding", k = 10, nprobe = 4)
+      .select(col("probe_id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val terms = sparse.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(60) + col("rank")).cast(DoubleType)).as("term"))
+      .unionByName(dense.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(60) + col("rank")).cast(DoubleType)).as("term")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    val refFused = terms.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_lists"),
+        sum(col("term")).as("rrf_score"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "n_lists", "rrf_score", "rank")
+    report(symDiff(native, refFused))
+  }
+
+  // ----------------------------------------------------- q215 referee
+  // Index recall@k (q215 is rows-only: the approximate ranking depends
+  // on the trained index). Both rankings are deterministic recomputes
+  // over the cached fixture; the referee recomputes the per-probe
+  // intersection through an ARRAY shape — collect_set + array_intersect
+  // — against the operator's join-count shape, so a drift in either the
+  // join keys, the rank-k cut, or the absent-probe zero policy surfaces
+  // as a symDiff row.
+  val q215r = QuerySpec.refereeCheck("q215r_recall_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(probes,
+      emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+      "vec_id", "embedding", k = 5).localCheckpoint()
+    val approx = graft.ops.IndexStore.searchIvfPq(s,
+      LlmQueries.subsetIvfPqFixture(s, d, 50), probes, "vec_id",
+      "embedding", k = 5, nprobe = 3).localCheckpoint()
+    val native = Similarity.recallAtK(approx, exact, "probe_id",
+      "neighbor_id", "rank", k = 5)
+    val referee = exact.groupBy(col("probe_id"))
+      .agg(collect_set(col("neighbor_id")).as("__e"))
+      .join(approx.groupBy(col("probe_id"))
+        .agg(collect_set(col("neighbor_id")).as("__a")), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        size(col("__e")).cast(LongType).as("n_exact"),
+        size(array_intersect(col("__e"),
+          coalesce(col("__a"), array().cast("array<bigint>"))))
+          .cast(LongType).as("n_hit"))
+    report(symDiff(native, referee))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r, q181r, q190r, q208r, q213r)
+    q180r, q181r, q190r, q197r, q208r, q213r, q214r, q215r)
 }

@@ -1077,6 +1077,49 @@ object Curation {
     }
   }
 
+  /** [[readAdmissionMeta]] with the legacy pre-sidecar default, logged
+    * LOUDLY (VERDICT r11 next #8): pre-sidecar stores were always built
+    * with 64/16/3, but a silent default is exactly the class of quiet
+    * parameter assumption the sidecar was added to kill — so the
+    * fallback warns every time it fires, naming the store and the
+    * one-time fix ([[backfillAdmissionMeta]]). Both store consumers
+    * ([[admitDeltaStored]], [[graft.streaming.NearDupFilter.processBatchStored]])
+    * route through here.
+    */
+  private[graft] def admissionMetaOrLegacy(
+      spark: org.apache.spark.sql.SparkSession, table: String): (Int, Int, Int) =
+    readAdmissionMeta(spark, table).getOrElse {
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Curation").warn(
+        s"admission store $table has NO admission_meta sidecar (created " +
+          "before store parameters were persisted) — assuming the legacy " +
+          "defaults numHashes=64, bands=16, shingleK=3. If the store was " +
+          "built with any other parameters, band hashes will never " +
+          "collide and every cross-corpus candidate is silently missed. " +
+          "Pin the parameters once with Curation.backfillAdmissionMeta.")
+      (64, 16, 3)
+    }
+
+  /** One-time sidecar backfill for a legacy (pre-sidecar) admission
+    * store: records the given parameters write-once on the main table
+    * and its postings sibling so [[admissionMetaOrLegacy]]'s warning
+    * stops firing and a future non-default reader fails loudly instead
+    * of assuming. Refuses to relabel a store that already has a sidecar
+    * with DIFFERENT values (write-once semantics — a wrong backfill
+    * would be the silent mismatch this exists to prevent).
+    */
+  def backfillAdmissionMeta(spark: org.apache.spark.sql.SparkSession,
+      table: String, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): Unit = {
+    writeAdmissionMeta(spark, table, numHashes, bands, shingleK)
+    writeAdmissionMeta(spark, postingsTable(table), numHashes, bands, shingleK)
+    val got = readAdmissionMeta(spark, table)
+    if (!got.contains((numHashes, bands, shingleK)))
+      throw new IllegalStateException(
+        s"admission store $table already carries a different sidecar " +
+          s"$got — refusing to relabel (rebuild with initAdmissionStore " +
+          "if the parameters truly changed)")
+  }
+
   /** Create (or fully replace) the lake-resident admission-signature
     * store from a curated corpus: ONE corpus scan computes xxhash64 +
     * MinHash per document and commits (idCol, textCol, kh, sig) as a
@@ -1228,9 +1271,9 @@ object Curation {
     // defaults (VERDICT r10 "what's wrong" #1): the batch-side signatures
     // and banding must match the stored ones or band hashes never collide
     // and cross-corpus candidates silently drop to zero. Pre-sidecar
-    // stores were always default-built — fall back to 64/16/3.
-    val (numHashes, bands, shingleK) =
-      readAdmissionMeta(spark, table).getOrElse((64, 16, 3))
+    // stores were always default-built — fall back to 64/16/3, WARNED
+    // (admissionMetaOrLegacy), backfillable once.
+    val (numHashes, bands, shingleK) = admissionMetaOrLegacy(spark, table)
     val ptMeta = readAdmissionMeta(spark, postingsTable(table))
     if (SnapshotStore.latestVersion(spark, postingsTable(table)) >= 0 &&
         readAdmissionMeta(spark, table).isDefined &&

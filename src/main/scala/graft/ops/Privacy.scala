@@ -107,15 +107,33 @@ object Privacy {
     * replacement needs lookarounds or capture-group backreferences,
     * both outside the Java-regex/RE2 shared subset the scrub oracles
     * rely on; both engines replay the value-wise fold identically.
+    *
+    * Replace order (advisor r11): LONGEST candidate first, ties broken
+    * lexicographically descending — a valid PAN that is also a substring
+    * of a longer valid candidate elsewhere in the document must not
+    * corrupt the longer occurrence before its own replace runs (a plain
+    * lexicographic fold could leave up to 6 leading/trailing digits of
+    * the longer PAN exposed). The order is realized as a keyed sort
+    * (zero-padded length prefix, descending) because a comparator lambda
+    * is outside the shared SQL subset the oracle replays. Residual edge:
+    * when one valid PAN is a substring of ANOTHER valid candidate, the
+    * longer is redacted first and the shorter's standalone occurrences
+    * are still redacted by its own later fold step — only nested
+    * occurrences inside already-replaced text are gone by then, which is
+    * the correct outcome.
     */
   def paymentCardSignals(text: Column): Seq[(String, Column)] = {
     val cands = regexp_extract_all(text, lit(CardCandidateRe), lit(0))
     val valid = filter(cands,
       c => luhnValid(regexp_replace(c, "[ -]", "")))
+    // candidates are <= 37 chars (19 digits + 18 separators), so a
+    // 2-digit zero-padded length prefix keys the longest-first order
+    val keyed = transform(array_distinct(valid),
+      c => concat(lpad(length(c).cast("string"), 2, "0"), c))
     Seq(
       "n_card_candidates" -> size(cands).cast("long"),
       "n_cards_valid" -> size(valid).cast("long"),
-      "redacted_text" -> aggregate(array_sort(array_distinct(valid)), text,
-        (acc, c) => replace(acc, c, lit("<CARD>"))))
+      "redacted_text" -> aggregate(sort_array(keyed, asc = false), text,
+        (acc, kc) => replace(acc, substring(kc, 3, 99), lit("<CARD>"))))
   }
 }

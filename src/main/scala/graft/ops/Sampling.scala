@@ -238,6 +238,16 @@ object Sampling {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1) // the fold order everything below depends on
     require(m.nonEmpty, "mixWaterfill needs at least one row")
+    // fail-don't-ship (advisor r11, the convergence guard's stance): a
+    // negative or non-finite weight would silently corrupt the cascade —
+    // ws can cross zero mid-round, producing negative or zero targets —
+    // instead of surfacing the bad manifest input
+    m.foreach { case (src, _, _, w) =>
+      if (w.isNaN || w.isInfinite || w < 0.0)
+        throw new IllegalArgumentException(
+          s"mixWaterfill: weight for source '$src' must be finite and " +
+            s">= 0, got $w")
+    }
     val n = m.length
     val capped = Array.fill(n)(false)
     val fin = Array.fill(n)(0.0)

@@ -211,8 +211,10 @@ object NearDupFilter {
     require(SnapshotStore.latestVersion(spark, table) >= 0,
       s"admission store $table does not exist — create it with " +
         "Curation.initAdmissionStore (an empty corpus is fine)")
+    // legacy pre-sidecar stores fall back to 64/16/3 — loudly (the
+    // warning names the store and the backfillAdmissionMeta fix)
     val (numHashes, bands, shingleK) =
-      Curation.readAdmissionMeta(spark, table).getOrElse((64, 16, 3))
+      Curation.admissionMetaOrLegacy(spark, table)
     val b = Curation.admissionSignatures(batch, idCol, textCol, numHashes,
       shingleK).localCheckpoint()
     // replay pinning: a checkpoint-replayed micro-batch reads the state

@@ -209,7 +209,13 @@ class PlanSpec extends SparkSpec {
       "q207_packing_efficiency",
       // q37-class: the kNN eval's exact ranking IS the deliberate
       // broadcast cross (bounded probe set broadcasts, corpus streams)
-      "q209_knn_label_eval")
+      "q209_knn_label_eval",
+      // q102-class: the indexed hybrid's sparse ranker inherits BM25's
+      // 1-row stats broadcast (the dense leg is the IVF-PQ cell join)
+      "q214_hybrid_rrf_indexed",
+      // q37-class: the recall eval's EXACT ground-truth ranking is the
+      // deliberate broadcast cross (bounded probe set, corpus streams)
+      "q215_index_recall_eval")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

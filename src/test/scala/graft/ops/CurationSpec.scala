@@ -585,6 +585,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("legacy sidecar-less store: warned fallback to 64/16/3, one-time backfill") {
+    val (corpus, _, batch) = admissionFixture
+    val dir = tmpDir("admstore-legacy") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    // simulate a pre-sidecar store: delete both sidecar files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "admission_meta"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${dir}_postings", "admission_meta"), false)
+    assert(Curation.readAdmissionMeta(spark, dir).isEmpty,
+      "fixture must look pre-sidecar")
+    // the WARNED fallback path: legacy defaults, not a throw
+    assert(Curation.admissionMetaOrLegacy(spark, dir) == ((64, 16, 3)))
+    // the consumer still works end to end through the fallback
+    val st = graft.streaming.NearDupFilter.processBatchStored(
+      batch, dir, "doc_id", "text", threshold = 0.8,
+      appId = "legacySpec", batchId = 1L)
+    assert(st.count() > 0)
+    // one-time backfill pins the parameters; the warning path is gone
+    Curation.backfillAdmissionMeta(spark, dir)
+    assert(Curation.readAdmissionMeta(spark, dir).contains((64, 16, 3)))
+    assert(Curation.readAdmissionMeta(spark, s"${dir}_postings")
+      .contains((64, 16, 3)))
+    // relabeling with different parameters refuses (write-once)
+    val e = intercept[IllegalStateException] {
+      Curation.backfillAdmissionMeta(spark, dir, numHashes = 128, bands = 32)
+    }
+    assert(e.getMessage.contains("refusing to relabel"))
+  }
+
   test("postings/main parameter sidecar mismatch fails loudly") {
     val (corpus, bench, batch) = admissionFixture
     val dir = tmpDir("admstore-mismatch") + "/store"

@@ -82,6 +82,19 @@ class PrivacySpec extends SparkSpec {
     assert(out(2) == ((0L, 0L, "no numbers here")))
   }
 
+  test("paymentCardSignals replaces longest candidates first (substring PANs)") {
+    // 16 zeros and 13 zeros are BOTH Luhn-valid candidates, and the
+    // shorter is a substring of the longer: a lexicographic fold would
+    // corrupt the 16-zero occurrence to "<CARD>000" before its own
+    // replace ran (advisor r11); the length-desc keyed sort must not
+    val t = "a 0000000000000000 b 0000000000000 c"
+    val out = Seq(t).toDF("text")
+      .select(Privacy.paymentCardSignals(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, String)].head()
+    assert(out == ((2L, 2L, "a <CARD> b <CARD> c")))
+  }
+
   test("paymentCardSignals redacts repeated occurrences of the same PAN") {
     val t = "a 4111111111111111 b 4111111111111111 c"
     val out = Seq(t).toDF("text")

@@ -35,6 +35,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1)._1 == 2L && out(1)._2 == 21L && out(1)._3 == 2)
   }
 
+  test("rrfFuse dedups duplicate (query, doc) rows in an input list at min rank") {
+    // list A carries doc 10 twice (ranks 1 and 3 — a malformed ranker);
+    // fusion must score it ONCE at rank 1, not fan out duplicate fused
+    // rows or inflate n_lists (advisor r11)
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 10L, 3)).toDF("q", "d", "rank")
+    val b = Seq((1L, 10L, 1)).toDF("q", "d", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "q", "d", "rank", k = 4, kRrf = 60)
+      .orderBy("rank")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    def s(r: Int) = 1.0 / (60 + r)
+    assert(out.length == 2, "no duplicate fused rows")
+    assert(out(0) == ((1L, 10L, 2, s(1) + s(1), 1)))
+    assert(out(1) == ((1L, 11L, 1, s(2), 2)))
+  }
+
   test("hybridTopK fuses BM25 and cosine rankings over the fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -66,6 +81,68 @@ class RetrievalSpec extends SparkSpec {
   }
 }
 
+/** Recall@k of an approximate ranking vs the exact one: hand-checked. */
+class RecallAtKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed hits, absent probes, rank-k cut") {
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("probe_id", "neighbor_id", "rank")
+    // probe 1 recovers 10 and 11 (13 is a miss); its rank-4 row carries
+    // the third exact neighbor but must be IGNORED at k=3; probe 2 absent
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 13L, 2), (1L, 11L, 3), (1L, 12L, 4))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(approx, exact, "probe_id", "neighbor_id",
+      "rank", k = 3)
+      .orderBy("probe_id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 0L)))
+  }
+
+  test("perfect approximate ranking scores full recall") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(exact, exact, "probe_id", "neighbor_id",
+      "rank", k = 2).as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
+}
+
+/** Indexed hybrid retrieval: structure + component-list containment. */
+class HybridIndexedSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("hybridTopKIndexed fuses BM25 with the persisted IVF-PQ dense leg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpusText = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+    val probeVecs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_hybrid_idx").toString
+    IndexStore.writeIvfPq(emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+      "vec_id", "embedding", idx, dim = 64, m = 16, ksub = 16, nlist = 4)
+    val out = Retrieval.hybridTopKIndexed(corpusText, idx, queries, probeVecs,
+      "doc_id", "text", "query_id", "text", "embedding",
+      k = 5, kPerList = 10, nprobe = 2).cache()
+    val nq = queries.count()
+    assert(out.count() == nq * 5, "every query fills its fused top-5")
+    // every fused doc must come from one of the component lists
+    val sparse = TextOps.bm25TopK(corpusText, queries, "doc_id", "text",
+      "query_id", "text", k = 10).select("query_id", "doc_id")
+    val dense = IndexStore.searchIvfPq(spark, idx, probeVecs, "query_id",
+      "embedding", k = 10, nprobe = 2)
+      .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"))
+    val orphan = out.select("query_id", "doc_id")
+      .join(sparse.unionByName(dense).distinct(),
+        Seq("query_id", "doc_id"), "left_anti")
+    assert(orphan.count() == 0, "fused docs outside both component lists")
+    out.unpersist()
+  }
+}
+
 /** kNN label-agreement eval: hand-computed neighborhoods. */
 class KnnLabelEvalSpec extends SparkSpec {
   import spark.implicits._
@@ -93,6 +170,22 @@ class KnnLabelEvalSpec extends SparkSpec {
     val out = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab", k = 2)
       .as[(Long, Int, Long, Int)].collect()
     assert(out.toSeq == Seq((100L, 9, 0L, 0)))
+  }
+
+  test("excludeSelf=false keeps an id-colliding corpus doc as a neighbor") {
+    // probe id 1 collides with an UNRELATED corpus doc id 1 (different
+    // namespace); leave-one-out would silently drop that true neighbor
+    // (advisor r11) — excludeSelf=false must keep it
+    val probes = Seq((1L, Seq(1f, 0f), 1)).toDF("id", "v", "lab")
+    val corpus = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(0f, 1f), 2))
+      .toDF("id", "v", "lab")
+    val loo = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab", k = 1)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(loo.toSeq == Seq((1L, 1, 0L, 0)), "default drops the collider")
+    val cross = Similarity.knnLabelEval(probes, corpus, "id", "v", "lab",
+      k = 1, excludeSelf = false)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(cross.toSeq == Seq((1L, 1, 1L, 1)), "cross-namespace keeps it")
   }
 }
 

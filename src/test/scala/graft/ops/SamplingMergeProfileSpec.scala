@@ -388,6 +388,23 @@ class MixWaterfillSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("negative or NaN weights fail loudly instead of corrupting the cascade") {
+    val neg = intercept[IllegalArgumentException] {
+      Sampling.mixWaterfill(corpus, "source", "text",
+        budgetTokens = 600,
+        weight = when(col("source") === "b", -1.0).otherwise(1.0),
+        maxEpochs = 2.0)
+    }
+    assert(neg.getMessage.contains("finite and >= 0"))
+    val nan = intercept[IllegalArgumentException] {
+      Sampling.mixWaterfill(corpus, "source", "text",
+        budgetTokens = 600,
+        weight = when(col("source") === "b", Double.NaN).otherwise(1.0),
+        maxEpochs = 2.0)
+    }
+    assert(nan.getMessage.contains("finite and >= 0"))
+  }
+
   test("epochs column feeds materializeEpochs directly") {
     val plan = Sampling.mixWaterfill(corpus, "source", "text",
       budgetTokens = 600, weight = lit(1.0), maxEpochs = 2.0)
