@@ -2397,9 +2397,12 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"),
         LlmQueries.scriptPlantCol.as("text"))
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val sig = TextOps.scriptSignals(col("text")).toMap
+    // loop-shaped gate (round 12): the scriptSignals composition's ~16
+    // inlined plant copies overflowed the gated scan's generated
+    // processNext — scriptRouteGate is the identical decision with text
+    // referenced once (ScriptGateSpec + the unchanged oracle pin it)
     Curation.curateCorpus(planted, bench, "doc_id", "text", "source",
-      ruleGate = Some(sig("main_script") === "latin" && !sig("mixed_script")))
+      ruleGate = Some(TextOps.scriptRouteGate(col("text"), "latin")))
       .select("doc_id", "source", "score", "tile", "split")
       .orderBy("doc_id")
   }

@@ -630,6 +630,49 @@ object TextOps {
       "mixed_script" -> (lit(20) * (total - mx) > total))
   }
 
+  /** Loop-shaped script counts: the per-class character counts of
+    * [[scriptSignals]], as ONE `array<long>` built by a `transform` over
+    * the class-body literal — `text` is referenced ONCE, so the
+    * expression (and its generated code) is class-count-independent.
+    * Same exact integer arithmetic (inverse-class length drop) in
+    * [[ScriptClasses]] order.
+    */
+  def scriptCounts(text: Column): Column =
+    transform(typedlit(ScriptClasses.map(_._2)), cls =>
+      (length(text) -
+        length(regexp_replace(text, concat(lit("["), cls, lit("]")), lit(""))))
+        .cast(org.apache.spark.sql.types.LongType))
+
+  /** The script-routing admission decision of [[scriptSignals]]
+    * (`main_script === script && !mixed_script`) as a COMPACT gate
+    * expression for scan-side composition (round 12, VERDICT r11 #2's
+    * second fallback): composing the signal form as a funnel rule gate
+    * inlines the corpus plant into every one of its ~16 `text`
+    * references once filter pushdown substitutes the projection, which
+    * overflowed janino's 64 KB processNext and silently dropped q212's
+    * gated scan to interpreted execution. Built on [[scriptCounts]],
+    * `text` is referenced once. Equivalence: `main_script === script`
+    * holds iff `script`'s count attains the max AND no
+    * higher-precedence class does (for latin — precedence-first — the
+    * second clause is vacuous); max, total and the 5% impurity bar are
+    * the same exact integer arithmetic, so the gate decisions are
+    * bit-identical (ScriptGateSpec pins it per class; the q212 oracle
+    * replays the latin case).
+    */
+  def scriptRouteGate(text: Column, script: String): Column = {
+    val idx = ScriptClasses.indexWhere(_._1 == script)
+    require(idx >= 0, s"unknown script '$script' — one of " +
+      ScriptClasses.map(_._1).mkString(", "))
+    val counts = scriptCounts(text)
+    val tot = aggregate(counts, lit(0L), (a, x) => a + x)
+    val mx = array_max(counts)
+    val isMain =
+      if (idx == 0) element_at(counts, 1) === mx
+      else element_at(counts, idx + 1) === mx &&
+        array_max(slice(counts, 1, idx)) < mx
+    mx > 0 && isMain && !(lit(20) * (tot - mx) > tot)
+  }
+
   // ------------------------------------------------- repetition signal
 
   /** Fraction of duplicated n-grams (1 - distinct/total) — the

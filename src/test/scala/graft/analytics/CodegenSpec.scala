@@ -36,7 +36,13 @@ class CodegenSpec extends SparkSpec {
     // size must stay input-width-independent
     "q137_image_neardups", "q192_audio_fingerprints",
     "q193_audio_neardups", "q194_license_audit", "q195_video_neardups",
-    "q198_video_resampled_neardups", "q199_license_gated_funnel")
+    "q198_video_resampled_neardups", "q199_license_gated_funnel",
+    // r11-surface widest plans (VERDICT r11 #2): the unified two-gate
+    // admission sequence, the full release scrub, the script-routed
+    // funnel, and the ANN-backed hybrid/recall compositions
+    "q197_unified_admission", "q210_release_scrub",
+    "q212_script_gated_funnel", "q214_hybrid_rrf_indexed",
+    "q215_index_recall_eval")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {
@@ -45,6 +51,23 @@ class CodegenSpec extends SparkSpec {
       try q.fn(spark, sf).write.format("noop").mode("overwrite").save()
       finally spark.conf.set("spark.sql.codegen.fallback", prev)
     }
+  }
+
+  test("PQ 16x16 training compiles every stage with codegen fallback disabled") {
+    // the one DOCUMENTED fallback before round 12: the training
+    // assignment's per-(j, c) literal form overflowed janino's 64 KB
+    // generate-consume at m*ksub = 256 and ran interpreted (two ERROR
+    // traces per train call — one per Lloyd iteration). The loop-shaped
+    // rewrite must compile; this test turns a re-regression into a
+    // failure instead of a log line.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 16, iters = 2)
+      assert(cb.m == 16 && cb.ksub == 16)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("codegen sweep covers every intended query") {

@@ -266,3 +266,46 @@ class ScriptSignalsSpec extends SparkSpec {
     assert(out(0)("main_script") == "latin")
   }
 }
+
+/** Loop-shaped script gate (round 12 codegen fix): scriptRouteGate must
+  * decide EXACTLY scriptSignals' `main_script === s && !mixed_script` for
+  * every class — including precedence ties, the impurity boundary, and
+  * the no-script case — while referencing `text` once.
+  */
+class ScriptGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gate equals the signal-form decision for every script class") {
+    val texts = Seq(
+      "Hello, world! 42", // latin pure
+      "abc Ωμε где عرب אבג 中文か 한글 देव", // 7-way tie at max -> latin by precedence
+      "где абв еж z", // cyrillic-dominant, one latin char (mixed)
+      "где абвгдеж z", // cyrillic-dominant, 1/13 < 5%? 12 cyr + 1 latin -> mixed (20*1 > 13)
+      "a" * 19 + "б", // 5% exactly -> not mixed
+      "a" * 18 + "б", // over 5% -> mixed
+      "中文漢字かたカナ中文漢字かたカナ", // cjk pure
+      "Ωμεγα και άλφα", // greek-dominant
+      "12345 !?. ", // none
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val sig = TextOps.scriptSignals(col("text")).toMap
+    TextOps.ScriptClasses.map(_._1).foreach { s =>
+      val both = df.select(col("id"),
+        (sig("main_script") === s && !sig("mixed_script")).as("ref"),
+        TextOps.scriptRouteGate(col("text"), s).as("fast"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getBoolean(1) == r.getBoolean(2),
+          s"script '$s' gate drifted on text #${r.getLong(0)}")
+      }
+    }
+    // and the counts themselves agree with the signal form
+    val cts = df.select(col("id"), TextOps.scriptCounts(col("text")).as("c"),
+      array(TextOps.ScriptClasses.map { case (n, _) => sig(s"n_$n") }: _*).as("ref"))
+      .collect()
+    cts.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"counts drift on #${r.getLong(0)}")
+    }
+  }
+}
