@@ -1760,9 +1760,11 @@ object LlmQueries {
   // divisions added in fixed ranker order (sparse + dense), so the
   // oracle replays scores bit-for-bit.
   private val q203KPer = 10
-  val q203 = QuerySpec.sql(
-    "q203_hybrid_rrf",
-    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+  // shared oracle fragments (q203/q216/q217): the exact BM25 chain
+  // (q102's arithmetic) truncated to the per-query top-10 WITH scores,
+  // and the exact-cosine dense ranking truncated likewise
+  private val q203SparseCtes =
+    s"""c AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
       |q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 97 = 0),
       |toks AS (SELECT doc_id, unnest($duckToks) AS term FROM c),
       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
@@ -1779,19 +1781,24 @@ object LlmQueries {
       |agg AS (SELECT query_id, doc_id,
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)), (a, x) -> a + x) AS score
       |  FROM per GROUP BY query_id, doc_id),
-      |sr AS (SELECT query_id, doc_id,
+      |sr AS (SELECT query_id, doc_id, score,
       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM agg),
-      |stop AS (SELECT query_id, doc_id, rank FROM sr WHERE rank <= $q203KPer),
-      |en AS (SELECT vec_id, embedding AS e,
+      |stop AS (SELECT query_id, doc_id, score, rank FROM sr WHERE rank <= $q203KPer)""".stripMargin
+  private val q203DenseCtes =
+    s"""en AS (SELECT vec_id, embedding AS e,
       |  sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
       |dp AS (SELECT p.vec_id AS query_id, b.vec_id AS doc_id,
       |  CASE WHEN p.nm * b.nm > 0
       |    THEN ${duckDot("p.e", "b.e")} / (p.nm * b.nm)
       |    ELSE 0.0 END AS sim
       |  FROM en p JOIN en b ON p.vec_id % 97 = 0 AND b.vec_id % 97 <> 0),
-      |dr AS (SELECT query_id, doc_id,
+      |dr AS (SELECT query_id, doc_id, sim,
       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank FROM dp),
-      |dtop AS (SELECT query_id, doc_id, rank FROM dr WHERE rank <= $q203KPer),
+      |dtop AS (SELECT query_id, doc_id, sim, rank FROM dr WHERE rank <= $q203KPer)""".stripMargin
+  val q203 = QuerySpec.sql(
+    "q203_hybrid_rrf",
+    s"""WITH $q203SparseCtes,
+      |$q203DenseCtes,
       |keys AS (SELECT query_id, doc_id FROM stop UNION SELECT query_id, doc_id FROM dtop),
       |f AS (SELECT k.query_id, k.doc_id, s.rank AS rs, dn.rank AS rd
       |  FROM keys k LEFT JOIN stop s USING (query_id, doc_id)
@@ -2055,10 +2062,121 @@ object LlmQueries {
       .orderBy("probe_id")
   }
 
+  // --------------------------------------------------------------- q216
+  // Convex-combination hybrid (Retrieval.scoreFuse — the normalized
+  // score-fusion alternative to RRF; Bruch et al. 2023): BM25 top-10
+  // scores and dense cosine top-10 sims, each min-max normalized PER
+  // QUERY over its list, fused 0.6·sparse + 0.4·dense. Every number
+  // replays: BM25 scores are q102's exact chain, sims are exact cosine,
+  // min/max are exact aggregates, each normalization one sub + one div,
+  // the fused sum a fixed-order two-term fold — full hash-match.
+  val q216 = QuerySpec.sql(
+    "q216_hybrid_convex",
+    s"""WITH $q203SparseCtes,
+      |$q203DenseCtes,
+      |snw AS (SELECT query_id, doc_id, score,
+      |  MIN(score) OVER (PARTITION BY query_id) AS mn,
+      |  MAX(score) OVER (PARTITION BY query_id) AS mx FROM stop),
+      |sn AS (SELECT query_id, doc_id,
+      |  CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS n0 FROM snw),
+      |dnw AS (SELECT query_id, doc_id, sim,
+      |  MIN(sim) OVER (PARTITION BY query_id) AS mn,
+      |  MAX(sim) OVER (PARTITION BY query_id) AS mx FROM dtop),
+      |dn AS (SELECT query_id, doc_id,
+      |  CASE WHEN mx = mn THEN 1.0 ELSE (sim - mn) / (mx - mn) END AS n1 FROM dnw),
+      |keys AS (SELECT query_id, doc_id FROM sn UNION SELECT query_id, doc_id FROM dn),
+      |f AS (SELECT k.query_id, k.doc_id, sn.n0, dn.n1
+      |  FROM keys k LEFT JOIN sn USING (query_id, doc_id)
+      |  LEFT JOIN dn USING (query_id, doc_id)),
+      |sc2 AS (SELECT query_id, doc_id,
+      |  COALESCE(0.6 * n0, 0.0) + COALESCE(0.4 * n1, 0.0) AS fused_score,
+      |  (CASE WHEN n0 IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists FROM f),
+      |fr AS (SELECT query_id, doc_id, n_lists, fused_score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank FROM sc2)
+      |SELECT query_id, doc_id, CAST(n_lists AS INT) AS n_lists, fused_score,
+      |  CAST(rank AS INT) AS rank
+      |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val sparse = TextOps.bm25TopK(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text")),
+      "doc_id", "text", "query_id", "text", k = q203KPer)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id"), col("embedding")),
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = q203KPer, excludeSelf = false)
+      .select(col("probe_id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("sim").as("score"))
+    Retrieval.scoreFuse(Seq(sparse -> 0.6, dense -> 0.4),
+      "query_id", "doc_id", "score", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------------------------- q217
+  // MMR diversification (Retrieval.mmrRerank — Carbonell & Goldstein
+  // 1998): the dense top-10 per query re-ranked greedily, each of 5
+  // picks maximizing 0.5·rel − 0.5·max-cosine-to-already-picked. The
+  // oracle unrolls all five steps (the pure-relevance argmax, then four
+  // penalty rounds over the accumulated pick set) with the same exact
+  // cosine arithmetic and (score desc, doc asc) tie rule — full
+  // hash-match. lambda = 0.5 keeps both weight literals exact on both
+  // engines (1 − λ computed in either engine is bit-identical).
+  private val q217Steps = (2 to 5).map { t =>
+    s"""p$t AS (SELECT c.query_id, c.doc_id, c.sim,
+      |  MAX(CASE WHEN ec.nm * es.nm > 0
+      |    THEN ${duckDot("ec.e", "es.e")} / (ec.nm * es.nm)
+      |    ELSE 0.0 END) AS pen
+      |  FROM dtop c
+      |  JOIN a${t - 1} s ON s.query_id = c.query_id
+      |  JOIN en ec ON ec.vec_id = c.doc_id
+      |  JOIN en es ON es.vec_id = s.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM a${t - 1} x
+      |    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+      |  GROUP BY c.query_id, c.doc_id, c.sim),
+      |m$t AS (SELECT query_id, doc_id, sim, 0.5 * sim - 0.5 * pen AS mmr FROM p$t),
+      |s$t AS (SELECT query_id, doc_id, sim FROM (SELECT *,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC) AS rn
+      |  FROM m$t) WHERE rn = 1),
+      |a$t AS (SELECT * FROM a${t - 1}
+      |  UNION ALL SELECT query_id, doc_id, sim, $t AS pick_rank FROM s$t)""".stripMargin
+  }.mkString(",\n")
+  val q217 = QuerySpec.sql(
+    "q217_mmr_diversify",
+    s"""WITH $q203DenseCtes,
+      |s1 AS (SELECT query_id, doc_id, sim FROM (SELECT *,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rn
+      |  FROM dtop) WHERE rn = 1),
+      |a1 AS (SELECT query_id, doc_id, sim, 1 AS pick_rank FROM s1),
+      |$q217Steps
+      |SELECT query_id, doc_id, sim AS rel, CAST(pick_rank AS INT) AS pick_rank
+      |FROM a5 ORDER BY query_id, pick_rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val corpusVecs = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id"), col("embedding")),
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = q203KPer, excludeSelf = false)
+      .select(col("probe_id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("sim").as("rel"))
+    Retrieval.mmrRerank(dense, corpusVecs, "query_id", "doc_id", "rel",
+      "embedding", lambda = 0.5, k = 5)
+      .orderBy("query_id", "pick_rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
     q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209, q213,
-    q214, q215)
+    q214, q215, q216, q217)
 }

@@ -105,6 +105,136 @@ object Retrieval {
     rrfFuse(Seq(sparse, dense), qidCol, idCol, "rank", k = k, kRrf = kRrf)
   }
 
+  /** Convex-combination score fusion — the published alternative to RRF
+    * when ranker SCORES (not just ranks) are trustworthy (Bruch,
+    * Gallagher & Rossi 2023 analyze exactly this CC-vs-RRF choice;
+    * Vespa/Weaviate ship it as "relative score" / normalized hybrid):
+    * each list's scores are min-max normalized PER QUERY to [0, 1], and
+    * the fused score is the weighted sum Σ w_i · norm_i(d), a candidate
+    * missing from a list contributing 0 for it.
+    *
+    * Determinism: per-query min/max are exact (order-free) aggregates;
+    * each normalization is one subtraction and one division; the fused
+    * sum folds in FIXED list order with `+ 0.0` identity terms — so
+    * fused scores replay bit-for-bit in an external engine. Degenerate
+    * guard: a list whose per-query max equals its min (all candidates
+    * tied, or one candidate) normalizes to 1.0 — every member is the
+    * list's best; the oracle mirrors the same CASE.
+    *
+    * Inputs carry (queryCol, docCol, scoreCol); `weighted` pairs each
+    * list with its weight. Dedup precondition as [[rrfFuse]]: duplicate
+    * (query, doc) rows resolve to the MAX score before normalization.
+    * Returns the per-query top-`k`:
+    * (queryCol, docCol, n_lists, fused_score, rank). Scale shape:
+    * list-sized exchanges only, exactly like [[rrfFuse]].
+    */
+  def scoreFuse(weighted: Seq[(DataFrame, Double)], queryCol: String,
+      docCol: String, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weighted.nonEmpty, "scoreFuse needs at least one ranking")
+    require(k > 0, "k must be positive")
+    require(weighted.forall(w => w._2.isFinite && w._2 >= 0.0),
+      "weights must be finite and >= 0")
+    val tagged = weighted.map(_._1).zipWithIndex.map { case (r, i) =>
+      val byQuery = Window.partitionBy(col(queryCol))
+      r.groupBy(col(queryCol), col(docCol))
+        .agg(max(col(scoreCol).cast(DoubleType)).as("__s"))
+        .withColumn("__mn", min(col("__s")).over(byQuery))
+        .withColumn("__mx", max(col("__s")).over(byQuery))
+        .select(col(queryCol), col(docCol),
+          when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn")))
+            .as(s"__n$i"))
+    }
+    val keys = tagged.map(_.select(col(queryCol), col(docCol)))
+      .reduce(_ unionByName _).distinct()
+    val joined = tagged.foldLeft(keys)((acc, t) =>
+      acc.join(t, Seq(queryCol, docCol), "left"))
+    val score = weighted.map(_._2).zipWithIndex
+      .map { case (w, i) => coalesce(lit(w) * col(s"__n$i"), lit(0.0)) }
+      .reduce(_ + _) // fixed list-order fold — bit-exact cross-engine
+    val nLists = weighted.indices
+      .map(i => when(col(s"__n$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("fused_score").desc, col(docCol).asc)
+    joined
+      .withColumn("fused_score", score)
+      .withColumn("n_lists", nLists.cast(IntegerType))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(docCol), col("n_lists"),
+        col("fused_score"), col("rank"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998 —
+    * the standard diversity-aware selection for retrieval results and
+    * few-shot example picking): greedily pick k candidates, each step
+    * taking the remaining candidate maximizing
+    * `lambda * rel(d) - (1 - lambda) * max_{s in selected} cos(d, s)` —
+    * relevance traded against redundancy with what's already picked.
+    * Step 1 has no selected set, so it is the pure-relevance argmax
+    * (the penalty term is an empty max, conventionally 0).
+    *
+    * Determinism: every step's argmax breaks ties by doc id ascending;
+    * the penalty is an exact MAX over [[Similarity.cosineNative]]
+    * values and the step score is two multiplications and one
+    * subtraction in fixed order — an external engine unrolling the same
+    * k steps replays picks bit-for-bit (the q217 oracle does).
+    *
+    * `cands` carries (queryCol, docCol, relCol); `vecs` maps docCol to
+    * the embedding used for the redundancy penalty. Queries with fewer
+    * than k candidates return them all. Output: (queryCol, docCol,
+    * relCol, pick_rank).
+    *
+    * Scale shape: candidate lists are (n_queries × list-size) — orders
+    * of magnitude below the corpus — and each of the k-1 penalty steps
+    * is a (query)-keyed join of remaining × selected over those frames;
+    * each step materializes via localCheckpoint so the plan stays
+    * k-independent. The expensive part (producing candidates) lives in
+    * the rankers/indexes with their own scale stories.
+    */
+  def mmrRerank(cands: DataFrame, vecs: DataFrame, queryCol: String,
+      docCol: String, relCol: String, vecCol: String, lambda: Double,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val byQuery = Window.partitionBy(col(queryCol))
+    val base = cands
+      .select(col(queryCol), col(docCol), col(relCol).cast(DoubleType).as("__rel"))
+      .join(vecs.select(col(docCol), col(vecCol).as("__dv")), Seq(docCol))
+      .localCheckpoint()
+    def pick(scored: DataFrame, scoreCol: Column, t: Int): DataFrame = {
+      val w = byQuery.orderBy(scoreCol.desc, col(docCol).asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(queryCol), col(docCol), col("__rel"), col("__dv"),
+          lit(t).as("pick_rank"))
+    }
+    var selected = pick(base, col("__rel"), 1).localCheckpoint()
+    var t = 2
+    while (t <= k) {
+      val remaining = base.join(
+        selected.select(col(queryCol), col(docCol)),
+        Seq(queryCol, docCol), "left_anti")
+      val pen = remaining.join(
+          selected.select(col(queryCol), col("__dv").as("__sv")), Seq(queryCol))
+        .groupBy(col(queryCol), col(docCol))
+        .agg(max(col("__rel")).as("__rel"), // constant per (query, doc)
+          first(col("__dv")).as("__dv"), // likewise
+          max(Similarity.cosineNative(col("__dv"), col("__sv"))).as("__pen"))
+      val scored = pen.withColumn("__mmr",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__pen"))
+      selected = selected
+        .unionByName(pick(scored, col("__mmr"), t))
+        .localCheckpoint()
+      t += 1
+    }
+    selected.select(col(queryCol), col(docCol), col("__rel").as(relCol),
+      col("pick_rank"))
+  }
+
   /** [[hybridTopK]] with the dense leg served by a PERSISTED IVF-PQ
     * index ([[IndexStore.searchIvfPq]]) instead of the brute-force cross
     * (VERDICT r11 missing #2): at corpus scale the dense ranker must be

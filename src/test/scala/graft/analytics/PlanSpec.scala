@@ -215,7 +215,13 @@ class PlanSpec extends SparkSpec {
       "q214_hybrid_rrf_indexed",
       // q37-class: the recall eval's EXACT ground-truth ranking is the
       // deliberate broadcast cross (bounded probe set, corpus streams)
-      "q215_index_recall_eval")
+      "q215_index_recall_eval",
+      // q203-class: convex fusion's dense leg is the q37 broadcast
+      // cross; its sparse leg inherits q102's 1-row stats broadcast
+      "q216_hybrid_convex",
+      // q37-class: MMR's candidate list comes from the broadcast cross;
+      // the re-rank itself is list-sized joins
+      "q217_mmr_diversify")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

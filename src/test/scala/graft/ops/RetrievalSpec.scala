@@ -81,6 +81,70 @@ class RetrievalSpec extends SparkSpec {
   }
 }
 
+/** Convex score fusion: hand-computed normalization and weighting. */
+class ScoreFuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-query min-max normalization, weights, degenerate list, n_lists") {
+    // list A (w 0.6): scores 10/5/0 -> norms 1.0/0.5/0.0
+    val a = Seq((1L, 10L, 10.0), (1L, 11L, 5.0), (1L, 12L, 0.0))
+      .toDF("q", "d", "score")
+    // list B (w 0.4): both scores equal -> mx == mn -> both normalize 1.0
+    val b = Seq((1L, 11L, 2.0), (1L, 13L, 2.0)).toDF("q", "d", "score")
+    val out = Retrieval.scoreFuse(Seq(a -> 0.6, b -> 0.4), "q", "d", "score", k = 4)
+      .orderBy("rank").as[(Long, Long, Int, Double, Int)].collect()
+    // fused: d11 = 0.6*0.5 + 0.4*1.0 = 0.7; d10 = 0.6; d13 = 0.4; d12 = 0.0
+    assert(out.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(out(0)._4 == 0.6 * 0.5 + 0.4 * 1.0 && out(0)._3 == 2)
+    assert(out(1)._4 == 0.6 && out(2)._4 == 0.4 && out(3)._4 == 0.0)
+    assert(out.map(_._5).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("duplicate (query, doc) rows in a list resolve to max score") {
+    val a = Seq((1L, 10L, 1.0), (1L, 10L, 9.0), (1L, 11L, 5.0))
+      .toDF("q", "d", "score")
+    val out = Retrieval.scoreFuse(Seq(a -> 1.0), "q", "d", "score", k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double, Int)].collect()
+    assert(out.length == 2)
+    assert(out(0)._2 == 10L && out(0)._4 == 1.0) // max 9.0 normalizes to 1
+    assert(out(1)._2 == 11L)
+  }
+}
+
+/** MMR re-ranking: the classic redundancy-penalty behavior, hand-checked. */
+class MmrRerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redundant high-relevance doc defers to the diverse one") {
+    // a (rel 1.0) and b (rel 0.9) point the same way; c (rel 0.5) is
+    // orthogonal. Step 1 picks a; step 2: b scores .5*.9-.5*1 = -0.05,
+    // c scores .5*.5-0 = 0.25 -> c; step 3 takes the leftover b.
+    val cands = Seq((1L, 1L, 1.0), (1L, 2L, 0.9), (1L, 3L, 0.5))
+      .toDF("q", "d", "rel")
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("d", "v")
+    val out = Retrieval.mmrRerank(cands, vecs, "q", "d", "rel", "v",
+      lambda = 0.5, k = 3)
+      .orderBy("pick_rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(out.map(_._3).toSeq == Seq(1.0, 0.5, 0.9)) // rel carried through
+  }
+
+  test("k beyond the candidate count returns all candidates; queries independent") {
+    val cands = Seq((1L, 1L, 1.0), (2L, 5L, 0.3), (2L, 6L, 0.9))
+      .toDF("q", "d", "rel")
+    val vecs = Seq((1L, Seq(1f, 0f)), (5L, Seq(1f, 0f)), (6L, Seq(0f, 1f)))
+      .toDF("d", "v")
+    val out = Retrieval.mmrRerank(cands, vecs, "q", "d", "rel", "v",
+      lambda = 0.5, k = 5)
+      .orderBy("q", "pick_rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 3)
+    assert(out(0) == ((1L, 1L, 1.0, 1)))
+    assert(out(1) == ((2L, 6L, 0.9, 1)) && out(2) == ((2L, 5L, 0.3, 2)))
+  }
+}
+
 /** Recall@k of an approximate ranking vs the exact one: hand-checked. */
 class RecallAtKSpec extends SparkSpec {
   import spark.implicits._
