@@ -1300,6 +1300,72 @@ object CorpusQueries {
       .orderBy("event_type", "day", "hod")
   }
 
+  // --------------------------------------------------------------- q220
+  // l-diversity audit (ops.Privacy.lDiversityViolations): the q147
+  // quasi-identifier tuple again, but the violation test is DISTINCT
+  // SENSITIVE VALUES (user_id) per group rather than group size — a
+  // large group whose rows all belong to two users still re-identifies
+  // (Machanavajjhala et al. 2007). l = 3 over the same (event_type,
+  // day, hod) tuple; all-integer output.
+  val q220 = QuerySpec.sql(
+    "q220_l_diversity",
+    """SELECT event_type,
+      |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive
+      |FROM events GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) < 3
+      |ORDER BY event_type, day, hod""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast(IntegerType).as("hod"),
+        col("user_id"))
+    graft.ops.Privacy.lDiversityViolations(ev, Seq("event_type", "day", "hod"),
+      "user_id", l = 3)
+      .orderBy("event_type", "day", "hod")
+  }
+
+  // --------------------------------------------------------------- q221
+  // Domain-reputation flowback (UrlOps.domainReputationFilter — the
+  // FineWeb-style domain gate): per-registered-domain pass rate of the
+  // q115 Gopher verdict, flowed back onto every document; domains under
+  // 45% drop wholesale. The fixture's 14 domains span 20%–73% pass
+  // rates, so the integer rate test (100·n_pass >= 45·n_docs) drops 5
+  // domains and keeps one at exactly 45.0% — the boundary is live in
+  // the hash. Oracle composes q139's domain CTEs with q115's shared
+  // gopher-signal CTEs.
+  val q221 = QuerySpec.sql(
+    "q221_domain_reputation",
+    s"""WITH raw AS (SELECT doc_id, text, $urlFixtureSql AS url FROM documents),
+      |h AS (SELECT doc_id, regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom),
+      |${LlmQueries.gopherSignalCtes("documents")},
+      |g AS (SELECT doc_id, ${LlmQueries.gopherGateSql} AS pass FROM s),
+      |j AS (SELECT d2.doc_id, d2.domain, g.pass FROM d2 JOIN g USING (doc_id)),
+      |st AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |  FROM j GROUP BY domain)
+      |SELECT doc_id, domain, n_docs, n_pass
+      |FROM j JOIN st USING (domain)
+      |WHERE 100 * n_pass >= 45 * n_docs
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), urlFixtureCol.as("url"))
+      .withColumn("pass", graft.ops.QualityRules.gate(col("text"), minStopHits = 1))
+    graft.ops.UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass",
+      minPassPct = 45)
+      .select(col("doc_id"), col("domain"), col("n_docs"), col("n_pass"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q148
   // Parquet schema evolution: epoch-1 files lack the `lang` column,
   // epoch-2 files carry it; the mergeSchema read reconciles both (old
@@ -2595,5 +2661,5 @@ object CorpusQueries {
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
-    q207, q212)
+    q207, q212, q220, q221)
 }

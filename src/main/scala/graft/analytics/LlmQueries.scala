@@ -2173,10 +2173,116 @@ object LlmQueries {
       .orderBy("query_id", "pick_rank")
   }
 
+  // --------------------------------------------------------------- q218
+  // Scalar-quantized two-stage retrieval (Similarity.sqTopK): int8
+  // codes rank ALL candidates (4× less scan bandwidth than float32 —
+  // the stage that matters at 100 TB), exact cosine rescores only the
+  // top-10 per probe. Unlike the trained ANN entries (IVF/PQ centroids
+  // have no DuckDB twin → rows-only), EVERY number here replays:
+  // quantization is q80's verified half-away-from-zero round, the int
+  // dots are exact BIGINT folds, the approx score is three IEEE-exact
+  // double ops in pinned order, and the rescore is q37's exact-cosine
+  // chain — the first ANN-family entry with a FULL hash-match oracle,
+  // approximate ranking included.
+  val q218 = QuerySpec.sql(
+    "q218_sq_rescore_topk",
+    s"""WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      |sq AS (SELECT vec_id, embedding,
+      |    CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS scale FROM t),
+      |q AS (SELECT vec_id, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+      |  FROM sq),
+      |d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    (p.scale * c.scale) * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(p.qv, (x, i) -> x * c.qv[i])), (a, b) -> a + b)
+      |      AS DOUBLE) AS approx_score
+      |  FROM q p JOIN q c ON p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
+      |ar AS (SELECT probe_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY approx_score DESC, neighbor_id ASC) AS INT) AS approx_rank
+      |  FROM d),
+      |cand AS (SELECT * FROM ar WHERE approx_rank <= 10),
+      |en AS (SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
+      |r AS (SELECT cand.probe_id, cand.neighbor_id, cand.approx_rank,
+      |    CASE WHEN p.nm * c.nm > 0
+      |      THEN ${duckDot("p.e", "c.e")} / (p.nm * c.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM cand JOIN en p ON p.vec_id = cand.probe_id
+      |  JOIN en c ON c.vec_id = cand.neighbor_id),
+      |f AS (SELECT probe_id, neighbor_id, sim, approx_rank,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM r)
+      |SELECT probe_id, neighbor_id, sim, rank, approx_rank
+      |FROM f WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.sqTopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
+      "vec_id", "embedding", k = 3, rescoreM = 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  // --------------------------------------------------------------- q219
+  // Math/code content routing (TextOps.mathCodeSignals — the
+  // OpenWebMath/StarCoder-style specialization screen). The fixture is
+  // prose-only, so snippets are planted by doc_id % 4: a LaTeX fragment
+  // (TeX commands + $...$ spans), an indented code block, a fenced
+  // block, and nothing — each engineered to land on the far side of its
+  // route threshold so the CASE order and both integer thresholds are
+  // live in the hash. Backslashes cross the engines asymmetrically
+  // (DuckDB literals are standard-conforming — a regex backslash is \\
+  // in SQL text, a PLANTED backslash is \ — while Scala normal strings
+  // unescape \\ to one char); both sides below encode the same bytes.
+  private val q219Plants = Seq(
+    " see \\alpha + \\beta = \\gamma where $x^2$ and $y_i$ hold",
+    "\n    total = 0;\n    for (i in xs) { total = total + i; }\n    emit(total);",
+    "\n```\nacc = acc + 1; ok = true;\n```",
+    "")
+  val q219 = QuerySpec.sql(
+    "q219_mathcode_profile",
+    s"""WITH pl AS (SELECT doc_id,
+      |  text || CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN ' see \\alpha + \\beta = \\gamma where $$x^2$$ and $$y_i$$ hold'
+      |    WHEN 1 THEN chr(10) || '    total = 0;' || chr(10) ||
+      |      '    for (i in xs) { total = total + i; }' || chr(10) ||
+      |      '    emit(total);'
+      |    WHEN 2 THEN chr(10) || '```' || chr(10) ||
+      |      'acc = acc + 1; ok = true;' || chr(10) || '```'
+      |    ELSE '' END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\\\\[A-Za-z]+')) AS BIGINT) AS n_tex_cmds,
+      |  CAST(len(regexp_extract_all(text, '\\$$[^$$\\n]+\\$$')) AS BIGINT) AS n_inline_math,
+      |  CAST((length(text) - length(replace(text, '```', ''))) // 3 AS BIGINT) AS n_code_fences,
+      |  CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) // 5 AS BIGINT) AS n_indent_lines,
+      |  CAST(length(text) - length(replace(text, ';', '')) AS BIGINT) AS n_semicolons,
+      |  CAST(length(text) - length(translate(text, '{}', '')) AS BIGINT) AS n_braces,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]* = ')) AS BIGINT) AS n_assigns
+      |  FROM pl),
+      |h AS (SELECT *, n_tex_cmds + n_inline_math AS math_hits,
+      |  n_code_fences + n_indent_lines + n_semicolons + n_braces + n_assigns AS code_hits
+      |  FROM c)
+      |SELECT doc_id, n_tex_cmds, n_inline_math, n_code_fences, n_indent_lines,
+      |  n_semicolons, n_braces, n_assigns, math_hits, code_hits,
+      |  CASE WHEN code_hits >= 6 AND code_hits > math_hits THEN 'code'
+      |    WHEN math_hits >= 3 THEN 'math' ELSE 'prose' END AS route
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        element_at(array(q219Plants.map(lit): _*),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("text"))
+    planted.select(col("doc_id") +:
+      TextOps.mathCodeSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
     q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209, q213,
-    q214, q215, q216, q217)
+    q214, q215, q216, q217, q218, q219)
 }

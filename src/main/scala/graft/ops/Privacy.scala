@@ -48,6 +48,23 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
 
+  /** l-diversity audit — k-anonymity's complement (Machanavajjhala et
+    * al. 2007, "l-Diversity: privacy beyond k-anonymity"): a
+    * quasi-identifier group can be LARGE yet still leak if every row
+    * shares one sensitive value, so the release check is distinct
+    * sensitive values per group, not group size. Returns the violating
+    * groups (fewer than `l` distinct sensitive values) as
+    * (quasiCols..., n_rows, n_sensitive). One exchange keyed by the
+    * quasi tuple; the distinct count partial-aggregates per key like
+    * any count_distinct, and output is violation-sized.
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+
   // ------------------------------------------ payment-card detection
 
   /** Payment-card candidate shape: 13–19 digits, each optionally

@@ -280,6 +280,74 @@ object Similarity {
         (col("n_sat").cast(DoubleType) / n).as("saturation_rate"))
   }
 
+  /** Two-stage scalar-quantized top-k: rank ALL candidates by the int8
+    * approximate score, then exactly rescore only the top `rescoreM` per
+    * probe — the SQ/"rescoring" retrieval shape every serving stack runs
+    * when the corpus no longer fits memory as float32 (FAISS
+    * IndexScalarQuantizer + refine; Pinecone/Vespa int8 tiers).
+    *
+    * Stage 1 streams CODES ONLY: the corpus scan reads (id, scale, q) —
+    * 4× less bandwidth than the float vectors, the whole point at
+    * 100 TB, where stage 1 is the bandwidth-bound full scan (in a
+    * deployment the codes are a persisted sibling table; here they
+    * quantize inline). The bounded probe code set broadcasts
+    * (q37-class); the int dot products are exact BIGINT folds, and the
+    * approximate score multiplies the two per-vector scales back in —
+    * three IEEE-exact ops an external engine replays bit-identically,
+    * so even the approx ranking is deterministic cross-engine.
+    *
+    * Stage 2 touches float vectors for candidate rows only: the
+    * (probe × rescoreM)-sized candidate id set broadcasts against the
+    * corpus (a semi-join-shaped pruned second scan — at scale this is
+    * the index-lookup read, never a shuffle of the corpus), and exact
+    * cosine re-ranks. Output: (probe_id, neighbor_id, sim, rank,
+    * approx_rank) with `sim` the EXACT cosine — approx_rank preserved so
+    * recall diagnostics can see where the int8 ranking placed each
+    * survivor.
+    */
+  def sqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rescoreM: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rescoreM >= k, s"rescoreM ($rescoreM) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(probes.sparkSession)
+    val qp = quantizeInt8(probes.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("scale").as("__ps"),
+        col("q").as("__pq"))
+    val qc = quantizeInt8(corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("scale").as("__cs"),
+        col("q").as("__cq"))
+    val paired = qc.crossJoin(broadcast(qp))
+    val qdot = aggregate(
+      zip_with(col("__pq"), col("__cq"),
+        (x, y) => x.cast(LongType) * y.cast(LongType)),
+      lit(0L), (a, b) => a + b)
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_score").desc, col("neighbor_id"))
+    val cand = (if (excludeSelf)
+        paired.filter(col("probe_id") =!= col("neighbor_id"))
+      else paired)
+      .select(col("probe_id"), col("neighbor_id"),
+        ((col("__ps") * col("__cs")) * qdot.cast(DoubleType)).as("approx_score"))
+      .withColumn("approx_rank", row_number().over(wa).cast(IntegerType))
+      .filter(col("approx_rank") <= rescoreM)
+      .select(col("probe_id"), col("neighbor_id"), col("approx_rank"))
+    val pv = withNorm(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("__pv")), "__pv", "__pn")
+    val cv = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv")), "__cv", "__cn")
+    val rescored = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("approx_rank"),
+        pairSim.as("sim"))
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(wr).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("rank"),
+        col("approx_rank"))
+  }
+
   // ------------------------------ binary (sign) codes + Hamming ANN
 
   /** Sign/binary quantization of a float-array column: bit j of word w

@@ -673,6 +673,54 @@ object TextOps {
     mx > 0 && isMain && !(lit(20) * (tot - mx) > tot)
   }
 
+  // -------------------------------------- math/code content signals
+
+  /** Math/code content profile — the signals a pretraining mix uses to
+    * route documents into math- or code-specialized buckets (the
+    * OpenWebMath LaTeX-density screen, StarCoder-style code heuristics):
+    * TeX command count (backslash + letters), inline `$...$` spans,
+    * fenced ``` blocks, 4-space-indented lines, semicolons, braces, and
+    * `ident = ` assignments. Every count is an exact integer from either
+    * a shared-subset regex (no lookaround; identical leftmost
+    * non-overlapping semantics in Java regex and RE2) or the
+    * length-delta substring technique, and the route decision compares
+    * integers only — the whole profile replays verbatim in an external
+    * engine. Pure scan-side projection, zero shuffle.
+    *
+    * Route: 'code' when code_hits >= 6 and code_hits > math_hits;
+    * else 'math' when math_hits >= 3; else 'prose'.
+    */
+  def mathCodeSignals(text: Column): Seq[(String, Column)] = {
+    val L = org.apache.spark.sql.types.LongType
+    def reCount(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast(L)
+    def subCount(sub: String): Column =
+      ((length(text) - length(replace(text, lit(sub)))) / sub.length).cast(L)
+    val nTex = reCount("\\\\[A-Za-z]+")
+    val nInline = reCount("\\$[^$\n]+\\$")
+    val nFence = subCount("```")
+    val nIndent = subCount("\n    ")
+    val nSemi = subCount(";")
+    val nBrace = (length(text) - length(translate(text, "{}", ""))).cast(L)
+    val nAssign = reCount("[A-Za-z_][A-Za-z0-9_]* = ")
+    val mathHits = nTex + nInline
+    val codeHits = nFence + nIndent + nSemi + nBrace + nAssign
+    val route = when(codeHits >= 6 && codeHits > mathHits, lit("code"))
+      .when(mathHits >= 3, lit("math"))
+      .otherwise(lit("prose"))
+    Seq(
+      "n_tex_cmds" -> nTex,
+      "n_inline_math" -> nInline,
+      "n_code_fences" -> nFence,
+      "n_indent_lines" -> nIndent,
+      "n_semicolons" -> nSemi,
+      "n_braces" -> nBrace,
+      "n_assigns" -> nAssign,
+      "math_hits" -> mathHits,
+      "code_hits" -> codeHits,
+      "route" -> route)
+  }
+
   // ------------------------------------------------- repetition signal
 
   /** Fraction of duplicated n-grams (1 - distinct/total) — the

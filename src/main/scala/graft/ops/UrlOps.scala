@@ -121,6 +121,35 @@ object UrlOps {
         "left_anti")
   }
 
+  /** Domain-reputation gate — the domain-level flowback every web-corpus
+    * pipeline runs after per-document filtering (the FineWeb/RefinedWeb
+    * observation: spam farms poison WHOLE domains, and a borderline
+    * document from a 95%-junk domain is junk): compute each registered
+    * domain's pass rate of a per-document quality verdict, then keep
+    * only documents whose domain clears `minPassPct`. The rate test is
+    * pure integer arithmetic (`100 * n_pass >= minPassPct * n_docs`) so
+    * the decision replays exactly in an external engine.
+    *
+    * Scale shape: one domain-keyed partial-aggregated exchange (domain
+    * cardinality, not document cardinality), then the surviving-domain
+    * verdict table — bounded by the domain count, KBs-to-MBs at any
+    * corpus size — broadcasts back against the scan; the corpus itself
+    * never shuffles. Returns the input columns plus (domain, n_docs,
+    * n_pass) for the surviving documents.
+    */
+  def domainReputationFilter(docs: DataFrame, idCol: String, urlCol: String,
+      passCol: String, minPassPct: Int): DataFrame = {
+    require(minPassPct >= 0 && minPassPct <= 100,
+      s"minPassPct must be a percentage, got $minPassPct")
+    val dom = docs.withColumn("domain",
+      registeredDomain(hostOf(normalizeUrl(col(urlCol)))))
+    val good = dom.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("n_pass"))
+      .filter(lit(100L) * col("n_pass") >= lit(minPassPct.toLong) * col("n_docs"))
+    dom.join(broadcast(good), Seq("domain"))
+  }
+
   /** Per-registered-domain corpus stats: doc volume, distinct normalized
     * URLs, and total characters — the table per-domain caps and manual
     * blocklist review read. One partial-aggregated exchange keyed by the

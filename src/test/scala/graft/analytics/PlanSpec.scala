@@ -221,7 +221,11 @@ class PlanSpec extends SparkSpec {
       "q216_hybrid_convex",
       // q37-class: MMR's candidate list comes from the broadcast cross;
       // the re-rank itself is list-sized joins
-      "q217_mmr_diversify")
+      "q217_mmr_diversify",
+      // q37-class twice over: stage 1 broadcasts the bounded probe CODE
+      // set against the codes-only corpus stream; stage 2 broadcasts the
+      // (probes × rescoreM)-sized candidate set against the vector scan
+      "q218_sq_rescore_topk")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

@@ -31,6 +31,30 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.langId(col("t")), "xyzzy plugh") == "de") // all-zero → first alphabetical
   }
 
+  test("mathCodeSignals: counts are exact and the route thresholds are live") {
+    def sig(t: String): Map[String, Any] =
+      Seq(t).toDF("t")
+        .select(TextOps.mathCodeSignals(col("t")).map { case (n, c) => c.as(n) }: _*)
+        .collect()(0).getValuesMap(Seq("n_tex_cmds", "n_inline_math",
+          "n_code_fences", "n_indent_lines", "n_semicolons", "n_braces",
+          "n_assigns", "math_hits", "code_hits", "route"))
+    val m = sig(" see \\alpha + \\beta = \\gamma where $x^2$ and $y_i$ hold")
+    assert(m("n_tex_cmds") == 3L && m("n_inline_math") == 2L
+      && m("n_assigns") == 1L && m("route") == "math")
+    val c = sig("\n    total = 0;\n    for (i in xs) { total = total + i; }" +
+      "\n    emit(total);")
+    assert(c("n_indent_lines") == 3L && c("n_semicolons") == 3L
+      && c("n_braces") == 2L && c("n_assigns") == 2L
+      && c("code_hits") == 10L && c("route") == "code")
+    // fenced block lands EXACTLY on the code_hits >= 6 boundary
+    val f = sig("\n```\nacc = acc + 1; ok = true;\n```")
+    assert(f("n_code_fences") == 2L && f("n_semicolons") == 2L
+      && f("n_assigns") == 2L && f("code_hits") == 6L && f("route") == "code")
+    assert(sig("plain words only here")("route") == "prose")
+    // math needs 3 hits: two inline spans alone stay prose
+    assert(sig("$a$ $b$")("route") == "prose")
+  }
+
   test("redact scrubs emails, IPv4s and phone runs; order prevents cross-matching") {
     val rows = Seq(
       "mail bob.smith+x@sub.example.org now",
@@ -886,6 +910,47 @@ class SimilaritySpec extends SparkSpec {
       assert(key._1 != key._2)
       assert(bruteSims(key) == r.getAs[Double]("sim"), s"sim not exact for $key")
       assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 64)
+    }
+  }
+
+  test("sqTopK: full rescore equals brute force; tight rescore stays exact; guard") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(80)
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+    val brute = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // rescoreM >= corpus: the int8 stage prunes nothing, so the exact
+    // rescore must reproduce the brute-force answer bit-for-bit
+    val full = Similarity.sqTopK(probes, emb, "vec_id", "embedding",
+      k = 5, rescoreM = 100)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute)
+    // a tight rescore budget still returns k ranked rows per probe with
+    // EXACT sims (subset of the brute-force score map), never self, and
+    // approx_rank within the budget
+    val bruteSims = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding",
+      k = 80).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    val tight = Similarity.sqTopK(probes, emb, "vec_id", "embedding",
+      k = 5, rescoreM = 8).collect()
+    assert(tight.length == probes.count() * 5)
+    tight.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(key._1 != key._2)
+      assert(bruteSims(key) == r.getAs[Double]("sim"), s"sim not exact for $key")
+      assert(r.getAs[Int]("approx_rank") >= 1 && r.getAs[Int]("approx_rank") <= 8)
+    }
+    // int8 ranking is a good prefilter on real embeddings: with a
+    // rescore budget of 2k the exact top-1 must survive for every probe
+    val top1 = brute.filter(_._4 == 1).map(t => (t._1, t._2))
+    val m10 = Similarity.sqTopK(probes, emb, "vec_id", "embedding",
+      k = 5, rescoreM = 10).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    top1.foreach(t => assert(m10.contains(t), s"top-1 $t lost by the int8 stage"))
+    intercept[IllegalArgumentException] {
+      Similarity.sqTopK(probes, emb, "vec_id", "embedding", k = 5, rescoreM = 3)
     }
   }
 

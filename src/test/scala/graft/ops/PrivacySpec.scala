@@ -35,6 +35,17 @@ class PrivacySpec extends SparkSpec {
     assert(v == Set(("b", 2, 1L), ("b", 3, 1L)))
   }
 
+  test("lDiversityViolations flags low-diversity groups regardless of size") {
+    // group a is LARGE (4 rows) yet carries only 2 distinct sensitive
+    // values -> violates l=3 where kAnonymity(k=3) would pass it;
+    // group b: 3 rows, 3 distinct -> ok; group c: singleton -> violates
+    val df = Seq(("a", 10), ("a", 10), ("a", 11), ("a", 11),
+      ("b", 1), ("b", 2), ("b", 3), ("c", 9)).toDF("g", "s")
+    val v = Privacy.lDiversityViolations(df, Seq("g"), "s", l = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(v == Set(("a", 4L, 2L), ("c", 1L, 1L)))
+  }
+
   // reference Luhn for the property check
   private def luhnRef(ds: String): Boolean = {
     val sum = ds.reverse.zipWithIndex.map { case (c, i) =>

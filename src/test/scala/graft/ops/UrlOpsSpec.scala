@@ -84,4 +84,30 @@ class UrlOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("a.com", 3L, 2L, 7L), ("b.com", 1L, 1L, 2L)))
   }
+
+  test("domainReputationFilter keeps only domains at/above the integer rate floor") {
+    val docs = Seq(
+      (1L, "http://a.com/x", true), (2L, "http://a.com/y", false), // 50%
+      (3L, "http://b.com/x", false), (4L, "http://b.com/y", false),
+      (5L, "http://b.com/z", true), // 33.3%
+      (6L, "http://c.com/x", true)) // 100%
+      .toDF("doc_id", "url", "pass")
+    val kept = UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass",
+      minPassPct = 50)
+      .select("doc_id", "domain", "n_docs", "n_pass")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(kept == Set((1L, "a.com", 2L, 1L), (2L, "a.com", 2L, 1L),
+      (6L, "c.com", 1L, 1L)))
+    // the comparison is 100*n_pass >= pct*n_docs in exact integers:
+    // b.com at 1/3 clears pct=33 (100 >= 99) but not pct=34 (100 < 102)
+    val at33 = UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass",
+      minPassPct = 33).select("doc_id").as[Long].collect().toSet
+    assert(at33 == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val at34 = UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass",
+      minPassPct = 34).select("doc_id").as[Long].collect().toSet
+    assert(at34 == Set(1L, 2L, 6L))
+    intercept[IllegalArgumentException] {
+      UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass", 101)
+    }
+  }
 }
