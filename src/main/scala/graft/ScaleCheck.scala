@@ -210,6 +210,11 @@ object ScaleCheck {
     def scriptProf(df: DataFrame) = df.select(col("doc_id") +:
       ops.TextOps.scriptSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
     run("script_profile", scriptProf(docs1), scriptProf(docsN))
+    // Math/code routing profile: scan-side regex + length-delta counts —
+    // linear by construction; the row pins the constant factor.
+    def mathCode(df: DataFrame) = df.select(col("doc_id") +:
+      ops.TextOps.mathCodeSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    run("mathcode_profile", mathCode(docs1), mathCode(docsN))
     // Packing audit: two partial-aggregated corpus aggregates.
     run("packing_efficiency",
       ops.Curation.packingEfficiency(docs1, "source", "text", 512, 64),
@@ -432,6 +437,13 @@ object ScaleCheck {
       run("url_dedup",
         ops.UrlOps.urlDedup(urls(docs1), "doc_id", "url"),
         ops.UrlOps.urlDedup(urls(docsN), "doc_id", "url"))
+      // Domain-reputation flowback: a domain-keyed partial aggregate +
+      // a domain-cardinality broadcast back onto the scan — the corpus
+      // never shuffles, so linear is the pass signal.
+      def rep(df: DataFrame) = ops.UrlOps.domainReputationFilter(
+        urls(df).withColumn("pass", pmod(col("doc_id"), lit(3)) =!= 0),
+        "doc_id", "url", "pass", minPassPct = 50)
+      run("domain_reputation", rep(docs1), rep(docsN))
     }
     locally {
       val gate = ops.QualityRules.gate(col("text"), minStopHits = 1)
@@ -634,6 +646,13 @@ object ScaleCheck {
       def ham(df: DataFrame) = ops.Similarity.hammingTopK(
         probes1, df, "vec_id", "embedding", dim = 64, k = 5, shortlist = 32)
       run("hamming_topk", ham(emb1), ham(embN))
+      // SQ rescore top-k: same growth mode (probes fixed, corpus up) —
+      // stage 1 streams int8 codes against broadcast probe codes, stage 2
+      // reranks a fixed |probes|*rescoreM candidate set; only the code
+      // scan grows.
+      def sq(df: DataFrame) = ops.Similarity.sqTopK(
+        probes1, df, "vec_id", "embedding", k = 5, rescoreM = 10)
+      run("sq_rescore_topk", sq(emb1), sq(embN))
     }
     // Persisted-index search: the index is built once per side OUTSIDE
     // the timer (the amortized production shape — build cost is its own
