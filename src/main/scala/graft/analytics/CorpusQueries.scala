@@ -2473,6 +2473,54 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q223
+  // Mathcode-routed funnel: q219's routing as the corpus-prep stage in
+  // front of the q95 funnel — the specialization split every mixed
+  // pretraining pipeline runs (math/code buckets get their own
+  // pipelines; this entry curates the 'prose' bucket). Routing is a
+  // PROJECTION-BOUNDARY stage rather than a ruleGate Column: the seven
+  // count expressions each reference text, and inlining them (plant
+  // included) into the gated scan is exactly the generated-code blowup
+  // the q212 script gate hit in round 12 — the pre-route keeps the
+  // signals evaluated once, and is also the realistic shape (the router
+  // WRITES the buckets; each funnel reads its own). Plants land on
+  // doc_id % 4 in {0,1,2}, so every surviving 'prose' doc carries
+  // UNCHANGED text — the dedup stages behave exactly as q95's on that
+  // subset and the banding recall argument holds (the q212 discipline).
+  val q223 = QuerySpec.sql(
+    "q223_mathcode_routed_funnel",
+    s"""WITH mpl AS (SELECT doc_id, source, ${LlmQueries.mathCodePlantSql} AS text
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |mc AS (SELECT doc_id,
+      |  ${LlmQueries.mathCodeCountsSql}
+      |  FROM mpl),
+      |mh AS (SELECT doc_id, n_tex_cmds + n_inline_math AS math_hits,
+      |  n_code_fences + n_indent_lines + n_semicolons + n_braces + n_assigns AS code_hits
+      |  FROM mc),
+      |corpus AS (SELECT m.doc_id, m.source, m.text
+      |  FROM mpl m JOIN mh USING (doc_id)
+      |  WHERE ${LlmQueries.mathCodeRouteSql} = 'prose'),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val planted = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        LlmQueries.mathCodePlantCol.as("text"))
+    val sigs = TextOps.mathCodeSignals(col("text")).toMap
+    val routed = planted
+      .withColumn("__route", sigs("route"))
+      .filter(col("__route") === "prose").drop("__route")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    Curation.curateCorpus(routed, bench, "doc_id", "text", "source")
+      .select("doc_id", "source", "score", "tile", "split")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q195
   // Video perceptual near-dups over a SAMPLED-FRAME table — the fourth
   // modality's dedup, on the frame-extraction output shape (q85 plans
@@ -2661,5 +2709,5 @@ object CorpusQueries {
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
-    q207, q212, q220, q221)
+    q207, q212, q220, q221, q223)
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.QuerySpec
+import graft.functions.GraftFunctions
 import graft.ops.{Dedup, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2184,9 +2185,12 @@ object LlmQueries {
   // double ops in pinned order, and the rescore is q37's exact-cosine
   // chain — the first ANN-family entry with a FULL hash-match oracle,
   // approximate ranking included.
-  val q218 = QuerySpec.sql(
-    "q218_sq_rescore_topk",
-    s"""WITH t AS (
+  /** The int8-quantization + approximate-ranking CTE chain (t/sq/q/d/ar
+    * over `embeddings`, probes = vec_id % 50 = 0) — the DuckDB twin of
+    * [[graft.ops.Similarity.sqTopK]]'s stage 1, shared by q218/q222.
+    */
+  private[analytics] val sqApproxCtes: String =
+    s"""t AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
       |  FROM embeddings),
@@ -2204,7 +2208,10 @@ object LlmQueries {
       |ar AS (SELECT probe_id, neighbor_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
       |      ORDER BY approx_score DESC, neighbor_id ASC) AS INT) AS approx_rank
-      |  FROM d),
+      |  FROM d)""".stripMargin
+  val q218 = QuerySpec.sql(
+    "q218_sq_rescore_topk",
+    s"""WITH $sqApproxCtes,
       |cand AS (SELECT * FROM ar WHERE approx_rank <= 10),
       |en AS (SELECT vec_id, embedding AS e,
       |    sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
@@ -2236,46 +2243,162 @@ object LlmQueries {
   // (DuckDB literals are standard-conforming — a regex backslash is \\
   // in SQL text, a PLANTED backslash is \ — while Scala normal strings
   // unescape \\ to one char); both sides below encode the same bytes.
-  private val q219Plants = Seq(
+  private[analytics] val q219Plants = Seq(
     " see \\alpha + \\beta = \\gamma where $x^2$ and $y_i$ hold",
     "\n    total = 0;\n    for (i in xs) { total = total + i; }\n    emit(total);",
     "\n```\nacc = acc + 1; ok = true;\n```",
     "")
-  val q219 = QuerySpec.sql(
-    "q219_mathcode_profile",
-    s"""WITH pl AS (SELECT doc_id,
-      |  text || CASE CAST(doc_id % 4 AS INT)
+  /** The q219 plant as a Column over (doc_id, text) — shared with the
+    * mathcode-routed funnel (q223).
+    */
+  private[analytics] def mathCodePlantCol: org.apache.spark.sql.Column =
+    concat(col("text"), element_at(array(q219Plants.map(lit): _*),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+  /** DuckDB twin of [[mathCodePlantCol]] (appended to `text`). */
+  private[analytics] val mathCodePlantSql: String =
+    s"""text || CASE CAST(doc_id % 4 AS INT)
       |    WHEN 0 THEN ' see \\alpha + \\beta = \\gamma where $$x^2$$ and $$y_i$$ hold'
       |    WHEN 1 THEN chr(10) || '    total = 0;' || chr(10) ||
       |      '    for (i in xs) { total = total + i; }' || chr(10) ||
       |      '    emit(total);'
       |    WHEN 2 THEN chr(10) || '```' || chr(10) ||
       |      'acc = acc + 1; ok = true;' || chr(10) || '```'
-      |    ELSE '' END AS text
+      |    ELSE '' END""".stripMargin
+  /** DuckDB twins of the [[graft.ops.TextOps.mathCodeSignals]] count
+    * columns over a `text` column (same names; shared by q219/q223).
+    */
+  private[analytics] val duckMathCodeCounts: Seq[(String, String)] = Seq(
+    // plain (non-interpolated) triple quotes: NO escape processing, so
+    // these contain the exact SQL text — '\\[A-Za-z]+' reaches RE2 as
+    // one literal backslash + letters, '\$[^$\n]+\$' as escaped dollars
+    "n_tex_cmds" -> """CAST(len(regexp_extract_all(text, '\\[A-Za-z]+')) AS BIGINT)""",
+    "n_inline_math" -> """CAST(len(regexp_extract_all(text, '\$[^$\n]+\$')) AS BIGINT)""",
+    "n_code_fences" -> "CAST((length(text) - length(replace(text, '```', ''))) // 3 AS BIGINT)",
+    "n_indent_lines" -> "CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) // 5 AS BIGINT)",
+    "n_semicolons" -> "CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)",
+    "n_braces" -> "CAST(length(text) - length(translate(text, '{}', '')) AS BIGINT)",
+    "n_assigns" -> "CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]* = ')) AS BIGINT)")
+  /** Counts CTE + route CASE shared by q219 and the routed funnel. */
+  private[analytics] def mathCodeCountsSql: String =
+    duckMathCodeCounts.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+  private[analytics] val mathCodeRouteSql: String =
+    """CASE WHEN code_hits >= 6 AND code_hits > math_hits THEN 'code'
+      |    WHEN math_hits >= 3 THEN 'math' ELSE 'prose' END""".stripMargin
+  val q219 = QuerySpec.sql(
+    "q219_mathcode_profile",
+    s"""WITH pl AS (SELECT doc_id, $mathCodePlantSql AS text
       |  FROM documents),
       |c AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '\\\\[A-Za-z]+')) AS BIGINT) AS n_tex_cmds,
-      |  CAST(len(regexp_extract_all(text, '\\$$[^$$\\n]+\\$$')) AS BIGINT) AS n_inline_math,
-      |  CAST((length(text) - length(replace(text, '```', ''))) // 3 AS BIGINT) AS n_code_fences,
-      |  CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) // 5 AS BIGINT) AS n_indent_lines,
-      |  CAST(length(text) - length(replace(text, ';', '')) AS BIGINT) AS n_semicolons,
-      |  CAST(length(text) - length(translate(text, '{}', '')) AS BIGINT) AS n_braces,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]* = ')) AS BIGINT) AS n_assigns
+      |  $mathCodeCountsSql
       |  FROM pl),
       |h AS (SELECT *, n_tex_cmds + n_inline_math AS math_hits,
       |  n_code_fences + n_indent_lines + n_semicolons + n_braces + n_assigns AS code_hits
       |  FROM c)
       |SELECT doc_id, n_tex_cmds, n_inline_math, n_code_fences, n_indent_lines,
       |  n_semicolons, n_braces, n_assigns, math_hits, code_hits,
-      |  CASE WHEN code_hits >= 6 AND code_hits > math_hits THEN 'code'
-      |    WHEN math_hits >= 3 THEN 'math' ELSE 'prose' END AS route
+      |  $mathCodeRouteSql AS route
       |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
     val planted = Tables.documents(s, d).select(col("doc_id"),
-      concat(col("text"),
-        element_at(array(q219Plants.map(lit): _*),
-          (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("text"))
+      mathCodePlantCol.as("text"))
     planted.select(col("doc_id") +:
       TextOps.mathCodeSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q222
+  // SQ recall@5 (Similarity.recallAtK over the int8 stage-1 set vs the
+  // exact cosine top-5). q215 grades the trained IVF-PQ index and must
+  // be rows-only (data-adaptive centroids); the SQ ranking has a full
+  // DuckDB twin, so this is the recall-eval composition with BOTH
+  // rankings replayed and the integer intersection hash-matched — the
+  // operator's arithmetic is externally pinned end-to-end, closing the
+  // referee gap for the eval itself.
+  val q222 = QuerySpec.sql(
+    "q222_sq_recall_eval",
+    s"""WITH $sqApproxCtes,
+      |a AS (SELECT probe_id, neighbor_id FROM ar WHERE approx_rank <= 5),
+      |en AS (SELECT vec_id, embedding AS e,
+      |    sqrt(${duckDot("embedding", "embedding")}) AS nm FROM embeddings),
+      |dp AS (SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
+      |    CASE WHEN p.nm * b.nm > 0
+      |      THEN ${duckDot("p.e", "b.e")} / (p.nm * b.nm)
+      |      ELSE 0.0 END AS sim
+      |  FROM en p JOIN en b ON p.vec_id % 50 = 0 AND p.vec_id <> b.vec_id),
+      |ex AS (SELECT probe_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM dp),
+      |e5 AS (SELECT probe_id, neighbor_id FROM ex WHERE rnk <= 5)
+      |SELECT e5.probe_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM e5 LEFT JOIN a ON a.probe_id = e5.probe_id
+      |  AND a.neighbor_id = e5.neighbor_id
+      |GROUP BY e5.probe_id ORDER BY e5.probe_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding",
+      k = 5)
+    // rescoreM = k: the surviving SET is exactly the int8 stage's top-5,
+    // so the recall graded here is the quantization's, not the rescorer's
+    val approx = Similarity.sqTopK(probes, emb, "vec_id", "embedding",
+      k = 5, rescoreM = 5)
+    Similarity.recallAtK(approx, exact, "probe_id", "neighbor_id", "rank",
+      k = 5)
+      .orderBy("probe_id")
+  }
+
+  // --------------------------------------------------------------- q224
+  // WARC container walk (functions.WarcMeta — ISO 28500, the format
+  // crawl corpora arrive in; the missing first inch of the web
+  // pipeline's ingest surface). Real parse, externally checked, the q41
+  // discipline: each doc gets a GENUINE multi-record WARC buffer
+  // synthesized from doc_id arithmetic (2 records, a third warcinfo
+  // record every 5th doc; header fields the walker must SKIP between
+  // the two it consumes), the pure-JVM walker parses counts and two
+  // exact-integer payload statistics back out of the bytes, and the
+  // oracle recomputes every field arithmetically — a wrong
+  // Content-Length read, a header-terminator bug, or a record
+  // misalignment changes a count or the byte sum and hash-fails.
+  private val q224Warc: String = {
+    val l1 = "(doc_id % 200 + 10)"; val c1 = "(doc_id % 95 + 32)"
+    val l2 = "(doc_id % 50 + 5)"; val c2 = "(doc_id % 90 + 33)"
+    val l3 = "(doc_id % 20 + 1)"; val c3 = "(doc_id % 80 + 40)"
+    def rec(tpe: String, l: String, c: String) =
+      s"'WARC/1.0\\r\\nWARC-Type: $tpe\\r\\nWARC-Record-ID: <urn:uuid:' || " +
+        "CAST(doc_id AS STRING) || " +
+        s"'>\\r\\nWARC-Date: 2026-01-01T00:00:00Z\\r\\nContent-Length: ' || " +
+        s"CAST($l AS STRING) || '\\r\\n\\r\\n' || " +
+        s"repeat(chr($c), CAST($l AS INT)) || '\\r\\n\\r\\n'"
+    s"CAST((${rec("response", l1, c1)}) || (${rec("request", l2, c2)}) || " +
+      s"(CASE WHEN doc_id % 5 = 0 THEN ${rec("warcinfo", l3, c3)} " +
+      "ELSE '' END) AS BINARY)"
+  }
+  val q224 = QuerySpec.sql(
+    "q224_warc_records",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS INT) AS n_records,
+      |  CAST(1 AS INT) AS n_response,
+      |  CAST(1 AS INT) AS n_request,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_warcinfo,
+      |  CAST((doc_id % 200 + 10) + (doc_id % 50 + 5) +
+      |    CASE WHEN doc_id % 5 = 0 THEN doc_id % 20 + 1 ELSE 0 END
+      |    AS BIGINT) AS total_content_len,
+      |  CAST((doc_id % 200 + 10) * (doc_id % 95 + 32)
+      |    + (doc_id % 50 + 5) * (doc_id % 90 + 33)
+      |    + CASE WHEN doc_id % 5 = 0
+      |        THEN (doc_id % 20 + 1) * (doc_id % 80 + 40) ELSE 0 END
+      |    AS BIGINT) AS payload_byte_sum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(q224Warc).as("payload"))
+      .select(col("doc_id"), GraftFunctions.warc_meta(col("payload")).as("w"))
+      .select(col("doc_id"), col("w.n_records").as("n_records"),
+        col("w.n_response").as("n_response"),
+        col("w.n_request").as("n_request"),
+        col("w.n_warcinfo").as("n_warcinfo"),
+        col("w.total_content_len").as("total_content_len"),
+        col("w.payload_byte_sum").as("payload_byte_sum"))
       .orderBy("doc_id")
   }
 
@@ -2284,5 +2407,5 @@ object LlmQueries {
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
     q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209, q213,
-    q214, q215, q216, q217, q218, q219)
+    q214, q215, q216, q217, q218, q219, q222, q224)
 }

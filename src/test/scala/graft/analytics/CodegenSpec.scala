@@ -42,7 +42,11 @@ class CodegenSpec extends SparkSpec {
     // funnel, and the ANN-backed hybrid/recall compositions
     "q197_unified_admission", "q210_release_scrub",
     "q212_script_gated_funnel", "q214_hybrid_rrf_indexed",
-    "q215_index_recall_eval")
+    "q215_index_recall_eval",
+    // r12-continuation widest plans: the SQ two-stage retrieval (array
+    // zip/fold dots + two ranking windows) and the mathcode-routed
+    // funnel (seven count expressions ahead of the full q95 chain)
+    "q218_sq_rescore_topk", "q223_mathcode_routed_funnel")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {

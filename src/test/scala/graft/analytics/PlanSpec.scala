@@ -225,7 +225,10 @@ class PlanSpec extends SparkSpec {
       // q37-class twice over: stage 1 broadcasts the bounded probe CODE
       // set against the codes-only corpus stream; stage 2 broadcasts the
       // (probes × rescoreM)-sized candidate set against the vector scan
-      "q218_sq_rescore_topk")
+      "q218_sq_rescore_topk",
+      // q37-class twice: the exact ground truth is the brute-force
+      // broadcast cross, the approx side is q218's stage-1 code cross
+      "q222_sq_recall_eval")
     graft.SparkEntry.specs.filterNot(_.referee).foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
