@@ -34,6 +34,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "warc_meta", exprs => WarcMeta(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "deflate_len", exprs => DeflateLen(exprs(0)), "scala_udf")
@@ -96,6 +98,12 @@ object GraftFunctions {
     * Requires `register(spark)` on the session.
     */
   def avi_meta(payload: Column): Column = call_function("avi_meta", payload)
+
+  /** Pure-JVM WARC record walk (see [[WarcMeta]]): `struct<n_records,
+    * n_response,n_request,n_warcinfo,total_content_len,payload_byte_sum>`
+    * or null. Requires `register(spark)` on the session.
+    */
+  def warc_meta(payload: Column): Column = call_function("warc_meta", payload)
 
   /** Membership probe against a serialized BloomFilter literal (see
     * [[BloomMightContain]]). Requires `register(spark)` on the session.

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Pure-JVM WARC record walker (ISO 28500 — the web-archive container
+  * every crawl corpus ships in: Common Crawl WARCs are the raw input of
+  * the CCNet/C4/RefinedWeb pipelines). The walker parses a BUFFER of
+  * concatenated records — per record: the `WARC/1.x` version line, CRLF
+  * header lines up to the empty-line terminator (only `WARC-Type` and
+  * `Content-Length` are consumed; everything else — record ids, dates,
+  * digests — is skipped by the header loop, which is most of what makes
+  * the walk a real parse), then `Content-Length` payload bytes and the
+  * two-CRLF record terminator.
+  *
+  * Returns record counts by type plus two exact-integer payload
+  * statistics (total length and byte sum — the [[WavHeaders]]
+  * `abs_dev_sum` discipline: replayable bit-for-bit by an external
+  * referee with no float caveats). Any malformation — bad magic, missing
+  * Content-Length, a length past the buffer (checked in the subtraction
+  * form so a near-2^31 length cannot overflow past a direct comparison,
+  * the advisor-r10 RIFF fix applied here from day one), a missing
+  * terminator — nulls the whole parse: a walker that silently resyncs
+  * hides corruption.
+  */
+object WarcWalk {
+
+  private val CR = '\r'.toByte
+  private val LF = '\n'.toByte
+
+  /** @return InternalRow(n_records, n_response, n_request, n_warcinfo,
+    *         total_content_len, payload_byte_sum) or null if malformed.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length == 0) return null
+    var i = 0
+    var nRec = 0; var nResp = 0; var nReq = 0; var nInfo = 0
+    var totalLen = 0L; var byteSum = 0L
+    while (i < b.length) {
+      // version line
+      val vEnd = lineEnd(b, i)
+      if (vEnd < 0) return null
+      val version = ascii(b, i, vEnd)
+      if (!(version == "WARC/1.0" || version == "WARC/1.1")) return null
+      i = vEnd + 2
+      // header lines until the empty-line terminator
+      var warcType: String = null
+      var contentLen = -1L
+      var done = false
+      while (!done) {
+        val hEnd = lineEnd(b, i)
+        if (hEnd < 0) return null
+        if (hEnd == i) { done = true } // empty line: headers over
+        else {
+          val line = ascii(b, i, hEnd)
+          val colon = line.indexOf(':')
+          if (colon <= 0) return null
+          val name = line.substring(0, colon).trim
+          val value = line.substring(colon + 1).trim
+          if (name.equalsIgnoreCase("WARC-Type")) warcType = value
+          else if (name.equalsIgnoreCase("Content-Length")) {
+            try contentLen = java.lang.Long.parseLong(value)
+            catch { case _: NumberFormatException => return null }
+          }
+        }
+        i = hEnd + 2
+      }
+      if (warcType == null || contentLen < 0) return null
+      // subtraction form: i + contentLen overflows for lengths near 2^63
+      if (contentLen > b.length - i) return null
+      val end = i + contentLen.toInt
+      var j = i
+      while (j < end) { byteSum += (b(j) & 0xff); j += 1 }
+      totalLen += contentLen
+      i = end
+      // record terminator: exactly two CRLFs
+      if (b.length - i < 4 || b(i) != CR || b(i + 1) != LF ||
+        b(i + 2) != CR || b(i + 3) != LF) return null
+      i += 4
+      nRec += 1
+      warcType match {
+        case "response" => nResp += 1
+        case "request" => nReq += 1
+        case "warcinfo" => nInfo += 1
+        case _ => ()
+      }
+    }
+    if (nRec == 0) return null
+    new GenericInternalRow(
+      Array[Any](nRec, nResp, nReq, nInfo, totalLen, byteSum))
+  }
+
+  /** Offset of the CR of the next CRLF at/after `i`, or -1. A bare CR or
+    * LF inside a header line is malformation, not content — WARC headers
+    * are CRLF-delimited ASCII.
+    */
+  private def lineEnd(b: Array[Byte], i: Int): Int = {
+    var j = i
+    while (j < b.length) {
+      if (b(j) == CR)
+        return if (j + 1 < b.length && b(j + 1) == LF) j else -1
+      if (b(j) == LF) return -1
+      j += 1
+    }
+    -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, "US-ASCII")
+}
+
+/** `warc_meta(binary)` → `struct<n_records int, n_response int,
+  * n_request int, n_warcinfo int, total_content_len bigint,
+  * payload_byte_sum bigint>`, null for malformed buffers. Scan-side: the
+  * whole walk happens in the scan stage — record bytes never move.
+  */
+case class WarcMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_records", IntegerType),
+    StructField("n_response", IntegerType),
+    StructField("n_request", IntegerType),
+    StructField("n_warcinfo", IntegerType),
+    StructField("total_content_len", LongType),
+    StructField("payload_byte_sum", LongType)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"warc_meta expects binary, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcWalk.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parsed = ctx.freshName("warcMeta")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        InternalRow $parsed = graft.functions.WarcWalk.parse(${childGen.value});
+        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WarcMeta =
+    copy(child = newChild)
+
+  override def prettyName: String = "warc_meta"
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcMetaSpec extends SparkSpec {
+
+  private def rec(tpe: String, payload: String,
+      extraHeaders: Seq[String] = Seq("WARC-Record-ID: <urn:uuid:1>",
+        "WARC-Date: 2026-01-01T00:00:00Z")): String =
+    (Seq("WARC/1.0", s"WARC-Type: $tpe") ++ extraHeaders ++
+      Seq(s"Content-Length: ${payload.length}", "", payload, "", ""))
+      .mkString("\r\n")
+
+  private def parse(s: String) =
+    Option(WarcWalk.parse(s.getBytes("US-ASCII")))
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("walks multi-record buffers; counts types; exact payload stats") {
+    val buf = rec("response", "hello") + rec("request", "ab") +
+      rec("warcinfo", "z") + rec("metadata", "xy") // unknown type still counted
+    val sum = "hello".map(_.toLong).sum + "ab".map(_.toLong).sum +
+      'z'.toLong + "xy".map(_.toLong).sum
+    assert(parse(buf) === Some((4, 1, 1, 1, 10L, sum)))
+    // payload containing colons/CRLF-free header-looking text is data,
+    // not structure — Content-Length governs the skip
+    val tricky = rec("response", "WARC-Type: fake")
+    assert(parse(tricky) === Some((1, 1, 0, 0, 15L,
+      "WARC-Type: fake".map(_.toLong).sum)))
+    // version 1.1 accepted
+    assert(parse(rec("response", "a").replace("WARC/1.0", "WARC/1.1"))
+      === Some((1, 1, 0, 0, 1L, 'a'.toLong)))
+  }
+
+  test("malformation nulls the parse instead of resyncing") {
+    assert(parse("").isEmpty)
+    assert(parse("HTTP/1.1 200 OK\r\n\r\n").isEmpty) // wrong magic
+    // Content-Length past the buffer
+    assert(parse("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nxx\r\n\r\n").isEmpty)
+    // missing Content-Length entirely
+    assert(parse("WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n").isEmpty)
+    // bare LF line ending (not CRLF) is malformation
+    assert(parse("WARC/1.0\nWARC-Type: response\nContent-Length: 0\n\n\n\n").isEmpty)
+    // truncated record terminator
+    assert(parse("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 1\r\n\r\nx\r\n").isEmpty)
+    // trailing garbage after a valid record
+    assert(parse(rec("response", "ok") + "junk").isEmpty)
+    // negative and non-numeric lengths
+    assert(parse("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: -1\r\n\r\n\r\n\r\n").isEmpty)
+    assert(parse("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: ten\r\n\r\n\r\n\r\n").isEmpty)
+  }
+
+  test("warc_meta round-trips the q224 synthesis arithmetic end-to-end") {
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 300).select(col("id").as("doc_id"))
+    val warcSql =
+      "CAST(('WARC/1.0\\r\\nWARC-Type: response\\r\\nContent-Length: ' || " +
+        "CAST(doc_id % 7 + 1 AS STRING) || '\\r\\n\\r\\n' || " +
+        "repeat(chr(doc_id % 95 + 32), CAST(doc_id % 7 + 1 AS INT)) || " +
+        "'\\r\\n\\r\\n') AS BINARY)"
+    val bad = df.select(col("doc_id"),
+        GraftFunctions.warc_meta(expr(warcSql)).as("m"))
+      .filter(col("m").isNull ||
+        col("m.n_records") =!= 1 || col("m.n_response") =!= 1 ||
+        col("m.total_content_len") =!= col("doc_id") % 7 + 1 ||
+        col("m.payload_byte_sum") =!=
+          (col("doc_id") % 7 + 1) * (col("doc_id") % 95 + 32))
+      .count()
+    assert(bad == 0L)
+  }
+}
