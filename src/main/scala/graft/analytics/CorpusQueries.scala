@@ -1013,10 +1013,14 @@ object CorpusQueries {
   // url_norm (k%9 rides the 'a' param and k%11 the path, so k mod 99 —
   // hence k — is recoverable from the URL), so COUNT(DISTINCT k) ==
   // COUNT(DISTINCT url_norm) per domain.
-  val q138 = QuerySpec.sql(
-    "q138_url_dedup",
-    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
-      |u2 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u FROM raw),
+  /** The normalizeUrl replay (u2..norm over a `raw(doc_id, url)` CTE,
+    * emitting `norm(doc_id, url_norm)`) — shared by q138 and the robots
+    * gate (q225). RE2-safe: no lookahead; anchored regexes match at
+    * most once, so DuckDB's first-match regexp_replace equals Spark's
+    * replace-all.
+    */
+  private def urlNormCtes: String =
+    s"""u2 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u FROM raw),
       |u3 AS (SELECT doc_id,
       |    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) ||
       |    regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS u FROM u2),
@@ -1037,7 +1041,12 @@ object CorpusQueries {
       |      ELSE base || '?' || array_to_string(kept, '&') END AS u FROM u6),
       |norm AS (SELECT doc_id,
       |    regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\\?.*)?$$', '\\1\\2') AS url_norm
-      |  FROM u7)
+      |  FROM u7)""".stripMargin
+
+  val q138 = QuerySpec.sql(
+    "q138_url_dedup",
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+      |$urlNormCtes
       |SELECT url_norm, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_dups
       |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin) { (s, d) =>
@@ -1099,6 +1108,54 @@ object CorpusQueries {
         graft.ops.UrlOps.registeredDomain(
           graft.ops.UrlOps.hostOf(
             graft.ops.UrlOps.normalizeUrl(col("url")))).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q225
+  // Robots-policy gate (UrlOps.robotsFilter): disallow-prefix rules per
+  // registered domain, applied to the NORMALIZED path — the
+  // crawl-compliance filter between URL dedup (q138) and curation
+  // (polite pipelines re-check robots at release time; policies change
+  // between crawl and release). The rule set exercises directory
+  // prefixes ('/p1/'), bare prefixes ('/p3' also hits '/p30...'-class
+  // paths), and a whole-domain '/' disallow. The anti-join keys on
+  // domain equality with startsWith as the residual condition — a
+  // broadcast HASH join, never a per-doc scan of the rule table. The
+  // oracle replays q138's shared normalize chain, q139's domain
+  // derivation, and the NOT EXISTS prefix test.
+  private val q225Rules = Seq(
+    ("ex0.com", "/p1/"), ("ex0.co.uk", "/p3"), ("ex2.com", "/p5/"),
+    ("ex4.com", "/p7/"), ("ex3.co.uk", "/p2"), ("ex5.com", "/"))
+  val q225 = QuerySpec.sql(
+    "q225_robots_gate",
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+      |$urlNormCtes,
+      |h AS (SELECT doc_id, regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom),
+      |pth AS (SELECT doc_id,
+      |    regexp_extract(url_norm,
+      |      '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) AS path FROM norm),
+      |j AS (SELECT d2.doc_id, d2.domain, pth.path
+      |  FROM d2 JOIN pth USING (doc_id)),
+      |rules AS (SELECT * FROM (VALUES
+      |  ${q225Rules.map { case (dm, p) => s"('$dm', '$p')" }.mkString(", ")})
+      |  r(domain, prefix))
+      |SELECT doc_id, domain, path FROM j
+      |WHERE NOT EXISTS (SELECT 1 FROM rules r
+      |  WHERE r.domain = j.domain AND starts_with(j.path, r.prefix))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), urlFixtureCol.as("url"))
+    val rules = q225Rules.toDF("domain", "prefix")
+    graft.ops.UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .select(col("doc_id"), col("domain"), col("path"))
       .orderBy("doc_id")
   }
 
@@ -2709,5 +2766,5 @@ object CorpusQueries {
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
-    q207, q212, q220, q221, q223)
+    q207, q212, q220, q221, q223, q225)
 }

@@ -68,7 +68,7 @@ object AviHeaders {
   * streams int, width int, height int>`, null for non-AVI payloads.
   * Scan-side like [[WavMeta]]: the payload bytes never move.
   */
-case class AviMeta(child: Expression) extends UnaryExpression {
+case class AviMeta(child: Expression) extends BinaryParseExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("us_per_frame", IntegerType),
@@ -77,31 +77,8 @@ case class AviMeta(child: Expression) extends UnaryExpression {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"avi_meta expects binary, got ${t.simpleString}")
-    }
-
-  override def nullSafeEval(input: Any): Any =
-    AviHeaders.parse(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    val parsed = ctx.freshName("aviMeta")
-    ev.copy(code = code"""
-      ${childGen.code}
-      boolean ${ev.isNull} = true;
-      InternalRow ${ev.value} = null;
-      if (!${childGen.isNull}) {
-        InternalRow $parsed = graft.functions.AviHeaders.parse(${childGen.value});
-        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
-      }
-    """)
-  }
+  override protected def parserStatic: String = "graft.functions.AviHeaders.parse"
+  override protected def parse(b: Array[Byte]): InternalRow = AviHeaders.parse(b)
 
   override protected def withNewChildInternal(newChild: Expression): AviMeta =
     copy(child = newChild)

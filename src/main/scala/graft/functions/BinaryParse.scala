@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.BinaryType
+
+/** Shared shape of the binary container walkers (`image_meta`,
+  * `wav_meta`, `avi_meta`, `warc_meta`): binary → nullable struct via a
+  * static pure-JVM parse that returns null for malformed payloads. One
+  * place for the null contract and the codegen template — the
+  * advisor-r10 class of fix (overflow guards, terminator handling)
+  * lands in the walkers' parse objects, and a template fix lands HERE,
+  * instead of in N byte-identical `doGenCode` copies that can silently
+  * diverge one walker at a time.
+  */
+trait BinaryParseExpression extends UnaryExpression {
+
+  /** Fully-qualified static reference for generated code, e.g.
+    * `"graft.functions.WavHeaders.parse"`. MUST name the same function
+    * [[parse]] delegates to, or the interpreted and codegen paths
+    * diverge — exactly the silent split this trait exists to prevent.
+    */
+  protected def parserStatic: String
+
+  /** The interpreted path; null for malformed payloads. */
+  protected def parse(b: Array[Byte]): InternalRow
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parsed = ctx.freshName("parsed")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        InternalRow $parsed = $parserStatic(${childGen.value});
+        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
+      }
+    """)
+  }
+}

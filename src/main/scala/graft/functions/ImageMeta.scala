@@ -167,7 +167,7 @@ object ImageHeaders {
   * interpreted UDF is avoiding per-row boxing/serialization, not the loop
   * body itself.
   */
-case class ImageMeta(child: Expression) extends UnaryExpression {
+case class ImageMeta(child: Expression) extends BinaryParseExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("format", StringType),
@@ -175,31 +175,8 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"image_meta expects binary, got ${t.simpleString}")
-    }
-
-  override def nullSafeEval(input: Any): Any =
-    ImageHeaders.parse(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    val parsed = ctx.freshName("imageMeta")
-    ev.copy(code = code"""
-      ${childGen.code}
-      boolean ${ev.isNull} = true;
-      InternalRow ${ev.value} = null;
-      if (!${childGen.isNull}) {
-        InternalRow $parsed = graft.functions.ImageHeaders.parse(${childGen.value});
-        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
-      }
-    """)
-  }
+  override protected def parserStatic: String = "graft.functions.ImageHeaders.parse"
+  override protected def parse(b: Array[Byte]): InternalRow = ImageHeaders.parse(b)
 
   override protected def withNewChildInternal(newChild: Expression): ImageMeta =
     copy(child = newChild)

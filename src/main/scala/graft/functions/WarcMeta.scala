@@ -118,7 +118,7 @@ object WarcWalk {
   * payload_byte_sum bigint>`, null for malformed buffers. Scan-side: the
   * whole walk happens in the scan stage — record bytes never move.
   */
-case class WarcMeta(child: Expression) extends UnaryExpression {
+case class WarcMeta(child: Expression) extends BinaryParseExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_records", IntegerType),
@@ -128,31 +128,8 @@ case class WarcMeta(child: Expression) extends UnaryExpression {
     StructField("total_content_len", LongType),
     StructField("payload_byte_sum", LongType)))
 
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"warc_meta expects binary, got ${t.simpleString}")
-    }
-
-  override def nullSafeEval(input: Any): Any =
-    WarcWalk.parse(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    val parsed = ctx.freshName("warcMeta")
-    ev.copy(code = code"""
-      ${childGen.code}
-      boolean ${ev.isNull} = true;
-      InternalRow ${ev.value} = null;
-      if (!${childGen.isNull}) {
-        InternalRow $parsed = graft.functions.WarcWalk.parse(${childGen.value});
-        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
-      }
-    """)
-  }
+  override protected def parserStatic: String = "graft.functions.WarcWalk.parse"
+  override protected def parse(b: Array[Byte]): InternalRow = WarcWalk.parse(b)
 
   override protected def withNewChildInternal(newChild: Expression): WarcMeta =
     copy(child = newChild)

@@ -81,7 +81,7 @@ object WavHeaders {
   * Scan-side: metadata and the sample statistic come out of one pass over
   * the payload in the scan stage — the bytes never move.
   */
-case class WavMeta(child: Expression) extends UnaryExpression {
+case class WavMeta(child: Expression) extends BinaryParseExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("sample_rate", IntegerType),
@@ -90,31 +90,8 @@ case class WavMeta(child: Expression) extends UnaryExpression {
     StructField("n_samples", IntegerType),
     StructField("abs_dev_sum", LongType)))
 
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"wav_meta expects binary, got ${t.simpleString}")
-    }
-
-  override def nullSafeEval(input: Any): Any =
-    WavHeaders.parse(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    val parsed = ctx.freshName("wavMeta")
-    ev.copy(code = code"""
-      ${childGen.code}
-      boolean ${ev.isNull} = true;
-      InternalRow ${ev.value} = null;
-      if (!${childGen.isNull}) {
-        InternalRow $parsed = graft.functions.WavHeaders.parse(${childGen.value});
-        if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
-      }
-    """)
-  }
+  override protected def parserStatic: String = "graft.functions.WavHeaders.parse"
+  override protected def parse(b: Array[Byte]): InternalRow = WavHeaders.parse(b)
 
   override protected def withNewChildInternal(newChild: Expression): WavMeta =
     copy(child = newChild)

@@ -150,6 +150,38 @@ object UrlOps {
     dom.join(broadcast(good), Seq("domain"))
   }
 
+  /** Path of an ALREADY-normalized URL ('' for root). */
+  def pathOf(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?", 1)
+
+  /** Robots-policy gate: drop documents whose URL path falls under a
+    * disallowed prefix for its registered domain — the crawl-compliance
+    * filter between URL dedup and content curation (every polite
+    * pipeline re-checks robots at curation time because policies change
+    * between crawl and release). `rules` carries (domain,
+    * disallow-prefix) rows, the parsed form of the Disallow lines —
+    * robots files are KBs per domain, so the whole rule table
+    * broadcasts. The anti-join keys on DOMAIN EQUALITY (a broadcast
+    * hash join — never a nested-loop scan of rules per doc) with the
+    * prefix test as the join's residual condition; the corpus never
+    * shuffles. Returns the surviving documents plus (domain, path).
+    */
+  def robotsFilter(docs: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val ruleCols = rules.columns
+    val r = broadcast(rules.select(
+      lower(col(ruleCols.head)).as("__rd"),
+      col(ruleCols(1)).as("__rp")).distinct())
+    val withParts = docs
+      .withColumn("__u", normalizeUrl(col(urlCol)))
+      .withColumn("domain", registeredDomain(hostOf(col("__u"))))
+      .withColumn("path", pathOf(col("__u")))
+      .drop("__u")
+    withParts.join(r,
+      col("domain") === col("__rd") && col("path").startsWith(col("__rp")),
+      "left_anti")
+  }
+
   /** Per-registered-domain corpus stats: doc volume, distinct normalized
     * URLs, and total characters — the table per-domain caps and manual
     * blocklist review read. One partial-aggregated exchange keyed by the

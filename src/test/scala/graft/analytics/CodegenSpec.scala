@@ -44,9 +44,12 @@ class CodegenSpec extends SparkSpec {
     "q212_script_gated_funnel", "q214_hybrid_rrf_indexed",
     "q215_index_recall_eval",
     // r12-continuation widest plans: the SQ two-stage retrieval (array
-    // zip/fold dots + two ranking windows) and the mathcode-routed
-    // funnel (seven count expressions ahead of the full q95 chain)
-    "q218_sq_rescore_topk", "q223_mathcode_routed_funnel")
+    // zip/fold dots + two ranking windows), the recall eval stitching
+    // that plan PLUS the brute-force cross PLUS the intersection
+    // aggregate into one query, and the mathcode-routed funnel (seven
+    // count expressions ahead of the full q95 chain)
+    "q218_sq_rescore_topk", "q222_sq_recall_eval",
+    "q223_mathcode_routed_funnel")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {

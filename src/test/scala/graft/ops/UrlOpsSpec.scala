@@ -110,4 +110,21 @@ class UrlOpsSpec extends SparkSpec {
       UrlOps.domainReputationFilter(docs, "doc_id", "url", "pass", 101)
     }
   }
+
+  test("robotsFilter drops disallowed prefixes per domain; prefix vs directory semantics") {
+    val docs = Seq(
+      (1L, "http://a.com/p1/item"), // blocked: /p1/ directory rule
+      (2L, "http://a.com/p10/item"), // kept: '/p1/' does NOT prefix '/p10/item'
+      (3L, "http://a.com/p3/item"), // blocked: bare '/p3' rule
+      (4L, "http://a.com/p30/item"), // blocked too: bare prefix hits '/p30...'
+      (5L, "http://b.com/p1/item"), // kept: rule is a.com-scoped
+      (6L, "http://c.com/x"), // blocked: whole-domain '/'
+      (7L, "http://WWW.A.COM:80/p1/item#f")) // blocked after normalization
+      .toDF("doc_id", "url")
+    val rules = Seq(("a.com", "/p1/"), ("a.com", "/p3"), ("c.com", "/"))
+      .toDF("domain", "prefix")
+    val kept = UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L))
+  }
 }
