@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Wall = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -42,7 +43,7 @@ object Bench {
       q.awaitTermination()
     } catch { case _: Throwable => () }
 
-    // MIN-of-N per query (default 3), measured as N INTERLEAVED passes
+    // MIN-of-N per query, measured as N INTERLEAVED passes
     // over the whole suite rather than N back-to-back reps per query.
     // Rationale: rounds 2 and 3 each showed one arbitrary query "regress"
     // 3-15× with unchanged code (q36 r2: 4.9 s, q16 r3: 12.5 s — both
@@ -54,68 +55,74 @@ object Bench {
     // measurement and the right estimator of the engine's cost; real
     // regressions (a plan change) move the min, contention never lowers
     // it. Interleaving still spreads any burst across different queries.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Default 2, not 3 (VERDICT r12 next #2): min-of-2 still rejects a
+    // single contention burst, and the 227-query suite at 3 passes had
+    // outgrown the driver's wall budget (BENCH_r12 rc=124). The committed
+    // quiet receipt still runs with SPARK_GRAFT_BENCH_REPS=3.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Wall budget in seconds, measured from process start (VERDICT r12
+    // next #1): when the budget would not cover another full pass, the
+    // remaining passes are skipped CLEANLY — the artifact emitted so far
+    // stands (marked with how many passes informed it) instead of a
+    // timeout leaving nothing parseable.
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S").map(_.toDouble)
     // SPARK_GRAFT_BENCH_ONLY=q16,q33 runs a subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // referee specs are gate-side consistency checks, not operator workload
     val suite = SparkEntry.specs.filterNot(_.referee)
       .filter(q => only.forall(o => o.exists(q.name.startsWith)))
-    val passes = (1 to reps).map { _ =>
-      suite.map { q =>
+
+    // INTERLEAVED passes with a provisional artifact after EVERY completed
+    // pass (VERDICT r12 "what's wrong" #1: the previous all-or-nothing
+    // emission meant a driver-side timeout mid-pass-2 yielded NOTHING
+    // parseable despite ~7 minutes of valid pass-1 measurements). Pass 1's
+    // artifact is a reps=1 receipt, refined in place as later passes
+    // lower the per-query min; a kill at any point after pass 1 leaves
+    // both the on-disk artifact and a stdout GRAFT_BENCH_TOTALS sentinel
+    // from the last completed pass.
+    var passes = Vector.empty[Map[String, Double]]
+    var memoized = Set.empty[String]
+    var stopped = false
+    var passIdx = 0
+    while (passIdx < reps && !stopped) {
+      val passT0 = System.nanoTime()
+      val pass = suite.map { q =>
+        MemoTouch.begin(q.name)
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
+        } finally MemoTouch.end()
         q.name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      memoized ++= MemoTouch.drain()
+      passes :+= pass
+      passIdx += 1
+      val passSecs = (System.nanoTime() - passT0) / 1e9
+      if (passIdx < reps) {
+        emit(sfDir, suite.map(_.name), passes, Seq.empty, memoized, reps,
+          provisional = true, print = true)
+        val elapsed = (System.nanoTime() - t0Wall) / 1e9
+        // 1.15x: the next pass is the same deterministic workload, so the
+        // last pass's wall time plus contention headroom predicts it
+        if (deadlineS.exists(dl => elapsed + 1.15 * passSecs > dl)) {
+          System.err.println(f"[bench] deadline ${deadlineS.get}%.0f s: " +
+            f"$elapsed%.0f s elapsed, next pass ~$passSecs%.0f s — " +
+            s"stopping after pass $passIdx of $reps")
+          stopped = true
+        }
       }
     }
-    val results = suite.map(_.name).map { n =>
-      n -> passes.map(_.toMap.apply(n)).min
-    } ++ (if (only.forall(_.exists("etl_pipeline".startsWith)))
-            etlTiming(spark, sfDir, reps) else Seq.empty)
-    // Contention marker (VERDICT r10 #8): the round-10 driver bench ran
-    // on a ~1.3x contended host and printed a 7x phantom regression that
-    // cost the judge an independent re-run. The per-query median/min
-    // spread ACROSS the interleaved passes is a machine-readable
-    // contention receipt: a deterministic workload on a quiet host
-    // repeats within a few percent (median spread ~1.0-1.1), while bursty
-    // external load inflates some passes but never deflates the min, so
-    // a median-of-spreads >= ~1.3 flags the RUN as contended — a reader
-    // can reject noisy artifacts without re-benching. 1.0 when reps == 1.
-    val spread = {
-      val perQuery = suite.map(_.name).map { n =>
-        val ts = passes.map(_.toMap.apply(n)).sorted
-        if (ts.head > 0) ts(ts.size / 2) / ts.head else 1.0
-      }.sorted
-      if (perQuery.isEmpty) 1.0 else perQuery(perQuery.size / 2)
-    }
-    // Emit SHORT keys ("q16" not "q16_rollup"): the driver captures only the
-    // tail of stdout, and round 3's full-name line (~2.6 KB) overflowed its
-    // window — the clipped line failed to parse. Short keys keep the whole
-    // line comfortably inside the capture window.
-    val qs = results.map { case (k, v) =>
-      val short = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
-      "\"" + short + f"""":$v%.2f"""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","spread":$spread%.3f,"queries":$qs,"sf":"$sfDir"}"""
-    // Persist the line verbatim (round-3 lesson: the driver captures a
-    // bounded stdout tail, and a clipped line cannot be re-parsed later —
-    // cross-round per-query comparisons need the full artifact on disk).
-    // The committed /root/repo/BENCH_FULL.json is the artifact of record
-    // for cross-round diffs; the DEFAULT output path is outside the repo
-    // (VERDICT r8 #1: ad-hoc smoke runs kept clobbering the committed
-    // quiet-host receipt) — the round-end checklist copies the intended
-    // run in explicitly.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_FULL.json")),
-      line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // ETL-parity timing is appended only when the budget allowed the full
+    // run — it is extra workload, exactly what a deadline exists to shed.
+    val etl =
+      if (!stopped && only.forall(_.exists("etl_pipeline".startsWith)))
+        etlTiming(spark, sfDir, reps)
+      else Seq.empty
+    val (line, totals) = emit(sfDir, suite.map(_.name), passes, etl, memoized,
+      reps, provisional = stopped, print = false)
     // Print the metric line LAST — after spark.stop(), so no Spark
     // shutdown chatter can land below it on stdout: seven rounds of the
     // driver scraping a truncated tail parsed to null (VERDICT r7 #2).
@@ -129,11 +136,82 @@ object Bench {
     // VERDICT r9 #1: the driver keeps only the LAST 2000 chars of stdout;
     // the full per-query line (~4 KB) can never fit in that window, so a
     // totals-only line (<200 chars) must be the absolute last println.
-    val totals =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"spread":$spread%.3f,"sf":"$sfDir"}"""
     println(totals)
     println(s"GRAFT_BENCH_TOTALS: $totals")
     System.out.flush()
+  }
+
+  /** Build the artifact from the passes completed SO FAR, persist it, and
+    * (for mid-run provisional emissions) print the sentinel lines so a
+    * bounded stdout-tail capture of a killed run still parses. Returns
+    * (full line, totals line).
+    */
+  private def emit(sfDir: String, names: Seq[String],
+      passes: Vector[Map[String, Double]], etl: Seq[(String, Double)],
+      memoized: Set[String], planned: Int, provisional: Boolean,
+      print: Boolean): (String, String) = {
+    val results = names.map(n => n -> passes.map(_(n)).min) ++ etl
+    // Contention marker (VERDICT r10 #8): the round-10 driver bench ran
+    // on a ~1.3x contended host and printed a 7x phantom regression that
+    // cost the judge an independent re-run. The per-query median/min
+    // spread ACROSS the interleaved passes is a machine-readable
+    // contention receipt: a deterministic workload on a quiet host
+    // repeats within a few percent (median spread ~1.0-1.1), while bursty
+    // external load inflates some passes but never deflates the min, so
+    // a median-of-spreads >= ~1.3 flags the RUN as contended — a reader
+    // can reject noisy artifacts without re-benching. 1.0 for one pass.
+    val spread = {
+      val perQuery = names.map { n =>
+        val ts = passes.map(_(n)).sorted
+        if (ts.head > 0) ts(ts.size / 2) / ts.head else 1.0
+      }.sorted
+      if (perQuery.isEmpty) 1.0 else perQuery(perQuery.size / 2)
+    }
+    def short(k: String): String =
+      if (k.startsWith("q")) k.takeWhile(_ != '_') else k
+    // Emit SHORT keys ("q16" not "q16_rollup"): the driver captures only the
+    // tail of stdout, and round 3's full-name line (~2.6 KB) overflowed its
+    // window — the clipped line failed to parse. Short keys keep the whole
+    // line comfortably inside the capture window.
+    val qs = results.map { case (k, v) =>
+      "\"" + short(k) + f"""":$v%.2f"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // `memoized` (VERDICT r12 "what's wrong" #2): queries that consumed a
+    // SHARED build-once fixture (stage-chain memos, /tmp marker caches —
+    // see MemoTouch) during this run. Their per-query seconds measure
+    // MARGINAL cost in suite context; a cold subset re-run of the same
+    // query also pays the shared build, reading 1.3-1.5x higher. That is
+    // amortization, not regression — the artifact now says so itself.
+    val memoStr = memoized.map(short).toSeq.sorted
+      .mkString("[\"", "\",\"", "\"]")
+    val memoField = if (memoized.isEmpty) """"memoized":[]"""
+      else s""""memoized":$memoStr"""
+    val prog =
+      s""""passes":${passes.size},"planned":$planned,"provisional":$provisional"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","spread":$spread%.3f,$prog,$memoField,"queries":$qs,"sf":"$sfDir"}"""
+    val totals =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"spread":$spread%.3f,$prog,"sf":"$sfDir"}"""
+    // Persist the line verbatim (round-3 lesson: the driver captures a
+    // bounded stdout tail, and a clipped line cannot be re-parsed later —
+    // cross-round per-query comparisons need the full artifact on disk).
+    // The committed /root/repo/BENCH_FULL.json is the artifact of record
+    // for cross-round diffs; the DEFAULT output path is outside the repo
+    // (VERDICT r8 #1: ad-hoc smoke runs kept clobbering the committed
+    // quiet-host receipt) — the round-end checklist copies the intended
+    // run in explicitly.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_FULL.json")),
+      line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    if (print) {
+      println(s"GRAFT_BENCH_JSON: $line")
+      println(s"GRAFT_BENCH_TOTALS: $totals")
+      System.out.flush()
+    }
+    (line, totals)
   }
 
   /** ETL-parity timing: the reference's one published number is a 9-table

@@ -1,0 +1,43 @@
+package graft
+
+/** Runtime registry of shared-fixture consumption, feeding the bench
+  * artifact's `memoized` marker (VERDICT r12 "what's wrong" #2): several
+  * gate queries share build-once stage chains / on-disk fixtures (the
+  * `defaultStages` / `bpeTrained` / lake-fixture discipline), so a
+  * full-suite bench times only the MARGINAL cost of all but the first
+  * toucher — a cold subset re-run of the same query reads 1.3-1.5×
+  * higher, which is amortization, not regression. Rather than a
+  * hand-maintained list that drifts as memos are added, every memo /
+  * marker-cached fixture helper calls [[touch]] at its head; [[Bench]]
+  * brackets each timed query with [[begin]]/[[end]] and emits the set of
+  * touchers, so the artifact self-describes which rows ride suite
+  * context.
+  *
+  * Thread safety: memo helpers run at plan-construction time on the
+  * caller's thread (Bench times queries sequentially on one thread), so
+  * a ThreadLocal current-query is exact; the touched set is
+  * lock-protected because fixture builds may race from test suites.
+  */
+object MemoTouch {
+  private val current = new ThreadLocal[String]
+  private val lock = new Object
+  private var touched = Set.empty[String]
+
+  /** Mark `query` as the consumer of any [[touch]] on this thread. */
+  def begin(query: String): Unit = current.set(query)
+
+  def end(): Unit = current.remove()
+
+  /** Called by every shared-memo / marker-cached-fixture helper. No-op
+    * outside a [[begin]]/[[end]] bracket (Verify, tests).
+    */
+  def touch(): Unit = {
+    val q = current.get()
+    if (q != null) lock.synchronized { touched += q }
+  }
+
+  /** Queries that touched any shared fixture since the last drain. */
+  def drain(): Set[String] = lock.synchronized {
+    val t = touched; touched = Set.empty; t
+  }
+}

@@ -399,6 +399,7 @@ object CorpusQueries {
   private val pqLock = new Object
   private var pqMemo: Map[(Int, String), Pq.Codebooks] = Map.empty
   private[analytics] def pqTrained(s: SparkSession, d: String): Pq.Codebooks = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val key = (System.identityHashCode(s),
       LakeQueries.contentFingerprint(d, "embeddings.parquet"))
     pqLock.synchronized {
@@ -471,6 +472,7 @@ object CorpusQueries {
     (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge])] = Map.empty
   private[analytics] def bpeTrained(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[graft.ops.Bpe.Merge]) = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val key = (System.identityHashCode(s),
       LakeQueries.contentFingerprint(d, "documents.parquet"))
     bpeLock.synchronized {
@@ -773,6 +775,7 @@ object CorpusQueries {
   // corpus-version staleness fence.
   private val tokStoreLock = new Object
   private[analytics] def tokenizerStoreFixture(s: SparkSession, d: String): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     // content-fingerprinted dir (the windowsTableFixture staleness rule):
     // a regenerated fixture must never serve a previous run's tokenizer
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tok_q180_" +
@@ -1126,9 +1129,22 @@ object CorpusQueries {
   private val q225Rules = Seq(
     ("ex0.com", "/p1/"), ("ex0.co.uk", "/p3"), ("ex2.com", "/p5/"),
     ("ex4.com", "/p7/"), ("ex3.co.uk", "/p2"), ("ex5.com", "/"))
+  // Path-LESS URLs (advisor r12 medium): a bare-domain or query-only URL
+  // requests the root document, so the robots path is '/'. The shared
+  // fixture always carries a path, so q225 extends its OWN raw set with
+  // planted root rows: two on ex5.com (whole-domain '/' disallow — the
+  // fix must BLOCK them; pre-fix they leaked through as path ''), one on
+  // unruled ex6.com and one on ex0.co.uk (rule '/p3' — '/' is not under
+  // it) that must SURVIVE with path '/'.
+  private val q225RootRows = Seq(
+    (9000001L, "http://ex5.com"), (9000002L, "https://ex5.com?x=1&utm_source=z"),
+    (9000003L, "http://ex6.com"), (9000004L, "https://sub.ex0.co.uk"))
   val q225 = QuerySpec.sql(
     "q225_robots_gate",
-    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents
+      |  UNION ALL SELECT * FROM (VALUES
+      |  ${q225RootRows.map { case (i, u) => s"(CAST($i AS BIGINT), '$u')" }
+           .mkString(", ")}) v(doc_id, url)),
       |$urlNormCtes,
       |h AS (SELECT doc_id, regexp_extract(lower(url),
       |    '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
@@ -1140,8 +1156,9 @@ object CorpusQueries {
       |      THEN array_to_string(ls[len(ls)-2:], '.')
       |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom),
       |pth AS (SELECT doc_id,
-      |    regexp_extract(url_norm,
-      |      '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) AS path FROM norm),
+      |    CASE WHEN p = '' THEN '/' ELSE p END AS path FROM (
+      |    SELECT doc_id, regexp_extract(url_norm,
+      |      '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) AS p FROM norm)),
       |j AS (SELECT d2.doc_id, d2.domain, pth.path
       |  FROM d2 JOIN pth USING (doc_id)),
       |rules AS (SELECT * FROM (VALUES
@@ -1153,9 +1170,230 @@ object CorpusQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), urlFixtureCol.as("url"))
+      .unionByName(q225RootRows.toDF("doc_id", "url"))
     val rules = q225Rules.toDF("domain", "prefix")
     graft.ops.UrlOps.robotsFilter(docs, "doc_id", "url", rules)
       .select(col("doc_id"), col("domain"), col("path"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q228
+  // robots.txt PARSING feeding the robots gate (UrlOps.parseRobots —
+  // VERDICT r12 next #8: q225 consumed pre-parsed (domain, prefix)
+  // rows; this entry derives them from raw robots.txt bodies and runs
+  // the same filter). The planted bodies exercise the RFC 9309 core:
+  // comments, CRLF endings, case-insensitive field names, consecutive
+  // user-agent lines forming one group header, per-agent groups that
+  // must NOT contribute (googlebot/otherbot), the empty Disallow
+  // (allow-all), ignored Allow/Crawl-delay/Sitemap lines, and an
+  // orphan rule before any group header. The oracle replays the whole
+  // parse — line split with ordinality, comment/CR strip, group
+  // running-sum, star-group join — then the q225 normalize + domain +
+  // NOT EXISTS chain, over the same doc set (shared fixture + q225's
+  // path-less root rows). UrlOpsSpec pins the parser's section
+  // semantics line by line; this gate pins the end-to-end composition.
+  private val q228Robots: Seq[(String, String)] = Seq(
+    ("ex0.com",
+      "# robots for ex0\nUser-agent: googlebot\nDisallow: /private/\n\n" +
+        "User-agent: *\nUser-Agent: graftbot\nCrawl-delay: 10\n" +
+        "Disallow: /p1/\ndisallow: /p3\nDisallow:\n\n" +
+        "User-agent: otherbot\nDisallow: /p9/\n" +
+        "Sitemap: https://ex0.com/sitemap.xml"),
+    ("ex2.com",
+      "User-agent: *\r\nDisallow: /p5/ # legacy area\r\nAllow: /p5/ok\r\n" +
+        "Disallow: /p7\r\n"),
+    ("ex5.com", "User-agent: spider\nUser-agent: *\nDisallow: /"),
+    ("ex0.co.uk", "# full access\nUser-agent: *\nDisallow:\n"),
+    ("ex3.co.uk", "User-agent: googlebot\nDisallow: /"),
+    ("ex4.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /p2"))
+  /** The body string as a DuckDB expression building the SAME bytes —
+    * lines joined with chr(10), CRs as chr(13) (standard-conforming SQL
+    * strings process no escapes, so the control chars must be built).
+    */
+  private def duckBody(b: String): String =
+    b.split("\n", -1).map { l =>
+      val core = "'" + l.replace("'", "''").stripSuffix("\r") + "'"
+      if (l.endsWith("\r")) s"$core || chr(13)" else core
+    }.mkString(" || chr(10) || ")
+  val q228 = QuerySpec.sql(
+    "q228_robots_txt_gate",
+    s"""WITH raw AS (SELECT doc_id, $urlFixtureSql AS url FROM documents
+      |  UNION ALL SELECT * FROM (VALUES
+      |  ${q225RootRows.map { case (i, u) => s"(CAST($i AS BIGINT), '$u')" }
+           .mkString(", ")}) v(doc_id, url)),
+      |$urlNormCtes,
+      |h AS (SELECT doc_id, regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom),
+      |pth AS (SELECT doc_id,
+      |    CASE WHEN p = '' THEN '/' ELSE p END AS path FROM (
+      |    SELECT doc_id, regexp_extract(url_norm,
+      |      '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) AS p FROM norm)),
+      |j AS (SELECT d2.doc_id, d2.domain, pth.path
+      |  FROM d2 JOIN pth USING (doc_id)),
+      |rb AS (SELECT * FROM (VALUES
+      |  ${q228Robots.map { case (dm, b) => s"('$dm', ${duckBody(b)})" }
+           .mkString(",\n  ")}) r(rdomain, body)),
+      |rl AS (SELECT rdomain,
+      |    trim(regexp_replace(replace(u.v, chr(13), ''), '#.*$$', '')) AS line,
+      |    u.p AS pos
+      |  FROM (SELECT rdomain, unnest(list_transform(string_split(body, chr(10)),
+      |    (x, i) -> {'v': x, 'p': i})) AS u FROM rb)),
+      |rc AS (SELECT rdomain, pos,
+      |    regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua,
+      |    trim(regexp_extract(line, '(?i)^user-agent\\s*:\\s*(.*)$$', 1)) AS agent,
+      |    regexp_matches(line, '(?i)^disallow\\s*:') AS is_dis,
+      |    trim(regexp_extract(line, '(?i)^disallow\\s*:\\s*(.*)$$', 1)) AS dis
+      |  FROM rl),
+      |rs AS (SELECT *, CASE WHEN is_ua AND NOT COALESCE(
+      |    LAG(is_ua) OVER (PARTITION BY rdomain ORDER BY pos), FALSE)
+      |    THEN 1 ELSE 0 END AS sec_start FROM rc),
+      |rg AS (SELECT *, SUM(sec_start) OVER (PARTITION BY rdomain
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sec FROM rs),
+      |star AS (SELECT DISTINCT rdomain, sec FROM rg WHERE is_ua AND agent = '*'),
+      |rules AS (SELECT DISTINCT rg.rdomain AS domain, rg.dis AS prefix
+      |  FROM rg JOIN star ON star.rdomain = rg.rdomain AND star.sec = rg.sec
+      |  WHERE rg.is_dis AND rg.dis <> '')
+      |SELECT doc_id, domain, path FROM j
+      |WHERE NOT EXISTS (SELECT 1 FROM rules r
+      |  WHERE r.domain = j.domain AND starts_with(j.path, r.prefix))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), urlFixtureCol.as("url"))
+      .unionByName(q225RootRows.toDF("doc_id", "url"))
+    val rules = graft.ops.UrlOps.parseRobots(
+      q228Robots.toDF("domain", "body"), "domain", "body")
+    graft.ops.UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .select(col("doc_id"), col("domain"), col("path"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q229
+  // URL-stage-0 funnel (VERDICT r12 next #5): the full web-corpus
+  // cascade in the order real pipelines run it (the CCNet/RefinedWeb/
+  // FineWeb ordering UrlOps' scaladoc cites) — URL policy BEFORE any
+  // content pass: normalize → URL dedup → domain blocklist → robots
+  // gate → domain-reputation flowback, and only the survivors enter
+  // curateCorpus's content stages (exact dedup → LSH near-dup →
+  // decontamination → quality pruning → hash split). Each URL stage is
+  // gated standalone (q138/q140/q225/q221); this entry pins the
+  // COMPOSITION and the ORDER against one DuckDB replay of the whole
+  // cascade.
+  //
+  // The fixture gives each doc its own URL with ~10% planted re-crawls
+  // (doc_id % 10 = 9 mirrors doc_id - 5's canonical URL under different
+  // normalization-erased dressing: case, default port, tracking params,
+  // fragment), so stage 0a removes exactly the mirrors; the robots set
+  // adds a '/d1'-prefix rule that bites the /dN path space; the
+  // reputation verdict is the exact integer rate test over a
+  // length >= 300 stage-0 proxy. Scale shape: every URL stage is
+  // scan-side + domain-keyed partial aggregates with broadcast-sized
+  // verdict tables (the corpus shuffles only where the content stages'
+  // own documented exchanges need it).
+  private val q229Rules = q225Rules :+ (("ex2.com", "/d1"))
+  private def q229HostSql =
+    s"""'w' || CAST(c % 3 AS VARCHAR) || '.ex' || CAST(c % 7 AS VARCHAR) ||
+      |    CASE WHEN c % 3 = 0 THEN '.co.uk' ELSE '.com' END""".stripMargin
+  val q229 = QuerySpec.sql(
+    "q229_url_stage0_funnel",
+    s"""WITH raw0 AS (SELECT doc_id, source, text,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id - 5 ELSE doc_id END AS c
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |raw AS (SELECT doc_id, source, text,
+      |  (CASE WHEN c % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN upper($q229HostSql)
+      |        ELSE $q229HostSql END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN
+      |     CASE WHEN c % 2 = 0 THEN ':80' ELSE ':443' END ELSE '' END) ||
+      |  '/d' || CAST(c AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=t' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#f' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+      |  FROM raw0),
+      |$urlNormCtes,
+      |ud AS (SELECT doc_id FROM (SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY url_norm) AS keep FROM norm)
+      |  WHERE doc_id = keep),
+      |h AS (SELECT doc_id, regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)', 1) AS host FROM raw),
+      |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |d2 AS (SELECT doc_id,
+      |    CASE WHEN len(ls) <= 2 THEN host
+      |      WHEN regexp_matches(array_to_string(ls[len(ls)-1:], '.'),
+      |        '^(co|com|org|net|ac|gov|edu)\\.(uk|au|nz|jp|br|in|za)$$')
+      |      THEN array_to_string(ls[len(ls)-2:], '.')
+      |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain FROM dom),
+      |pth AS (SELECT doc_id,
+      |    CASE WHEN p = '' THEN '/' ELSE p END AS path FROM (
+      |    SELECT doc_id, regexp_extract(url_norm,
+      |      '^[a-z][a-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) AS p FROM norm)),
+      |j AS (SELECT r.doc_id, r.source, r.text, d2.domain, pth.path
+      |  FROM raw r JOIN d2 USING (doc_id) JOIN pth USING (doc_id)
+      |  WHERE r.doc_id IN (SELECT doc_id FROM ud)),
+      |bl AS (SELECT * FROM j WHERE domain NOT IN ('ex1.com', 'ex0.co.uk')),
+      |rules AS (SELECT * FROM (VALUES
+      |  ${q229Rules.map { case (dm, p) => s"('$dm', '$p')" }.mkString(", ")})
+      |  r(domain, prefix)),
+      |rob AS (SELECT bl.* FROM bl WHERE NOT EXISTS (SELECT 1 FROM rules r2
+      |  WHERE r2.domain = bl.domain AND starts_with(bl.path, r2.prefix))),
+      |rep AS (SELECT domain FROM (SELECT domain, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END) AS n_pass
+      |  FROM rob GROUP BY domain) WHERE 100 * n_pass >= 50 * n_docs),
+      |corpus AS (SELECT doc_id, source, text FROM rob
+      |  WHERE domain IN (SELECT domain FROM rep)),
+      |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |${CurationQueries.q95ChainCtes("corpus")}
+      |SELECT doc_id, source, score, CAST(tile AS INT) AS tile,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(0)._2}' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CurationQueries.q95Cuts(1)._2}' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM k3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val c = when(col("doc_id") % 10 === 9, col("doc_id") - 5)
+      .otherwise(col("doc_id"))
+    def str(x: org.apache.spark.sql.Column) = x.cast(StringType)
+    val host = concat(lit("w"), str(c % 3), lit(".ex"), str(c % 7),
+      when(c % 3 === 0, ".co.uk").otherwise(".com"))
+    val url = concat(
+      when(c % 2 === 0, "http").otherwise("https"), lit("://"),
+      when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+      when(col("doc_id") % 5 === 0,
+        when(c % 2 === 0, ":80").otherwise(":443")).otherwise(""),
+      lit("/d"), str(c),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=t"), str(col("doc_id")))).otherwise(""),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("#f"), str(col("doc_id")))).otherwise(""))
+    val corpus0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("source"), col("text"), url.as("url"))
+    // stage 0a: URL-level exact dedup (re-crawl mirrors collapse)
+    val deduped = graft.ops.UrlOps.urlDedup(corpus0, "doc_id", "url")
+      .drop("url_norm")
+    // stage 0b: domain blocklist (broadcast anti-join)
+    val afterBl = graft.ops.UrlOps.blocklistFilter(deduped, "url",
+      Seq("ex1.com", "ex0.co.uk").toDF("domain"))
+    // stage 0c: robots-policy gate
+    val afterRob = graft.ops.UrlOps.robotsFilter(afterBl, "doc_id", "url",
+      q229Rules.toDF("domain", "prefix"))
+    // stage 0d: domain-reputation flowback over a stage-0 proxy verdict
+    // (the filter derives its own domain — drop the robots outputs so
+    // the reserved-column contract holds)
+    val verdict = afterRob.drop("domain", "path")
+      .withColumn("__pass", length(col("text")) >= 300)
+    val survivors = graft.ops.UrlOps.domainReputationFilter(
+      verdict, "doc_id", "url", "__pass", minPassPct = 50)
+      .select(col("doc_id"), col("source"), col("text"))
+    // content stages: the default q95 chain on the URL survivors
+    graft.ops.Curation.curateCorpus(survivors,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "source")
+      .select("doc_id", "source", "score", "tile", "split")
       .orderBy("doc_id")
   }
 
@@ -1486,6 +1724,7 @@ object CorpusQueries {
     */
   private val ivfPqFixtureLock = new Object
   private[analytics] def ivfPqIndexFixture(s: SparkSession, d: String): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q149_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
@@ -1530,6 +1769,7 @@ object CorpusQueries {
     */
   private val staleIdxLock = new Object
   private[analytics] def staleIndexFixture(s: SparkSession, d: String): (String, String) = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q164_$fp"
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q164_$fp"
@@ -1607,6 +1847,7 @@ object CorpusQueries {
     */
   private val appendIdxLock = new Object
   private[analytics] def appendIndexFixture(s: SparkSession, d: String): (String, String) = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q168_$fp"
     // "c" suffix: cache key break for the r8 builder change (compaction
@@ -1953,6 +2194,7 @@ object CorpusQueries {
   private val winLock = new Object
   private var winMemo: Map[(Int, String), String] = Map.empty
   private[analytics] def windowsTableFixture(s: SparkSession, d: String): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
     val key = (System.identityHashCode(s), fp)
     winLock.synchronized {
@@ -2110,6 +2352,7 @@ object CorpusQueries {
   private val trainerLock = new Object
   private var trainerMemo: Map[(Int, String), String] = Map.empty
   private[analytics] def trainerDeliveryFixture(s: SparkSession, d: String): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
     val key = (System.identityHashCode(s), fp)
     trainerLock.synchronized {
@@ -2766,5 +3009,5 @@ object CorpusQueries {
     q127, q128, q129, q132, q133, q135, q136, q137, q138, q139, q140, q141, q174, q177,
     q142, q143, q146, q147, q148, q149, q160, q161, q162, q163, q164, q167,
     q168, q180, q181, q183, q184, q185, q188, q189, q192, q193, q194, q195, q196, q198, q199, q201,
-    q207, q212, q220, q221, q223, q225)
+    q207, q212, q220, q221, q223, q225, q228, q229)
 }

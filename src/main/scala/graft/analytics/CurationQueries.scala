@@ -611,6 +611,7 @@ object CurationQueries {
   private var stagesMemo: Map[(Int, String), Curation.CurationStages] = Map.empty
   private[analytics] def defaultStages(s: SparkSession, d: String)
       : Curation.CurationStages = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val key = (System.identityHashCode(s),
       LakeQueries.contentFingerprint(d, "documents.parquet"))
     stagesLock.synchronized {
@@ -1067,6 +1068,7 @@ object CurationQueries {
   private val admitLock = new Object
   private var admitMemo: Map[(Int, String), Curation.DeltaStages] = Map.empty
   private def admitStages(s: SparkSession, d: String): Curation.DeltaStages = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val key = (System.identityHashCode(s),
       LakeQueries.contentFingerprint(d, "documents.parquet"))
     admitLock.synchronized {
@@ -1106,6 +1108,7 @@ object CurationQueries {
   // store EXTENSION against engine recomputation.
   private val admStoreLock = new Object
   private[graft] def admissionStoreFixture(s: SparkSession, d: String): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190p_" +
       Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
@@ -1218,6 +1221,7 @@ object CurationQueries {
   private val q197ChunkLock = new Object
   private[analytics] def unifiedAdmissionRun(s: SparkSession, d: String,
       crashLeg2: Boolean): (org.apache.spark.sql.DataFrame, String) = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     import java.nio.file.{Files, Path}
     val docs = Tables.documents(s, d)
     val third = pmod(col("doc_id"), lit(3)) === 0

@@ -2002,6 +2002,7 @@ object LlmQueries {
   private val subsetIdxLock = new Object
   private[analytics] def subsetIvfPqFixture(s: org.apache.spark.sql.SparkSession,
       d: String, mod: Int): String = {
+    graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_sub${mod}_$fp"
     val marker = java.nio.file.Path.of(dir, "_complete")
@@ -2402,10 +2403,51 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q227
+  // The corpus-scale SERVING path in one gated entry (VERDICT r12 next
+  // #4): persisted-index candidates → rank fusion → MMR
+  // diversification. q214 gates index→fuse and q217 gates
+  // MMR-over-brute-force legs; production retrieval runs index → fuse →
+  // diversify, and this entry composes exactly that: the IVF-PQ-served
+  // hybrid's fused top-10 per query (BM25 sparse leg + nprobe=4 dense
+  // leg, RRF) re-ranked by Retrieval.mmrRerank down to 5
+  // diversity-aware picks, with the fused RRF score as the relevance
+  // term. Rows-only (the index's trained centroids/codebooks have no
+  // DuckDB twin); q227r replays the fusion through an independent
+  // aggregate shape AND unrolls the greedy MMR in exact driver-side
+  // arithmetic over the recalled list-sized subset — every score,
+  // penalty cosine, and pick rank must match bit-for-bit.
+  //
+  // Scale shape: the index serves the dense leg (nprobe cells over
+  // codes-only rows — the corpus never cross-joins), fusion joins are
+  // ranked-list-sized, and MMR's k-1 penalty steps run over
+  // (n_queries × 10) candidate frames; the only corpus-sized work is
+  // the legs' own documented scans.
+  val q227 = QuerySpec.rowsOnly("q227_indexed_fuse_mmr") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val fused = Retrieval.hybridTopKIndexed(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      subsetIvfPqFixture(s, d, 97),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text")),
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "doc_id", "text", "query_id", "text", "embedding",
+      k = 10, kPerList = q203KPer, nprobe = 4)
+    Retrieval.mmrRerank(
+      fused.select(col("query_id"), col("doc_id"), col("rrf_score")),
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      "query_id", "doc_id", "rrf_score", "embedding", lambda = 0.5, k = 5)
+      .orderBy("query_id", "pick_rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q55, q56, q61, q62, q71, q72,
     q75, q76, q77, q79, q80, q81, q83, q84, q85, q89, q94, q98, q100,
     q101, q102, q105, q106, q107, q110, q111, q112, q113, q115, q116, q117,
     q130, q134, q159, q173, q200, q202, q203, q204, q205, q208, q209, q213,
-    q214, q215, q216, q217, q218, q219, q222, q224)
+    q214, q215, q216, q217, q218, q219, q222, q224, q227)
 }

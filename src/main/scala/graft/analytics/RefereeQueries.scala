@@ -877,7 +877,108 @@ object RefereeQueries {
     report(symDiff(native, referee))
   }
 
+  // ----------------------------------------------------- q227 referee
+  // Index-served fuse+diversify (q227 is rows-only: the IVF-PQ index is
+  // data-adaptive). Two independent replays in one check: (1) the RRF
+  // fusion rebuilt through the union-of-terms + groupBy-sum shape
+  // (q214r's bit-exactness argument: a (query, doc) pair has at most
+  // two terms, IEEE addition of two terms is order-free, and the
+  // operator's `term + 0.0` identity for single-list docs is exact);
+  // (2) the greedy MMR unrolled in DRIVER-SIDE Scala over the collected
+  // candidate lists (bounded: n_queries × 10 rows and their vectors)
+  // with bit-identical arithmetic — the same double-accumulator float
+  // dot as the codegen'd float_dot, the same 0.5·rel − 0.5·max-cos step
+  // score, the same (score desc, doc asc) argmax under
+  // java.lang.Double.compare total order — so any drift in the fusion
+  // fold, the penalty max, the vector-join drop semantics, or a pick
+  // rank surfaces as a symDiff row.
+  val q227r = QuerySpec.refereeCheck("q227r_indexed_fuse_mmr_referee") { (s, d) =>
+    implicit val ss: SparkSession = s
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val corpusText = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+    val probeVecs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpusVecs = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+    val idx = LlmQueries.subsetIvfPqFixture(s, d, 97)
+    val native = Retrieval.mmrRerank(
+      Retrieval.hybridTopKIndexed(corpusText, idx, queries, probeVecs,
+        "doc_id", "text", "query_id", "text", "embedding",
+        k = 10, kPerList = 10, nprobe = 4)
+        .select(col("query_id"), col("doc_id"), col("rrf_score")),
+      corpusVecs.select(col("vec_id").as("doc_id"), col("embedding")),
+      "query_id", "doc_id", "rrf_score", "embedding", lambda = 0.5, k = 5)
+    // (1) independent fusion shape, cut at the same fused depth 10
+    val sparse = TextOps.bm25TopK(corpusText, queries, "doc_id", "text",
+      "query_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = graft.ops.IndexStore.searchIvfPq(s, idx, probeVecs,
+      "query_id", "embedding", k = 10, nprobe = 4)
+      .select(col("probe_id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val terms = sparse.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(60) + col("rank")).cast(DoubleType)).as("term"))
+      .unionByName(dense.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(60) + col("rank")).cast(DoubleType)).as("term")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    val refFused = terms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term")).as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    // (2) greedy MMR unrolled in exact driver arithmetic over the
+    // list-sized candidate set (referee-scoped collect: n_queries × 10)
+    val cands = refFused.select(col("query_id"), col("doc_id"), col("rrf_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candIds = cands.map(_._2).distinct.toSeq
+    val vecs: Map[Long, Array[Float]] = corpusVecs
+      .filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dn = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (dn > 0) dot(a, b) / dn else 0.0
+    }
+    val expected = cands.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      // mirror mmrRerank's base inner join: a candidate without a vector
+      // never enters the greedy loop
+      var remaining = rows.toList.filter(r => vecs.contains(r._2))
+        .map(r => (r._2, r._3))
+      var selected = List.empty[(Long, Double, Int)]
+      var t = 1
+      while (t <= 5 && remaining.nonEmpty) {
+        val scored = remaining.map { case (doc, rel) =>
+          val score = if (t == 1) rel
+            else 0.5 * rel -
+              0.5 * selected.map(sel => cos(vecs(doc), vecs(sel._1))).max
+          (doc, rel, score)
+        }
+        val pick = scored.reduceLeft { (best, c) =>
+          val cmp = java.lang.Double.compare(c._3, best._3)
+          if (cmp > 0 || (cmp == 0 && c._1 < best._1)) c else best
+        }
+        selected = selected :+ ((pick._1, pick._2, t))
+        remaining = remaining.filterNot(_._1 == pick._1)
+        t += 1
+      }
+      selected.map { case (doc, rel, rank) => (qid, doc, rel, rank) }
+    }
+    import s.implicits._
+    val expectedDf = expected
+      .toDF("query_id", "doc_id", "rrf_score", "pick_rank")
+    report(symDiff(native, expectedDf))
+  }
+
   val all: Seq[QuerySpec] = Seq(q35r, q36r, q42r, q43r, q45r, q47r, q55r, q84r,
     q96r, q100r, q110r, q128r, q129r, q132r, q149r, q154r, q164r, q168r, q174r,
-    q180r, q181r, q190r, q197r, q208r, q213r, q214r, q215r)
+    q180r, q181r, q190r, q197r, q208r, q213r, q214r, q215r, q227r)
 }

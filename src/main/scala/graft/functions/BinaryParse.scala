@@ -8,13 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.BinaryType
 
 /** Shared shape of the binary container walkers (`image_meta`,
-  * `wav_meta`, `avi_meta`, `warc_meta`): binary → nullable struct via a
-  * static pure-JVM parse that returns null for malformed payloads. One
-  * place for the null contract and the codegen template — the
-  * advisor-r10 class of fix (overflow guards, terminator handling)
-  * lands in the walkers' parse objects, and a template fix lands HERE,
-  * instead of in N byte-identical `doGenCode` copies that can silently
-  * diverge one walker at a time.
+  * `wav_meta`, `avi_meta`, `warc_meta`, `warc_records`): binary → a
+  * nullable parse result via a static pure-JVM parse that returns null
+  * for malformed payloads. One place for the null contract and the
+  * codegen template — the advisor-r10 class of fix (overflow guards,
+  * terminator handling) lands in the walkers' parse objects, and a
+  * template fix lands HERE, instead of in N byte-identical `doGenCode`
+  * copies that can silently diverge one walker at a time. The result is
+  * an `InternalRow` (struct walkers) by default; a records-to-rows
+  * walker overrides [[resultJavaType]] to emit `ArrayData`.
   */
 trait BinaryParseExpression extends UnaryExpression {
 
@@ -25,8 +27,14 @@ trait BinaryParseExpression extends UnaryExpression {
     */
   protected def parserStatic: String
 
+  /** Java-source type of the parse result in GENERATED code — must match
+    * what [[parserStatic]] returns (fully qualified unless imported by
+    * the codegen template, as `InternalRow` is).
+    */
+  protected def resultJavaType: String = "InternalRow"
+
   /** The interpreted path; null for malformed payloads. */
-  protected def parse(b: Array[Byte]): InternalRow
+  protected def parse(b: Array[Byte]): AnyRef
 
   override def nullable: Boolean = true
 
@@ -46,9 +54,9 @@ trait BinaryParseExpression extends UnaryExpression {
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = true;
-      InternalRow ${ev.value} = null;
+      $resultJavaType ${ev.value} = null;
       if (!${childGen.isNull}) {
-        InternalRow $parsed = $parserStatic(${childGen.value});
+        $resultJavaType $parsed = $parserStatic(${childGen.value});
         if ($parsed != null) { ${ev.isNull} = false; ${ev.value} = $parsed; }
       }
     """)

@@ -36,6 +36,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "warc_meta", exprs => WarcMeta(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "warc_records", exprs => WarcRecords(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "deflate_len", exprs => DeflateLen(exprs(0)), "scala_udf")
@@ -104,6 +106,13 @@ object GraftFunctions {
     * or null. Requires `register(spark)` on the session.
     */
   def warc_meta(payload: Column): Column = call_function("warc_meta", payload)
+
+  /** Records-to-rows WARC walk (see [[WarcRecords]]): `array<struct<seq,
+    * offset,rec_type,content_length,payload>>` or null — explode for one
+    * row per record. Requires `register(spark)` on the session.
+    */
+  def warc_records(payload: Column): Column =
+    call_function("warc_records", payload)
 
   /** Membership probe against a serialized BloomFilter literal (see
     * [[BloomMightContain]]). Requires `register(spark)` on the session.

@@ -32,22 +32,38 @@ object WarcWalk {
   private val CR = '\r'.toByte
   private val LF = '\n'.toByte
 
-  /** @return InternalRow(n_records, n_response, n_request, n_warcinfo,
-    *         total_content_len, payload_byte_sum) or null if malformed.
+  /** One walked record: start offset of its version line, its type, the
+    * declared payload length, and where the payload bytes begin.
     */
-  def parse(b: Array[Byte]): InternalRow = {
+  private[functions] final case class Rec(
+      offset: Int, warcType: String, contentLen: Long, payloadOff: Int)
+
+  /** ONE record walk shared by [[parse]] (stats) and [[records]]
+    * (rows) — a single parser so a header-loop or terminator fix can
+    * never land in one consumer and not the other (the
+    * [[BinaryParseExpression]] anti-divergence rule, applied one level
+    * down). Returns the records in buffer order, or null if ANY part of
+    * the buffer is malformed — bad magic, missing Content-Length, a
+    * length past the buffer (checked in the subtraction form so a
+    * near-2^63 length cannot overflow past a direct comparison), a
+    * missing terminator: a walker that silently resyncs hides
+    * corruption.
+    */
+  private[functions] def walk(b: Array[Byte]): java.util.ArrayList[Rec] = {
     if (b == null || b.length == 0) return null
+    val out = new java.util.ArrayList[Rec]()
     var i = 0
-    var nRec = 0; var nResp = 0; var nReq = 0; var nInfo = 0
-    var totalLen = 0L; var byteSum = 0L
     while (i < b.length) {
+      val start = i
       // version line
       val vEnd = lineEnd(b, i)
       if (vEnd < 0) return null
       val version = ascii(b, i, vEnd)
       if (!(version == "WARC/1.0" || version == "WARC/1.1")) return null
       i = vEnd + 2
-      // header lines until the empty-line terminator
+      // header lines until the empty-line terminator (only WARC-Type and
+      // Content-Length are consumed; record ids, dates, digests are
+      // skipped by the loop — most of what makes the walk a real parse)
       var warcType: String = null
       var contentLen = -1L
       var done = false
@@ -72,26 +88,66 @@ object WarcWalk {
       if (warcType == null || contentLen < 0) return null
       // subtraction form: i + contentLen overflows for lengths near 2^63
       if (contentLen > b.length - i) return null
-      val end = i + contentLen.toInt
-      var j = i
-      while (j < end) { byteSum += (b(j) & 0xff); j += 1 }
-      totalLen += contentLen
-      i = end
+      val payloadOff = i
+      i += contentLen.toInt
       // record terminator: exactly two CRLFs
       if (b.length - i < 4 || b(i) != CR || b(i + 1) != LF ||
         b(i + 2) != CR || b(i + 3) != LF) return null
       i += 4
-      nRec += 1
-      warcType match {
+      out.add(Rec(start, warcType, contentLen, payloadOff))
+    }
+    if (out.isEmpty) null else out
+  }
+
+  /** @return InternalRow(n_records, n_response, n_request, n_warcinfo,
+    *         total_content_len, payload_byte_sum) or null if malformed.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    val recs = walk(b)
+    if (recs == null) return null
+    var nResp = 0; var nReq = 0; var nInfo = 0
+    var totalLen = 0L; var byteSum = 0L
+    var r = 0
+    while (r < recs.size) {
+      val rec = recs.get(r)
+      rec.warcType match {
         case "response" => nResp += 1
         case "request" => nReq += 1
         case "warcinfo" => nInfo += 1
         case _ => ()
       }
+      totalLen += rec.contentLen
+      val end = rec.payloadOff + rec.contentLen.toInt
+      var j = rec.payloadOff
+      while (j < end) { byteSum += (b(j) & 0xff); j += 1 }
+      r += 1
     }
-    if (nRec == 0) return null
     new GenericInternalRow(
-      Array[Any](nRec, nResp, nReq, nInfo, totalLen, byteSum))
+      Array[Any](recs.size, nResp, nReq, nInfo, totalLen, byteSum))
+  }
+
+  /** Records-to-rows (VERDICT r12 next #3 — the container walker as a
+    * SOURCE, not just a stats pass): one struct per record, in buffer
+    * order — (seq 1-based, offset of the record's first byte, type,
+    * declared payload length, the payload byte slice). Null for a
+    * malformed buffer, same contract as [[parse]].
+    */
+  def records(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val recs = walk(b)
+    if (recs == null) return null
+    val rows = new Array[Any](recs.size)
+    var r = 0
+    while (r < recs.size) {
+      val rec = recs.get(r)
+      val payload = java.util.Arrays.copyOfRange(
+        b, rec.payloadOff, rec.payloadOff + rec.contentLen.toInt)
+      rows(r) = new GenericInternalRow(Array[Any](
+        r + 1, rec.offset,
+        org.apache.spark.unsafe.types.UTF8String.fromString(rec.warcType),
+        rec.contentLen, payload))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
   /** Offset of the CR of the next CRLF at/after `i`, or -1. A bare CR or
@@ -135,4 +191,34 @@ case class WarcMeta(child: Expression) extends BinaryParseExpression {
     copy(child = newChild)
 
   override def prettyName: String = "warc_meta"
+}
+
+/** `warc_records(binary)` → `array<struct<seq int, offset int,
+  * rec_type string, content_length bigint, payload binary>>`, null for
+  * malformed buffers — the records-to-rows form of the WARC walker
+  * (explode it for one row per record), turning the container format
+  * into a SOURCE: container → records → per-record extraction is the
+  * crawl pipeline's ingestion shape (the reference's file→rows hop,
+  * `bec-aws-bq/s3-to-rds.py:189-251`, applied to the web-archive
+  * container). Scan-side: the parse and the payload slicing happen in
+  * the scan stage; only the requested slices move.
+  */
+case class WarcRecords(child: Expression) extends BinaryParseExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seq", IntegerType),
+    StructField("offset", IntegerType),
+    StructField("rec_type", StringType),
+    StructField("content_length", LongType),
+    StructField("payload", BinaryType))), containsNull = false)
+
+  override protected def resultJavaType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def parserStatic: String = "graft.functions.WarcWalk.records"
+  override protected def parse(b: Array[Byte]): AnyRef = WarcWalk.records(b)
+
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+
+  override def prettyName: String = "warc_records"
 }

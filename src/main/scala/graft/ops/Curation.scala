@@ -1110,14 +1110,26 @@ object Curation {
   def backfillAdmissionMeta(spark: org.apache.spark.sql.SparkSession,
       table: String, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3): Unit = {
+    // MAIN table first, validated BEFORE the postings sibling is touched
+    // (advisor r12): on a half-legacy store (main carries a conflicting
+    // sidecar, postings has none) the old write-both-then-check order
+    // still exclusive-created the postings sidecar with the caller's
+    // wrong parameters — a refused relabel that nonetheless left a
+    // main/postings mismatch for admitDeltaStored to trip over later.
     writeAdmissionMeta(spark, table, numHashes, bands, shingleK)
-    writeAdmissionMeta(spark, postingsTable(table), numHashes, bands, shingleK)
     val got = readAdmissionMeta(spark, table)
     if (!got.contains((numHashes, bands, shingleK)))
       throw new IllegalStateException(
         s"admission store $table already carries a different sidecar " +
           s"$got — refusing to relabel (rebuild with initAdmissionStore " +
           "if the parameters truly changed)")
+    writeAdmissionMeta(spark, postingsTable(table), numHashes, bands, shingleK)
+    val gotP = readAdmissionMeta(spark, postingsTable(table))
+    if (!gotP.contains((numHashes, bands, shingleK)))
+      throw new IllegalStateException(
+        s"admission store postings sibling ${postingsTable(table)} already " +
+          s"carries a different sidecar $gotP — main/postings parameters " +
+          "now disagree; rebuild with initAdmissionStore")
   }
 
   /** Create (or fully replace) the lake-resident admission-signature

@@ -689,6 +689,27 @@ object Similarity {
     * neighbor — the same trap [[Retrieval.hybridTopK]] documents and
     * avoids.
     */
+  def knnLabelEval(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val ranked = bruteForceTopK(
+      probes.select(col(idCol), col(vecCol)),
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+      excludeSelf = excludeSelf)
+    ranked
+      .join(probes.select(col(idCol).as("probe_id"),
+        col(labelCol).as("probe_label")), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(
+        sum(when(col("__nl") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_same_label"),
+        coalesce(min(when(col("__nl") === col("probe_label"), col("rank"))),
+          lit(0)).cast(org.apache.spark.sql.types.IntegerType)
+          .as("first_match_rank"))
+  }
+
   /** Recall@k of an APPROXIMATE ranking against the exact one — the
     * standard ANN index-quality metric, closing the loop between the
     * engine's eval operator and the indexes it should grade (VERDICT r11
@@ -716,26 +737,5 @@ object Similarity {
       .groupBy(col(probeCol))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-  }
-
-  def knnLabelEval(probes: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val ranked = bruteForceTopK(
-      probes.select(col(idCol), col(vecCol)),
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k,
-      excludeSelf = excludeSelf)
-    ranked
-      .join(probes.select(col(idCol).as("probe_id"),
-        col(labelCol).as("probe_label")), Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(labelCol).as("__nl")), Seq("neighbor_id"))
-      .groupBy(col("probe_id"), col("probe_label"))
-      .agg(
-        sum(when(col("__nl") === col("probe_label"), 1L).otherwise(0L))
-          .as("n_same_label"),
-        coalesce(min(when(col("__nl") === col("probe_label"), col("rank"))),
-          lit(0)).cast(org.apache.spark.sql.types.IntegerType)
-          .as("first_match_rank"))
   }
 }

@@ -49,7 +49,14 @@ class CodegenSpec extends SparkSpec {
     // aggregate into one query, and the mathcode-routed funnel (seven
     // count expressions ahead of the full q95 chain)
     "q218_sq_rescore_topk", "q222_sq_recall_eval",
-    "q223_mathcode_routed_funnel")
+    "q223_mathcode_routed_funnel",
+    // r13 widest plans: the WARC records-to-rows explode (new
+    // ArrayData-producing walker codegen) composed with the HTML
+    // extraction chain; the index-served fuse+MMR composition; and the
+    // URL-stage-0 funnel (normalize/dedup/robots/reputation column
+    // stack ahead of the full q95 chain)
+    "q226_warc_record_rows", "q227_indexed_fuse_mmr",
+    "q229_url_stage0_funnel")
 
   SparkEntry.specs.filter(q => widest.contains(q.name)).foreach { q =>
     test(s"${q.name} compiles every stage with codegen fallback disabled") {

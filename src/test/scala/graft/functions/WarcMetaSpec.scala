@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 class WarcMetaSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private def rec(tpe: String, payload: String,
       extraHeaders: Seq[String] = Seq("WARC-Record-ID: <urn:uuid:1>",
         "WARC-Date: 2026-01-01T00:00:00Z")): String =
@@ -49,6 +51,34 @@ class WarcMetaSpec extends SparkSpec {
     // negative and non-numeric lengths
     assert(parse("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: -1\r\n\r\n\r\n\r\n").isEmpty)
     assert(parse("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: ten\r\n\r\n\r\n\r\n").isEmpty)
+  }
+
+  test("warc_records explodes records with exact offsets and payload slices") {
+    GraftFunctions.register(spark)
+    val buf = rec("response", "hello world, long enough") +
+      rec("request", "GET /x") + rec("warcinfo", "v1")
+    // expected offsets are pure arithmetic over the synthesized strings
+    val r1 = rec("response", "hello world, long enough")
+    val r2 = rec("request", "GET /x")
+    val df = Seq((1L, buf.getBytes("US-ASCII"))).toDF("id", "warc")
+      .select(col("id"), explode(GraftFunctions.warc_records(col("warc"))).as("r"))
+      .select(col("r.seq"), col("r.offset"), col("r.rec_type"),
+        col("r.content_length"),
+        col("r.payload").cast("string").as("payload"))
+      .as[(Int, Int, String, Long, String)].collect().toSeq
+    assert(df == Seq(
+      (1, 0, "response", 24L, "hello world, long enough"),
+      (2, r1.length, "request", 6L, "GET /x"),
+      (3, r1.length + r2.length, "warcinfo", 2L, "v1")))
+    // malformed buffer → null array, not a partial explode
+    val mal = Seq((1L, (rec("response", "ok") + "junk").getBytes("US-ASCII")))
+      .toDF("id", "warc")
+      .select(GraftFunctions.warc_records(col("warc")).as("r"))
+    assert(mal.filter(col("r").isNotNull).count() == 0L)
+    // interpreted path agrees (the BinaryParseExpression contract)
+    val arr = WarcWalk.records(buf.getBytes("US-ASCII"))
+    assert(arr != null && arr.numElements() == 3)
+    assert(WarcWalk.records("nope".getBytes("US-ASCII")) == null)
   }
 
   test("warc_meta round-trips the q224 synthesis arithmetic end-to-end") {

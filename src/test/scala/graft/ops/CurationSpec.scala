@@ -615,6 +615,30 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to relabel"))
   }
 
+  test("refused backfill on a half-legacy store leaves the postings sidecar absent") {
+    // advisor r12: main table carries a sidecar, postings sibling has
+    // none (half-legacy). A refused relabel must validate the MAIN
+    // sidecar BEFORE touching the sibling — the old order
+    // exclusive-created the postings sidecar with the caller's wrong
+    // parameters, leaving a main/postings mismatch behind the refusal.
+    val (corpus, _, _) = admissionFixture
+    val dir = tmpDir("admstore-halflegacy") + "/store"
+    Curation.initAdmissionStore(corpus, "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${dir}_postings", "admission_meta"), false)
+    val e = intercept[IllegalStateException] {
+      Curation.backfillAdmissionMeta(spark, dir, numHashes = 128, bands = 32)
+    }
+    assert(e.getMessage.contains("refusing to relabel"))
+    assert(Curation.readAdmissionMeta(spark, s"${dir}_postings").isEmpty,
+      "refused relabel must not have written the postings sidecar")
+    // and the correct one-time backfill still completes afterwards
+    Curation.backfillAdmissionMeta(spark, dir)
+    assert(Curation.readAdmissionMeta(spark, s"${dir}_postings")
+      .contains((64, 16, 3)))
+  }
+
   test("postings/main parameter sidecar mismatch fails loudly") {
     val (corpus, bench, batch) = admissionFixture
     val dir = tmpDir("admstore-mismatch") + "/store"

@@ -127,4 +127,59 @@ class UrlOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 5L))
   }
+
+  test("robotsFilter treats path-less URLs as the root document '/'") {
+    // advisor r12: normalizeUrl leaves 'http://c.com' (and query-only
+    // 'http://c.com?x=1') without a trailing slash, so a raw pathOf is ''
+    // — which no prefix matches; the filter must treat both as '/'
+    val docs = Seq(
+      (1L, "http://c.com"), // blocked: root request under a '/' disallow
+      (2L, "https://c.com?x=1"), // blocked: query-only root request
+      (3L, "http://c.com/"), // blocked: explicit root spelling
+      (4L, "http://b.com"), // kept: no rule for b.com — emitted path is '/'
+      (5L, "http://a.com")) // kept: '/' is not under a.com's '/p1/' rule
+      .toDF("doc_id", "url")
+    val rules = Seq(("a.com", "/p1/"), ("c.com", "/")).toDF("domain", "prefix")
+    val kept = UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .select("doc_id", "path").as[(Long, String)].collect().toSet
+    assert(kept == Set((4L, "/"), (5L, "/")))
+  }
+
+  test("parseRobots: RFC 9309 grouping, comments, case, empty disallow") {
+    val bodies = Seq(
+      // per-agent group ignored; consecutive UA lines = ONE group header;
+      // case-insensitive fields; empty Disallow allows all; Crawl-delay/
+      // Sitemap ignored; trailing per-agent group ignored
+      ("a.com",
+        "# hi\nUser-agent: googlebot\nDisallow: /g/\n\n" +
+          "User-agent: *\nUser-Agent: other\nCrawl-delay: 5\n" +
+          "DISALLOW: /x/\ndisallow: /y\nDisallow:\n\n" +
+          "User-agent: last\nDisallow: /z/\nSitemap: https://a.com/s.xml"),
+      // CRLF endings + comment after the value + Allow ignored
+      ("B.com", "User-agent: *\r\nDisallow: /c/ # legacy\r\nAllow: /c/ok\r\n"),
+      // orphan rule before any group header is dropped
+      ("c.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /k"),
+      // no star group at all
+      ("d.com", "User-agent: googlebot\nDisallow: /"),
+      // star group with allow-all only
+      ("e.com", "User-agent: *\nDisallow:\n"))
+      .toDF("domain", "body")
+    val rules = UrlOps.parseRobots(bodies, "domain", "body")
+      .as[(String, String)].collect().toSet
+    assert(rules == Set(("a.com", "/x/"), ("a.com", "/y"),
+      ("b.com", "/c/"), ("c.com", "/k")))
+  }
+
+  test("robotsFilter and domainReputationFilter refuse reserved output columns") {
+    val rules = Seq(("a.com", "/")).toDF("domain", "prefix")
+    val clash = Seq((1L, "http://a.com/x", "keep")).toDF("doc_id", "url", "path")
+    intercept[IllegalArgumentException] {
+      UrlOps.robotsFilter(clash, "doc_id", "url", rules)
+    }
+    val clash2 = Seq((1L, "http://a.com/x", true, 9L))
+      .toDF("doc_id", "url", "pass", "n_docs")
+    intercept[IllegalArgumentException] {
+      UrlOps.domainReputationFilter(clash2, "doc_id", "url", "pass", 50)
+    }
+  }
 }
