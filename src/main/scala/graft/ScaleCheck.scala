@@ -444,6 +444,72 @@ object ScaleCheck {
         urls(df).withColumn("pass", pmod(col("doc_id"), lit(3)) =!= 0),
         "doc_id", "url", "pass", minPassPct = 50)
       run("domain_reputation", rep(docs1), rep(docsN))
+      // URL stage-0 composition (the q229 front half; the content chain
+      // it feeds is pinned by curate_corpus): normalize-dedup →
+      // blocklist → robots → reputation. Every stage is scan-side or a
+      // domain-keyed partial aggregate with a broadcast-sized verdict /
+      // rule table (domains cycle mod 50 under the id-shifted blow-up,
+      // so the bounded-verdict shape is preserved); the composition
+      // must stay linear like its stages.
+      def urlsT(df: DataFrame) = df.select(col("doc_id"), col("text"),
+        concat(lit("https://w"), (pmod(col("doc_id"), lit(7))).cast("string"),
+          lit(".ex"), (pmod(col("doc_id"), lit(50))).cast("string"),
+          lit(".com/p"), (pmod(col("doc_id"), lit(11))).cast("string"),
+          lit("/item?b=2&a=1&utm_source=t"), col("doc_id").cast("string")).as("url"))
+      val blockDf = spark.createDataFrame(Seq(Tuple1("ex1.com"), Tuple1("ex2.com")))
+        .toDF("domain")
+      val rulesDf = spark.createDataFrame(
+        Seq(("ex3.com", "/p3"), ("ex4.com", "/"))).toDF("domain", "prefix")
+      def stage0(df: DataFrame) = {
+        val dd = ops.UrlOps.urlDedup(urlsT(df), "doc_id", "url").drop("url_norm")
+        val bl = ops.UrlOps.blocklistFilter(dd, "url", blockDf)
+        val rob = ops.UrlOps.robotsFilter(bl, "doc_id", "url", rulesDf)
+        val verdict = rob.drop("domain", "path")
+          .withColumn("__pass", length(col("text")) >= 300)
+        ops.UrlOps.domainReputationFilter(verdict, "doc_id", "url",
+          "__pass", minPassPct = 50).select(col("doc_id"))
+      }
+      run("url_stage0", stage0(docs1), stage0(docsN))
+    }
+    // robots.txt parsing: per-domain line explode + two lag/running-sum
+    // windows partitioned by domain — the domain count grows with the
+    // corpus while lines per body stay constant, so linear is the pass
+    // signal. Bodies synthesized one per doc (comments, a '*' group
+    // with two rules, a per-agent group that must NOT contribute).
+    locally {
+      def robots(df: DataFrame) = ops.UrlOps.parseRobots(
+        df.select(
+          concat(lit("ex"), col("doc_id").cast("string"), lit(".com")).as("domain"),
+          concat(lit("# synthetic\nUser-agent: *\nDisallow: /a"),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("\nDisallow: /b\n\nUser-agent: otherbot\nDisallow: /\n"))
+            .as("body")),
+        "domain", "body")
+      run("robots_parse", robots(docs1), robots(docsN))
+    }
+    // WARC records-to-rows: scan-side binary walk + explode (record
+    // bytes never ride an exchange) — linear by construction; the row
+    // pins the constant factor. Buffers synthesized per doc in the
+    // q226 shape: response (the doc text) + request, warcinfo on
+    // doc%5=0.
+    locally {
+      val crlf = "\r\n"
+      def rec(tpe: String, payload: org.apache.spark.sql.Column) = concat(
+        lit("WARC/1.0" + crlf + s"WARC-Type: $tpe" + crlf + "Content-Length: "),
+        octet_length(payload).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf))
+      def warc(df: DataFrame) = df.select(col("doc_id"),
+        concat(rec("response", col("text")),
+          rec("request", concat(lit("GET /d"), col("doc_id").cast("string"))),
+          when(col("doc_id") % 5 === 0, rec("warcinfo", lit("software: g/1.0")))
+            .otherwise(lit("")))
+          .cast(org.apache.spark.sql.types.BinaryType).as("w"))
+        .select(col("doc_id"),
+          explode(functions.GraftFunctions.warc_records(col("w"))).as("r"))
+        .select(col("doc_id"), col("r.seq").as("seq"),
+          col("r.rec_type").as("rec_type"),
+          octet_length(col("r.payload")).as("payload_len"))
+      run("warc_records", warc(docs1), warc(docsN))
     }
     locally {
       val gate = ops.QualityRules.gate(col("text"), minStopHits = 1)
@@ -672,6 +738,35 @@ object ScaleCheck {
           k = 3, nprobe = 3),
         ops.IndexStore.searchIvfPq(spark, dirN, probes1, "vec_id", "embedding",
           k = 3, nprobe = 3))
+      // Index-served fuse + diversify (the q227 serving composition):
+      // BM25 sparse leg + IVF-PQ dense leg over the per-side stored
+      // index (built outside the timer — the amortized production
+      // shape), RRF-fused, MMR-diversified. Query/probe set FIXED
+      // (serving load doesn't grow with the corpus): the legs' corpus
+      // scans are the only growing term; fusion joins and the MMR
+      // steps are ranked-list-sized, invariant in corpus size.
+      locally {
+        val queries1 = docs1.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(ops.TextOps.tokens(col("text")), 1, 5))
+              .as("text")).localCheckpoint()
+        val qProbes1 = emb1.filter(pmod(col("vec_id"), lit(97)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+          .localCheckpoint()
+        def ifm(df: DataFrame, vecs: DataFrame, path: String) = {
+          val fused = ops.Retrieval.hybridTopKIndexed(
+            df.filter(pmod(col("doc_id"), lit(97)) =!= 0), path,
+            queries1, qProbes1, "doc_id", "text", "query_id", "text",
+            "embedding", k = 10, kPerList = 10, nprobe = 3)
+          ops.Retrieval.mmrRerank(
+            fused.select(col("query_id"), col("doc_id"), col("rrf_score")),
+            vecs.select(col("vec_id").as("doc_id"), col("embedding")),
+            "query_id", "doc_id", "rrf_score", "embedding",
+            lambda = 0.5, k = 5)
+        }
+        run("indexed_fuse_mmr",
+          ifm(docs1, emb1, dir1), ifm(docsN, embN, dirN))
+      }
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
