@@ -64,6 +64,23 @@ object QuerySpec {
     })
   }
 
+  /** `df.orderBy(cols)` with the sort input MATERIALIZED first
+    * (localCheckpoint). A global sort's RangePartitioner samples its
+    * child to pick range boundaries before the exchange executes, so an
+    * expensive unmaterialized subtree sitting directly under a final
+    * ORDER BY is evaluated TWICE — once by the sampling pass, once by
+    * the shuffle write (r13 profiles: the q107 containment verify and
+    * the q191 scrub cascade each showed two back-to-back stages with
+    * identical multi-second CPU). The checkpoint pins the subtree to one
+    * execution; values and row order are unchanged. Use on query tails
+    * whose last pre-sort leg is real compute (verify projections, regex
+    * cascades, binary walks) — NOT on cheap post-aggregate tails, where
+    * the second evaluation is a shuffle re-read the checkpoint would
+    * only duplicate into executor storage.
+    */
+  def sortedOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.localCheckpoint().orderBy(cols: _*)
+
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(materializeCtes(oracle)))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =

@@ -282,9 +282,10 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q42 (rows-only: xxhash64-based)
   val q42 = QuerySpec.rowsOnly("q42_fingerprint") { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+    QuerySpec.sortedOnce(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint")),
+      col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q43 (rows-only: xxhash64-based LSH)
@@ -1096,10 +1097,11 @@ object LlmQueries {
   // q42r pattern) and must match bit-for-bit.
   val q100 = QuerySpec.rowsOnly("q100_compression_quality") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d).select(col("doc_id"),
-      TextOps.deflateLen(col("text")).as("deflate_len"),
-      TextOps.compressionRatio(col("text")).as("compression_ratio"))
-      .orderBy("doc_id")
+    QuerySpec.sortedOnce(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.deflateLen(col("text")).as("deflate_len"),
+        TextOps.compressionRatio(col("text")).as("compression_ratio")),
+      col("doc_id"))
   }
 
   // --------------------------------------------------------------- q101
@@ -1274,9 +1276,10 @@ object LlmQueries {
       |FROM p
       |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
-      shingleK = 3, threshold = 0.8, dfCap = 1000)
-      .orderBy("id_a", "id_b")
+    QuerySpec.sortedOnce(
+      Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.8, dfCap = 1000),
+      col("id_a"), col("id_b"))
   }
 
   // --------------------------------------------------------------- q111
@@ -1298,9 +1301,10 @@ object LlmQueries {
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    Dedup.winnowNearDups(Tables.documents(s, d), "doc_id", "text",
-      k = 25, w = 8, dfCap = 1000)
-      .orderBy("id_a", "id_b")
+    QuerySpec.sortedOnce(
+      Dedup.winnowNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 25, w = 8, dfCap = 1000),
+      col("id_a"), col("id_b"))
   }
 
   // --------------------------------------------------------------- q112
@@ -1328,11 +1332,12 @@ object LlmQueries {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    Dedup.crossOverlapPairs(
-      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-      "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000)
-      .orderBy("id_a", "id_b")
+    QuerySpec.sortedOnce(
+      Dedup.crossOverlapPairs(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000),
+      col("id_a"), col("id_b"))
   }
 
   // --------------------------------------------------------------- q113
@@ -1369,10 +1374,11 @@ object LlmQueries {
       |SELECT doc_id, span_start, span_end, span_len FROM x WHERE rn > 1
       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    Dedup.nonCanonicalSpans(docs,
-      Dedup.duplicatedSpans(docs, "doc_id", "text", k = q101K),
-      "doc_id", "text")
-      .orderBy("doc_id", "span_start")
+    QuerySpec.sortedOnce(
+      Dedup.nonCanonicalSpans(docs,
+        Dedup.duplicatedSpans(docs, "doc_id", "text", k = q101K),
+        "doc_id", "text"),
+      col("doc_id"), col("span_start"))
   }
 
   // --------------------------------------------------------------- q115
@@ -1871,9 +1877,10 @@ object LlmQueries {
       concat(col("text"), lit(" ref "),
         element_at(array(q204Cards.map(lit): _*),
           (pmod(col("doc_id"), lit(6)) + 1).cast("int"))).as("text"))
-    planted.select(col("doc_id") +:
-      Privacy.paymentCardSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
+    QuerySpec.sortedOnce(
+      planted.select(col("doc_id") +:
+        Privacy.paymentCardSignals(col("text")).map { case (n, c) => c.as(n) }: _*),
+      col("doc_id"))
   }
 
   // --------------------------------------------------------------- q205
@@ -2400,7 +2407,7 @@ object LlmQueries {
         col("w.n_warcinfo").as("n_warcinfo"),
         col("w.total_content_len").as("total_content_len"),
         col("w.payload_byte_sum").as("payload_byte_sum"))
-      .orderBy("doc_id")
+      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
   }
 
   // --------------------------------------------------------------- q227

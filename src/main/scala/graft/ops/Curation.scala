@@ -556,7 +556,11 @@ object Curation {
     */
   def redactStage(docs: DataFrame, textCol: String): DataFrame = {
     val sig = TextOps.redactionSignals(col(textCol)).toMap
-    docs
+    // Scan widening (TextOps.parallelized): the regex cascade is the
+    // heaviest per-row projection in the engine, and an under-partitioned
+    // input would run it on one core; no-op (and still zero exchanges)
+    // when the input is already split, i.e. at corpus scale.
+    TextOps.parallelized(docs)
       .withColumn("n_emails", sig("n_emails"))
       .withColumn("n_ipv4s", sig("n_ipv4s"))
       .withColumn("n_phones", sig("n_phones"))
@@ -574,7 +578,8 @@ object Curation {
     // every per-stage count column in cascade order, then the scrubbed
     // text replaces textCol — generic over the signal list so a new
     // pattern stage lands here without a code change
-    TextOps.secretSignals(col(textCol)).foldLeft(docs) {
+    // scan widening — see redactStage; no-op on already-split input
+    TextOps.secretSignals(col(textCol)).foldLeft(TextOps.parallelized(docs)) {
       case (df, ("redacted_text", c)) => df.withColumn(textCol, c)
       case (df, (name, c)) => df.withColumn(name, c)
     }
@@ -589,7 +594,8 @@ object Curation {
     * pure scan-side projection shape, `textCol` replaced in place.
     */
   def redactCardsStage(docs: DataFrame, textCol: String): DataFrame =
-    Privacy.paymentCardSignals(col(textCol)).foldLeft(docs) {
+    // scan widening — see redactStage; no-op on already-split input
+    Privacy.paymentCardSignals(col(textCol)).foldLeft(TextOps.parallelized(docs)) {
       case (df, ("redacted_text", c)) => df.withColumn(textCol, c)
       case (df, (name, c)) => df.withColumn(name, c)
     }

@@ -151,11 +151,17 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Scan widening (TextOps.parallelized): signature computation is the
+    // CPU-dense leg of every near-dup pass, and an under-partitioned
+    // input (single parquet file / unsplittable source) would run it on
+    // one core. The round-robin spread only fires when the input has
+    // fewer partitions than ~cores/4 — on a real corpus (many splits)
+    // it is a no-op, so no text ever rides an exchange at scale.
     // drop null-text docs on the INPUT side: a filter on the computed sig
     // would push below the projection by alias substitution and evaluate
     // the whole signature expression twice per row (non-null text always
     // yields >= 1 shingle, so sig is never null past this point)
-    docs.filter(col(textCol).isNotNull)
+    TextOps.parallelized(docs).filter(col(textCol).isNotNull)
       .select(col(idCol),
         graft.functions.GraftFunctions.minhash_sigs(
           shingles(col(textCol), shingleK), lit(numHashes)).as("sig"))
@@ -232,7 +238,11 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val ids = pairs.select(col("id_a").as("__cid"))
       .union(pairs.select(col("id_b").as("__cid"))).distinct()
-    val candidates = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+    // scan widening: the candidate re-shingle is CPU-dense and the
+    // broadcast semi-join keeps the scan's (possibly single-partition)
+    // layout — see minHashSignatures; no-op at scale
+    val candidates = TextOps.parallelized(
+      docs.join(ids, col(idCol) === col("__cid"), "left_semi"))
     val sets = candidates
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
@@ -305,13 +315,14 @@ object Dedup {
       idCol, "sig", bands).withColumnRenamed(idCol, "id_b")
     val pairs = lB.join(rB, Seq("band", "band_hash"))
       .select("id_a", "id_b").distinct().localCheckpoint()
-    val lSets = left
-      .join(pairs.select(col("id_a").as("__cid")).distinct(),
-        col(idCol) === col("__cid"), "left_semi")
+    // scan widening on both candidate re-shingles — see minHashSignatures
+    val lSets = TextOps.parallelized(left
+        .join(pairs.select(col("id_a").as("__cid")).distinct(),
+          col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__ida"), shingles(col(textCol), shingleK).as("sh_a"))
-    val rSets = right
-      .join(pairs.select(col("id_b").as("__cid")).distinct(),
-        col(idCol) === col("__cid"), "left_semi")
+    val rSets = TextOps.parallelized(right
+        .join(pairs.select(col("id_b").as("__cid")).distinct(),
+          col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__idb"), shingles(col(textCol), shingleK).as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
@@ -367,24 +378,30 @@ object Dedup {
     // partitioning — the .rdd path skips AQE's final coalesce — so a tiny
     // label frame would otherwise run every round at the inherited
     // partition count, all scheduling overhead)
+    val nNodes = labels.count()
     val parts = math.max(1, math.min(labels.rdd.getNumPartitions,
-      math.ceil(labels.count() / 1000000.0).toInt))
+      math.ceil(nNodes / 1000000.0).toInt))
     labels = labels.coalesce(parts).localCheckpoint()
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
-        .coalesce(parts).localCheckpoint()
-      changed = next.filter(col("next_label") < col("label")).count()
-      // no second checkpoint: labels is a bare projection over the
-      // checkpointed `next`, so its lineage is already flat — a third
-      // materialization job per round bought nothing
-      labels = next.select(col("id"), col("next_label").as("label"))
-      it += 1
+    // loop exchanges run at the node-count budget, not the session's
+    // scan-scale partition count (TextOps.withLoopPartitions — identity
+    // at corpus scale, restores the session value after)
+    TextOps.withLoopPartitions(pairs.sparkSession, nNodes) { _ =>
+      while (changed > 0 && it < maxIter) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+          .coalesce(parts).localCheckpoint()
+        changed = next.filter(col("next_label") < col("label")).count()
+        // no second checkpoint: labels is a bare projection over the
+        // checkpointed `next`, so its lineage is already flat — a third
+        // materialization job per round bought nothing
+        labels = next.select(col("id"), col("next_label").as("label"))
+        it += 1
+      }
     }
     // EXACT means exact: partial labels from a diameter > maxIter graph
     // would silently split clusters (and dropNearDups would then keep
@@ -459,6 +476,7 @@ object Dedup {
     def budget(rows: Long, cap: Int): Int = math.max(1,
       math.min(cap, math.ceil(rows.toDouble / rowsPerPartition).toInt))
     var parts = math.max(1, base.rdd.getNumPartitions)
+    val nEdges = base.count()
     var stars = sym(base).distinct().filter(col("u") > col("v"))
       .coalesce(parts).localCheckpoint()
     var converged = stars.isEmpty && base.isEmpty
@@ -471,6 +489,10 @@ object Dedup {
     // dominate this loop's wall time on all but enormous graphs — each
     // materialization is a scheduling barrier — so the cadence buys ~2x.
     val probeEvery = 3
+    // loop exchanges at the edge-count budget (TextOps.withLoopPartitions
+    // — identity at corpus scale; the 2x-sym working set stays within the
+    // same 1M-rows-per-partition convention the coalesce budget uses)
+    TextOps.withLoopPartitions(pairs.sparkSession, 2 * nEdges) { _ =>
     while (!converged && round < maxRounds) {
       var chained = stars
       (1 until probeEvery).foreach { _ => chained = contractRound(sym(chained)) }
@@ -496,6 +518,7 @@ object Dedup {
         next.exceptAll(prev).union(prev.exceptAll(next)).isEmpty
       parts = budget(if (d.isNullAt(2)) 0L else d.getLong(2), parts)
       stars = next
+    }
     }
     if (!converged && round >= maxRounds) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxRounds rounds " +
@@ -524,6 +547,9 @@ object Dedup {
   def contaminationOverlap(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // no scan widening (unlike minHashSignatures): the k=2 shingle explode
+    // + broadcast probe is light — measured 1.5x WORSE widened at sf0.1
+    // (r13); funnel callers pass already-wide checkpointed frames anyway
     val tSh = train.select(col(idCol),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
     val bSh = bench.select(explode(shingles(col(textCol), shingleK)).as("__sh"))
@@ -558,7 +584,8 @@ object Dedup {
       textCol: String, benchIdCol: String, shingleK: Int = 5,
       sampleGrams: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
-    val tSh = train.select(col(idCol),
+    // scan widening — see minHashSignatures; no-op at scale
+    val tSh = TextOps.parallelized(train).select(col(idCol),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
     val bSh = bench.select(col(benchIdCol),
         explode(shingles(col(textCol), shingleK)).as("__sh"))
@@ -596,6 +623,8 @@ object Dedup {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    // no scan widening (unlike minHashSignatures): the Bloom probe is a
+    // cheap per-row loop — measured 1.6x WORSE widened at sf0.1 (r13)
     train.withColumn("contaminated",
       exists(shingles(col(textCol), shingleK),
         s => graft.functions.GraftFunctions.bloom_might_contain(lit(bytes), s)))
@@ -722,7 +751,9 @@ object Dedup {
       k: Int, checkpointCandidates: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grams = docs
+    // scan widening: the rolling-hash window explode is the pass's
+    // CPU-dense leg — see minHashSignatures; no-op at scale
+    val grams = TextOps.parallelized(docs)
       .select(col(idCol), posexplode(
         graft.functions.GraftFunctions.rolling_hashes(col(textCol), lit(k))))
       .select(col(idCol), (col("pos") + 1).cast(IntegerType).as("pos"),
@@ -907,6 +938,9 @@ object Dedup {
     * per bit position inside the lambda. Empty docs are dropped.
     */
   def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // no scan widening here (unlike minHashSignatures): the token explode
+    // is cheap relative to the widening exchange — measured 1.35x WORSE
+    // widened at sf0.1 (r13)
     val exploded = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
@@ -988,9 +1022,15 @@ object Dedup {
     * (id_a, id_b, n_inter, n_a, n_b, overlap), overlap >= threshold.
     */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.8, dfCap: Int = 1000): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.8, dfCap: Int = 1000,
+      checkpoint: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val posting = docs
+    // checkpoint=false keeps the plan fully lazy for plan inspection
+    // (PlanSpec's text-free exchange lints need the pre-checkpoint
+    // candidate-gate stages visible) — the duplicatedSpans convention
+    def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
+    // scan widening on the posting explode — see minHashSignatures
+    val posting = TextOps.parallelized(docs)
       .select(col(idCol).as("__id"),
         explode(shingles(col(textCol), shingleK)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
@@ -1009,11 +1049,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val ids = cand.select(col("id_a").as("__cid"))
       .union(cand.select(col("id_b").as("__cid"))).distinct()
-    val sets = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+    // scan widening on the candidate re-shingle — see minHashSignatures.
+    // MATERIALIZED (localCheckpoint): the verify consumes `sets` twice
+    // (sh_a and sh_b joins), and when the planner picks broadcast builds
+    // for both, each build re-runs the whole candidate shingling — the
+    // single most CPU-dense leg of the pass — once per side. One
+    // candidate-sized checkpoint pins it to one execution.
+    val sets = TextOps.parallelized(
+        docs.join(ids, col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+      .transform(ckpt)
     val nInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
     val nA = size(col("sh_a")).cast(LongType)
     val nB = size(col("sh_b")).cast(LongType)
@@ -1044,13 +1092,13 @@ object Dedup {
     */
   def crossOverlapPairs(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, threshold: Double = 0.8,
-      dfCap: Int = 1000): DataFrame =
+      dfCap: Int = 1000, checkpoint: Boolean = true): DataFrame =
     crossOverlapPairsFrom(left,
-      right.select(col(idCol).as("__id"),
+      TextOps.parallelized(right).select(col(idCol).as("__id"),
           explode(shingles(col(textCol), shingleK)).as("__s"))
         .select(col("__id").as(idCol), xxhash64(col("__s")).as("h")),
       right.select(col(idCol), col(textCol)),
-      idCol, textCol, shingleK, threshold, dfCap)
+      idCol, textCol, shingleK, threshold, dfCap, checkpoint)
 
   /** [[crossOverlapPairs]] against PRE-COMPUTED right-side postings —
     * the persisted admission-store path: the historical corpus's
@@ -1064,10 +1112,13 @@ object Dedup {
   def crossOverlapPairsFrom(left: DataFrame, rightPostings: DataFrame,
       rightTexts: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8,
-      dfCap: Int = 1000): DataFrame = {
+      dfCap: Int = 1000, checkpoint: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(left.sparkSession)
+    // checkpoint=false: lazy plan for inspection (see overlapPairs)
+    def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val right = rightTexts
-    def posting(df: DataFrame) = df
+    // scan widening on the live-side explode — see minHashSignatures
+    def posting(df: DataFrame) = TextOps.parallelized(df)
       .select(col(idCol).as("__id"),
         explode(shingles(col(textCol), shingleK)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
@@ -1086,10 +1137,11 @@ object Dedup {
         .select(col("__h"), col("__id").as("id_b")), Seq("__h"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint()
-    def sets(df: DataFrame, sideCol: String) = df
-      .join(cand.select(col(sideCol).as("__cid")).distinct(),
-        col(idCol) === col("__cid"), "left_semi")
+      .transform(ckpt)
+    // scan widening on the candidate re-shingles — see minHashSignatures
+    def sets(df: DataFrame, sideCol: String) = TextOps.parallelized(df
+        .join(cand.select(col(sideCol).as("__cid")).distinct(),
+          col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
     val lSets = sets(left, "id_a")
     val rSets = sets(right, "id_b")
@@ -1133,10 +1185,14 @@ object Dedup {
     * distinct shared L-grams, always >= 1.
     */
   def winnowNearDups(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 25, w: Int = 8, dfCap: Int = 1000): DataFrame = {
+      k: Int = 25, w: Int = 8, dfCap: Int = 1000,
+      checkpoint: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // checkpoint=false: lazy plan for inspection (see overlapPairs)
+    def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val L = w + k - 1
-    val fps = docs
+    // scan widening on the fingerprint explode — see minHashSignatures
+    val fps = TextOps.parallelized(docs)
       .select(col(idCol).as("__id"),
         explode(graft.functions.GraftFunctions.winnow(
           col(textCol), lit(k), lit(w))).as("__fp"))
@@ -1149,7 +1205,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val ids = cand.select(col("id_a").as("__cid"))
       .union(cand.select(col("id_b").as("__cid"))).distinct()
     // exact verify on candidate docs only: distinct character L-grams via
@@ -1160,8 +1216,13 @@ object Dedup {
         sequence(lit(1), length(col(textCol)) - lit(L) + 1),
         i => col(textCol).substr(i, lit(L)))))
       .otherwise(array().cast(ArrayType(StringType)))
-    val sets = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+    // scan widening on the candidate L-gram re-slice — see
+    // minHashSignatures; materialized for the same two-consumer reason
+    // as overlapPairs' sets (lg_a and lg_b builds)
+    val sets = TextOps.parallelized(
+        docs.join(ids, col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__id"), lGrams.as("__lg"))
+      .transform(ckpt)
     cand
       .join(sets.select(col("__id"), col("__lg").as("lg_a")), col("id_a") === col("__id")).drop("__id")
       .join(sets.select(col("__id"), col("__lg").as("lg_b")), col("id_b") === col("__id")).drop("__id")
@@ -1197,7 +1258,8 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grpSh = docs
+    // scan widening on the shingle explode — see minHashSignatures
+    val grpSh = TextOps.parallelized(docs)
       .select(col(groupCol).as("__g"), explode(shingles(col(textCol), shingleK)).as("__s"))
       .distinct()
     val sizes = grpSh.groupBy("__g").agg(count(lit(1)).as("__n"))
@@ -1252,7 +1314,8 @@ object Dedup {
     *  3. per-document regroup on the 8-byte id to rebuild kept_text.
     */
   def paragraphDedup(df: DataFrame, idCol: String, parasCol: String): DataFrame = {
-    val exploded = df
+    // scan widening on the paragraph explode — see minHashSignatures
+    val exploded = TextOps.parallelized(df)
       .select(col(idCol).as("__id"), posexplode(col(parasCol)).as(Seq("__idx", "__p")))
       .withColumn("__norm", lower(trim(col("__p"))))
       .filter(length(col("__norm")) > 0)
@@ -1307,6 +1370,9 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val total = docs.agg(count(lit(1)).as("n_docs_total"))
     val perN = ns.map { n =>
+      // no scan widening (unlike minHashSignatures): one widening exchange
+      // PER n outweighed the parallel explode — measured 1.6x WORSE
+      // widened at sf0.1 (r13)
       val docSh = docs
         .select(col(idCol).as("__id"), explode(shingles(col(textCol), n)).as("__s"))
         .select(col("__id"), xxhash64(col("__s")).as("__h"))

@@ -81,10 +81,17 @@ object Graph {
 
     var ranks = nodesD.select(col("id"), lit(Scale / n).as("r"))
     var i = 1
-    while (i <= iters) {
-      ranks = iterate(nodesD, eo, outd, ranks, n, alphaNum, alphaDen)
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
-      i += 1
+    // loop exchanges at the node-count budget (TextOps.withLoopPartitions
+    // — identity at corpus scale, restored after the loop): each round's
+    // rank-sum aggregate and node join are node-sized, and running them
+    // at the session's scan-scale partition count pays per-stage latency
+    // over mostly-empty tasks
+    TextOps.withLoopPartitions(nodes.sparkSession, n) { _ =>
+      while (i <= iters) {
+        ranks = iterate(nodesD, eo, outd, ranks, n, alphaNum, alphaDen)
+        if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+        i += 1
+      }
     }
     ranks.select(col("id"), col("r").as("rank_fp"),
       (col("r").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))

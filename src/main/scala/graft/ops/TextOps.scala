@@ -169,6 +169,29 @@ object TextOps {
     else df
   }
 
+  /** Scoped shuffle-partition budget for ITERATIVE loops: each round of a
+    * fixpoint loop (connected components, star contraction, power
+    * iteration) is a join+aggregate over a frame whose size the caller
+    * knows; running those exchanges at the session's scan-scale partition
+    * count makes every round pay scheduler+codegen latency for mostly
+    * empty tasks. The budget derives from the LOOP frame's row count
+    * (rowsPerPartition = 1M, the localCheckpoint coalesce convention), is
+    * capped at the session default — so at corpus scale, where rows/1M
+    * exceeds the default, this is the identity — and is restored after
+    * the loop. Partition count never affects results (all loop aggregates
+    * are commutative MIN/SUM; the suite's queries are pinned
+    * partition-count-deterministic).
+    */
+  private[ops] def withLoopPartitions[A](
+      spark: org.apache.spark.sql.SparkSession, rows: Long)(body: Int => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val budget = math.max(1L, math.min(prev.toLong,
+      math.ceil(rows / 1000000.0).toLong)).toInt
+    spark.conf.set(key, budget.toString)
+    try body(budget) finally spark.conf.set(key, prev)
+  }
+
   // --------------------------------------------------- TF-IDF keywords
 
   /** Per-document top-k keywords by TF-IDF.

@@ -31,7 +31,16 @@ object JobProf {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
-        rows.add(f"stage ${i.stageId}%4d ${ms.getOrElse(-1L)}%6d ms tasks=${i.numTasks}%3d ${i.name.take(70)}")
+        val m = i.taskMetrics
+        // first graft.* frame in the long-form callsite — the code site
+        // the stage actually belongs to (i.name is usually an $anonfun)
+        val site = i.details.linesIterator
+          .filter(l => l.contains("graft.") && !l.contains("tools.JobProf"))
+          .take(3).map(_.trim.replaceAll("^at ", "")).mkString(" < ")
+          match { case "" => i.name.take(60); case s => s.take(200) }
+        rows.add(f"stage ${i.stageId}%4d ${ms.getOrElse(-1L)}%6d ms tasks=${i.numTasks}%3d " +
+          f"cpu=${m.executorCpuTime / 1000000}%6d run=${m.executorRunTime}%6d " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1024}%8dK sw=${m.shuffleWriteMetrics.bytesWritten / 1024}%8dK $site")
       }
     })
     val t0 = System.nanoTime()

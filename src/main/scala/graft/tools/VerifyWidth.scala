@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scratch experiment (delete before round end): is the overlap/jaccard
+  * verify stage under-parallelized by AQE's byte-based coalescing, and
+  * what does an explicit width repartition buy?
+  */
+object VerifyWidth {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[vw] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // baseline: overlapPairs as shipped (q107 shape)
+    (1 to 2).foreach { i =>
+      time(s"overlap_base_$i") {
+        Dedup.overlapPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // variant: same candidates, verify projection after an explicit
+    // width repartition of the joined pair+arrays frame
+    def overlapWide(): Unit = {
+      val idCol = "doc_id"; val textCol = "text"; val shingleK = 3
+      val threshold = 0.5; val dfCap = 1000
+      val posting = docs
+        .select(col(idCol).as("__id"),
+          explode(Dedup.shingles(col(textCol), shingleK)).as("__s"))
+        .select(col("__id"), xxhash64(col("__s")).as("__h"))
+      val rareHashes = posting.groupBy("__h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= dfCap)
+        .select("__h")
+      val bounded = posting.join(rareHashes, Seq("__h"), "left_semi")
+      val cand = bounded.select(col("__h"), col("__id").as("id_a"))
+        .join(bounded.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+      val ids = cand.select(col("id_a").as("__cid"))
+        .union(cand.select(col("id_b").as("__cid"))).distinct()
+      val sets = docs.join(ids, col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__id"), Dedup.shingles(col(textCol), shingleK).as("__sh"))
+      val nInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+      val nA = size(col("sh_a")).cast(LongType)
+      val nB = size(col("sh_b")).cast(LongType)
+      val parts = spark.sessionState.conf.numShufflePartitions
+      cand
+        .join(sets.select(col("__id"), col("__sh").as("sh_a")), col("id_a") === col("__id")).drop("__id")
+        .join(sets.select(col("__id"), col("__sh").as("sh_b")), col("id_b") === col("__id")).drop("__id")
+        .repartition(parts, col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), nInter.as("n_inter"), nA.as("n_a"), nB.as("n_b"),
+          (nInter.cast(DoubleType) / least(nA, nB).cast(DoubleType)).as("overlap"))
+        .filter(col("overlap") >= threshold)
+        .write.format("noop").mode("overwrite").save()
+    }
+    (1 to 2).foreach(i => time(s"overlap_wide_$i")(overlapWide()))
+    spark.stop()
+  }
+}

@@ -295,7 +295,16 @@ class PlanSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // The scan-widening round-robin exchange (TextOps.parallelized — only
+    // present when the input is under-partitioned, a no-op at corpus
+    // scale) is exempt from the text rules: it is not a keyed corpus
+    // exchange. It must still sit at the BOTTOM of the plan (directly
+    // over the scan — nothing may shuffle below it).
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val allShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    val widening = allShuffles.filter(
+      _.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+    val shuffles = allShuffles.filterNot(widening.contains)
     assert(shuffles.nonEmpty)
     val stringFree = shuffles.filter(
       _.output.forall(a => a.dataType != StringType))
@@ -308,7 +317,10 @@ class PlanSpec extends SparkSpec {
     // text moves only after candidate gating)
     val textCarrying = shuffles.filterNot(stringFree.contains)
     textCarrying.foreach { t =>
-      val below = t.collect { case s: ShuffleExchangeExec if s ne t => s }
+      val below = t.collect {
+        case s: ShuffleExchangeExec
+            if (s ne t) && !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => s
+      }
       below.foreach(b => assert(b.output.forall(_.dataType != StringType),
         "a corpus-sized text exchange sits below the candidate gate"))
     }
@@ -326,7 +338,14 @@ class PlanSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // scan-widening round-robin exchanges are exempt (see the q101 test):
+    // not keyed corpus exchanges, present only on under-partitioned
+    // input, and required to sit directly over a scan
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val allShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    val widening = allShuffles.filter(
+      _.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+    val shuffles = allShuffles.filterNot(widening.contains)
     assert(shuffles.nonEmpty)
     val stringFree = shuffles.filter(_.output.forall(_.dataType != StringType))
     assert(stringFree.size >= 2,
@@ -334,22 +353,26 @@ class PlanSpec extends SparkSpec {
         shuffles.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}")
           .mkString("[", ",", "]")).mkString(" | "))
     shuffles.filterNot(stringFree.contains).foreach { t =>
-      t.collect { case s: ShuffleExchangeExec if s ne t => s }
-        .foreach(b => assert(b.output.forall(_.dataType != StringType),
-          "a corpus-sized text exchange sits below the candidate gate"))
+      t.collect {
+        case s: ShuffleExchangeExec
+            if (s ne t) && !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => s
+      }.foreach(b => assert(b.output.forall(_.dataType != StringType),
+        "a corpus-sized text exchange sits below the candidate gate"))
     }
   }
 
   test("q107 candidate stage: posting exchanges carry hashed 8-byte keys, text moves only at verify") {
+    // checkpoint = false: the candidate/sets checkpoints would truncate
+    // the plan at ExistingRDD leaves and hide the gate exchanges
     assertTextMovesOnlyAtVerify(graft.ops.Dedup.overlapPairs(
       graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
-      shingleK = 3, threshold = 0.8, dfCap = 1000))
+      shingleK = 3, threshold = 0.8, dfCap = 1000, checkpoint = false))
   }
 
   test("q111 candidate stage: fingerprint postings are 8-byte keyed, text moves only at verify") {
     assertTextMovesOnlyAtVerify(graft.ops.Dedup.winnowNearDups(
       graft.analytics.Tables.documents(spark, sf), "doc_id", "text",
-      k = 25, w = 8, dfCap = 1000))
+      k = 25, w = 8, dfCap = 1000, checkpoint = false))
   }
 
   test("q112 candidate stage: cross-corpus postings are 8-byte keyed, text moves only at verify") {
@@ -357,7 +380,8 @@ class PlanSpec extends SparkSpec {
     assertTextMovesOnlyAtVerify(graft.ops.Dedup.crossOverlapPairs(
       docs.filter(pmod(col("doc_id"), lit(2)) === 1),
       docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-      "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000))
+      "doc_id", "text", shingleK = 3, threshold = 0.8, dfCap = 1000,
+      checkpoint = false))
   }
 
   test("q102: query terms and term stats broadcast — corpus postings shuffle only by doc") {
