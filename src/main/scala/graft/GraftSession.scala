@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r13): spark.sql.join.preferSortMergeJoin=false (+ the AQE
+      // SMJ->SHJ rewrite threshold) was TRIED here and reverted — the
+      // r13 full-bench A/B showed the ANN/streaming family reading
+      // 1.2-1.4x worse with it while the rest was flat; see
+      // OPTIMIZATION_r13.md.
       // the fixtures carry TIMESTAMP(NANOS) parquet (see analytics.Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -300,8 +300,12 @@ object Curation {
           bands = 4, planesPerBand = 6)
         Dedup.dropNearDups(base, semPairs, idCol)
     }).localCheckpoint()
+    // contaminated-id set MATERIALIZED (id-only rows, tiny): `clean` has
+    // two consumers (the next stage and the funnel's n_decontam_kept
+    // count), and each lazy evaluation re-ran the whole contamination
+    // shingle pass
     val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol, textCol,
-      shingleK = decontamK).select(col(idCol))
+      shingleK = decontamK).select(col(idCol)).localCheckpoint()
     val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
     val lmKept = lmFilter match {
       case None => clean
@@ -309,12 +313,18 @@ object Curation {
         // stage-boundary corpus: the LM scorer consumes it (positions +
         // the id/source join) and the semi-join below consumes it again
         val base = clean.localCheckpoint()
-        base.join(
-          lmFilterScores(base, ref, idCol, textCol, sourceCol, lmTiles, lmKeep)
-            .select(col(idCol)),
-          Seq(idCol), "left_semi")
+        // keep-id set MATERIALIZED for the same two-consumer reason: the
+        // funnel's n_lm_kept count and the pruned stage would otherwise
+        // each re-run the full five-join LM scoring pipeline
+        val keepIds = lmFilterScores(base, ref, idCol, textCol, sourceCol,
+            lmTiles, lmKeep)
+          .select(col(idCol)).localCheckpoint()
+        base.join(keepIds, Seq(idCol), "left_semi")
     }
-    val scored = lmKept.select(col(idCol), col(sourceCol),
+    // scan widening: the survivor frames are 1-2-partition checkpoints
+    // (AQE coalesces by bytes) and the quality-score regex battery is
+    // per-row CPU — identity on any already-split frame
+    val scored = TextOps.parallelized(lmKept).select(col(idCol), col(sourceCol),
       TextOps.qualityScore(col(textCol)).as("score"))
     CurationStages(admitted, exactKept, nearKept, clean, lmKept,
       Sampling.keepTopTiles(scored, sourceCol, "score", idCol, nTiles, keepTiles))
@@ -1001,6 +1011,12 @@ object Curation {
   private[graft] def admissionSignatures(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, shingleK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // deliberately NOT widened (r13): this frame is WRITTEN to the store,
+    // and spreading a delivery-sized frame produces empty part files the
+    // manifest excludes — vacuum then sees unreferenced garbage
+    // (CurationSpec's pointer-only vacuum pins exactly that). Callers
+    // that feed a whole corpus through here widen their input themselves
+    // (initAdmissionStore).
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol),
         xxhash64(col(textCol)).as("kh"),
@@ -1015,6 +1031,7 @@ object Curation {
   private[graft] def admissionPostings(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // NOT widened — same store-write reasoning as admissionSignatures
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(Dedup.shingles(col(textCol), shingleK)).as("__s"))
@@ -1161,10 +1178,14 @@ object Curation {
     // parameter sidecars FIRST (write-once) — see writeAdmissionMeta
     writeAdmissionMeta(spark, table, numHashes, bands, shingleK)
     writeAdmissionMeta(spark, postingsTable(table), numHashes, bands, shingleK)
+    // scan widening on the CORPUS pass only (init signs the whole corpus;
+    // a single-split scan would minhash it on one core). Per-delivery
+    // appends stay unwidened — see admissionSignatures.
+    val wide = TextOps.parallelized(corpus)
     val v = graft.connect.SnapshotStore.commit(spark, table,
-      admissionSignatures(corpus, idCol, textCol, numHashes, shingleK))
+      admissionSignatures(wide, idCol, textCol, numHashes, shingleK))
     graft.connect.SnapshotStore.commit(spark, postingsTable(table),
-      admissionPostings(corpus, idCol, textCol, shingleK))
+      admissionPostings(wide, idCol, textCol, shingleK))
     v
   }
 

@@ -547,10 +547,11 @@ object Dedup {
   def contaminationOverlap(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
-    // no scan widening (unlike minHashSignatures): the k=2 shingle explode
-    // + broadcast probe is light — measured 1.5x WORSE widened at sf0.1
-    // (r13); funnel callers pass already-wide checkpointed frames anyway
-    val tSh = train.select(col(idCol),
+    // scan widening — see minHashSignatures. Matters twice over: raw
+    // single-split scans AND checkpointed survivor frames (AQE coalesces
+    // those to 1-2 partitions by bytes, blind to the explode+probe CPU —
+    // q190's decontam leg measured 4.4 s CPU over 2 tasks unwidened, r13)
+    val tSh = TextOps.parallelized(train).select(col(idCol),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
     val bSh = bench.select(explode(shingles(col(textCol), shingleK)).as("__sh"))
       .distinct()

@@ -214,6 +214,12 @@ object Retrieval {
     }
     var selected = pick(base, col("__rel"), 1).localCheckpoint()
     var t = 2
+    // loop exchanges at the candidate-count budget (the iterative-loop
+    // convention — TextOps.withLoopPartitions scales it back up with the
+    // frame and restores the session value after): every step's joins and
+    // window move candidate-list-sized frames, orders of magnitude below
+    // the session's scan-scale partition count
+    TextOps.withLoopPartitions(cands.sparkSession, base.count()) { _ =>
     while (t <= k) {
       val remaining = base.join(
         selected.select(col(queryCol), col(docCol)),
@@ -230,6 +236,7 @@ object Retrieval {
         .unionByName(pick(scored, col("__mmr"), t))
         .localCheckpoint()
       t += 1
+    }
     }
     selected.select(col(queryCol), col(docCol), col("__rel").as(relCol),
       col("pick_rank"))

@@ -169,6 +169,24 @@ object TextOps {
     else df
   }
 
+  /** localCheckpoint that stays WIDE: AQE coalesces a small aggregate to
+    * 1-2 partitions by BYTES, so a checkpointed index/stage-boundary
+    * frame pins every downstream consumer to 1-2 tasks even when the
+    * downstream work is CPU-dense per row (regex scoring, shingling,
+    * per-doc folds). Checkpoint first (one execution of the subtree),
+    * then — only when the materialized frame landed under the
+    * [[parallelized]] bar — spread and re-checkpoint it. The second
+    * materialization copies a frame that is small by construction
+    * (that's WHY it coalesced); on any corpus-scale frame this is a
+    * plain localCheckpoint.
+    */
+  private[ops] def wideCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.localCheckpoint()
+    val w = parallelized(c)
+    if (w eq c) c else w.localCheckpoint()
+  }
+
   /** Scoped shuffle-partition budget for ITERATIVE loops: each round of a
     * fixpoint loop (connected components, star contraction, power
     * iteration) is a join+aggregate over a frame whose size the caller
@@ -224,6 +242,9 @@ object TextOps {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     // materialized: tf feeds both the score join and the df aggregate —
     // left lazy, each consumer re-runs the corpus scan + explode + count
+    // plain checkpoint, deliberately NOT wideCheckpoint (unlike bm25TopK):
+    // the downstream here is one light aggregate + the per-doc window, and
+    // the widening re-materialization measured 0.7 s WORSE at sf0.1 (r13)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     // tf already holds one row per (doc, term), so df = COUNT(*) per term
@@ -290,8 +311,11 @@ object TextOps {
     require(k > 0, "k must be positive")
     val terms = parallelized(corpus)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // wideCheckpoint: the materialized (doc, term) index otherwise
+    // coalesces to one partition at small scale and serializes every
+    // downstream consumer
+    val tf = wideCheckpoint(
+      terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N counts ALL corpus docs (token-free docs too); avgdl divides the

@@ -40,7 +40,10 @@ object JobProf {
           match { case "" => i.name.take(60); case s => s.take(200) }
         rows.add(f"stage ${i.stageId}%4d ${ms.getOrElse(-1L)}%6d ms tasks=${i.numTasks}%3d " +
           f"cpu=${m.executorCpuTime / 1000000}%6d run=${m.executorRunTime}%6d " +
-          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1024}%8dK sw=${m.shuffleWriteMetrics.bytesWritten / 1024}%8dK $site")
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1024}%8dK sw=${m.shuffleWriteMetrics.bytesWritten / 1024}%8dK " +
+          f"in=${m.inputMetrics.bytesRead / 1024}%7dK/${m.inputMetrics.recordsRead}%8d out=${m.outputMetrics.recordsWritten}%6d $site")
+        if (sys.env.contains("JOBPROF_DETAILS") && ms.exists(_ > 1000))
+          rows.add(s"DETAILS stage ${i.stageId} name=${i.name}\n${i.details.take(3000)}")
       }
     })
     val t0 = System.nanoTime()

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.{QuerySpec, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Pins for the r13 optimization helpers: they must change EXECUTION only,
+  * never values or row order.
+  */
+class OptimizeHelpersSpec extends SparkSpec {
+
+  test("sortedOnce: same rows, same total order as a plain orderBy") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val plain = df.orderBy(col("n").desc, col("doc_id")).collect().toSeq
+    val once = QuerySpec.sortedOnce(df, col("n").desc, col("doc_id")).collect().toSeq
+    assert(once == plain)
+  }
+
+  test("withLoopPartitions: budget = clamp(rows/1M, 1, session) and the session value is restored") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    TextOps.withLoopPartitions(spark, 123L) { b =>
+      assert(b == 1)
+      assert(spark.conf.get(key) == "1")
+    }
+    assert(spark.conf.get(key) == before)
+    // a frame larger than the session budget is capped at the session value
+    TextOps.withLoopPartitions(spark, 1000L * 1000 * 1000) { b =>
+      assert(b == before.toInt)
+    }
+    assert(spark.conf.get(key) == before)
+    // restored even when the body throws
+    intercept[RuntimeException] {
+      TextOps.withLoopPartitions(spark, 1L)(_ => throw new RuntimeException("x"))
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
+  test("wideCheckpoint: same rows as a plain checkpoint, partitions at least the parallelized bar") {
+    val agg = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val wide = TextOps.wideCheckpoint(agg)
+    val expected = agg.collect().toSet
+    assert(wide.collect().toSet == expected)
+    // a 6-row frame cannot exceed 6 non-empty partitions; the contract is
+    // only that the spread happened when the checkpoint landed narrow —
+    // i.e. the frame is no longer a 1-partition bottleneck when the
+    // session has cores to use (local[4] -> bar is max(2, 1) = 2)
+    assert(wide.rdd.getNumPartitions >= 2)
+  }
+
+  test("pair ops: checkpoint=false returns the same pairs as the default eager path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eager = Dedup.overlapPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5).collect().toSet
+    val lazyP = Dedup.overlapPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5, checkpoint = false).collect().toSet
+    assert(lazyP == eager)
+  }
+}
