@@ -189,8 +189,14 @@ object Bench {
       else s""""memoized":$memoStr"""
     val prog =
       s""""passes":${passes.size},"planned":$planned,"provisional":$provisional"""
+    // Fixture mode receipt (VERDICT r13 #5): when SPARK_GRAFT_FIXTURE_DIR
+    // redirects the cross-JVM fixture marker root (fixture-cold runs),
+    // the artifact says so; the default line is byte-identical to before.
+    val fixtureField = sys.env.get("SPARK_GRAFT_FIXTURE_DIR")
+      .map(d => s""","fixture_dir":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+      .getOrElse("")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","spread":$spread%.3f,$prog,$memoField,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","spread":$spread%.3f,$prog,$memoField$fixtureField,"queries":$qs,"sf":"$sfDir"}"""
     val totals =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"spread":$spread%.3f,$prog,"sf":"$sfDir"}"""
     // Persist the line verbatim (round-3 lesson: the driver captures a

@@ -19,6 +19,26 @@ package graft
   * lock-protected because fixture builds may race from test suites.
   */
 object MemoTouch {
+
+  /** Root directory for the CROSS-JVM fixture marker caches (the
+    * `graft_*` content-fingerprinted dirs the lake/admission/tokenizer
+    * fixtures build once per source content). Defaults to
+    * `java.io.tmpdir`, so fixtures amortize across runs on one host —
+    * which makes back-to-back benches order-dependent: a query that
+    * builds a fixture in run 1 rides it in run 2 (VERDICT r13 #5).
+    * `SPARK_GRAFT_FIXTURE_DIR` redirects the root for a run; pointing it
+    * at a fresh directory forces the run FIXTURE-COLD, making receipts
+    * reproducible host-state-independent. The `memoized` field of the
+    * bench artifact lists which queries touched a shared fixture either
+    * way.
+    */
+  lazy val fixtureRoot: String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    root
+  }
+
   private val current = new ThreadLocal[String]
   private val lock = new Object
   private var touched = Set.empty[String]

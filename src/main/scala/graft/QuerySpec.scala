@@ -77,9 +77,40 @@ object QuerySpec {
     * cascades, binary walks) — NOT on cheap post-aggregate tails, where
     * the second evaluation is a shuffle re-read the checkpoint would
     * only duplicate into executor storage.
+    *
+    * SIZE POLICY (r14, VERDICT r13 #2): `localCheckpoint` stores to
+    * executor memory+disk and is NOT fault-tolerant — on a real cluster,
+    * losing an executor kills the query, and a corpus-sized frame pinned
+    * to executor MEMORY competes with execution memory (§5). This form
+    * is therefore for CANDIDATE-SET-SIZED tails (pair lists, span rows —
+    * small by construction, where memory residency is free and the 2x
+    * eval it avoids is the dominant cost). Full-corpus tails — one row
+    * per corpus document carrying text/binary payloads — use
+    * [[sortedOnceCorpus]], which gets the same run-once property with
+    * DISK_ONLY residency.
     */
   def sortedOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     df.localCheckpoint().orderBy(cols: _*)
+
+  /** [[sortedOnce]] for FULL-CORPUS tails: the pre-sort materialization
+    * uses `localCheckpoint(eager = true, DISK_ONLY)` so a corpus-sized
+    * result frame never occupies executor storage MEMORY while the final
+    * sort drains it — at 100 TB the tail frame IS the corpus, and
+    * pinning it to memory+disk is a §5 spill hazard for every
+    * concurrently-running stage. Deliberately NOT `persist(DISK_ONLY)`:
+    * persist registers the plan with the session CacheManager, and a
+    * later query (or a second bench pass) building the same logical plan
+    * would silently ride the cache — cross-run result caching, which the
+    * bench methodology forbids. localCheckpoint is RDD-scoped per call:
+    * each invocation computes fresh. The remaining caveat is shared with
+    * localCheckpoint everywhere: executor loss invalidates the stored
+    * partitions (non-reliable checkpoint) — acceptable for a query TAIL,
+    * where the failure window is the final sort itself and a retry
+    * re-runs the query.
+    */
+  def sortedOnceCorpus(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .orderBy(cols: _*)
 
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(materializeCtes(oracle)))

@@ -778,7 +778,7 @@ object CorpusQueries {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     // content-fingerprinted dir (the windowsTableFixture staleness rule):
     // a regenerated fixture must never serve a previous run's tokenizer
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tok_q180_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_tok_q180_" +
       Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(
         LakeQueries.contentFingerprint(d, "documents.parquet").hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
@@ -1530,7 +1530,7 @@ object CorpusQueries {
     * marker-committed, reused across bench reps.
     */
   private[analytics] def jsonlFixture(s: SparkSession, d: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_q143_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_jsonl_q143_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) {
@@ -1689,7 +1689,7 @@ object CorpusQueries {
     * (doc_id, text), epoch 2 adds `lang`. Marker-committed per sf dir.
     */
   private[analytics] def evolutionFixture(s: SparkSession, d: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evo_q148_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_evo_q148_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) {
@@ -1725,7 +1725,7 @@ object CorpusQueries {
   private val ivfPqFixtureLock = new Object
   private[analytics] def ivfPqIndexFixture(s: SparkSession, d: String): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q149_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_ivfpq_q149_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) ivfPqFixtureLock.synchronized {
@@ -1771,8 +1771,8 @@ object CorpusQueries {
   private[analytics] def staleIndexFixture(s: SparkSession, d: String): (String, String) = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
-    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q164_$fp"
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q164_$fp"
+    val lake = s"${graft.MemoTouch.fixtureRoot}/graft_emb_lake_q164_$fp"
+    val idx = s"${graft.MemoTouch.fixtureRoot}/graft_ivfpq_q164_$fp"
     val marker = java.nio.file.Path.of(idx, "_complete")
     if (!java.nio.file.Files.exists(marker)) staleIdxLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -1849,10 +1849,10 @@ object CorpusQueries {
   private[analytics] def appendIndexFixture(s: SparkSession, d: String): (String, String) = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
-    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_emb_lake_q168_$fp"
+    val lake = s"${graft.MemoTouch.fixtureRoot}/graft_emb_lake_q168_$fp"
     // "c" suffix: cache key break for the r8 builder change (compaction
     // step added) — the fingerprint alone only tracks INPUT content
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_q168c_$fp"
+    val idx = s"${graft.MemoTouch.fixtureRoot}/graft_ivfpq_q168c_$fp"
     val marker = java.nio.file.Path.of(idx, "_complete")
     if (!java.nio.file.Files.exists(marker)) appendIdxLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -2204,7 +2204,7 @@ object CorpusQueries {
         // or changed tokenization would hit the constant (appId, batchId)
         // idempotence skip and silently compare against stale windows
         // from a previous JVM run
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_windows_q183_" +
+        val dir = s"${graft.MemoTouch.fixtureRoot}/graft_windows_q183_" +
           Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
         val (counts, merges) = bpeTrained(s, d)
         val docs = Tables.documents(s, d)
@@ -2357,7 +2357,7 @@ object CorpusQueries {
     val key = (System.identityHashCode(s), fp)
     trainerLock.synchronized {
       trainerMemo.getOrElse(key, {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_trainer_q188_" +
+        val dir = s"${graft.MemoTouch.fixtureRoot}/graft_trainer_q188_" +
           Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
         val docs = Tables.documents(s, d)
         val store = tokenizerStoreFixture(s, d)

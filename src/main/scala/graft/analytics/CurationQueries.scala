@@ -188,7 +188,7 @@ object CurationQueries {
       d: String): String = {
     import graft.sources.ChangeLog
     import org.apache.spark.sql.types.LongType
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_changelog_q97_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_changelog_q97_" +
       Integer.toHexString(d.hashCode)
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) {
@@ -1110,7 +1110,7 @@ object CurationQueries {
   private[graft] def admissionStoreFixture(s: SparkSession, d: String): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_admstore_q190p_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_admstore_q190p_" +
       Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
     admStoreLock.synchronized {
       if (graft.connect.SnapshotStore.latestVersion(s, dir) < 0) {
@@ -1234,7 +1234,7 @@ object CurationQueries {
     // pure functions of the source, cached per sf dir like q108's;
     // lock-guarded: q197 and q197r's two runs race the marker otherwise
     def chunkDir(leg: Int): String = q197ChunkLock.synchronized {
-      val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_q197_leg${leg}_" +
+      val inDir = s"${graft.MemoTouch.fixtureRoot}/graft_q197_leg${leg}_" +
         Integer.toHexString(d.hashCode)
       val marker = Path.of(inDir, "_complete")
       if (!Files.exists(marker)) {

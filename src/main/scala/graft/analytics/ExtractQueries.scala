@@ -133,7 +133,7 @@ object ExtractQueries {
         size(Extract.blockTexts(col("html"))).as("n_blocks"),
         size(Extract.contentBlocks(col("html"))).as("n_kept"),
         Extract.mainContent(col("html")).as("content"))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   // --------------------------------------------------------------- q172
@@ -314,7 +314,7 @@ object ExtractQueries {
       .select(col("doc_id"), col("source"), c4PageCol.as("page"))
       .select(col("doc_id") +: col("source") +:
         sig.map { case (n, c) => c.as(n) }: _*)
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   // --------------------------------------------------------------- q176
@@ -616,7 +616,7 @@ object ExtractQueries {
     Curation.redactStage(planted, "text")
       .select(col("doc_id"), col("source"), col("n_emails"), col("n_ipv4s"),
         col("n_phones"), col("text").as("redacted_text"))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   /** ScaleCheck surface: plant + redact per doc — the pre-release scrub
@@ -723,7 +723,7 @@ object ExtractQueries {
         col("n_phones"), col("n_privkeys"), col("n_awskeys"),
         col("n_ghtokens"), col("n_jwts"), col("n_slacktokens"),
         col("n_b64tokens"), col("n_hextokens"), col("text").as("redacted_text"))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   /** ScaleCheck surface: the FULL scrub (PII + secrets cascades, eight
@@ -931,7 +931,7 @@ object ExtractQueries {
         col("n_ghtokens"), col("n_jwts"), col("n_slacktokens"),
         col("n_b64tokens"), col("n_hextokens"),
         col("text").as("redacted_text"))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   // --------------------------------------------------------------- q226
@@ -1030,7 +1030,7 @@ object ExtractQueries {
       .withColumn("content",
         when(col("rec_type") === "response", Extract.mainContent(body))
           .otherwise(lit("")))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id"), col("seq")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id"), col("seq")))
   }
 
   val all: Seq[QuerySpec] = Seq(q171, q172, q175, q176, q178, q179, q182, q186,

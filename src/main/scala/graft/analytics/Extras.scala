@@ -511,7 +511,7 @@ object Extras {
     // mtimes (FileStreamSource picks files up in modification-time
     // order) — cached per sf dir like q97's changelog, since it is a
     // pure function of the source.
-    val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_streamdocs_" +
+    val inDir = s"${graft.MemoTouch.fixtureRoot}/graft_streamdocs_" +
       Integer.toHexString(d.hashCode)
     val marker = Path.of(inDir, "_complete")
     if (!Files.exists(marker)) {

@@ -58,7 +58,7 @@ object LakeQueries {
   private val lakeLock = new Object
   private[analytics] def lakeFixture(s: SparkSession, d: String): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q150_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_lake_q150_" +
       contentFingerprint(d, "documents.parquet")
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) lakeLock.synchronized {
@@ -230,7 +230,7 @@ object LakeQueries {
   private val mergeLock = new Object
   private[analytics] def mergeFixture(s: SparkSession, d: String): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q156_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_lake_q156_" +
       contentFingerprint(d, "documents.parquet")
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) mergeLock.synchronized {
@@ -330,7 +330,7 @@ object LakeQueries {
   private val evolveLock = new Object
   private[analytics] def evolveFixture(s: SparkSession, d: String): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q169_" +
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_lake_q169_" +
       contentFingerprint(d, "documents.parquet")
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) evolveLock.synchronized {

@@ -282,7 +282,7 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q42 (rows-only: xxhash64-based)
   val q42 = QuerySpec.rowsOnly("q42_fingerprint") { (s, d) =>
-    QuerySpec.sortedOnce(
+    QuerySpec.sortedOnceCorpus(
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint")),
       col("doc_id"))
@@ -1097,7 +1097,7 @@ object LlmQueries {
   // q42r pattern) and must match bit-for-bit.
   val q100 = QuerySpec.rowsOnly("q100_compression_quality") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    QuerySpec.sortedOnce(
+    QuerySpec.sortedOnceCorpus(
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.deflateLen(col("text")).as("deflate_len"),
         TextOps.compressionRatio(col("text")).as("compression_ratio")),
@@ -1877,7 +1877,7 @@ object LlmQueries {
       concat(col("text"), lit(" ref "),
         element_at(array(q204Cards.map(lit): _*),
           (pmod(col("doc_id"), lit(6)) + 1).cast("int"))).as("text"))
-    QuerySpec.sortedOnce(
+    QuerySpec.sortedOnceCorpus(
       planted.select(col("doc_id") +:
         Privacy.paymentCardSignals(col("text")).map { case (n, c) => c.as(n) }: _*),
       col("doc_id"))
@@ -2011,7 +2011,7 @@ object LlmQueries {
       d: String, mod: Int): String = {
     graft.MemoTouch.touch() // shared-fixture marker for the bench artifact
     val fp = LakeQueries.contentFingerprint(d, "embeddings.parquet")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_sub${mod}_$fp"
+    val dir = s"${graft.MemoTouch.fixtureRoot}/graft_ivfpq_sub${mod}_$fp"
     val marker = java.nio.file.Path.of(dir, "_complete")
     if (!java.nio.file.Files.exists(marker)) subsetIdxLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
@@ -2407,7 +2407,7 @@ object LlmQueries {
         col("w.n_warcinfo").as("n_warcinfo"),
         col("w.total_content_len").as("total_content_len"),
         col("w.payload_byte_sum").as("payload_byte_sum"))
-      .transform(df => QuerySpec.sortedOnce(df, col("doc_id")))
+      .transform(df => QuerySpec.sortedOnceCorpus(df, col("doc_id")))
   }
 
   // --------------------------------------------------------------- q227

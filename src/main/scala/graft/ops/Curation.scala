@@ -374,27 +374,34 @@ object Curation {
     */
   def funnelFrom(docs: DataFrame, st: CurationStages, sourceCol: String,
       lmEnabled: Boolean): DataFrame = {
-    def counts(df: DataFrame, as: String): DataFrame =
-      df.groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
-    val base = counts(docs, "n_in")
-      .join(counts(st.ruleKept, "n_rules_kept"), Seq(sourceCol), "left")
-      .join(counts(st.exactKept, "n_exact_kept"), Seq(sourceCol), "left")
-      .join(counts(st.nearKept, "n_neardup_kept"), Seq(sourceCol), "left")
-      .join(counts(st.clean, "n_decontam_kept"), Seq(sourceCol), "left")
-    val withLm =
-      if (!lmEnabled) base
-      else base.join(counts(st.lmKept, "n_lm_kept"), Seq(sourceCol), "left")
-    val lmCols =
-      if (!lmEnabled) Seq.empty
-      else Seq(coalesce(col("n_lm_kept"), lit(0L)).as("n_lm_kept"))
-    withLm
-      .join(counts(st.pruned, "n_final"), Seq(sourceCol), "left")
-      .select(Seq(col(sourceCol), col("n_in"),
-        coalesce(col("n_rules_kept"), lit(0L)).as("n_rules_kept"),
-        coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
-        coalesce(col("n_neardup_kept"), lit(0L)).as("n_neardup_kept"),
-        coalesce(col("n_decontam_kept"), lit(0L)).as("n_decontam_kept")) ++
-        lmCols :+ coalesce(col("n_final"), lit(0L)).as("n_final"): _*)
+    // ONE aggregate over a stage-tagged union (r14, guide §2.4): every
+    // stage frame is a subset of `docs` (each is derived by filters and
+    // semi/anti-joins from it), so tagging each frame's source column
+    // with its stage index and counting conditionally per source yields
+    // byte-identical counts — every source present in any stage is
+    // present in docs (so the row set matches the old counts(docs) LEFT
+    // JOIN chain), a stage with no rows for a source counts 0 (the old
+    // coalesce(_, 0L)), and count(when(tag = i, 1)) is the old per-stage
+    // count(1). The win is structural: the previous shape ran one
+    // groupBy per stage plus a left join per stage — 13 exchanges, each
+    // an AQE query stage paying driver-side planning/codegen/dispatch
+    // fixed cost, which dominates funnel queries at small SF (the stage
+    // frames are checkpointed, so the aggregates themselves are cheap).
+    // The union shape reads the same frames once each through a single
+    // exchange + final aggregate.
+    val stages: Seq[(String, DataFrame)] =
+      Seq("n_in" -> docs, "n_rules_kept" -> st.ruleKept,
+        "n_exact_kept" -> st.exactKept, "n_neardup_kept" -> st.nearKept,
+        "n_decontam_kept" -> st.clean) ++
+        (if (lmEnabled) Seq("n_lm_kept" -> st.lmKept) else Seq.empty) :+
+        ("n_final" -> st.pruned)
+    val tagged = stages.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col(sourceCol), lit(i).as("__stage"))
+    }.reduce(_ unionByName _)
+    val aggs = stages.zipWithIndex.map { case ((name, _), i) =>
+      count(when(col("__stage") === i, 1)).as(name)
+    }
+    tagged.groupBy(col(sourceCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Deterministic seeded shuffle: a reproducible global random order for

@@ -386,10 +386,12 @@ object Dedup {
     var it = 0
     // loop exchanges run at the node-count budget, not the session's
     // scan-scale partition count (TextOps.withLoopPartitions — identity
-    // at corpus scale, restores the session value after)
-    TextOps.withLoopPartitions(pairs.sparkSession, nNodes) { _ =>
+    // at corpus scale, budget scoped to a cloned session)
+    TextOps.withLoopPartitions(pairs.sparkSession, nNodes) { pin =>
+      val e = pin(edges)
+      labels = pin(labels)
       while (changed > 0 && it < maxIter) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        val nbrMin = e.join(labels, e("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
         val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"), col("label"),
@@ -402,16 +404,16 @@ object Dedup {
         labels = next.select(col("id"), col("next_label").as("label"))
         it += 1
       }
+      // EXACT means exact: partial labels from a diameter > maxIter graph
+      // would silently split clusters (and dropNearDups would then keep
+      // non-canonical docs) — refuse instead. Callers with genuinely deep
+      // graphs should raise maxIter or use a star-contraction variant.
+      if (changed > 0) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing): component diameter exceeds maxIter; " +
+          "raise maxIter for high-diameter graphs")
+      labels.select(col("id"), col("label").as("cluster_id"))
     }
-    // EXACT means exact: partial labels from a diameter > maxIter graph
-    // would silently split clusters (and dropNearDups would then keep
-    // non-canonical docs) — refuse instead. Callers with genuinely deep
-    // graphs should raise maxIter or use a star-contraction variant.
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing): component diameter exceeds maxIter; " +
-        "raise maxIter for high-diameter graphs")
-    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Exact connected components by alternating large-star/small-star
@@ -491,8 +493,11 @@ object Dedup {
     val probeEvery = 3
     // loop exchanges at the edge-count budget (TextOps.withLoopPartitions
     // — identity at corpus scale; the 2x-sym working set stays within the
-    // same 1M-rows-per-partition convention the coalesce budget uses)
-    TextOps.withLoopPartitions(pairs.sparkSession, 2 * nEdges) { _ =>
+    // same 1M-rows-per-partition convention the coalesce budget uses;
+    // budget scoped to a cloned session)
+    TextOps.withLoopPartitions(pairs.sparkSession, 2 * nEdges) { pin =>
+    stars = pin(stars)
+    val nodesP = pin(nodes)
     while (!converged && round < maxRounds) {
       var chained = stars
       (1 until probeEvery).foreach { _ => chained = contractRound(sym(chained)) }
@@ -519,14 +524,14 @@ object Dedup {
       parts = budget(if (d.isNullAt(2)) 0L else d.getLong(2), parts)
       stars = next
     }
-    }
     if (!converged && round >= maxRounds) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxRounds rounds " +
         "(O(log n) expected — raise maxRounds only for astronomically large n)")
     // stars: (member, center=min); centers and isolated-by-contraction
     // nodes label themselves
-    nodes.join(stars, nodes("id") === stars("u"), "left")
+    nodesP.join(stars, nodesP("id") === stars("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+    }
   }
 
   /** Train/benchmark decontamination: for every training doc, the number

@@ -82,19 +82,21 @@ object Graph {
     var ranks = nodesD.select(col("id"), lit(Scale / n).as("r"))
     var i = 1
     // loop exchanges at the node-count budget (TextOps.withLoopPartitions
-    // — identity at corpus scale, restored after the loop): each round's
-    // rank-sum aggregate and node join are node-sized, and running them
-    // at the session's scan-scale partition count pays per-stage latency
-    // over mostly-empty tasks
-    TextOps.withLoopPartitions(nodes.sparkSession, n) { _ =>
+    // — identity at corpus scale, budget scoped to a cloned session):
+    // each round's rank-sum aggregate and node join are node-sized, and
+    // running them at the session's scan-scale partition count pays
+    // per-stage latency over mostly-empty tasks
+    TextOps.withLoopPartitions(nodes.sparkSession, n) { pin =>
+      val (nodesP, eoP, outdP) = (pin(nodesD), pin(eo), pin(outd))
+      ranks = pin(ranks)
       while (i <= iters) {
-        ranks = iterate(nodesD, eo, outd, ranks, n, alphaNum, alphaDen)
+        ranks = iterate(nodesP, eoP, outdP, ranks, n, alphaNum, alphaDen)
         if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
         i += 1
       }
+      ranks.select(col("id"), col("r").as("rank_fp"),
+        (col("r").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))
     }
-    ranks.select(col("id"), col("r").as("rank_fp"),
-      (col("r").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))
   }
 
   /** One power-iteration step on (id, r) — exposed so the per-round plan

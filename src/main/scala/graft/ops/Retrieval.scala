@@ -216,12 +216,14 @@ object Retrieval {
     var t = 2
     // loop exchanges at the candidate-count budget (the iterative-loop
     // convention — TextOps.withLoopPartitions scales it back up with the
-    // frame and restores the session value after): every step's joins and
+    // frame; budget scoped to a cloned session): every step's joins and
     // window move candidate-list-sized frames, orders of magnitude below
     // the session's scan-scale partition count
-    TextOps.withLoopPartitions(cands.sparkSession, base.count()) { _ =>
+    TextOps.withLoopPartitions(cands.sparkSession, base.count()) { pin =>
+    val baseP = pin(base)
+    selected = pin(selected)
     while (t <= k) {
-      val remaining = base.join(
+      val remaining = baseP.join(
         selected.select(col(queryCol), col(docCol)),
         Seq(queryCol, docCol), "left_anti")
       val pen = remaining.join(
@@ -237,9 +239,9 @@ object Retrieval {
         .localCheckpoint()
       t += 1
     }
-    }
     selected.select(col(queryCol), col(docCol), col("__rel").as(relCol),
       col("pick_rank"))
+    }
   }
 
   /** [[hybridTopK]] with the dense leg served by a PERSISTED IVF-PQ

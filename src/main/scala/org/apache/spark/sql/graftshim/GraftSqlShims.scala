@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.classic
+
+/** Two `private[sql]` Spark bridges (hence this file's package), both
+  * public knowledge from the Apache Spark source:
+  *
+  *  - [[cloneSession]]: `SparkSession.cloneSession()` — same
+  *    SparkContext, shared cache, a CLONED session state (conf values,
+  *    registered functions, listeners) that is independently mutable.
+  *    `newSession()` is the public cousin but resets runtime conf to the
+  *    context defaults and drops registered functions; a loop-scoped
+  *    partition budget must inherit the caller's exact state.
+  *  - [[reRoot]]: `Dataset.ofRows(session, plan)` — re-binds a frame's
+  *    logical plan to another session sharing the same SparkContext, so
+  *    subsequent operations on it plan under THAT session's SQLConf.
+  *    Zero-cost for materialized (localCheckpoint) frames: the plan is a
+  *    leaf over an existing RDD.
+  *
+  * Motivation (VERDICT r13 "what's wrong" #3): the loop partition budget
+  * used to `spark.conf.set` the SHARED session's shuffle-partition count
+  * for the duration of a loop, and Verify runs queries concurrently on
+  * one session — a concurrent query planning during someone's loop could
+  * silently get the tiny budget for its own exchanges. Scoping the
+  * budget to a cloned session makes that impossible by construction.
+  */
+object GraftSqlShims {
+
+  def cloneSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
+
+  def reRoot(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.DataFrame].logicalPlan)
+}

@@ -16,23 +16,44 @@ class OptimizeHelpersSpec extends SparkSpec {
     assert(once == plain)
   }
 
-  test("withLoopPartitions: budget = clamp(rows/1M, 1, session) and the session value is restored") {
+  test("sortedOnceCorpus: same rows, same total order as a plain orderBy, no CacheManager entry") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val plain = df.orderBy(col("n").desc, col("doc_id")).collect().toSeq
+    val once = QuerySpec.sortedOnceCorpus(df, col("n").desc, col("doc_id")).collect().toSeq
+    assert(once == plain)
+    // the materialization must NOT register with the session cache —
+    // a CacheManager hit on a later identical plan would be cross-query
+    // result caching, which the bench methodology forbids
+    // (Dataset.storageLevel consults the CacheManager: NONE = no entry)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("withLoopPartitions: budget = clamp(rows/1M, 1, session), scoped off the shared session") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
-    TextOps.withLoopPartitions(spark, 123L) { b =>
-      assert(b == 1)
-      assert(spark.conf.get(key) == "1")
+    // budget clamp
+    assert(TextOps.loopBudget(spark, 123L) == 1)
+    assert(TextOps.loopBudget(spark, 1000L * 1000 * 1000) == before.toInt)
+    val df = spark.range(10).toDF("id")
+    val out = TextOps.withLoopPartitions(spark, 123L) { pin =>
+      val p = pin(df)
+      // the pinned frame plans under the CLONED session's budget; the
+      // caller's session conf is never mutated (VERDICT r13 #3) — a
+      // concurrent query on the shared session can no longer observe the
+      // loop's tiny budget
+      assert(p.sparkSession ne spark)
+      assert(p.sparkSession.conf.get(key) == "1")
+      assert(spark.conf.get(key) == before)
+      // budgeted exchange: a keyed aggregate on the clone runs 1 partition
+      val agg = p.groupBy(col("id") % 2).count()
+      agg.write.format("noop").mode("overwrite").save()
+      p.repartition(col("id"))
     }
-    assert(spark.conf.get(key) == before)
-    // a frame larger than the session budget is capped at the session value
-    TextOps.withLoopPartitions(spark, 1000L * 1000 * 1000) { b =>
-      assert(b == before.toInt)
-    }
-    assert(spark.conf.get(key) == before)
-    // restored even when the body throws
-    intercept[RuntimeException] {
-      TextOps.withLoopPartitions(spark, 1L)(_ => throw new RuntimeException("x"))
-    }
+    // the result is re-rooted back onto the caller's session with values
+    // intact, so downstream planning sees the caller's conf
+    assert(out.sparkSession eq spark)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
     assert(spark.conf.get(key) == before)
   }
 
