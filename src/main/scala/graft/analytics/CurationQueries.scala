@@ -1256,9 +1256,37 @@ object CurationQueries {
       }
       inDir
     }
-    // the store is per-RUN (the sequence must start from exactly corpus)
-    val store = Files.createTempDirectory("graft_q197_store").toString + "/store"
-    Curation.initAdmissionStore(corpus, "doc_id", "text", store)
+    // the store is per-RUN (the sequence must start from exactly corpus).
+    // Its INIT is a pure function of the corpus content (deterministic
+    // xxhash64/MinHash/postings — the property admitDeltaStored's
+    // bit-identity rests on), so the pristine store is built ONCE per
+    // fixture content under the marker root (the admissionStoreFixture
+    // discipline; MemoTouch already marks this helper) and each run
+    // FILE-COPIES it into a private directory: the sequence still starts
+    // from exactly `corpus`, and the run extends only its own copy.
+    val store = {
+      val fp = LakeQueries.contentFingerprint(d, "documents.parquet")
+      val pristine = s"${graft.MemoTouch.fixtureRoot}/graft_q197_pristine_" +
+        Integer.toHexString(d.hashCode) + "_" + Integer.toHexString(fp.hashCode)
+      q197ChunkLock.synchronized {
+        val marker = Path.of(pristine, "_complete")
+        if (!Files.exists(marker)) {
+          Files.createDirectories(Path.of(pristine))
+          Curation.initAdmissionStore(corpus, "doc_id", "text", s"$pristine/store")
+          Files.writeString(marker, "ok")
+        }
+      }
+      val runDir = Files.createTempDirectory("graft_q197_store").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(pristine)
+        .getFileSystem(conf)
+      Seq("store", "store_postings").foreach { t =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$pristine/$t"),
+          fs, new org.apache.hadoop.fs.Path(s"$runDir/$t"), false, conf)
+      }
+      s"$runDir/store"
+    }
     def streamLeg(leg: Int, appId: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
       val inDir = chunkDir(leg)
       val outDir = Files.createTempDirectory(s"graft_q197_out$leg").toString

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+/** Scratch phase profiler for the stored-admission chain (delete before
+  * round end): replays admitDeltaStored stage by stage with timestamps.
+  */
+object Q190Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    import graft.connect.SnapshotStore
+    import graft.ops.{Curation, Dedup}
+    // warm: one full q190
+    graft.SparkEntry.queries("q190_stored_admission")(spark, d)
+      .write.format("noop").mode("overwrite").save()
+    val table = CurationQueries.admissionStoreFixture(spark, d)
+    val docs = Tables.documents(spark, d)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val idCol = "doc_id"; val textCol = "text"
+    var t0 = System.nanoTime()
+    def mark(s: String): Unit = {
+      println(f"[phase] $s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    val (numHashes, bands, shingleK) = Curation.admissionMetaOrLegacy(spark, table)
+    val store = SnapshotStore.read(spark, table)
+    mark("meta+read")
+    val gateKept = batch.filter(graft.ops.QualityRules.gate(col("text"), minStopHits = 1))
+    val intraExact = Dedup.exact(gateKept, idCol, Seq(textCol)).localCheckpoint()
+    mark("intraExact ckpt")
+    val corpusHashes = store.select(col("kh").as("__kh")).distinct()
+    val candIds = intraExact
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"))
+      .join(corpusHashes, Seq("__kh"), "left_semi")
+      .select(col(idCol))
+    val candRows = intraExact.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), xxhash64(col(textCol)).as("__kh"),
+        col(textCol).as("__bt"))
+    val confirmed = candRows
+      .join(store.select(col("kh").as("__kh"), col(textCol).as("__ct")),
+        Seq("__kh"))
+      .filter(col("__bt") === col("__ct"))
+      .select(col(idCol)).distinct()
+    val exactKept = intraExact.join(confirmed, Seq(idCol), "left_anti").localCheckpoint()
+    mark("crossExact + exactKept ckpt")
+    val intraPairs = Dedup.minHashNearDups(exactKept, idCol, textCol,
+      numHashes = numHashes, bands = bands, shingleK = shingleK,
+      threshold = 0.5)
+    val intraNear = Dedup.dropNearDups(exactKept, intraPairs, idCol).localCheckpoint()
+    mark("intraNear (minhash+components) ckpt")
+    val crossDup = Dedup.crossNearDupsFrom(intraNear,
+      store.select(col(idCol), col("sig")),
+      store.select(col(idCol), col(textCol)),
+      idCol, textCol, numHashes = numHashes, bands = bands,
+      shingleK = shingleK, threshold = 0.5)
+      .select(col("id_a").as(idCol)).distinct()
+    val afterCross = intraNear.join(crossDup, Seq(idCol), "left_anti")
+    val base = afterCross.localCheckpoint()
+    mark("crossNearDups + base ckpt")
+    val pt = Curation.postingsTable(table)
+    val contained = Dedup.crossOverlapPairsFrom(base,
+      SnapshotStore.read(spark, pt),
+      store.select(col(idCol), col(textCol)), idCol, textCol,
+      shingleK = shingleK, threshold = 0.8)
+      .filter(col("n_a") <= col("n_b"))
+      .select(col("id_a").as(idCol)).distinct()
+    val nearKept = base.join(contained, Seq(idCol), "left_anti").localCheckpoint()
+    mark("containment + nearKept ckpt")
+    val contaminated = Dedup.contaminationOverlap(nearKept, bench, idCol,
+      textCol, shingleK = 5).select(col(idCol))
+    val admitted = nearKept.join(contaminated, Seq(idCol), "left_anti").localCheckpoint()
+    mark("decontam + admitted ckpt")
+    admitted.select(col(idCol), col("source"))
+      .orderBy(idCol).write.format("noop").mode("overwrite").save()
+    mark("tail sort")
+    spark.stop()
+  }
+}

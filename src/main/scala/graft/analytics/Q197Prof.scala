@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+/** Scratch phase profiler for q197 (delete before round end): replays
+  * unifiedAdmissionRun's phases with wall timestamps so the 5-barrier
+  * cost distribution (init / leg1 / batch / leg2 / assemble) is visible.
+  */
+object Q197Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    // one untimed full warm-up
+    CurationQueries.unifiedAdmissionRun(spark, d, crashLeg2 = false)
+      ._1.write.format("noop").mode("overwrite").save()
+    var t0 = System.nanoTime()
+    def mark(s: String): Unit = {
+      println(f"[phase] $s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    // timed replay, phase by phase (mirrors unifiedAdmissionRun)
+    val docs = Tables.documents(spark, d)
+    val third = pmod(col("doc_id"), lit(3)) === 0
+    val sub = pmod(expr("doc_id div 3"), lit(3))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft_q197p_store")
+      .toString + "/store"
+    mark("setup")
+    graft.ops.Curation.initAdmissionStore(corpus, "doc_id", "text", store)
+    mark("initAdmissionStore")
+    def streamLeg(leg: Int, appId: String): org.apache.spark.sql.DataFrame = {
+      // chunk fixtures are warm (unifiedAdmissionRun built them)
+      val inDir = s"${graft.MemoTouch.fixtureRoot}/graft_q197_leg${leg}_" +
+        Integer.toHexString(d.hashCode)
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft_q197p_out$leg").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_q197p_ckpt$leg").toString
+      val schema = spark.read.parquet(s"$inDir/chunk_00.parquet").schema
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val t = System.nanoTime()
+            val admitted = graft.streaming.NearDupFilter
+              .processBatchStored(batch, store, "doc_id", "text",
+                threshold = 0.8, appId = appId, batchId = batchId)
+              .select("doc_id")
+            println(f"[phase]   leg$leg batch$batchId process: ${(System.nanoTime() - t) / 1e9}%.2f s")
+            val t2 = System.nanoTime()
+            admitted.write.mode("append").parquet(outDir)
+            println(f"[phase]   leg$leg batch$batchId sink: ${(System.nanoTime() - t2) / 1e9}%.2f s")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.read.parquet(outDir)
+    }
+    val ad1 = streamLeg(1, "graft_q197p_s1")
+    mark("streamLeg1")
+    val batchAdm = graft.ops.Curation.admitDeltaStored(
+      docs.filter(third && sub === 1), bench, store,
+      "doc_id", "text", nearDupThreshold = 0.5, containment = Some(0.8),
+      decontamK = 5,
+      ruleGate = Some(graft.ops.QualityRules.gate(col("text"), minStopHits = 1)),
+      appId = "graft_q197p_b", batchId = 1L).admitted
+    mark("admitDeltaStored (incl. store extension)")
+    val ad2 = streamLeg(2, "graft_q197p_s2")
+    mark("streamLeg2")
+    ad1.select(col("doc_id"), lit("s1").as("gate"))
+      .unionByName(batchAdm.select(col("doc_id"), lit("batch").as("gate")))
+      .unionByName(ad2.select(col("doc_id"), lit("s2").as("gate")))
+      .orderBy("doc_id")
+      .write.format("noop").mode("overwrite").save()
+    mark("assemble+sort")
+    spark.stop()
+  }
+}

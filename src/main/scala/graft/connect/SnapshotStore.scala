@@ -7,6 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
 
 /** Snapshot-versioned parquet table — the minimal transactional-lake
   * layer (the Delta/Iceberg commit-protocol idea re-expressed on plain
@@ -183,6 +184,29 @@ object SnapshotStore {
     if (listed.isEmpty) // empty batch: a commit with no new files
       return Seq.empty[(String, String, Long, Long, Map[String, Double], Map[String, Double])]
         .toDF("path", "file", "rows", "bytes", "stat_min", "stat_max")
+    // Stats-less tables (the admission stores, every plain commit): the
+    // per-file row count is already in each parquet FOOTER — read it
+    // driver-side instead of launching a Spark job that re-reads the
+    // just-written data (r14, guide §5: per-delivery metadata work was 2
+    // of the ~4 jobs every store append paid — the stats aggregate here
+    // and the manifest-rows checkpoint in append; both exist only to
+    // recompute what the writer already knew). The local frame is a
+    // LocalRelation: free to reuse across append's rebase rounds, no
+    // checkpoint needed. Tables WITH stats columns keep the Spark
+    // aggregate — its cast-to-double min/max semantics are pinned by the
+    // lake queries and not worth re-deriving from footer statistics.
+    if (statsCols.isEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val empty = Map.empty[String, Double]
+      return listed.map { case (path, file, bytes) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(path), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        (path, file, rows, bytes, empty, empty)
+      }.toDF("path", "file", "rows", "bytes", "stat_min", "stat_max")
+    }
     val bytesDf = listed.toDF("path", "file", "bytes")
     val data = spark.read.parquet(dataDir)
     val aggs = count(lit(1L)).as("rows") +: statsCols.flatMap { c =>
@@ -269,8 +293,12 @@ object SnapshotStore {
         s"append column ${f.name} has type $in, table expects ${f.dataType}")
     }
     val aligned = df.select(snap0.schema.fieldNames.map(col): _*)
-    val rows = writeDataFiles(spark, table, aligned, snap0.statsCols)
-      .localCheckpoint() // reused across rebase rounds — file metadata only
+    // stats-less tables produce a LocalRelation (footer-derived metadata,
+    // see manifestRowsFor) — already reusable across rebase rounds with
+    // no job; only the stats-aggregate path needs pinning
+    val rows0 = writeDataFiles(spark, table, aligned, snap0.statsCols)
+    val rows = if (snap0.statsCols.isEmpty) rows0
+      else rows0.localCheckpoint() // reused across rebase rounds — file metadata only
     var attempt = 0
     while (true) {
       val parent = latestVersion(spark, table)

@@ -1006,6 +1006,25 @@ object Curation {
       nearKept.join(contaminated, Seq(idCol), "left_anti"))
   }
 
+  /** Run independent store-write actions as CONCURRENT jobs (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially). Used for the main/postings admission-store pairs —
+    * independent tables whose txn-stamped appends commute; each action's
+    * input frames are materialized (checkpointed or at-rest) before the
+    * call. Bounded by the caller's action count (always 2 here), so a
+    * throwaway thread pool per call is cheaper than a shared executor's
+    * lifecycle management.
+    */
+  private[graft] def runConcurrently(actions: Seq[() => Any]): Unit = {
+    if (actions.lengthCompare(1) <= 0) { actions.foreach(_.apply()); return }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   // ------------------------------------- persisted admission signatures
 
   /** Per-document admission signatures — the store row shape:
@@ -1189,10 +1208,15 @@ object Curation {
     // a single-split scan would minhash it on one core). Per-delivery
     // appends stay unwidened — see admissionSignatures.
     val wide = TextOps.parallelized(corpus)
-    val v = graft.connect.SnapshotStore.commit(spark, table,
-      admissionSignatures(wide, idCol, textCol, numHashes, shingleK))
-    graft.connect.SnapshotStore.commit(spark, postingsTable(table),
-      admissionPostings(wide, idCol, textCol, shingleK))
+    // the two tables are independent — commit them concurrently (§2.6);
+    // each evaluates `wide` itself, overlapping the signature pass with
+    // the postings explode instead of serializing two corpus scans
+    var v = -1
+    runConcurrently(Seq(
+      () => v = graft.connect.SnapshotStore.commit(spark, table,
+        admissionSignatures(wide, idCol, textCol, numHashes, shingleK)),
+      () => graft.connect.SnapshotStore.commit(spark, postingsTable(table),
+        admissionPostings(wide, idCol, textCol, shingleK))))
     v
   }
 
@@ -1334,17 +1358,22 @@ object Curation {
     val gateKept = signalGate
       .map(g => predKept.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
       .getOrElse(predKept)
-    val intraExact = ckpt(Dedup.exact(gateKept, idCol, Seq(textCol)))
+    // intra + cross exact passes FUSED on one xxhash64 scan (r14, the
+    // r13 verdict's #1 suggestion): the dedup window's partition hash is
+    // kept as `__kh`, so candidate nomination below recomputes nothing
+    // and its semi-join reuses the checkpointed frame's hash-keyed
+    // partitioning (only the store-hash side exchanges)
+    val intraExactKh = ckpt(Dedup.exactWithHash(gateKept, idCol, Seq(textCol)))
+    val intraExact = intraExactKh.drop("__kh")
     // cross exact dedup: candidate nomination over STORED 8-byte hashes,
     // text compared only for candidate rows (read from the store)
     val corpusHashes = store.select(col("kh").as("__kh")).distinct()
-    val candIds = intraExact
-      .select(col(idCol), xxhash64(col(textCol)).as("__kh"))
+    val candIds = intraExactKh
+      .select(col(idCol), col("__kh"))
       .join(corpusHashes, Seq("__kh"), "left_semi")
       .select(col(idCol))
-    val candRows = intraExact.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), xxhash64(col(textCol)).as("__kh"),
-        col(textCol).as("__bt"))
+    val candRows = intraExactKh.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col("__kh"), col(textCol).as("__bt"))
     val confirmed = candRows
       .join(store.select(col("kh").as("__kh"), col(textCol).as("__ct")),
         Seq("__kh"))
@@ -1391,18 +1420,22 @@ object Curation {
     val admitted = ckpt(nearKept.join(contaminated, Seq(idCol), "left_anti"))
     // ^ evaluated BEFORE the store extension below (when eager)
     if (extendStore) {
-      SnapshotStore.appendIdempotent(spark, table,
-        admissionSignatures(admitted.select(col(idCol), col(textCol)),
-          idCol, textCol, numHashes = numHashes, shingleK = shingleK),
-        appId, batchId)
-      // keep the posting channel complete (only when the sibling exists —
-      // a pre-postings store stays consistent with its degrade path)
+      // independent tables, idempotent txns — concurrent appends (§2.6);
+      // both read only the checkpointed `admitted`
       val pt = postingsTable(table)
-      if (SnapshotStore.latestVersion(spark, pt) >= 0)
-        SnapshotStore.appendIdempotent(spark, pt,
-          admissionPostings(admitted.select(col(idCol), col(textCol)),
-            idCol, textCol, shingleK = shingleK),
-          appId, batchId)
+      runConcurrently(Seq(
+        () => SnapshotStore.appendIdempotent(spark, table,
+          admissionSignatures(admitted.select(col(idCol), col(textCol)),
+            idCol, textCol, numHashes = numHashes, shingleK = shingleK),
+          appId, batchId)) ++
+        // keep the posting channel complete (only when the sibling exists
+        // — a pre-postings store stays consistent with its degrade path)
+        (if (SnapshotStore.latestVersion(spark, pt) >= 0) Seq(
+          () => SnapshotStore.appendIdempotent(spark, pt,
+            admissionPostings(admitted.select(col(idCol), col(textCol)),
+              idCol, textCol, shingleK = shingleK),
+            appId, batchId))
+        else Seq.empty))
     }
     DeltaStages(gateKept, exactKept, nearKept, admitted)
   }

@@ -41,13 +41,25 @@ object Dedup {
     * exchange (ClusteredDistribution on a superset), so no second
     * shuffle appears — PlanSpec pins both properties.
     */
-  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    exactWithHash(df, idCol, keyCols).drop("__kh")
+
+  /** [[exact]] KEEPING the `__kh = xxhash64(keys)` column and its
+    * hash-keyed partitioning (r14): the stored-admission path's
+    * cross-corpus exact check nominates candidates by exactly this hash,
+    * so keeping it fuses the intra-batch and cross-store exact passes —
+    * no xxhash64 recompute, and the candidate semi-join's batch side is
+    * already partitioned by the join key (a localCheckpoint preserves
+    * output partitioning), so only the store-hash side exchanges.
+    */
+  private[graft] def exactWithHash(df: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy((col("__kh") +: keyCols.map(col)): _*).orderBy(col(idCol))
     df.withColumn("__kh", xxhash64(keyCols.map(col): _*))
       .repartition(col("__kh"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__kh")
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Duplicate groups under an arbitrary (usually derived) key column —
@@ -195,7 +207,15 @@ object Dedup {
     * non-cheap-alias protection keeps the signature evaluated once.
     * Output is bit-identical (same xxhash64-over-joined-slice per band).
     */
-  def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
+    lshBuckets(df, idCol, sigCol, bands, Nil)
+
+  /** [[lshBuckets]] carrying extra columns through the explode — lets a
+    * caller band a UNION of sides in one join and still tell the sides
+    * apart (r14: the streaming gate's store/batch candidate channels).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String, bands: Int,
+      carry: Seq[String]): DataFrame = {
     val rowsPer = floor(size(col(sigCol)) / bands)
     // ONE looped expression, not `bands` inlined copies: an array literal
     // of per-band xxhash64(slice(...)) branches at bands=64 pushed the
@@ -207,7 +227,8 @@ object Dedup {
     // loop-shaped generated code whose size is band-count-independent.
     val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws(",", slice(col(sigCol), b * rowsPer + 1, rowsPer))))
-    df.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
+    df.select(col(idCol) +: carry.map(col) :+
+      posexplode(bandHashes).as(Seq("band", "band_hash")): _*)
   }
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The

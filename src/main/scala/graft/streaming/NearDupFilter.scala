@@ -225,17 +225,22 @@ object NearDupFilter {
 
     val probe = Dedup.lshBuckets(b.select(col(idCol), col("sig")), idCol, "sig", bands)
       .withColumnRenamed(idCol, "__pid")
-    // two candidate channels, one banding join each: (1) any store doc,
-    // no id guard; (2) smaller-id docs of the same batch
-    val storeBuckets = Dedup.lshBuckets(store.select(col(idCol), col("sig")),
-      idCol, "sig", bands).withColumnRenamed(idCol, "__rid")
-    val batchBuckets = Dedup.lshBuckets(b.select(col(idCol), col("sig")),
-      idCol, "sig", bands).withColumnRenamed(idCol, "__rid")
-    val cand = probe.join(storeBuckets, Seq("band", "band_hash"))
+    // the two candidate channels — (1) any store doc, no id guard;
+    // (2) smaller-id docs of the same batch — share ONE banding join
+    // (r14, guide §2.4): band the store ∪ batch union with a side tag
+    // and apply the batch channel's id guard as a post-join filter. The
+    // emitted pair set is identical (the union of both channels before
+    // the same distinct); what changes is one join + one exchange chain
+    // instead of two, in a path that runs once per micro-batch.
+    val refs = store.select(col(idCol), col("sig"))
+      .withColumn("__batch", lit(false))
+      .unionByName(b.select(col(idCol), col("sig"))
+        .withColumn("__batch", lit(true)))
+    val refBuckets = Dedup.lshBuckets(refs, idCol, "sig", bands,
+      carry = Seq("__batch")).withColumnRenamed(idCol, "__rid")
+    val cand = probe.join(refBuckets, Seq("band", "band_hash"))
+      .filter(!col("__batch") || col("__rid") < col("__pid"))
       .select(col("__rid").as("id_a"), col("__pid").as("id_b"))
-      .unionByName(probe.join(batchBuckets, Seq("band", "band_hash"))
-        .filter(col("__rid") < col("__pid"))
-        .select(col("__rid").as("id_a"), col("__pid").as("id_b")))
       .distinct()
       .localCheckpoint()
     // (a store pair with id_a == id_b is a re-delivered id: its J is 1.0
@@ -264,15 +269,25 @@ object NearDupFilter {
     val toStore =
       if (storeRejected) b
       else b.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-    SnapshotStore.appendIdempotent(spark, table,
-      toStore.select(col(idCol), col(textCol), col("kh"), col("sig")),
-      appId, batchId)
+    // main and postings are INDEPENDENT tables with per-table idempotent
+    // txns, so the two appends commute — submit them as concurrent jobs
+    // (guide §2.6) so the postings write's scheduling hides under the
+    // main write instead of adding a serial barrier per micro-batch.
+    // Both read only the checkpointed `toStore`/`b`. A crash between the
+    // two was already possible in the serial form; replay re-appends
+    // whichever table is missing the (appId, batchId) txn either way.
     val pt = Curation.postingsTable(table)
-    if (SnapshotStore.latestVersion(spark, pt) >= 0)
-      SnapshotStore.appendIdempotent(spark, pt,
-        Curation.admissionPostings(toStore.select(col(idCol), col(textCol)),
-          idCol, textCol, shingleK),
-        appId, batchId)
+    val appends = Seq(
+      () => SnapshotStore.appendIdempotent(spark, table,
+        toStore.select(col(idCol), col(textCol), col("kh"), col("sig")),
+        appId, batchId)) ++
+      (if (SnapshotStore.latestVersion(spark, pt) >= 0) Seq(
+        () => SnapshotStore.appendIdempotent(spark, pt,
+          Curation.admissionPostings(toStore.select(col(idCol), col(textCol)),
+            idCol, textCol, shingleK),
+          appId, batchId))
+      else Seq.empty)
+    graft.ops.Curation.runConcurrently(appends)
     admitted
   }
 }
