@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r14): lowering spark.sql.adaptive.coalescePartitions
+      // .minPartitionSize 1m -> 64k was TRIED (r14 profiles found
+      // text-CPU-dense reduce stages — the LM score fold, admission
+      // verifies — coalesced to 1-2 tasks behind ~2 MB exchanges) and
+      // measured WORSE on a 30-query A/B subset: 1.16x total, with only
+      // q102/q172 improving — the extra small tasks cost more in
+      // per-stage scheduling than the width bought. The hot aggregates
+      // are widened individually where profiles justified it instead.
       // NOTE (r13): spark.sql.join.preferSortMergeJoin=false (+ the AQE
       // SMJ->SHJ rewrite threshold) was TRIED here and reverted — the
       // r13 full-bench A/B showed the ANN/streaming family reading
